@@ -1,13 +1,107 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or a north-star
+  * LLM-pipeline extension); each has an equivalent DuckDB SQL in
+  * `oracleSql` so the driver's correctness gate hash-compares both engines
+  * on the same parquet inputs.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.5 relational layer
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q5_local_supplier" -> (Relational.q5LocalSupplier _),
+    "top_order_per_customer" -> (Relational.topOrderPerCustomer _),
+    "running_customer_spend" -> (Relational.runningCustomerSpend _),
+    "order_gaps" -> (Relational.orderGaps _),
+    "top10_lineitems" -> (Relational.top10Lineitems _),
+    "distinct_parts_per_flag" -> (Relational.distinctPartsPerFlag _),
+    "set_ops_customers" -> (Relational.setOpsCustomers _),
+    "rollup_quantity" -> (Relational.rollupQuantity _),
+    "customers_without_orders" -> (Relational.customersWithoutOrders _),
+    "customers_with_open_orders" -> (Relational.customersWithOpenOrders _),
+    "part_scalar_functions" -> (Relational.partScalarFunctions _),
+    "order_date_stats" -> (Relational.orderDateStats _),
+    // §2.1 core API semantics re-expressed relationally
+    "rowid_range" -> (Relational.rowidRange _),
+    "table_length" -> (Relational.tableLength _),
+    // §2.6 event-time
+    "events_hourly_by_type" -> (Events.hourlyByType _),
+    "events_sliding_counts" -> (Events.slidingCounts _),
+    "events_user_sessions" -> (Events.userSessions _),
+    "events_json_props" -> (Events.jsonPropsSummary _),
+    "events_inter_event_gaps" -> (Events.interEventGaps _),
+    // north-star: dedup
+    "dedup_exact" -> (Dedup.exactDedup _),
+    "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),
+    "dedup_lsh_candidates" -> (Dedup.lshCandidatePairs _),
+    "dedup_jaccard_verified" -> (Dedup.jaccardVerifiedPairs _),
+    "dedup_simhash" -> (Dedup.simhashSignatures _),
+    // north-star: similarity search
+    "knn_brute_force" -> (Similarity.bruteForceKnn _),
+    "ann_lsh_bucket_stats" -> (Similarity.lshBucketStats _),
+    "embedding_near_dups" -> (Similarity.embeddingNearDups _),
+    // north-star: text analysis
+    "text_token_stats" -> (TextOps.tokenStats _),
+    "text_quality_scores" -> (TextOps.qualityScores _),
+    "text_language_id" -> (TextOps.languageId _),
+    "text_fingerprints" -> (TextOps.fingerprints _),
+    // north-star: multimodal plumbing
+    "mm_binary_metadata" -> (Multimodal.binaryMetadata _),
+    "mm_decode_features" -> (Multimodal.decodeFeatures _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> Relational.q1Sql,
+    "q6_forecast_revenue" -> Relational.q6Sql,
+    "q3_shipping_priority" -> Relational.q3Sql,
+    "q5_local_supplier" -> Relational.q5Sql,
+    "top_order_per_customer" -> Relational.topOrderPerCustomerSql,
+    "running_customer_spend" -> Relational.runningCustomerSpendSql,
+    "order_gaps" -> Relational.orderGapsSql,
+    "top10_lineitems" -> Relational.top10LineitemsSql,
+    "distinct_parts_per_flag" -> Relational.distinctPartsPerFlagSql,
+    "set_ops_customers" -> Relational.setOpsCustomersSql,
+    "rollup_quantity" -> Relational.rollupQuantitySql,
+    "customers_without_orders" -> Relational.customersWithoutOrdersSql,
+    "customers_with_open_orders" -> Relational.customersWithOpenOrdersSql,
+    "part_scalar_functions" -> Relational.partScalarFunctionsSql,
+    "order_date_stats" -> Relational.orderDateStatsSql,
+    "rowid_range" -> Relational.rowidRangeSql,
+    "table_length" -> Relational.tableLengthSql,
+    "events_hourly_by_type" -> Events.hourlyByTypeSql,
+    "events_sliding_counts" -> Events.slidingCountsSql,
+    "events_user_sessions" -> Events.userSessionsSql,
+    "events_json_props" -> Events.jsonPropsSummarySql,
+    "events_inter_event_gaps" -> Events.interEventGapsSql,
+    "dedup_exact" -> Dedup.exactDedupSql,
+    "dedup_minhash_signatures" -> Dedup.minhashSignaturesSql,
+    "dedup_lsh_candidates" -> Dedup.lshCandidatePairsSql,
+    "dedup_jaccard_verified" -> Dedup.jaccardVerifiedPairsSql,
+    "dedup_simhash" -> Dedup.simhashSignaturesSql,
+    "knn_brute_force" -> Similarity.bruteForceKnnSql,
+    "ann_lsh_bucket_stats" -> Similarity.lshBucketStatsSql,
+    "embedding_near_dups" -> Similarity.embeddingNearDupsSql,
+    "text_token_stats" -> TextOps.tokenStatsSql,
+    "text_quality_scores" -> TextOps.qualityScoresSql,
+    "text_language_id" -> TextOps.languageIdSql,
+    "text_fingerprints" -> TextOps.fingerprintsSql,
+    "mm_binary_metadata" -> Multimodal.binaryMetadataSql,
+    "mm_decode_features" -> Multimodal.decodeFeaturesSql
+  )
 }

@@ -1,0 +1,117 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import scala.collection.mutable.ArrayBuffer
+
+/** Write-behind buffer over a [[VectorStore]] — the reference's
+  * `WritableCache` (reference: src/cache/writable_cache.rs):
+  *
+  *  - `push`/`pushx` append to an in-memory buffer and acknowledge before
+  *    durability (writable_cache.rs:106-117);
+  *  - a background daemon polls every `pollMs` (reference: 10 ms,
+  *    writable_cache.rs:94) and drains the whole buffer to the backing
+  *    store once it holds ≥ `maxItems` (default 500 000, env-tunable there
+  *    via MAX_WRCACHE_ITEMS — writable_cache.rs:20,60-70);
+  *  - reads serve the merged committed ⋃ buffered view with rowid
+  *    continuity: the reference's 3-way pull routing
+  *    (writable_cache.rs:222-298) reduces here to "index < base.len →
+  *    backing store, else buffer[index - base.len]";
+  *  - `close()` drains the remaining buffer — flush-on-drop
+  *    (writable_cache.rs:162-185).
+  *
+  * This is the micro-batch ingestion pattern; the Structured Streaming
+  * equivalent (file/rate source → `foreachBatch` append) lives in
+  * `graft.streaming`.
+  */
+final class BufferedVectorStore[T: Encoder](
+    val base: VectorStore[T],
+    val maxItems: Int = 500000,
+    pollMs: Long = 10L
+) extends AutoCloseable {
+
+  private val buf = new ArrayBuffer[T]()
+  @volatile private var running = true
+
+  private val flusher = new Thread(() => {
+    while (running) {
+      if (bufferedCount >= maxItems) flush()
+      Thread.sleep(pollMs)
+    }
+  }, s"graft-flusher-${System.identityHashCode(this)}")
+  flusher.setDaemon(true)
+  flusher.start()
+
+  def push(obj: T): Unit = buf.synchronized { buf += obj }
+  def pushx(objs: Seq[T]): Unit = buf.synchronized { buf ++= objs }
+
+  def bufferedCount: Int = buf.synchronized(buf.size)
+
+  /** Merged length: committed + buffered (writable_cache.rs:210-212). */
+  def len: Long = base.len + bufferedCount
+  def isEmpty: Boolean = len == 0L
+
+  /** Merged point read (writable_cache.rs:222-246). */
+  def pull(index: Long): T =
+    get(index).getOrElse(
+      throw new IndexOutOfBoundsException(s"pull($index) on merged length $len"))
+
+  def get(index: Long): Option[T] = {
+    val baseLen = base.len
+    if (index < 0 || index >= len) None
+    else if (index < baseLen) base.get(index)
+    else buf.synchronized {
+      val i = (index - baseLen).toInt
+      if (i < buf.size) Some(buf(i)) else None
+    }
+  }
+
+  /** Merged range read with straddle routing (writable_cache.rs:248-298). */
+  def pullx(index: Long, count: Long): Seq[T] =
+    getx(index, count).getOrElse(
+      throw new IndexOutOfBoundsException(s"pullx($index,$count) on merged length $len"))
+
+  def getx(index: Long, count: Long): Option[Seq[T]] = {
+    val baseLen = base.len
+    // Snapshot the buffer so the db/buffer split is consistent.
+    val snapshot = buf.synchronized(buf.toVector)
+    val total = baseLen + snapshot.size
+    if (index < 0 || count < 0 || index + count > total) None
+    else {
+      val dbPart =
+        if (index >= baseLen) Vector.empty[T]
+        else base.getx(index, math.min(count, baseLen - index)).get.toVector
+      val bufLo = math.max(0L, index - baseLen).toInt
+      val bufHi = math.max(0L, index + count - baseLen).toInt
+      Some(dbPart ++ snapshot.slice(bufLo, bufHi))
+    }
+  }
+
+  def getall(): Option[Seq[T]] =
+    if (isEmpty) None else getx(0, len)
+
+  /** Committed ⋃ in-flight as one Dataset (SURVEY.md §2.4 merged view). */
+  def mergedView(): Dataset[T] = {
+    val spark = base.table.spark
+    val snapshot = buf.synchronized(buf.toVector)
+    base.toDS().unionAll(spark.createDataset(snapshot))
+  }
+
+  /** Drain the whole buffer to the backing store (writable_cache.rs:87-89:
+    * flush is all-or-nothing). Synchronized against concurrent flushes so
+    * rowid order matches buffer order.
+    */
+  def flush(): Unit = this.synchronized {
+    val drained = buf.synchronized {
+      val d = buf.toVector
+      buf.clear()
+      d
+    }
+    if (drained.nonEmpty) base.pushx(drained)
+  }
+
+  override def close(): Unit = {
+    running = false
+    flusher.join(5000)
+    flush()
+  }
+}

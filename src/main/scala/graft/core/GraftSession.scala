@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory carrying the engine's standard configuration.
+  *
+  * Scale stance: AQE on (runtime coalescing + skew-join mitigation stands in
+  * for hand-tuned shuffle sizing on a real cluster); shuffle partitions are
+  * sized by the harness (`SPARK_GRAFT_CPUS`, 32 in the driver's local[32]
+  * runs). On a 1000-executor cluster the same code runs with a higher
+  * initial partition count and AQE coalesces down — nothing here assumes
+  * single-node execution.
+  */
+object GraftSession {
+
+  /** Apply Graft's standard configs to a builder (used by Verify/Bench/tests
+    * so every entry point agrees on semantics-relevant settings).
+    */
+  def tune(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", shufflePartitions)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    // The driver's events table stores parquet TIMESTAMP(NANOS), which Spark
+    // has no native type for — read it as nanos-since-epoch LONG and let
+    // Tables.events convert to TimestampType at microsecond precision.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(appName: String = "graft", cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = tune(
+      SparkSession.builder().appName(appName).master(s"local[$cpus]"),
+      cpus
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (hash-groupBy), MinHash + LSH banding (shingle → signature → band →
+  * bucket self-join), SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design: exact dedup is one shuffle on the content hash; MinHash
+  * signatures are map-only; LSH banding turns the quadratic all-pairs
+  * problem into a self-join on (band, band-hash) buckets — the shuffle key
+  * is the bucket, so candidate generation is linear in bucket occupancy,
+  * never |docs|². Jaccard runs only on LSH candidates.
+  *
+  * Hashing uses md5-derived 60-bit integers (first 15 hex chars) because
+  * md5 is identically defined in every engine — signatures are therefore
+  * reproducible by the DuckDB oracle bit-for-bit.
+  */
+object Dedup {
+
+  /** Word 3-gram shingles of `toks` (docs with <3 tokens get none). */
+  private val shingleExpr =
+    """CASE WHEN size(toks) >= 3
+      |     THEN transform(sequence(0, size(toks) - 3),
+      |                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      |     ELSE array() END""".stripMargin
+
+  private val shingleSqlExpr =
+    """CASE WHEN len(toks) >= 3
+      |     THEN list_transform(range(1, len(toks) - 1),
+      |                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |     ELSE [] END""".stripMargin
+
+  /** 60-bit hash of a string expression `e` salted with `j` (Spark side). */
+  private def h(e: String, j: Int): String =
+    s"CAST(conv(substr(md5(concat($e, '|$j')), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Same hash, DuckDB side. */
+  private def hSql(e: String, j: Int): String =
+    s"(('0x' || substr(md5($e || '|$j'), 1, 15))::BIGINT)"
+
+  val numHashes = 6
+
+  /** Exact dedup: group by content hash, keep the lowest doc_id per group
+    * (the canonical survivor), count members. One shuffle on md5(text).
+    */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_members"))
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_members
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** MinHash signatures: per doc, min over word-3-gram shingles of k salted
+    * hashes. Map-only (aggregate/transform fold inside codegen).
+    */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(shingleExpr))
+      .where(size(col("shingles")) > 0)
+    (0 until numHashes).foldLeft(base) { (df, j) =>
+      df.withColumn(s"mh$j", expr(s"array_min(transform(shingles, g -> ${h("g", j)}))"))
+    }.select(col("doc_id") +: (0 until numHashes).map(j => col(s"mh$j")): _*)
+  }
+
+  val minhashSignaturesSql: String = {
+    val mins = (0 until numHashes)
+      .map(j => s"list_min(list_transform(shingles, g -> ${hSql("g", j)})) AS mh$j")
+      .mkString(",\n ")
+    s"""SELECT doc_id,
+       | $mins
+       |FROM (SELECT doc_id, $shingleSqlExpr AS shingles
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+       |WHERE len(shingles) > 0""".stripMargin
+  }
+
+  /** LSH candidate pairs: band the k-row signature into bands of 2 rows;
+    * docs sharing any band bucket become a candidate pair. The self-join
+    * shuffles on (band, h1, h2) — bucket-local work only.
+    */
+  def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignatures(s, d)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until numHashes / 2).map(b =>
+        struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))): _*
+    )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.h1"), col("bb.h2"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
+          col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val lshCandidatePairsSql: String = {
+    val bandRows = (0 until numHashes / 2)
+      .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sig AS (${minhashSignaturesSql}),
+       | bands AS (${bandRows})
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  /** Near-dup verification: exact Jaccard over distinct shingle sets, but
+    * only for LSH candidate pairs (the scalable pattern: candidates are
+    * O(bucket), verification is O(candidates)).
+    */
+  def jaccardVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val docsWithShingles = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(s"array_distinct($shingleExpr)"))
+      .select("doc_id", "shingles")
+    val pairs = lshCandidatePairs(s, d)
+    pairs
+      .join(docsWithShingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sa"), "doc_a")
+      .join(docsWithShingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sb"), "doc_b")
+      .withColumn("inter", expr("size(array_intersect(sa, sb))"))
+      .withColumn("uni", expr("size(sa) + size(sb) - inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+  }
+
+  val jaccardVerifiedPairsSql: String =
+    s"""WITH pairs AS (${lshCandidatePairsSql}),
+       | sh AS (SELECT doc_id, list_distinct($shingleSqlExpr) AS shingles
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       | j AS (SELECT p.doc_a, p.doc_b,
+       |         len(list_filter(sa.shingles, g -> list_contains(sb.shingles, g))) AS inter,
+       |         len(sa.shingles) + len(sb.shingles)
+       |           - len(list_filter(sa.shingles, g -> list_contains(sb.shingles, g))) AS uni
+       |       FROM pairs p
+       |        JOIN sh sa ON sa.doc_id = p.doc_a
+       |        JOIN sh sb ON sb.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, inter, uni,
+       |  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+       |FROM j WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5""".stripMargin
+
+  val simhashBits = 16
+
+  /** SimHash: 16-bit signature from token-hash bit voting — explode +
+    * one shuffle on doc_id with map-side partial sums.
+    */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("hv", expr(h("t", 99)))
+    val sums = (0 until simhashBits).map(b =>
+      sum(when(expr(s"(shiftright(hv, $b) & 1) = 1"), 1).otherwise(-1)).as(s"b$b"))
+    val bits = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val combined = (0 until simhashBits)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bits.select(col("doc_id"), combined.as("simhash"))
+  }
+
+  val simhashSignaturesSql: String = {
+    val sums = (0 until simhashBits)
+      .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n  ")
+    val combine = (0 until simhashBits)
+      .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       | h AS (SELECT doc_id, ${hSql("t", 99)} AS hv FROM tok),
+       | bits AS (SELECT doc_id,
+       |  ${sums}
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST(${combine} AS BIGINT) AS simhash FROM bits""".stripMargin
+  }
+}

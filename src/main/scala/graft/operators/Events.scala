@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time operators over the `events` table — batch forms of the
+  * Structured Streaming pipeline in `graft.streaming` (identical
+  * window/session semantics, so the streaming path is oracle-checked
+  * through these).
+  *
+  * Timestamp discipline: the source column is parquet TIMESTAMP(NANOS);
+  * Spark works at µs (`Tables.events` exposes exact `ts_us`), DuckDB at ns.
+  * Every output expresses time as epoch seconds/micros BIGINT so the two
+  * engines hash identically.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event type (streaming: groupBy(window(...))). */
+  def hourlyByType(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+
+  val hourlyByTypeSql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+      | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sliding windows: 1-hour length, 30-minute slide — every event lands in
+    * exactly two windows (Spark `window(ts, '1 hour', '30 minutes')`,
+    * epoch-aligned starts).
+    */
+  def slidingCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("wstart"), col("event_type"), col("n"))
+
+  val slidingCountsSql: String =
+    """SELECT wstart, event_type, COUNT(*) AS n FROM (
+      | SELECT event_type,
+      |   unnest([(epoch_us(ts) // 1800000000) * 1800,
+      |           (epoch_us(ts) // 1800000000) * 1800 - 1800]) AS wstart
+      | FROM events)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Session windows per user with a 10-minute inactivity gap — Spark
+    * `session_window`; the oracle derives identical sessions by
+    * gaps-and-islands (lag + cumulative break count).
+    */
+  def userSessions(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(unix_micros(col("session_window.start")).as("session_start_us"),
+        col("user_id"), col("n"), col("total"))
+
+  val userSessionsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+      | m AS (SELECT *, CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 600000000
+      |                      THEN 1 ELSE 0 END AS brk FROM e),
+      | g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+      |                                ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      |SELECT MIN(us) AS session_start_us, user_id, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM g GROUP BY user_id, sid""".stripMargin
+
+  /** Semi-structured extraction: JSON props → typed column, aggregated. */
+  def jsonPropsSummary(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("k_sum"), max(col("k")).as("k_max"), count(lit(1)).as("n"))
+
+  val jsonPropsSummarySql: String =
+    """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+      | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max, COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Per-user ordered delta: time between consecutive events (lag over
+    * event-time, exact µs arithmetic).
+    */
+  def interEventGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .where(col("prev_us").isNotNull)
+      .select(col("event_id"), col("user_id"), (col("ts_us") - col("prev_us")).as("gap_us"))
+  }
+
+  val interEventGapsSql: String =
+    """SELECT event_id, user_id, gap_us FROM (
+      | SELECT event_id, user_id,
+      |  epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      | FROM events)
+      |WHERE gap_us IS NOT NULL""".stripMargin
+}

@@ -1,0 +1,332 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator corpus over the driver's TPC-H-ish tables — the
+  * analytics layer the reference lacks entirely (SURVEY.md §2.5), expressed
+  * purely with Catalyst-optimizable DataFrame operations so predicate
+  * pushdown / column pruning / join selection / partial aggregation all
+  * come from the optimizer.
+  *
+  * Determinism contract with the DuckDB oracle: every floating-point
+  * aggregate is computed in exact DECIMAL(18,2) arithmetic and only cast to
+  * DOUBLE at the end — double summation order differs between engines, but
+  * decimal sums are exact, so the final doubles are bit-identical.
+  */
+object Relational {
+
+  /** Exact-arithmetic cast for money/quantity doubles. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** TPC-H Q1-shaped pricing summary: hash aggregate with partial/final
+    * split; at scale this is one shuffle on (returnflag, linestatus) with
+    * map-side combine.
+    */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      | COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6-shaped selective filter + scalar aggregate. The predicates
+    * reach the parquet scan as PushedFilters (shipdate/discount/quantity
+    * are all plain comparisons), so at 100 TB this reads only matching row
+    * groups and exactly 3 columns.
+    */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  val q6Sql: String =
+    """SELECT
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q3-shaped 3-way join + aggregate. customer is small relative to
+    * lineitem → explicit broadcast removes one shuffle; orders⋈lineitem
+    * shuffles on orderkey (the natural co-location key for both tables —
+    * at 100 TB both sides would be bucketed by orderkey making this
+    * shuffle-free).
+    */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .withColumnRenamed("o_orderkey", "orderkey")
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey AS orderkey,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey""".stripMargin
+
+  /** TPC-H Q5-shaped 6-way join: all dimensions (region/nation/customer/
+    * supplier) broadcast; the only shuffle is lineitem⋈orders.
+    */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(s, d).where(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, d)
+    val cust = Tables.customer(s, d)
+    val supp = Tables.supplier(s, d)
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(cust),
+        ord("o_custkey") === cust("c_custkey") && supp("s_nationkey") === cust("c_nationkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin
+
+  /** Ranking window: each customer's highest-value order (deterministic
+    * tie-break on orderkey). One shuffle on custkey.
+    */
+  def topOrderPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        col("o_totalprice").as("totalprice"))
+  }
+
+  val topOrderPerCustomerSql: String =
+    """SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders) WHERE rn = 1""".stripMargin
+
+  /** Running-sum analytic window with an explicit ROWS frame; exact decimal
+    * prefix sums so the oracle matches bit-for-bit.
+    */
+  def runningCustomerSpend(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"), col("running_spend"))
+  }
+
+  val runningCustomerSpendSql: String =
+    """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders""".stripMargin
+
+  /** lag/lead analytic: gap in days between a customer's consecutive orders. */
+  def orderGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .where(col("prev_date").isNotNull)
+      .select(
+        col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+  }
+
+  val orderGapsSql: String =
+    """SELECT custkey, orderkey, gap_days FROM (
+      | SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      |  CAST(date_diff('day',
+      |     LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |     o_orderdate) AS INTEGER) AS gap_days
+      | FROM orders)
+      |WHERE gap_days IS NOT NULL""".stripMargin
+
+  /** Global top-k with total-order tie-break → deterministic row set.
+    * Spark executes this as TakeOrderedAndProject (per-partition top-k +
+    * driver merge), never a full sort — the right plan at any scale.
+    */
+  def top10Lineitems(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+      .select(col("l_orderkey").as("orderkey"), col("l_linenumber").as("linenumber"),
+        col("l_extendedprice").as("price"))
+
+  val top10LineitemsSql: String =
+    """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, l_extendedprice AS price
+      |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+
+  /** Exact distinct aggregation (expand + two-phase agg in Spark). */
+  def distinctPartsPerFlag(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n"))
+
+  val distinctPartsPerFlagSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts,
+      | COUNT(DISTINCT l_suppkey) AS distinct_supps, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Set operations: INTERSECT/EXCEPT/UNION (all distinct-semantics). */
+  def setOpsCustomers(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val orderedCust = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+    val rich = cust.where(col("c_acctbal") > 5000).select(col("c_custkey").as("custkey"))
+    val debt = cust.where(col("c_acctbal") < 0).select(col("c_custkey").as("custkey"))
+    rich.intersect(orderedCust).union(debt.except(orderedCust)).distinct()
+  }
+
+  val setOpsCustomersSql: String =
+    """SELECT DISTINCT custkey FROM (
+      | (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      |  INTERSECT SELECT o_custkey FROM orders)
+      | UNION
+      | (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+      |  EXCEPT SELECT o_custkey FROM orders))""".stripMargin
+
+  /** ROLLUP grouping sets (Expand + aggregate in Spark). */
+  def rollupQuantity(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"), count(lit(1)).as("n"))
+
+  val rollupQuantitySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Anti join: customers that never ordered (broadcast the build side). */
+  def customersWithoutOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey AS custkey, c_name AS name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** Semi join: customers with at least one open ('O') order. */
+  def customersWithOpenOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).where(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("custkey"))
+
+  val customersWithOpenOrdersSql: String =
+    """SELECT c_custkey AS custkey FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin
+
+  /** Scalar function surface: string/math functions over part. floor/ceil
+    * instead of round(double) — round ties break differently across engines.
+    */
+  def partScalarFunctions(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey").as("partkey"),
+      upper(col("p_name")).as("uname"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_type"), 1, 5).as("type5"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      abs(col("p_size") - 25).as("size_dev"),
+      pmod(col("p_size"), lit(5)).as("size_mod"),
+      floor(col("p_retailprice")).cast("long").as("price_floor"),
+      ceil(col("p_retailprice")).cast("long").as("price_ceil"))
+
+  val partScalarFunctionsSql: String =
+    """SELECT p_partkey AS partkey, UPPER(p_name) AS uname, LENGTH(p_name) AS name_len,
+      | SUBSTR(p_type, 1, 5) AS type5, p_brand || '#' || p_type AS brand_type,
+      | ABS(p_size - 25) AS size_dev, p_size % 5 AS size_mod,
+      | CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+      | CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil
+      |FROM part""".stripMargin
+
+  /** Date function surface + conditional aggregation over orders. */
+  def orderDateStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("urgent_n"),
+        sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice")))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("finished_total"))
+
+  val orderDateStatsSql: String =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+      | CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
+      | COUNT(*) AS n,
+      | SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent_n,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2))
+      |              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS finished_total
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  /** Dense-rowid emulation of the reference's `pullx` range read
+    * (src/vector_engine.rs:28) against a table with no stored rowid: the
+    * insertion order is modeled by the total order (orderkey, linenumber).
+    * The real VectorTable path prunes via manifest + parquet stats instead
+    * of a global window (see graft.core.VectorTable.range).
+    */
+  def rowidRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("_rowid", row_number().over(w).cast("long") - 1)
+      .where(col("_rowid") >= 1000 && col("_rowid") < 1100)
+      .select(col("_rowid"), col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"), col("l_quantity").as("quantity"))
+  }
+
+  val rowidRangeSql: String =
+    """SELECT _rowid, orderkey, linenumber, quantity FROM (
+      | SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, l_quantity AS quantity,
+      |   ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS _rowid
+      | FROM lineitem)
+      |WHERE _rowid >= 1000 AND _rowid < 1100""".stripMargin
+
+  /** O(1)-able count — reference `len()` (src/vector_engine.rs:29). */
+  def tableLength(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(count(lit(1)).as("len"))
+
+  val tableLengthSql: String = "SELECT COUNT(*) AS len FROM lineitem"
+}

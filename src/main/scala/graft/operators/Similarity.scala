@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * - Brute-force cosine top-k is the correctness baseline: map-only scoring
+  *   (`zip_with` + `aggregate`, whole-stage codegen) followed by
+  *   TakeOrderedAndProject — at 100 TB this is an embarrassingly parallel
+  *   scan with a k-row driver merge, no shuffle.
+  * - The scale path is sign-random-projection LSH: bucket vectors by the
+  *   sign pattern of dot products against fixed hyperplanes, then only
+  *   same-bucket pairs are scored (self-join keyed on the bucket).
+  *
+  * Float discipline for the oracle: every product is computed as
+  * DOUBLE(a_i) * DOUBLE(b_i) accumulated by a left fold — DuckDB's
+  * `list_reduce` and Spark's `aggregate` fold in the same order, so scores
+  * are bit-identical and need no rounding tolerance.
+  */
+object Similarity {
+
+  val dim = 64
+
+  /** Deterministic integer hyperplanes (no RNG: values must be derivable in
+    * plain SQL for the oracle). h_j[i] = ((i*37 + j*101) mod 13) - 6.
+    */
+  def hyperplane(j: Int): Array[Double] =
+    Array.tabulate(dim)(i => ((i * 37 + j * 101) % 13 - 6).toDouble)
+
+  val numPlanes = 8
+
+  /** Left-fold dot product of an Array[Float] column with a literal
+    * double vector (bit-reproducible by the oracle).
+    */
+  private def dotLit(vecCol: String, q: Array[Double]): Column = {
+    val qArr = q.map(v => s"${v}D").mkString("array(", ", ", ")")
+    expr(s"aggregate(zip_with($vecCol, $qArr, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+  }
+
+  /** SQL fragment: same left-fold dot against the same literal vector. */
+  private def dotLitSql(vecExpr: String, q: Array[Double]): String = {
+    val qList = q.mkString("[", ", ", "]")
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i -> $vecExpr[i]::DOUBLE * ($qList)[i])), (acc, p) -> acc + p)"
+  }
+
+  /** Self dot product (squared norm), left fold. */
+  private val norm2Expr =
+    "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
+
+  private val norm2Sql =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), (acc, p) -> acc + p)"
+
+  val knnQueryId = 0L
+  val knnK = 10
+
+  /** Brute-force cosine top-k against the embedding of vec_id=0. */
+  def bruteForceKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === knnQueryId)
+      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
+    val qn = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x))
+    emb.where(col("vec_id") =!= knnQueryId)
+      .withColumn("dot", dotLit("embedding", q))
+      .withColumn("norm2", expr(norm2Expr))
+      .withColumn("sim", col("dot") / (sqrt(col("norm2")) * lit(qn)))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(knnK)
+      .select("vec_id", "sim")
+  }
+
+  val bruteForceKnnSql: String = {
+    // The oracle recomputes the query vector and its norm the same way.
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $knnQueryId),
+       | qn AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, $dim + 1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)), (acc, p) -> acc + p)) AS qnorm FROM q),
+       | scored AS (
+       |  SELECT e.vec_id,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), (acc, p) -> acc + p) AS dot,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (acc, p) -> acc + p) AS norm2
+       |  FROM embeddings e, q WHERE e.vec_id <> $knnQueryId)
+       |SELECT vec_id, dot / (sqrt(norm2) * qn.qnorm) AS sim
+       |FROM scored, qn ORDER BY sim DESC, vec_id LIMIT $knnK""".stripMargin
+  }
+
+  /** LSH bucket assignment: sign bits of `numPlanes` hyperplane dots. */
+  def lshBuckets(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val bucket = (0 until numPlanes)
+      .map(j => when(dotLit("embedding", hyperplane(j)) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    emb.withColumn("bucket", bucket)
+  }
+
+  /** Bucket histogram — the verifiable face of the LSH index. */
+  def lshBucketStats(s: SparkSession, d: String): DataFrame =
+    lshBuckets(s, d)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
+
+  val lshBucketStatsSql: String = {
+    val bucketSql = (0 until numPlanes).map { j =>
+      val q = hyperplane(j)
+      s"(CASE WHEN ${dotLitSql("embedding", q)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""SELECT CAST(${bucketSql} AS BIGINT) AS bucket, COUNT(*) AS n, MIN(vec_id) AS min_id
+       |FROM embeddings GROUP BY 1""".stripMargin
+  }
+
+  val nearDupThreshold = 0.62
+
+  /** Embedding-cosine near-dup pairs, LSH-bucketed: score only same-bucket
+    * pairs (the quadratic explosion is contained to bucket occupancy).
+    */
+  def embeddingNearDups(s: SparkSession, d: String): DataFrame = {
+    val b = lshBuckets(s, d).select(col("vec_id"), col("bucket"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
+    val a = b.select(col("vec_id").as("id_a"), col("bucket"), col("ed").as("ea"))
+    val c = b.select(col("vec_id").as("id_b"), col("bucket").as("bucket_b"), col("ed").as("eb"))
+    a.join(c, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))
+      .withColumn("na2", expr("aggregate(zip_with(ea, ea, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))
+      .withColumn("nb2", expr("aggregate(zip_with(eb, eb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))
+      .withColumn("sim", col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))))
+      .where(col("sim") >= nearDupThreshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  val embeddingNearDupsSql: String = {
+    val bucketSql = (0 until numPlanes).map { j =>
+      val q = hyperplane(j)
+      s"(CASE WHEN ${dotLitSql("embedding", q)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, CAST(${bucketSql} AS BIGINT) AS bucket,
+       |    list_transform(embedding, x -> x::DOUBLE) AS ed
+       |  FROM embeddings),
+       | p AS (
+       |  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.ed AS ea, c.ed AS eb
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       | scored AS (
+       |  SELECT id_a, id_b,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i -> ea[i] * eb[i])), (acc, x) -> acc + x) AS dot,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i -> ea[i] * ea[i])), (acc, x) -> acc + x) AS na2,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i -> eb[i] * eb[i])), (acc, x) -> acc + x) AS nb2
+       |  FROM p)
+       |SELECT id_a, id_b, dot / (sqrt(na2) * sqrt(nb2)) AS sim
+       |FROM scored WHERE dot / (sqrt(na2) * sqrt(nb2)) >= $nearDupThreshold""".stripMargin
+  }
+}
