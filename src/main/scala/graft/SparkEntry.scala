@@ -43,6 +43,8 @@ object SparkEntry {
     "events_user_sessions" -> (Events.userSessions _),
     "events_json_props" -> (Events.jsonPropsSummary _),
     "events_inter_event_gaps" -> (Events.interEventGaps _),
+    "asof_last_purchase" -> (AsofJoin.lastPurchaseBeforeClick _),
+    "range_errors_near_clicks" -> (AsofJoin.errorsNearClicks _),
     // north-star: dedup
     "dedup_exact" -> (Dedup.exactDedup _),
     "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),
@@ -89,6 +91,8 @@ object SparkEntry {
     "events_user_sessions" -> Events.userSessionsSql,
     "events_json_props" -> Events.jsonPropsSummarySql,
     "events_inter_event_gaps" -> Events.interEventGapsSql,
+    "asof_last_purchase" -> AsofJoin.lastPurchaseBeforeClickSql,
+    "range_errors_near_clicks" -> AsofJoin.errorsNearClicksSql,
     "dedup_exact" -> Dedup.exactDedupSql,
     "dedup_minhash_signatures" -> Dedup.minhashSignaturesSql,
     "dedup_lsh_candidates" -> Dedup.lshCandidatePairsSql,

@@ -238,15 +238,20 @@ object Relational {
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
-  /** Anti join: customers that never ordered (broadcast the build side). */
+  /** Anti join: customers with no urgent order (every customer has *some*
+    * order in this data, so the urgent filter keeps the anti join selective
+    * but verifiable — nonzero survivors at sf0.01).
+    */
   def customersWithoutOrders(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
 
   val customersWithoutOrdersSql: String =
     """SELECT c_custkey AS custkey, c_name AS name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
 
   /** Semi join: customers with at least one open ('O') order. */
   def customersWithOpenOrders(s: SparkSession, d: String): DataFrame =

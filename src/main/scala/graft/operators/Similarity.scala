@@ -55,16 +55,19 @@ object Similarity {
   val knnQueryId = 0L
   val knnK = 10
 
-  /** Brute-force cosine top-k against the embedding of vec_id=0. */
+  /** Brute-force cosine top-k against the embedding of vec_id=0, scored by
+    * the native codegen'd [[graft.functions.CosineSimilarityF]] (fused
+    * single-pass loop; bit-identical fold order to the declarative
+    * aggregate/zip_with form, so the oracle SQL is unchanged). The plan is
+    * scan → codegen'd score → TakeOrderedAndProject: no shuffle, k-row
+    * driver merge — the right shape at any scale.
+    */
   def bruteForceKnn(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val q = emb.where(col("vec_id") === knnQueryId)
-      .select("embedding").head().getSeq[Float](0).toArray.map(_.toDouble)
-    val qn = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x))
+      .select("embedding").head().getSeq[Float](0).toArray
     emb.where(col("vec_id") =!= knnQueryId)
-      .withColumn("dot", dotLit("embedding", q))
-      .withColumn("norm2", expr(norm2Expr))
-      .withColumn("sim", col("dot") / (sqrt(col("norm2")) * lit(qn)))
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("embedding"), lit(q)))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(knnK)
       .select("vec_id", "sim")
@@ -110,21 +113,20 @@ object Similarity {
        |FROM embeddings GROUP BY 1""".stripMargin
   }
 
-  val nearDupThreshold = 0.62
+  // Chosen so same-bucket pairs actually cross it in the synthetic data
+  // (max same-bucket cosine ≈ 0.45 at sf0.01) — the oracle then verifies
+  // real pairs, not just an empty set.
+  val nearDupThreshold = 0.35
 
   /** Embedding-cosine near-dup pairs, LSH-bucketed: score only same-bucket
     * pairs (the quadratic explosion is contained to bucket occupancy).
     */
   def embeddingNearDups(s: SparkSession, d: String): DataFrame = {
-    val b = lshBuckets(s, d).select(col("vec_id"), col("bucket"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
-    val a = b.select(col("vec_id").as("id_a"), col("bucket"), col("ed").as("ea"))
-    val c = b.select(col("vec_id").as("id_b"), col("bucket").as("bucket_b"), col("ed").as("eb"))
+    val b = lshBuckets(s, d).select(col("vec_id"), col("bucket"), col("embedding"))
+    val a = b.select(col("vec_id").as("id_a"), col("bucket"), col("embedding").as("ea"))
+    val c = b.select(col("vec_id").as("id_b"), col("bucket").as("bucket_b"), col("embedding").as("eb"))
     a.join(c, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))
-      .withColumn("na2", expr("aggregate(zip_with(ea, ea, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))
-      .withColumn("nb2", expr("aggregate(zip_with(eb, eb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))
-      .withColumn("sim", col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))))
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
       .where(col("sim") >= nearDupThreshold)
       .select("id_a", "id_b", "sim")
   }

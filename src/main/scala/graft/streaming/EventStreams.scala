@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over an `events`-shaped stream
+  * (ts TIMESTAMP, event_type STRING, user_id LONG, value DOUBLE) — the
+  * capability layer SURVEY.md §2.6 marks absent in the reference: watermarks,
+  * tumbling/sliding/session windows, late-data drop, arbitrary state.
+  *
+  * Each transform takes and returns a (streaming) DataFrame so the same code
+  * path is testable with MemoryStream and runnable against readStream
+  * sources. Batch equivalents in graft.operators.Events share the window
+  * semantics, which is how the DuckDB oracle covers this module.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts per event type; late data beyond the watermark
+    * is dropped (state is bounded — mandatory for an unbounded stream).
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total"))
+
+  /** Sliding 1-hour/30-minute windowed counts with watermark. */
+  def slidingCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+
+  /** Session windows per user, 10-minute inactivity gap (dynamic-length
+    * windows, merged by Spark's session-window state store).
+    */
+  def userSessions(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n"), col("total"))
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Arbitrary stateful processing — running per-user totals via
+    * `mapGroupsWithState` (the §2.6 "custom state" capability;
+    * KeyValueGroupedDataset state machine, update-mode output).
+    */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          it.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(uid, n, total)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Output-mode contract for each transform above (windowed aggs complete/
+    * update/append-with-watermark; stateful map is update).
+    */
+  val outputModes: Map[String, OutputMode] = Map(
+    "hourlyCounts" -> OutputMode.Update(),
+    "slidingCounts" -> OutputMode.Update(),
+    "userSessions" -> OutputMode.Update(),
+    "runningUserTotals" -> OutputMode.Update()
+  )
+}

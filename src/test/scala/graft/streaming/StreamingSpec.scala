@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.{VectorStore, VectorTable}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+case class SRec(name: String, n: Long)
+case class SEvent(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+/** Structured Streaming semantics: micro-batch ingest into VectorTable with
+  * dense rowids across batches; watermarked windows dropping late data;
+  * mapGroupsWithState running totals.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("foreachBatch ingest: arrival order, dense rowids, O(1) len between batches") {
+    import spark.implicits._
+    val input = MemoryStream[SRec](spark)
+    val root = tmpDir("stream-ingest")
+    val table = VectorTable.create(spark, root)
+    val q = StreamIngest.start(input.toDF(), table, tmpDir("ckpt"))
+
+    input.addData((0 until 30).map(i => SRec(s"a$i", i.toLong)))
+    q.processAllAvailable()
+    // committed data readable between micro-batches, O(1) manifest length
+    assert(table.length == 30L)
+
+    input.addData((30 until 50).map(i => SRec(s"b$i", i.toLong)))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(table.length == 50L)
+    val store = VectorStore.open[SRec](spark, root)
+    assert(store.getall().get.map(_.n) == (0L until 50L)) // dense + ordered
+  }
+
+  test("watermark drops late events beyond the delay (hourlyCounts)") {
+    import spark.implicits._
+    val input = MemoryStream[SEvent](spark)
+    val counts = EventStreams.hourlyCounts(input.toDF(), watermark = "10 minutes")
+    val q = counts.writeStream.format("memory").queryName("hourly")
+      .outputMode("update").start()
+
+    // Batch 1: one event in the 10:00 hour window.
+    input.addData(SEvent(ts(5), "click", 1, 1.0))
+    q.processAllAvailable()
+    // Batch 2: event at 12:30 advances the watermark to 12:20, past the
+    // 10:00 window's END (11:00) → that window's state is evicted.
+    input.addData(SEvent(Timestamp.valueOf("2026-01-01 12:30:00"), "click", 1, 1.0))
+    q.processAllAvailable()
+    // Batch 3: a late event inside the evicted window is dropped (late-data
+    // semantics: dropped only once window.end < watermark).
+    input.addData(SEvent(ts(10), "click", 1, 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val byWindow = spark.table("hourly")
+      .groupBy("wstart").agg(max("n").as("n")).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(byWindow(Timestamp.valueOf("2026-01-01 10:00:00")) == 1L)
+    assert(byWindow(Timestamp.valueOf("2026-01-01 12:00:00")) == 1L)
+  }
+
+  test("session windows merge events within the gap, split beyond it") {
+    import spark.implicits._
+    val input = MemoryStream[SEvent](spark)
+    val sessions = EventStreams.userSessions(input.toDF(), watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+
+    // user 7: events at 10:00, 10:05 (same session), 10:30 (new session)
+    input.addData(SEvent(ts(0), "e", 7, 1.0), SEvent(ts(5), "e", 7, 1.0), SEvent(ts(30), "e", 7, 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess").where(col("user_id") === 7).collect()
+    assert(rows.length == 2)
+    val ns = rows.map(_.getAs[Long]("n")).sorted.toSeq
+    assert(ns == Seq(1L, 2L))
+  }
+
+  test("mapGroupsWithState accumulates running totals across batches") {
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.UserEvent](spark)
+    val running = EventStreams.runningUserTotals(input.toDS())
+    val q = running.writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+
+    input.addData(EventStreams.UserEvent(1, 2.0), EventStreams.UserEvent(1, 3.0))
+    q.processAllAvailable()
+    input.addData(EventStreams.UserEvent(1, 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("running").where(col("user_id") === 1)
+      .orderBy(col("n").desc).head()
+    assert(last.getAs[Long]("n") == 3L)
+    assert(last.getAs[Double]("total") == 10.0)
+  }
+}
