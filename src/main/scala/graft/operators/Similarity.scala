@@ -118,6 +118,91 @@ object Similarity {
   // real pairs, not just an empty set.
   val nearDupThreshold = 0.35
 
+  // ---------------------------------------------------------------------
+  // IVF (inverted-file) index — the scale path for ANN beyond sign-LSH:
+  // partition vectors into cells around centroids; search only the query's
+  // cell. Centroid "training" is deterministic (the first `numCells`
+  // vectors by vec_id — no RNG, so the oracle can reproduce the cells).
+  // At 100 TB the cell id becomes the table's partition key and a top-k
+  // probe scans 1/numCells of the data, embarrassingly parallel.
+  // ---------------------------------------------------------------------
+
+  val numCells = 8
+
+  /** Collect centroids (driver-side, tiny: numCells × dim floats). */
+  private def centroids(s: SparkSession, d: String): Array[Array[Float]] =
+    Tables.embeddings(s, d)
+      .where(col("vec_id") < numCells)
+      .orderBy("vec_id")
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Argmax-by-similarity cell pick, ties to the lower cell id — written as
+    * an explicit CASE chain so the oracle can mirror it exactly.
+    */
+  private def argmaxCase(simName: Int => String, n: Int): String =
+    (0 until n - 1).map { j =>
+      val ge = (j + 1 until n).map(k => s"${simName(j)} >= ${simName(k)}").mkString(" AND ")
+      s"WHEN $ge THEN $j"
+    }.mkString("CASE ", " ", s" ELSE ${n - 1} END")
+
+  /** IVF cell assignment: vec_id → (cell, sim-to-centroid). */
+  def ivfAssign(s: SparkSession, d: String): DataFrame = {
+    val cs = centroids(s, d)
+    val withSims = (0 until numCells).foldLeft(Tables.embeddings(s, d)) { (df, j) =>
+      df.withColumn(s"s$j", graft.functions.VectorFunctions.cosineF(col("embedding"), lit(cs(j))))
+    }
+    withSims
+      .withColumn("cell", expr(argmaxCase(j => s"s$j", numCells)))
+      .select(col("vec_id"), col("cell"),
+        expr((0 until numCells).map(j => s"s$j").mkString("greatest(", ", ", ")")).as("centroid_sim"))
+  }
+
+  /** Oracle-side sim expression for centroid j (same fold order). */
+  private def centroidSimSql(cs: Array[Array[Float]])(j: Int): String = {
+    val qList = cs(j).map(_.toDouble).mkString("[", ", ", "]")
+    s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |   list_transform(range(1, $dim + 1), i -> embedding[i]::DOUBLE * ($qList)[i])), (acc, p) -> acc + p)
+       | / (sqrt($norm2Sql) * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> ($qList)[i] * ($qList)[i])), (acc, p) -> acc + p))))""".stripMargin
+  }
+
+  /** The oracle needs the centroid values; they are data-derived but
+    * deterministic, so the SQL is generated per scale factor at call time
+    * via [[ivfAssignSqlFor]]. For the driver gate (fixed sf dir) we bake
+    * the sf0.01-independent formulation: centroids re-derived in SQL.
+    */
+  val ivfAssignSql: String = {
+    // centroid j's embedding straight from the table (self-contained SQL)
+    def cSim(j: Int): String =
+      s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |   list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * c$j.embedding[i]::DOUBLE)), (acc, p) -> acc + p)
+         | / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (acc, p) -> acc + p))
+         |  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, $dim + 1), i -> c$j.embedding[i]::DOUBLE * c$j.embedding[i]::DOUBLE)), (acc, p) -> acc + p))))""".stripMargin
+    val joins = (0 until numCells)
+      .map(j => s"(SELECT embedding FROM embeddings WHERE vec_id = $j) c$j")
+      .mkString(", ")
+    val sims = (0 until numCells).map(j => s"${cSim(j)} AS s$j").mkString(",\n  ")
+    val case_ = argmaxCase(j => s"s$j", numCells)
+    val greatest = (0 until numCells).map(j => s"s$j").mkString("greatest(", ", ", ")")
+    s"""WITH scored AS (
+       |  SELECT e.vec_id, $sims
+       |  FROM embeddings e, $joins)
+       |SELECT vec_id, $case_ AS cell, $greatest AS centroid_sim
+       |FROM scored""".stripMargin
+  }
+
+  /** IVF cell-occupancy histogram (the index's verifiable shape). */
+  def ivfCellStats(s: SparkSession, d: String): DataFrame =
+    ivfAssign(s, d).groupBy("cell")
+      .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"))
+
+  val ivfCellStatsSql: String =
+    s"""WITH assign AS ($ivfAssignSql)
+       |SELECT cell, COUNT(*) AS n, MIN(vec_id) AS min_id FROM assign GROUP BY cell""".stripMargin
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed: score only same-bucket
     * pairs (the quadratic explosion is contained to bucket occupancy).
     */

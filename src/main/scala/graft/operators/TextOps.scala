@@ -109,6 +109,24 @@ object TextOps {
       expr("aggregate(split(text, ' '), 0L, (acc, t) -> pmod(acc * 31 + ascii(t) + length(t), 1000000007L))")
         .as("fingerprint"))
 
+  /** Corpus-level word count: top 20 tokens by frequency, total-order
+    * tie-break. explode → one shuffle with map-side partial counts →
+    * TakeOrdered; the canonical first distributed text job, here as a
+    * verified operator.
+    */
+  def topTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens("text")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  val topTokensSql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
   val fingerprintsSql: String =
     """SELECT doc_id,
       | list_reduce(
