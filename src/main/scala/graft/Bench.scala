@@ -14,10 +14,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.core.GraftSession.tune(
-      SparkSession.builder().master(s"local[$cpus]"), cpus
-    ).getOrCreate()
+    val spark = graft.core.GraftSession.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
     def timed(f: => Unit): Double = {

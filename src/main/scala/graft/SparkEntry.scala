@@ -67,7 +67,11 @@ object SparkEntry {
     "text_top_tokens" -> (TextOps.topTokens _),
     // north-star: multimodal plumbing
     "mm_binary_metadata" -> (Multimodal.binaryMetadata _),
-    "mm_decode_features" -> (Multimodal.decodeFeatures _)
+    "mm_decode_features" -> (Multimodal.decodeFeatures _),
+    "mm_payload_chunks" -> (Multimodal.payloadChunks _),
+    // skew + sketches
+    "skew_salted_event_totals" -> (Skew.eventTypeTotalsSalted _),
+    "approx_sketches" -> (Relational.approxSketches _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -116,6 +120,10 @@ object SparkEntry {
     "text_fingerprints" -> TextOps.fingerprintsSql,
     "text_top_tokens" -> TextOps.topTokensSql,
     "mm_binary_metadata" -> Multimodal.binaryMetadataSql,
-    "mm_decode_features" -> Multimodal.decodeFeaturesSql
+    "mm_decode_features" -> Multimodal.decodeFeaturesSql,
+    "mm_payload_chunks" -> Multimodal.payloadChunksSql,
+    "skew_salted_event_totals" -> Skew.eventTypeTotalsSaltedSql
+    // approx_sketches intentionally has no oracle: sketch internals are
+    // engine-specific; the exact counterparts are verified above.
   )
 }

@@ -30,7 +30,8 @@ object GraftSession {
 
   def local(appName: String = "graft", cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = tune(
-      SparkSession.builder().appName(appName).master(s"local[$cpus]"),
+      SparkSession.builder().appName(appName).master(s"local[$cpus]")
+        .withExtensions(new graft.plans.GraftExtensions),
       cpus
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

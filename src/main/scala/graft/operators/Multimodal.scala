@@ -45,6 +45,33 @@ object Multimodal {
       | source
       |FROM documents""".stripMargin
 
+  /** Fixed-size chunking with stride sampling — the frame-sample/resize
+    * shape for audio/video payloads: split each payload into 32-byte
+    * frames, keep every 4th, fingerprint each kept frame. Pure column
+    * expressions (explode over a sequence), so the 100 TB form is a
+    * map-only stage with no shuffle; a real codec would replace the md5
+    * with a decode-and-featurize per frame.
+    */
+  def payloadChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("i", explode(expr(
+        "CASE WHEN n_chars > 0 THEN sequence(0, CAST(ceil(n_chars / 32.0) AS INT) - 1) ELSE array() END")))
+      .where(pmod(col("i"), lit(4)) === 0)
+      .select(
+        col("doc_id"),
+        col("i").cast("long").as("chunk_idx"),
+        expr("length(substring(text, i * 32 + 1, 32))").as("chunk_len"),
+        expr("md5(substring(text, i * 32 + 1, 32))").as("chunk_digest"))
+
+  val payloadChunksSql: String =
+    """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      | length(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS chunk_len,
+      | md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS chunk_digest
+      |FROM (SELECT doc_id, text,
+      |        unnest(range(0, CAST(ceil(n_chars / 32.0) AS BIGINT))) AS i
+      |      FROM documents WHERE n_chars > 0)
+      |WHERE i % 4 = 0""".stripMargin
+
   /** Schema produced by the (stubbed) decoder. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

@@ -335,6 +335,21 @@ object Relational {
 
   val tableLengthSql: String = "SELECT COUNT(*) AS len FROM lineitem"
 
+  /** Approximate sketches — HLL++ distinct counts and t-digest-style
+    * quantiles. Constant memory per group at any scale (the exact versions
+    * shuffle every distinct value). Sketch internals are engine-specific,
+    * so this query has NO oracle SQL — the driver records the weaker
+    * rows-present check; exact counterparts are oracle-verified in
+    * [[distinctPartsPerFlag]].
+    */
+  def approxSketches(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"))
+
   /** CUBE grouping sets (4 groupings from 2 dims; Expand + single agg). */
   def cubeQuantity(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

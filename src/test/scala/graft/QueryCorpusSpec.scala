@@ -24,7 +24,9 @@ class QueryCorpusSpec extends SparkSpec {
   }
 
   test("every query has an oracle SQL (driver gate coverage)") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // approx sketches are engine-specific by design → rows-only check
+    val noOracleByDesign = Set("approx_sketches")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracleByDesign
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without query: $orphans")
