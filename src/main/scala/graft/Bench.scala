@@ -42,12 +42,27 @@ object Bench {
       val tPoint = timed(coldIds.foreach(cached.getting))
       // hot phase re-reads the now-cached ids: measures the LRU hit path
       val tPointHot = timed((0 until 1000).foreach(i => cached.getting(coldIds(i % 50))))
+      // 10 concurrent reader threads over the warmed cache + live store
+      // (reference dimension: cache_performance_test.rs multi-thread reads)
+      val tConcurrent = timed {
+        val threads = (0 until 10).map { t =>
+          new Thread(() => {
+            val r = new scala.util.Random(t)
+            (0 until 100).foreach { _ =>
+              cached.getting(coldIds(r.nextInt(coldIds.size))).getOrElse(sys.error("miss"))
+            }
+          })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+      }
       Seq(
         "store_bulk_append_100k" -> tAppend,
         "store_full_scan" -> tScan,
         "store_range_read_1k" -> tRange,
         "store_point_reads_50_cold" -> tPoint,
-        "store_point_reads_1k_cached" -> tPointHot
+        "store_point_reads_1k_cached" -> tPointHot,
+        "store_concurrent_10x100_reads" -> tConcurrent
       )
     } catch { case _: Throwable => Seq("store_bench" -> -1.0) }
 

@@ -27,6 +27,9 @@ object GraftSession {
     // has no native type for — read it as nanos-since-epoch LONG and let
     // Tables.events convert to TimestampType at microsecond precision.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Managed tables (bucketed layouts) land outside the repo.
+    .config("spark.sql.warehouse.dir",
+      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")
 
   def local(appName: String = "graft", cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = tune(

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarityF, DotProductF, MinHashSig, ShingleHashes}
+import graft.functions.{Blake2b256Expr, CosineSimilarityF, DotProductF, MinHashSig, ShingleHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -49,5 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(text) - sorted distinct 52-bit hashes of word 3-grams"),
       (args: Seq[Expression]) => ShingleHashes(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("blake2b_256"),
+      info("blake2b_256", "blake2b_256(expr) - lowercase-hex BLAKE2b-256 of a STRING or BINARY (RFC 7693)"),
+      (args: Seq[Expression]) => Blake2b256Expr(args.head)))
   }
 }

@@ -1,0 +1,28 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Dump formatted physical plans for headline queries → used to author and
+  * refresh PLANS.md. Run: sbt "runMain graft.tools.DumpPlans /tmp/plans"
+  */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/plans")
+    Files.createDirectories(Paths.get(outDir))
+    val spark = graft.core.GraftSession.local("plans", "32")
+    val d = "/root/testdata/sf0.1"
+    val picks = Seq(
+      "q1_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
+      "q5_local_supplier", "top10_lineitems", "dedup_lsh_candidates",
+      "knn_brute_force", "asof_last_purchase", "events_user_sessions",
+      "skew_salted_event_totals")
+    picks.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, d)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(outDir, s"$name.txt"), txt)
+      println(s"wrote $name")
+    }
+    spark.stop()
+  }
+}
