@@ -31,7 +31,11 @@ object SparkEntry {
     "set_ops_customers" -> (Relational.setOpsCustomers _),
     "rollup_quantity" -> (Relational.rollupQuantity _),
     "cube_quantity" -> (Relational.cubeQuantity _),
+    "grouping_sets_quantity" -> (Relational.groupingSetsQuantity _),
     "orders_above_customer_avg" -> (Relational.ordersAboveCustomerAvg _),
+    "quantity_stats_per_flag" -> (Relational.quantityStatsPerFlag _),
+    "theta_nation_region" -> (Relational.thetaNationRegion _),
+    "order_price_ranks" -> (Relational.orderPriceRanks _),
     "customers_without_orders" -> (Relational.customersWithoutOrders _),
     "customers_with_open_orders" -> (Relational.customersWithOpenOrders _),
     "part_scalar_functions" -> (Relational.partScalarFunctions _),
@@ -90,7 +94,11 @@ object SparkEntry {
     "set_ops_customers" -> Relational.setOpsCustomersSql,
     "rollup_quantity" -> Relational.rollupQuantitySql,
     "cube_quantity" -> Relational.cubeQuantitySql,
+    "grouping_sets_quantity" -> Relational.groupingSetsQuantitySql,
     "orders_above_customer_avg" -> Relational.ordersAboveCustomerAvgSql,
+    "quantity_stats_per_flag" -> Relational.quantityStatsPerFlagSql,
+    "theta_nation_region" -> Relational.thetaNationRegionSql,
+    "order_price_ranks" -> Relational.orderPriceRanksSql,
     "customers_without_orders" -> Relational.customersWithoutOrdersSql,
     "customers_with_open_orders" -> Relational.customersWithOpenOrdersSql,
     "part_scalar_functions" -> Relational.partScalarFunctionsSql,

@@ -350,6 +350,81 @@ object Relational {
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"))
 
+  /** Custom typed aggregate (Aggregator[IN,BUF,OUT] → udaf): exact
+    * count/mean/variance via int64 cent arithmetic — bit-stable under any
+    * partial-merge order; the oracle reproduces the final doubles with the
+    * same fixed expression.
+    */
+  def quantityStatsPerFlag(s: SparkSession, d: String): DataFrame = {
+    val qstats = udaf(graft.functions.QuantityStats, org.apache.spark.sql.Encoders.DOUBLE)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(qstats(col("l_quantity")).as("st"))
+      .select(col("l_returnflag"), col("st.n").as("n"),
+        col("st.mean").as("mean_qty"), col("st.varPop").as("var_qty"))
+  }
+
+  val quantityStatsPerFlagSql: String =
+    """SELECT l_returnflag, n,
+      | CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_qty,
+      | (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+      |   - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / 10000.0 AS var_qty
+      |FROM (SELECT l_returnflag, COUNT(*) AS n,
+      |        SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS s,
+      |        SUM(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS ss
+      |      FROM lineitem GROUP BY l_returnflag)""".stripMargin
+
+  /** Pure non-equi (theta) join → BroadcastNestedLoopJoin; only ever used
+    * with a broadcastable side (here: two tiny dims).
+    */
+  def thetaNationRegion(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(Tables.region(s, d), col("r_name") < col("n_name"))
+      .select(col("n_name").as("nation"), col("r_name").as("region"))
+
+  val thetaNationRegionSql: String =
+    """SELECT n_name AS nation, r_name AS region
+      |FROM nation JOIN region ON r_name < n_name""".stripMargin
+
+  /** Full ranking-function surface: rank, dense_rank, ntile, percent_rank,
+    * cume_dist over a deterministic total order.
+    */
+  def orderPriceRanks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prank"), cume_dist().over(w).as("cdist"))
+  }
+
+  val orderPriceRanksSql: String =
+    """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      | RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+      | NTILE(4) OVER w AS quartile,
+      | PERCENT_RANK() OVER w AS prank, CUME_DIST() OVER w AS cdist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
+
+  /** Explicit GROUPING SETS with grouping() indicators (SQL surface). */
+  def groupingSetsQuantity(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM graft_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin)
+  }
+
+  val groupingSetsQuantitySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+      | CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin
+
   /** CUBE grouping sets (4 groupings from 2 dims; Expand + single agg). */
   def cubeQuantity(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
