@@ -68,6 +68,23 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream inner join with event-time range condition — both sides
+    * watermarked so join state is bounded (Spark buffers each side only
+    * until the watermark passes the range bound): clicks matched to the
+    * same user's purchases within the following hour.
+    */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                          watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   /** Output-mode contract for each transform above (windowed aggs complete/
     * update/append-with-watermark; stateful map is update).
     */

@@ -84,6 +84,27 @@ class StreamingSpec extends SparkSpec {
     assert(ns == Seq(1L, 2L))
   }
 
+  test("stream-stream join matches purchases within the hour after a click") {
+    import spark.implicits._
+    val clicks = MemoryStream[SEvent](spark)
+    val purchases = MemoryStream[SEvent](spark)
+    val joined = EventStreams.clickToPurchaseJoin(clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+
+    clicks.addData(SEvent(ts(0), "click", 1, 0.0), SEvent(ts(0), "click", 2, 0.0))
+    purchases.addData(
+      SEvent(ts(30), "purchase", 1, 9.99),                              // within 1h → match
+      SEvent(Timestamp.valueOf("2026-01-01 12:30:00"), "purchase", 2, 5.0)) // 2.5h later → no match
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ss_join").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("c_user") == 1L)
+    assert(rows.head.getAs[Double]("p_value") == 9.99)
+  }
+
   test("mapGroupsWithState accumulates running totals across batches") {
     import spark.implicits._
     val input = MemoryStream[EventStreams.UserEvent](spark)
