@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_lsh_candidates" -> (Dedup.lshCandidatePairs _),
     "dedup_jaccard_verified" -> (Dedup.jaccardVerifiedPairs _),
     "dedup_simhash" -> (Dedup.simhashSignatures _),
+    "dedup_clusters" -> (Dedup.duplicateClusters _),
     // north-star: similarity search
     "knn_brute_force" -> (Similarity.bruteForceKnn _),
     "ann_lsh_bucket_stats" -> (Similarity.lshBucketStats _),
@@ -117,6 +118,7 @@ object SparkEntry {
     "dedup_lsh_candidates" -> Dedup.lshCandidatePairsSql,
     "dedup_jaccard_verified" -> Dedup.jaccardVerifiedPairsSql,
     "dedup_simhash" -> Dedup.simhashSignaturesSql,
+    "dedup_clusters" -> Dedup.duplicateClustersSql,
     "knn_brute_force" -> Similarity.bruteForceKnnSql,
     "ann_lsh_bucket_stats" -> Similarity.lshBucketStatsSql,
     "embedding_near_dups" -> Similarity.embeddingNearDupsSql,

@@ -170,6 +170,56 @@ object Dedup {
        |  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
        |FROM j WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5""".stripMargin
 
+  /** Duplicate clusters: connected components over the verified near-dup
+    * pairs via min-label propagation — the step that turns pairwise matches
+    * into dedup groups ("keep one per cluster"). Written scale-shaped:
+    * per-iteration cost is one join + one aggregate on the edge list (no
+    * driver-side graph), converging in O(log diameter) iterations;
+    * localCheckpoint truncates lineage between rounds. The oracle computes
+    * the same components with a recursive CTE.
+    */
+  def duplicateClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardVerifiedPairs(s, d).select("doc_a", "doc_b")
+    // undirected edge list, both directions
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      // candidate label per node: min of own and all neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "doc_b").withColumnRenamed("label", "nl"), "doc_b")
+        .groupBy(col("doc_a").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      val updated = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("chg"))
+        .localCheckpoint()
+      changed = updated.where(col("chg")).count()
+      labels = updated.select("id", "label")
+      rounds += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  val duplicateClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${jaccardVerifiedPairsSql.replace("\n", "\n  ")})
+       |),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT doc_a, doc_a FROM edges
+       |  UNION
+       |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON e.doc_b = r.id)
+       |SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
   val simhashBits = 16
 
   /** SimHash: 16-bit signature from token-hash bit voting — explode +
