@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_jaccard_verified" -> (Dedup.jaccardVerifiedPairs _),
     "dedup_simhash" -> (Dedup.simhashSignatures _),
     "dedup_clusters" -> (Dedup.duplicateClusters _),
+    "pipeline_clean_corpus" -> (Pipeline.cleanCorpus _),
     // north-star: similarity search
     "knn_brute_force" -> (Similarity.bruteForceKnn _),
     "ann_lsh_bucket_stats" -> (Similarity.lshBucketStats _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "dedup_jaccard_verified" -> Dedup.jaccardVerifiedPairsSql,
     "dedup_simhash" -> Dedup.simhashSignaturesSql,
     "dedup_clusters" -> Dedup.duplicateClustersSql,
+    "pipeline_clean_corpus" -> Pipeline.cleanCorpusSql,
     "knn_brute_force" -> Similarity.bruteForceKnnSql,
     "ann_lsh_bucket_stats" -> Similarity.lshBucketStatsSql,
     "embedding_near_dups" -> Similarity.embeddingNearDupsSql,
