@@ -61,7 +61,12 @@ object Bench {
         threads.foreach(_.start())
         threads.foreach(_.join())
       }
+      val tBatchedPoints = timed {
+        val got = store.getMany(coldIds)
+        assert(got.size == coldIds.distinct.size)
+      }
       Seq(
+        "store_point_reads_50_batched" -> tBatchedPoints,
         "store_bulk_append_100k" -> tAppend,
         "store_full_scan" -> tScan,
         "store_range_read_1k" -> tRange,

@@ -60,6 +60,20 @@ final class VectorStore[T: Encoder](val table: VectorTable) {
     if (index < 0 || count < 0 || index + count > len) None
     else Some(decode(table.range(index, count)))
 
+  /** Batched point reads in ONE job — amortizes Spark's per-job latency
+    * across a lookup batch; out-of-range ids are simply absent from the
+    * result (total, like `get`).
+    */
+  def getMany(indices: Seq[Long]): Map[Long, T] = {
+    if (indices.isEmpty) return Map.empty
+    val df = table.points(indices)
+    val payload = df.columns.filterNot(_ == VectorTable.ROWID).map(col)
+    df.select(col(VectorTable.ROWID), struct(payload: _*).as("v"))
+      .as[(Long, T)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, enc))
+      .collect().toMap
+  }
+
   /** Full scan — reference `getall` (src/vector_engine.rs:47-53). */
   def getall(): Option[Seq[T]] =
     if (isEmpty) None else Some(decode(table.scan()))

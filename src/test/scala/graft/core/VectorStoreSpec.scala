@@ -73,6 +73,15 @@ class VectorStoreSpec extends SparkSpec {
     assert(reopened.get(19).contains(VRec("r19", 19L)))
   }
 
+  test("getMany: batched point reads in one job, OOB ids absent") {
+    val s = freshStore()
+    s.pushx((0 until 30).map(i => VRec(s"r$i", i.toLong)))
+    s.pushx((30 until 60).map(i => VRec(s"r$i", i.toLong)))
+    val got = s.getMany(Seq(3L, 45L, 999L, 3L))
+    assert(got == Map(3L -> VRec("r3", 3L), 45L -> VRec("r45", 45L)))
+    assert(s.getMany(Nil).isEmpty)
+  }
+
   test("append rejects input that already carries _rowid") {
     val t = VectorTable.create(spark, tmpDir("vtab"))
     import spark.implicits._
