@@ -313,11 +313,21 @@ object Relational {
     * of a global window (see graft.core.VectorTable.range).
     */
   def rowidRange(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(s, d)
+    // Scale-shaped dense rank: a global row_number window funnels the whole
+    // table through ONE task; instead range-repartition on the total order,
+    // sort within partitions, and stamp indices per partition offset
+    // (zipWithIndex) — the same distributed pattern VectorTable.append uses.
+    val sorted = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .withColumn("_rowid", row_number().over(w).cast("long") - 1)
-      .where(col("_rowid") >= 1000 && col("_rowid") < 1100)
+      .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_rowid", org.apache.spark.sql.types.LongType, nullable = false) +:
+        sorted.schema.fields)
+    val stamped = sorted.rdd.zipWithIndex().flatMap { case (r, i) =>
+      if (i >= 1000 && i < 1100) Some(org.apache.spark.sql.Row.fromSeq(i +: r.toSeq)) else None
+    }
+    s.createDataFrame(stamped, schema)
       .select(col("_rowid"), col("l_orderkey").as("orderkey"),
         col("l_linenumber").as("linenumber"), col("l_quantity").as("quantity"))
   }

@@ -89,11 +89,19 @@ object Similarity {
        |FROM scored, qn ORDER BY sim DESC, vec_id LIMIT $knnK""".stripMargin
   }
 
-  /** LSH bucket assignment: sign bits of `numPlanes` hyperplane dots. */
+  /** LSH bucket assignment: sign bits of `numPlanes` hyperplane dots,
+    * scored by the native dot expression. The hyperplane components are
+    * small integers (−6..6), exactly representable in Float, so the
+    * float-literal dots are bit-identical to the oracle's double folds.
+    */
   def lshBuckets(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val bucket = (0 until numPlanes)
-      .map(j => when(dotLit("embedding", hyperplane(j)) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .map { j =>
+        val plane = lit(hyperplane(j).map(_.toFloat))
+        when(graft.functions.VectorFunctions.dotF(col("embedding"), plane) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }
       .reduce(_ + _)
     emb.withColumn("bucket", bucket)
   }
@@ -146,16 +154,22 @@ object Similarity {
       s"WHEN $ge THEN $j"
     }.mkString("CASE ", " ", s" ELSE ${n - 1} END")
 
-  /** IVF cell assignment: vec_id → (cell, sim-to-centroid). */
+  /** IVF cell assignment: vec_id → (cell, sim-to-centroid). Argmax via
+    * array_max + array_position (first occurrence → ties to the lower cell,
+    * identical to the oracle's CASE chain with >=): each centroid cosine is
+    * evaluated once per row — an explicit pairwise CASE chain re-inlines
+    * every sim expression O(cells²) times in generated code and its Janino
+    * compile dominated the query (measured 3.1 s → ~1 s at sf0.1).
+    */
   def ivfAssign(s: SparkSession, d: String): DataFrame = {
     val cs = centroids(s, d)
-    val withSims = (0 until numCells).foldLeft(Tables.embeddings(s, d)) { (df, j) =>
-      df.withColumn(s"s$j", graft.functions.VectorFunctions.cosineF(col("embedding"), lit(cs(j))))
-    }
-    withSims
-      .withColumn("cell", expr(argmaxCase(j => s"s$j", numCells)))
-      .select(col("vec_id"), col("cell"),
-        expr((0 until numCells).map(j => s"s$j").mkString("greatest(", ", ", ")")).as("centroid_sim"))
+    val sims = array((0 until numCells).map(j =>
+      graft.functions.VectorFunctions.cosineF(col("embedding"), lit(cs(j)))): _*)
+    Tables.embeddings(s, d)
+      .withColumn("sims", sims)
+      .withColumn("centroid_sim", array_max(col("sims")))
+      .withColumn("cell", (array_position(col("sims"), col("centroid_sim")) - 1).cast("int"))
+      .select("vec_id", "cell", "centroid_sim")
   }
 
   /** Oracle-side sim expression for centroid j (same fold order). */
