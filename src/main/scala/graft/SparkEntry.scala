@@ -36,6 +36,8 @@ object SparkEntry {
     "quantity_stats_per_flag" -> (Relational.quantityStatsPerFlag _),
     "theta_nation_region" -> (Relational.thetaNationRegion _),
     "order_price_ranks" -> (Relational.orderPriceRanks _),
+    "median_quantity_per_flag" -> (Relational.medianQuantityPerFlag _),
+    "order_quantity_vectors" -> (Relational.orderQuantityVectors _),
     "customers_without_orders" -> (Relational.customersWithoutOrders _),
     "customers_with_open_orders" -> (Relational.customersWithOpenOrders _),
     "part_scalar_functions" -> (Relational.partScalarFunctions _),
@@ -101,6 +103,8 @@ object SparkEntry {
     "quantity_stats_per_flag" -> Relational.quantityStatsPerFlagSql,
     "theta_nation_region" -> Relational.thetaNationRegionSql,
     "order_price_ranks" -> Relational.orderPriceRanksSql,
+    "median_quantity_per_flag" -> Relational.medianQuantityPerFlagSql,
+    "order_quantity_vectors" -> Relational.orderQuantityVectorsSql,
     "customers_without_orders" -> Relational.customersWithoutOrdersSql,
     "customers_with_open_orders" -> Relational.customersWithOpenOrdersSql,
     "part_scalar_functions" -> Relational.partScalarFunctionsSql,

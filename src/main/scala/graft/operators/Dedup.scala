@@ -190,7 +190,9 @@ object Dedup {
       .localCheckpoint()
     val nEdges = undirected.count()
     val parts = math.max(1L, math.min(200L, nEdges / 100000L + 1L)).toInt
-    val edges = undirected.repartition(parts).localCheckpoint()
+    // repartition of already-checkpointed blocks: cheap lineage, no second
+    // materialization needed
+    val edges = undirected.repartition(parts)
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

@@ -345,6 +345,50 @@ object Relational {
 
   val tableLengthSql: String = "SELECT COUNT(*) AS len FROM lineitem"
 
+  /** Exact per-group percentile, deterministically: the k-th element of the
+    * sorted sequence (lower median; ties broken by the full total order) —
+    * engine-independent where interpolated medians are not. One shuffle.
+    */
+  def medianQuantityPerFlag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .where(col("rn") === expr("(n + 1) DIV 2")) // lower median, 1-based
+      .select(col("l_returnflag"), col("l_quantity").as("median_qty"), col("n"))
+  }
+
+  val medianQuantityPerFlagSql: String =
+    """SELECT l_returnflag, l_quantity AS median_qty, n FROM (
+      | SELECT l_returnflag, l_quantity,
+      |   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |                      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      | FROM lineitem)
+      |WHERE rn = (n + 1) // 2""".stripMargin
+
+  /** Array aggregation: per order, the canonical (sorted) quantity vector
+    * plus derived scalars — collect_list is partition-order-dependent, so
+    * array_sort makes the array column itself hash-comparable.
+    */
+  def orderQuantityVectors(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
+      .select(col("orderkey"), col("qtys"),
+        size(col("qtys")).as("n_lines"),
+        element_at(col("qtys"), 1).as("min_qty"),
+        element_at(col("qtys"), -1).as("max_qty"))
+
+  val orderQuantityVectorsSql: String =
+    """SELECT l_orderkey AS orderkey,
+      | list_sort(list(l_quantity)) AS qtys,
+      | len(list(l_quantity)) AS n_lines,
+      | list_sort(list(l_quantity))[1] AS min_qty,
+      | list_sort(list(l_quantity))[-1] AS max_qty
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
   /** Approximate sketches — HLL++ distinct counts and t-digest-style
     * quantiles. Constant memory per group at any scale (the exact versions
     * shuffle every distinct value). Sketch internals are engine-specific,
