@@ -27,6 +27,9 @@ object GraftSession {
     // has no native type for — read it as nanos-since-epoch LONG and let
     // Tables.events convert to TimestampType at microsecond precision.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // zstd over default snappy: ~30% smaller files at negligible CPU — at
+    // 100 TB the scan bottleneck is I/O, so denser files are faster files.
+    .config("spark.sql.parquet.compression.codec", "zstd")
     // Managed tables (bucketed layouts) land outside the repo.
     .config("spark.sql.warehouse.dir",
       s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")

@@ -68,6 +68,18 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact deduplication — the training-data dedup operator in
+    * its online form: `dropDuplicates` keyed on content identity with a
+    * watermark bounding the dedup state (duplicates arriving within the
+    * horizon are dropped; state for expired windows is evicted, which is
+    * the only way dedup state stays finite on an unbounded stream).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Stream-stream inner join with event-time range condition — both sides
     * watermarked so join state is bounded (Spark buffers each side only
     * until the watermark passes the range bound): clicks matched to the

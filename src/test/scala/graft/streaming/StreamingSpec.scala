@@ -84,6 +84,25 @@ class StreamingSpec extends SparkSpec {
     assert(ns == Seq(1L, 2L))
   }
 
+  test("streaming dedup drops duplicates within the watermark horizon") {
+    import spark.implicits._
+    val input = MemoryStream[SEvent](spark)
+    val deduped = EventStreams.dedupStream(input.toDF(), Seq("user_id", "event_type"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_s")
+      .outputMode("append").start()
+
+    input.addData(SEvent(ts(1), "click", 1, 1.0), SEvent(ts(1), "click", 1, 2.0)) // dup key+ts
+    q.processAllAvailable()
+    input.addData(SEvent(ts(1), "click", 1, 3.0)) // late duplicate, same batch horizon
+    q.processAllAvailable()
+    input.addData(SEvent(ts(2), "click", 1, 4.0)) // new ts → kept
+    q.processAllAvailable()
+    q.stop()
+
+    val n = spark.table("dedup_s").count()
+    assert(n == 2) // one per distinct (user, type, ts)
+  }
+
   test("stream-stream join matches purchases within the hour after a click") {
     import spark.implicits._
     val clicks = MemoryStream[SEvent](spark)
