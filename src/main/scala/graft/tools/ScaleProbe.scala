@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe: run headline operator shapes on 1×/2×/4×
+  * replicas of the sf0.1 tables and report the runtime growth factor.
+  * A shape is scale-safe when time grows ≲ linearly with input (constant
+  * factors amortize; no quadratic blowup, no single-task funnel).
+  * Run: sbt "runMain graft.tools.ScaleProbe"
+  */
+object ScaleProbe {
+
+  private def replicate(df: DataFrame, k: Int): DataFrame =
+    (1 until k).foldLeft(df)((acc, _) => acc.unionAll(df))
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local("scaleprobe", "32")
+    import spark.implicits._
+    val d = "/root/testdata/sf0.1"
+    spark.range(1000000).selectExpr("sum(id)").head() // JVM warmup
+
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val shapes: Seq[(String, Int => Unit)] = Seq(
+      "q1_agg" -> { k =>
+        replicate(li, k).groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2))), count(lit(1)))
+          .collect(); ()
+      },
+      "q6_filter_agg" -> { k =>
+        replicate(li, k)
+          .where(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+          .agg(sum(col("l_extendedprice"))).collect(); ()
+      },
+      "minhash_sig" -> { k =>
+        replicate(docs, k)
+          .select(graft.functions.TextFunctions.minhashSig(col("text"), 6).as("m"))
+          .agg(sum(size(col("m")))).collect(); ()
+      },
+      "knn_scan" -> { k =>
+        val q = Array.fill(64)(0.1f)
+        replicate(emb, k)
+          .select(graft.functions.VectorFunctions.cosineF(col("embedding"), lit(q)).as("s"))
+          .orderBy(col("s").desc).limit(10).collect(); ()
+      },
+      "window_rank" -> { k =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey").orderBy("l_linenumber")
+        replicate(li, k).withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).agg(count(lit(1))).collect(); ()
+      }
+    )
+
+    println(f"${"shape"}%-14s ${"t1x"}%7s ${"t2x"}%7s ${"t4x"}%7s  growth(4x/1x)")
+    shapes.foreach { case (name, run) =>
+      run(1) // per-shape codegen warmup
+      val t1 = time(run(1)); val t2 = time(run(2)); val t4 = time(run(4))
+      println(f"$name%-14s $t1%7.2f $t2%7.2f $t4%7.2f  ${t4 / t1}%.2f×")
+    }
+    spark.stop()
+  }
+}
