@@ -31,26 +31,12 @@ object Similarity {
 
   val numPlanes = 8
 
-  /** Left-fold dot product of an Array[Float] column with a literal
-    * double vector (bit-reproducible by the oracle).
-    */
-  private def dotLit(vecCol: String, q: Array[Double]): Column = {
-    val qArr = q.map(v => s"${v}D").mkString("array(", ", ", ")")
-    expr(s"aggregate(zip_with($vecCol, $qArr, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
-  }
-
   /** SQL fragment: same left-fold dot against the same literal vector. */
   private def dotLitSql(vecExpr: String, q: Array[Double]): String = {
     val qList = q.mkString("[", ", ", "]")
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i -> $vecExpr[i]::DOUBLE * ($qList)[i])), (acc, p) -> acc + p)"
   }
 
-  /** Self dot product (squared norm), left fold. */
-  private val norm2Expr =
-    "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
-
-  private val norm2Sql =
-    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), (acc, p) -> acc + p)"
 
   val knnQueryId = 0L
   val knnK = 10
@@ -170,15 +156,6 @@ object Similarity {
       .withColumn("centroid_sim", array_max(col("sims")))
       .withColumn("cell", (array_position(col("sims"), col("centroid_sim")) - 1).cast("int"))
       .select("vec_id", "cell", "centroid_sim")
-  }
-
-  /** Oracle-side sim expression for centroid j (same fold order). */
-  private def centroidSimSql(cs: Array[Array[Float]])(j: Int): String = {
-    val qList = cs(j).map(_.toDouble).mkString("[", ", ", "]")
-    s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |   list_transform(range(1, $dim + 1), i -> embedding[i]::DOUBLE * ($qList)[i])), (acc, p) -> acc + p)
-       | / (sqrt($norm2Sql) * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |     list_transform(range(1, $dim + 1), i -> ($qList)[i] * ($qList)[i])), (acc, p) -> acc + p))))""".stripMargin
   }
 
   /** The oracle needs the centroid values; they are data-derived but
