@@ -37,6 +37,7 @@ object SparkEntry {
     "theta_nation_region" -> (Relational.thetaNationRegion _),
     "order_price_ranks" -> (Relational.orderPriceRanks _),
     "median_quantity_per_flag" -> (Relational.medianQuantityPerFlag _),
+    "profile_orders" -> (Relational.profileOrders _),
     "order_quantity_vectors" -> (Relational.orderQuantityVectors _),
     "customers_without_orders" -> (Relational.customersWithoutOrders _),
     "customers_with_open_orders" -> (Relational.customersWithOpenOrders _),
@@ -51,6 +52,7 @@ object SparkEntry {
     "events_user_sessions" -> (Events.userSessions _),
     "events_json_props" -> (Events.jsonPropsSummary _),
     "events_inter_event_gaps" -> (Events.interEventGaps _),
+    "events_funnel" -> (Events.signupClickPurchaseFunnel _),
     "asof_last_purchase" -> (AsofJoin.lastPurchaseBeforeClick _),
     "range_errors_near_clicks" -> (AsofJoin.errorsNearClicks _),
     // north-star: dedup
@@ -73,6 +75,7 @@ object SparkEntry {
     "text_language_id" -> (TextOps.languageId _),
     "text_fingerprints" -> (TextOps.fingerprints _),
     "text_top_tokens" -> (TextOps.topTokens _),
+    "text_deterministic_sample" -> (TextOps.deterministicSample _),
     // north-star: multimodal plumbing
     "mm_binary_metadata" -> (Multimodal.binaryMetadata _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
@@ -104,6 +107,7 @@ object SparkEntry {
     "theta_nation_region" -> Relational.thetaNationRegionSql,
     "order_price_ranks" -> Relational.orderPriceRanksSql,
     "median_quantity_per_flag" -> Relational.medianQuantityPerFlagSql,
+    "profile_orders" -> Relational.profileOrdersSql,
     "order_quantity_vectors" -> Relational.orderQuantityVectorsSql,
     "customers_without_orders" -> Relational.customersWithoutOrdersSql,
     "customers_with_open_orders" -> Relational.customersWithOpenOrdersSql,
@@ -116,6 +120,7 @@ object SparkEntry {
     "events_user_sessions" -> Events.userSessionsSql,
     "events_json_props" -> Events.jsonPropsSummarySql,
     "events_inter_event_gaps" -> Events.interEventGapsSql,
+    "events_funnel" -> Events.signupClickPurchaseFunnelSql,
     "asof_last_purchase" -> AsofJoin.lastPurchaseBeforeClickSql,
     "range_errors_near_clicks" -> AsofJoin.errorsNearClicksSql,
     "dedup_exact" -> Dedup.exactDedupSql,
@@ -135,6 +140,7 @@ object SparkEntry {
     "text_language_id" -> TextOps.languageIdSql,
     "text_fingerprints" -> TextOps.fingerprintsSql,
     "text_top_tokens" -> TextOps.topTokensSql,
+    "text_deterministic_sample" -> TextOps.deterministicSampleSql,
     "mm_binary_metadata" -> Multimodal.binaryMetadataSql,
     "mm_decode_features" -> Multimodal.decodeFeaturesSql,
     "mm_payload_chunks" -> Multimodal.payloadChunksSql,

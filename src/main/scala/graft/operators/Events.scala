@@ -82,6 +82,36 @@ object Events {
       | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max, COUNT(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Funnel analysis: per user, did a `signup` → `click` → `purchase`
+    * sequence occur in event-time order? Computed with ordered min-times
+    * per stage (one shuffle on user), the set-based funnel formulation that
+    * scales — no per-user row iteration, no UDAF state.
+    */
+  def signupClickPurchaseFunnel(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(when(col("event_type") === "signup", col("ts_us"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("ts_us"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("t_purchase"))
+      .select(col("user_id"), col("n_events"),
+        (col("t_signup").isNotNull && col("t_click").isNotNull &&
+          col("t_purchase").isNotNull &&
+          col("t_signup") < col("t_click") && col("t_click") < col("t_purchase"))
+          .as("completed_funnel"))
+
+  val signupClickPurchaseFunnelSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      | (MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) IS NOT NULL
+      |  AND MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) IS NOT NULL
+      |  AND MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) IS NOT NULL
+      |  AND MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+      |    < MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+      |  AND MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+      |    < MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)) AS completed_funnel
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** Per-user ordered delta: time between consecutive events (lag over
     * event-time, exact µs arithmetic).
     */

@@ -345,6 +345,28 @@ object Relational {
 
   val tableLengthSql: String = "SELECT COUNT(*) AS len FROM lineitem"
 
+  /** Data-quality profile — the validation pass every ingest runs: row
+    * count, per-column null counts, domain bounds. One scan, one row out.
+    */
+  def profileOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("null_custkey"),
+      sum(when(col("o_orderdate").isNull, 1).otherwise(0)).as("null_orderdate"),
+      sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).as("nonpositive_price"),
+      min(col("o_orderkey")).as("min_orderkey"),
+      max(col("o_orderkey")).as("max_orderkey"),
+      countDistinct(col("o_orderstatus")).as("n_statuses"))
+
+  val profileOrdersSql: String =
+    """SELECT COUNT(*) AS n,
+      | SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+      | SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_orderdate,
+      | SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+      | MIN(o_orderkey) AS min_orderkey, MAX(o_orderkey) AS max_orderkey,
+      | COUNT(DISTINCT o_orderstatus) AS n_statuses
+      |FROM orders""".stripMargin
+
   /** Exact per-group percentile, deterministically: the k-th element of the
     * sorted sequence (lower median; ties broken by the full total order) —
     * engine-independent where interpolated medians are not. One shuffle.

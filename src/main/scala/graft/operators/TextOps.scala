@@ -109,6 +109,20 @@ object TextOps {
       expr("aggregate(split(text, ' '), 0L, (acc, t) -> pmod(acc * 31 + ascii(t) + length(t), 1000000007L))")
         .as("fingerprint"))
 
+  /** Deterministic 10% sample by content hash — reproducible sampling is a
+    * pipeline primitive (train/held-out splits must not depend on
+    * partitioning or RNG state): a doc is in the sample iff
+    * md5(text) mod 100 < 10, identical in any engine, any run, any scale.
+    */
+  def deterministicSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .where(expr("pmod(CAST(conv(substr(md5(text), 1, 13), 16, 10) AS BIGINT), 100) < 10"))
+      .select(col("doc_id"), col("n_chars"))
+
+  val deterministicSampleSql: String =
+    """SELECT doc_id, n_chars FROM documents
+      |WHERE (('0x' || substr(md5(text), 1, 13))::BIGINT) % 100 < 10""".stripMargin
+
   /** Corpus-level word count: top 20 tokens by frequency, total-order
     * tie-break. explode → one shuffle with map-side partial counts →
     * TakeOrdered; the canonical first distributed text job, here as a
