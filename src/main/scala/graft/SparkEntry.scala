@@ -53,6 +53,7 @@ object SparkEntry {
     "events_json_props" -> (Events.jsonPropsSummary _),
     "events_inter_event_gaps" -> (Events.interEventGaps _),
     "events_funnel" -> (Events.signupClickPurchaseFunnel _),
+    "events_cohort_retention" -> (Events.cohortRetention _),
     "asof_last_purchase" -> (AsofJoin.lastPurchaseBeforeClick _),
     "range_errors_near_clicks" -> (AsofJoin.errorsNearClicks _),
     // north-star: dedup
@@ -69,6 +70,7 @@ object SparkEntry {
     "embedding_near_dups" -> (Similarity.embeddingNearDups _),
     "ann_ivf_assign" -> (Similarity.ivfAssign _),
     "ann_ivf_cell_stats" -> (Similarity.ivfCellStats _),
+    "ann_ivf_search" -> (Similarity.ivfSearch _),
     // north-star: text analysis
     "text_token_stats" -> (TextOps.tokenStats _),
     "text_quality_scores" -> (TextOps.qualityScores _),
@@ -121,6 +123,7 @@ object SparkEntry {
     "events_json_props" -> Events.jsonPropsSummarySql,
     "events_inter_event_gaps" -> Events.interEventGapsSql,
     "events_funnel" -> Events.signupClickPurchaseFunnelSql,
+    "events_cohort_retention" -> Events.cohortRetentionSql,
     "asof_last_purchase" -> AsofJoin.lastPurchaseBeforeClickSql,
     "range_errors_near_clicks" -> AsofJoin.errorsNearClicksSql,
     "dedup_exact" -> Dedup.exactDedupSql,
@@ -135,6 +138,7 @@ object SparkEntry {
     "embedding_near_dups" -> Similarity.embeddingNearDupsSql,
     "ann_ivf_assign" -> Similarity.ivfAssignSql,
     "ann_ivf_cell_stats" -> Similarity.ivfCellStatsSql,
+    "ann_ivf_search" -> Similarity.ivfSearchSql,
     "text_token_stats" -> TextOps.tokenStatsSql,
     "text_quality_scores" -> TextOps.qualityScoresSql,
     "text_language_id" -> TextOps.languageIdSql,

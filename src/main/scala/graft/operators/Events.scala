@@ -112,6 +112,33 @@ object Events {
       |    < MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)) AS completed_funnel
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Cohort retention: users grouped by their first-activity day; for each
+    * (cohort_day, activity_day) the count of distinct returning users — the
+    * standard growth-analytics matrix, two shuffles (first-day per user,
+    * then the cohort×day rollup).
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(firstDay, "user_id")
+      .groupBy("cohort_day", "day")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("active_users"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      | f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+      |       strftime(e.day, '%Y-%m-%d') AS day,
+      |       COUNT(DISTINCT e.user_id) AS active_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY f.cohort_day, e.day""".stripMargin
+
   /** Per-user ordered delta: time between consecutive events (lag over
     * event-time, exact µs arithmetic).
     */

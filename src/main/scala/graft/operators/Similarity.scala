@@ -194,6 +194,48 @@ object Similarity {
     s"""WITH assign AS ($ivfAssignSql)
        |SELECT cell, COUNT(*) AS n, MIN(vec_id) AS min_id FROM assign GROUP BY cell""".stripMargin
 
+  val ivfQueryId = 5L
+  val ivfK = 5
+
+  /** IVF cell-pruned top-k: score ONLY the query's cell — the scan reads
+    * 1/numCells of the corpus (at scale, `cell` is the partition key and
+    * pruning happens at the source). Exact same scoring expression as the
+    * brute-force path, so recall differences are purely the index's.
+    */
+  def ivfSearch(s: SparkSession, d: String): DataFrame = {
+    val assigned = ivfAssign(s, d)
+    val queryCell = assigned.where(col("vec_id") === ivfQueryId)
+      .head().getAs[Int]("cell")
+    val cellIds = assigned.where(col("cell") === queryCell).select("vec_id")
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === ivfQueryId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    emb.join(cellIds, Seq("vec_id"), "left_semi")
+      .where(col("vec_id") =!= ivfQueryId)
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("embedding"), lit(q)))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(ivfK)
+      .select("vec_id", "sim")
+  }
+
+  val ivfSearchSql: String =
+    s"""WITH assign AS ($ivfAssignSql),
+       | qcell AS (SELECT cell FROM assign WHERE vec_id = $ivfQueryId),
+       | members AS (SELECT a.vec_id FROM assign a, qcell WHERE a.cell = qcell.cell),
+       | q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $ivfQueryId),
+       | qn AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, $dim + 1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)), (acc, p) -> acc + p)) AS qnorm FROM q),
+       | scored AS (
+       |  SELECT e.vec_id,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), (acc, p) -> acc + p) AS dot,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (acc, p) -> acc + p) AS norm2
+       |  FROM embeddings e JOIN members m ON e.vec_id = m.vec_id, q
+       |  WHERE e.vec_id <> $ivfQueryId)
+       |SELECT vec_id, dot / (sqrt(norm2) * qn.qnorm) AS sim
+       |FROM scored, qn ORDER BY sim DESC, vec_id LIMIT $ivfK""".stripMargin
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed: score only same-bucket
     * pairs (the quadratic explosion is contained to bucket occupancy).
     */
