@@ -38,6 +38,7 @@ object SparkEntry {
     "order_price_ranks" -> (Relational.orderPriceRanks _),
     "median_quantity_per_flag" -> (Relational.medianQuantityPerFlag _),
     "profile_orders" -> (Relational.profileOrders _),
+    "quantity_price_covariance" -> (Relational.quantityPriceCovariance _),
     "order_quantity_vectors" -> (Relational.orderQuantityVectors _),
     "customers_without_orders" -> (Relational.customersWithoutOrders _),
     "customers_with_open_orders" -> (Relational.customersWithOpenOrders _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "order_price_ranks" -> Relational.orderPriceRanksSql,
     "median_quantity_per_flag" -> Relational.medianQuantityPerFlagSql,
     "profile_orders" -> Relational.profileOrdersSql,
+    "quantity_price_covariance" -> Relational.quantityPriceCovarianceSql,
     "order_quantity_vectors" -> Relational.orderQuantityVectorsSql,
     "customers_without_orders" -> Relational.customersWithoutOrdersSql,
     "customers_with_open_orders" -> Relational.customersWithOpenOrdersSql,

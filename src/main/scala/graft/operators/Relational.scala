@@ -345,6 +345,46 @@ object Relational {
 
   val tableLengthSql: String = "SELECT COUNT(*) AS len FROM lineitem"
 
+  /** Exact statistical aggregates: population covariance and correlation of
+    * quantity vs price from DECIMAL(38) moment sums (built-in covar_pop/corr
+    * accumulate doubles whose merge order differs across engines) — the
+    * final doubles are derived once, in a fixed expression order the oracle
+    * mirrors; decimal sums cannot overflow at any scale.
+    */
+  def quantityPriceCovariance(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(38, 2))
+    val y = col("l_extendedprice").cast(DecimalType(38, 2))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sxy").cast("double") / col("n") -
+          (col("sx").cast("double") / col("n")) * (col("sy").cast("double") / col("n"))).as("covar_pop"),
+        ((col("sxy").cast("double") / col("n") -
+          (col("sx").cast("double") / col("n")) * (col("sy").cast("double") / col("n"))) /
+          (sqrt(col("sxx").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) * (col("sx").cast("double") / col("n"))) *
+           sqrt(col("syy").cast("double") / col("n") -
+            (col("sy").cast("double") / col("n")) * (col("sy").cast("double") / col("n"))))).as("corr"))
+  }
+
+  val quantityPriceCovarianceSql: String =
+    """SELECT l_returnflag, n,
+      | CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS covar_pop,
+      | (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+      |  / (sqrt(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+      |   * sqrt(CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))) AS corr
+      |FROM (SELECT l_returnflag, COUNT(*) AS n,
+      |        SUM(CAST(l_quantity AS DECIMAL(38,2))) AS sx,
+      |        SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS sy,
+      |        SUM(CAST(l_quantity AS DECIMAL(38,2)) * CAST(l_extendedprice AS DECIMAL(38,2))) AS sxy,
+      |        SUM(CAST(l_quantity AS DECIMAL(38,2)) * CAST(l_quantity AS DECIMAL(38,2))) AS sxx,
+      |        SUM(CAST(l_extendedprice AS DECIMAL(38,2)) * CAST(l_extendedprice AS DECIMAL(38,2))) AS syy
+      |      FROM lineitem GROUP BY l_returnflag)""".stripMargin
+
   /** Data-quality profile — the validation pass every ingest runs: row
     * count, per-column null counts, domain bounds. One scan, one row out.
     */
