@@ -25,6 +25,7 @@ object SparkEntry {
     "q5_local_supplier" -> (Relational.q5LocalSupplier _),
     "top_order_per_customer" -> (Relational.topOrderPerCustomer _),
     "running_customer_spend" -> (Relational.runningCustomerSpend _),
+    "nearby_spend" -> (Relational.nearbySpend _),
     "order_gaps" -> (Relational.orderGaps _),
     "top10_lineitems" -> (Relational.top10Lineitems _),
     "distinct_parts_per_flag" -> (Relational.distinctPartsPerFlag _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q5_local_supplier" -> Relational.q5Sql,
     "top_order_per_customer" -> Relational.topOrderPerCustomerSql,
     "running_customer_spend" -> Relational.runningCustomerSpendSql,
+    "nearby_spend" -> Relational.nearbySpendSql,
     "order_gaps" -> Relational.orderGapsSql,
     "top10_lineitems" -> Relational.top10LineitemsSql,
     "distinct_parts_per_flag" -> Relational.distinctPartsPerFlagSql,

@@ -162,6 +162,26 @@ object Relational {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
       |FROM orders""".stripMargin
 
+  /** RANGE-frame window: each order's customer spend within ±15 days of its
+    * order date (value-based frame, vs the ROWS frame in
+    * [[runningCustomerSpend]]). Exact decimal sum → engine-stable.
+    */
+  def nearbySpend(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("epoch_day"))
+      .rangeBetween(-15, 15)
+    Tables.orders(s, d)
+      .withColumn("epoch_day", datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("nearby_spend", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"), col("nearby_spend"))
+  }
+
+  val nearbySpendSql: String =
+    """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+      |   RANGE BETWEEN 15 PRECEDING AND 15 FOLLOWING) AS DOUBLE) AS nearby_spend
+      |FROM orders""".stripMargin
+
   /** lag/lead analytic: gap in days between a customer's consecutive orders. */
   def orderGaps(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -346,44 +366,51 @@ object Relational {
   val tableLengthSql: String = "SELECT COUNT(*) AS len FROM lineitem"
 
   /** Exact statistical aggregates: population covariance and correlation of
-    * quantity vs price from DECIMAL(38) moment sums (built-in covar_pop/corr
-    * accumulate doubles whose merge order differs across engines) — the
-    * final doubles are derived once, in a fixed expression order the oracle
-    * mirrors; decimal sums cannot overflow at any scale.
+    * quantity vs price. Moments are integer-cent sums held in DECIMAL(38,0)
+    * — scale-0 decimals convert to double with a single correctly-rounded
+    * step in BOTH engines (fractional-scale decimals convert as
+    * numerator/10^scale in DuckDB: two roundings, which drifts 1 ulp from
+    * the JVM once numerators pass 2^53). The final doubles are derived in a
+    * fixed expression order the oracle mirrors bit-for-bit.
     */
   def quantityPriceCovariance(s: SparkSession, d: String): DataFrame = {
-    val x = col("l_quantity").cast(DecimalType(38, 2))
-    val y = col("l_extendedprice").cast(DecimalType(38, 2))
+    val xc = expr("CAST(round(l_quantity * 100) AS BIGINT)")
+    val yc = expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    val d0 = DecimalType(38, 0)
+    def dbl(c: String): Column = col(c).cast("double")
+    def m(c: String): Column = dbl(c) / col("n")
     Tables.lineitem(s, d)
+      .select(col("l_returnflag"), xc.as("xc"), yc.as("yc"))
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        sum(col("xc").cast(d0)).as("sx"), sum(col("yc").cast(d0)).as("sy"),
+        sum((col("xc").cast(d0) * col("yc")).cast(d0)).as("sxy"),
+        sum((col("xc").cast(d0) * col("xc")).cast(d0)).as("sxx"),
+        sum((col("yc").cast(d0) * col("yc")).cast(d0)).as("syy"))
       .select(col("l_returnflag"), col("n"),
-        (col("sxy").cast("double") / col("n") -
-          (col("sx").cast("double") / col("n")) * (col("sy").cast("double") / col("n"))).as("covar_pop"),
-        ((col("sxy").cast("double") / col("n") -
-          (col("sx").cast("double") / col("n")) * (col("sy").cast("double") / col("n"))) /
-          (sqrt(col("sxx").cast("double") / col("n") -
-            (col("sx").cast("double") / col("n")) * (col("sx").cast("double") / col("n"))) *
-           sqrt(col("syy").cast("double") / col("n") -
-            (col("sy").cast("double") / col("n")) * (col("sy").cast("double") / col("n"))))).as("corr"))
+        ((m("sxy") - m("sx") * m("sy")) / 10000.0).as("covar_pop"),
+        ((m("sxy") - m("sx") * m("sy")) /
+          (sqrt(m("sxx") - m("sx") * m("sx")) * sqrt(m("syy") - m("sy") * m("sy")))).as("corr"))
   }
 
   val quantityPriceCovarianceSql: String =
     """SELECT l_returnflag, n,
-      | CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS covar_pop,
+      | (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / 10000.0 AS covar_pop,
       | (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
       |  / (sqrt(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
       |   * sqrt(CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))) AS corr
       |FROM (SELECT l_returnflag, COUNT(*) AS n,
-      |        SUM(CAST(l_quantity AS DECIMAL(38,2))) AS sx,
-      |        SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS sy,
-      |        SUM(CAST(l_quantity AS DECIMAL(38,2)) * CAST(l_extendedprice AS DECIMAL(38,2))) AS sxy,
-      |        SUM(CAST(l_quantity AS DECIMAL(38,2)) * CAST(l_quantity AS DECIMAL(38,2))) AS sxx,
-      |        SUM(CAST(l_extendedprice AS DECIMAL(38,2)) * CAST(l_extendedprice AS DECIMAL(38,2))) AS syy
-      |      FROM lineitem GROUP BY l_returnflag)""".stripMargin
+      |        SUM(CAST(xc AS DECIMAL(38,0))) AS sx,
+      |        SUM(CAST(yc AS DECIMAL(38,0))) AS sy,
+      |        SUM(CAST(CAST(xc AS DECIMAL(38,0)) * yc AS DECIMAL(38,0))) AS sxy,
+      |        SUM(CAST(CAST(xc AS DECIMAL(38,0)) * xc AS DECIMAL(38,0))) AS sxx,
+      |        SUM(CAST(CAST(yc AS DECIMAL(38,0)) * yc AS DECIMAL(38,0))) AS syy
+      |      FROM (SELECT l_returnflag,
+      |              CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+      |              CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      |            FROM lineitem)
+      |      GROUP BY l_returnflag)""".stripMargin
 
   /** Data-quality profile — the validation pass every ingest runs: row
     * count, per-column null counts, domain bounds. One scan, one row out.
