@@ -77,8 +77,11 @@ object Events {
       .groupBy("event_type")
       .agg(sum(col("k")).as("k_sum"), max(col("k")).as("k_max"), count(lit(1)).as("n"))
 
+  // NOTE: the final SUM is wrapped in CAST(... AS BIGINT): DuckDB's
+  // SUM(BIGINT) yields HUGEINT, which the driver's pandas bridge renders as
+  // float64 and hash-drifts against Spark's int64 (CORRECTNESS_r01 red row).
   val jsonPropsSummarySql: String =
-    """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+    """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
       | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max, COUNT(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 

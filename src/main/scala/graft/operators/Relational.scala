@@ -321,7 +321,7 @@ object Relational {
     """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
       | CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
       | COUNT(*) AS n,
-      | SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent_n,
+      | CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_n,
       | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2))
       |              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS finished_total
       |FROM orders GROUP BY 1, 2""".stripMargin
@@ -427,9 +427,9 @@ object Relational {
 
   val profileOrdersSql: String =
     """SELECT COUNT(*) AS n,
-      | SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
-      | SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_orderdate,
-      | SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+      | CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+      | CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate,
+      | CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
       | MIN(o_orderkey) AS min_orderkey, MAX(o_orderkey) AS max_orderkey,
       | COUNT(DISTINCT o_orderstatus) AS n_statuses
       |FROM orders""".stripMargin
@@ -459,23 +459,28 @@ object Relational {
 
   /** Array aggregation: per order, the canonical (sorted) quantity vector
     * plus derived scalars — collect_list is partition-order-dependent, so
-    * array_sort makes the array column itself hash-comparable.
+    * array_sort makes the array deterministic. The vector is emitted as a
+    * comma-joined string of BIGINTs (quantities are integral): the driver's
+    * comparator sorts output columns with pandas, which cannot sort raw
+    * array cells (CORRECTNESS_r01 `order_quantity_vectors` ERR) — and a
+    * canonical scalar rendering is also what survives cross-engine hashing.
     */
   def orderQuantityVectors(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey").as("orderkey"))
-      .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
-      .select(col("orderkey"), col("qtys"),
-        size(col("qtys")).as("n_lines"),
-        element_at(col("qtys"), 1).as("min_qty"),
-        element_at(col("qtys"), -1).as("max_qty"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qarr"))
+      .select(col("orderkey"),
+        array_join(col("qarr"), ",").as("qtys"),
+        size(col("qarr")).cast("long").as("n_lines"),
+        element_at(col("qarr"), 1).as("min_qty"),
+        element_at(col("qarr"), -1).as("max_qty"))
 
   val orderQuantityVectorsSql: String =
     """SELECT l_orderkey AS orderkey,
-      | list_sort(list(l_quantity)) AS qtys,
-      | len(list(l_quantity)) AS n_lines,
-      | list_sort(list(l_quantity))[1] AS min_qty,
-      | list_sort(list(l_quantity))[-1] AS max_qty
+      | array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',') AS qtys,
+      | CAST(len(list(l_quantity)) AS BIGINT) AS n_lines,
+      | list_sort(list(CAST(l_quantity AS BIGINT)))[1] AS min_qty,
+      | list_sort(list(CAST(l_quantity AS BIGINT)))[-1] AS max_qty
       |FROM lineitem GROUP BY l_orderkey""".stripMargin
 
   /** Approximate sketches — HLL++ distinct counts and t-digest-style

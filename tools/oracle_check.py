@@ -4,6 +4,12 @@ parquet written by graft.Verify, run the declared oracle SQL in DuckDB over
 the same testdata parquet tables and compare (columns sorted by name, rows
 sorted, values canonicalized) — mirrors the driver's hash-match contract.
 
+Both sides are materialized through PANDAS (like the driver), not fetchall():
+that preserves driver-visible dtype effects — DuckDB HUGEINT becomes float64
+(so an unwrapped integer SUM prints "99111.0" vs Spark's "99111"), and raw
+array cells crash pandas sort_values — which fetchall() silently papered
+over in round 1 (3 hash FAILs + 1 ERR the local gate missed).
+
 Usage: oracle_check.py <sfDir> <verifyOutDir> [query ...]
 """
 import sys, json, math, glob, os
@@ -26,12 +32,23 @@ def canon(v):
     return str(v)
 
 
-def frame_key(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def frame_key(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    # the driver sorts rows with pandas — raw array cells crash here, which
+    # is a real driver-visible failure mode we must reproduce, not hide
+    df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    def cell(v):
+        if hasattr(v, "item"):
+            try:
+                v = v.item()
+            except Exception:
+                pass
+        return canon(v)
+
     out = []
-    for r in rows:
-        out.append(tuple(canon(r[i]) for i in order))
-    out.sort()
+    for row in df.itertuples(index=False, name=None):
+        out.append(tuple(cell(v) for v in row))
     return out
 
 
@@ -55,19 +72,23 @@ def main():
             n_fail += 1
             continue
         try:
-            spark_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
-            spark_rows, spark_cols = spark_rel.fetchall(), [d[0] for d in spark_rel.description]
-            duck_rel = con.sql(sql)
-            duck_rows, duck_cols = duck_rel.fetchall(), [d[0] for d in duck_rel.description]
+            spark_df = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+            duck_df = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        if sorted(spark_cols) != sorted(duck_cols):
-            print(f"FAIL {name}: cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        if sorted(spark_df.columns) != sorted(duck_df.columns):
+            print(f"FAIL {name}: cols spark={sorted(spark_df.columns)} "
+                  f"duck={sorted(duck_df.columns)}")
             n_fail += 1
             continue
-        a, b = frame_key(spark_rows, spark_cols), frame_key(duck_rows, duck_cols)
+        try:
+            a, b = frame_key(spark_df), frame_key(duck_df)
+        except Exception as e:
+            print(f"FAIL {name}: comparator: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         if a == b:
             print(f"PASS {name} ({len(a)} rows)")
             n_pass += 1
