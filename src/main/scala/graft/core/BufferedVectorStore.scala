@@ -46,8 +46,18 @@ final class BufferedVectorStore[T: Encoder](
 
   def bufferedCount: Int = buf.synchronized(buf.size)
 
+  /** Consistent (committed length, buffered snapshot) pair, taken under the
+    * flush lock: without it, a reader racing the daemon flusher between
+    * buffer-clear and base commit could see an index transiently vanish
+    * (len shrink / get → None for a valid index). `base` is append-only, so
+    * a row observed committed here stays readable outside the lock.
+    */
+  private def mergedSnapshot(): (Long, Vector[T]) = this.synchronized {
+    (base.len, buf.synchronized(buf.toVector))
+  }
+
   /** Merged length: committed + buffered (writable_cache.rs:210-212). */
-  def len: Long = base.len + bufferedCount
+  def len: Long = { val (b, s) = mergedSnapshot(); b + s.size }
   def isEmpty: Boolean = len == 0L
 
   /** Merged point read (writable_cache.rs:222-246). */
@@ -56,13 +66,10 @@ final class BufferedVectorStore[T: Encoder](
       throw new IndexOutOfBoundsException(s"pull($index) on merged length $len"))
 
   def get(index: Long): Option[T] = {
-    val baseLen = base.len
-    if (index < 0 || index >= len) None
+    val (baseLen, snapshot) = mergedSnapshot()
+    if (index < 0 || index >= baseLen + snapshot.size) None
     else if (index < baseLen) base.get(index)
-    else buf.synchronized {
-      val i = (index - baseLen).toInt
-      if (i < buf.size) Some(buf(i)) else None
-    }
+    else Some(snapshot((index - baseLen).toInt))
   }
 
   /** Merged range read with straddle routing (writable_cache.rs:248-298). */
@@ -71,9 +78,7 @@ final class BufferedVectorStore[T: Encoder](
       throw new IndexOutOfBoundsException(s"pullx($index,$count) on merged length $len"))
 
   def getx(index: Long, count: Long): Option[Seq[T]] = {
-    val baseLen = base.len
-    // Snapshot the buffer so the db/buffer split is consistent.
-    val snapshot = buf.synchronized(buf.toVector)
+    val (baseLen, snapshot) = mergedSnapshot()
     val total = baseLen + snapshot.size
     if (index < 0 || count < 0 || index + count > total) None
     else {
@@ -90,10 +95,14 @@ final class BufferedVectorStore[T: Encoder](
     if (isEmpty) None else getx(0, len)
 
   /** Committed ⋃ in-flight as one Dataset (SURVEY.md §2.4 merged view). */
-  def mergedView(): Dataset[T] = {
+  def mergedView(): Dataset[T] = this.synchronized {
+    // Both sides pinned under the flush lock: base.toDS() resolves the
+    // manifest eagerly, so a concurrent flush can neither drop buffered rows
+    // nor surface them twice (once from the snapshot, once from the scan).
     val spark = base.table.spark
+    val committed = base.toDS()
     val snapshot = buf.synchronized(buf.toVector)
-    base.toDS().unionAll(spark.createDataset(snapshot))
+    committed.unionAll(spark.createDataset(snapshot))
   }
 
   /** Drain the whole buffer to the backing store (writable_cache.rs:87-89:

@@ -15,9 +15,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    the reference's "reads see flushed data immediately" contract;
   *  - the trigger interval plays the role of the 10 ms flush poll
   *    (writable_cache.rs:94); size-based flushing is the micro-batch size;
-  *  - checkpointing gives exactly-once appends across restarts, strictly
-  *    stronger than the reference's flush-on-drop durability
-  *    (writable_cache.rs:162-185).
+  *  - foreachBatch alone is only at-least-once (a crash after the append but
+  *    before the checkpoint commit replays the micro-batch), so the append
+  *    records the stream batch id in the table manifest and replayed batches
+  *    are skipped — making the sink idempotent and the pipeline effectively
+  *    exactly-once, strictly stronger than the reference's flush-on-drop
+  *    durability (writable_cache.rs:162-185).
   *
   * At scale this is the standard high-throughput ingest shape: the stream is
   * partitioned upstream (e.g. by Kafka partition); per-batch rowid assignment
@@ -39,8 +42,8 @@ object StreamIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { table.append(batch); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { table.append(batch, streamBatchId = Some(batchId)); () }
       }
       .start()
 }
