@@ -28,9 +28,15 @@ object Bench {
     // absorbs several seconds of executor/codegen startup.
     spark.range(1000000).selectExpr("sum(id)").head()
 
+    // One-time table/index builds, timed as their own dimension: the rowid
+    // table is built once per machine and reused across runs (the serving
+    // query itself must cost a pruned range read, not a rebuild).
+    val tRowidBuild = try timed(graft.operators.Relational.prebuildRowidTable(spark, sfDir))
+      catch { case _: Throwable => -1.0 }
+
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (try timed(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 })
-    }
+    } :+ ("rowid_table_build" -> tRowidBuild)
 
     // --- store-level dimensions (reference harness workloads, BASELINE.md) ---
     val storeTimes = try {

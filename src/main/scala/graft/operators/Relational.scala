@@ -332,25 +332,51 @@ object Relational {
     * The real VectorTable path prunes via manifest + parquet stats instead
     * of a global window (see graft.core.VectorTable.range).
     */
-  def rowidRange(s: SparkSession, d: String): DataFrame = {
-    // Scale-shaped dense rank: a global row_number window funnels the whole
-    // table through ONE task; instead range-repartition on the total order,
-    // sort within partitions, and stamp indices per partition offset
-    // (zipWithIndex) — the same distributed pattern VectorTable.append uses.
-    val sorted = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
-      .sortWithinPartitions("l_orderkey", "l_linenumber")
-    val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("_rowid", org.apache.spark.sql.types.LongType, nullable = false) +:
-        sorted.schema.fields)
-    val stamped = sorted.rdd.zipWithIndex().flatMap { case (r, i) =>
-      if (i >= 1000 && i < 1100) Some(org.apache.spark.sql.Row.fromSeq(i +: r.toSeq)) else None
-    }
-    s.createDataFrame(stamped, schema)
+  /** VectorTables materialized once per (machine, sf dir) and reused across
+    * JVMs: the previous emulation restamped the WHOLE table per run
+    * (repartitionByRange + zipWithIndex) to serve 100 rows — honest about
+    * ordering but 10× the cost of the real path. Build is crash-safe: data
+    * lands in a unique directory, then a pointer file is published with
+    * create-if-absent (losers of the race adopt the winner's table).
+    */
+  private val rowidTables =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.core.VectorTable]()
+
+  private def lineitemAsVectorTable(s: SparkSession, d: String): graft.core.VectorTable =
+    rowidTables.computeIfAbsent(d, dir => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"lineitem-$key.path")
+      if (!Files.exists(pointer)) {
+        val root = base.resolve(s"lineitem-$key-${java.util.UUID.randomUUID()}")
+        val t = graft.core.VectorTable.create(s, root.toString)
+        // Input order = the modeled insertion order (orderkey, linenumber):
+        // range-repartition + sort gives a global order across partition
+        // indices, which append's per-partition offsets turn into dense
+        // rowids — no single-task global window.
+        t.append(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
+          .sortWithinPartitions("l_orderkey", "l_linenumber"))
+        try Files.write(pointer, root.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () } // racer won; adopt theirs
+      }
+      graft.core.VectorTable.open(s, Files.readString(pointer))
+    })
+
+  /** One-time table materialization, callable out-of-band (Bench reports it
+    * as its own dimension instead of hiding it in the first query run).
+    */
+  def prebuildRowidTable(s: SparkSession, d: String): Unit =
+    lineitemAsVectorTable(s, d)
+
+  def rowidRange(s: SparkSession, d: String): DataFrame =
+    lineitemAsVectorTable(s, d).range(1000L, 100L)
       .select(col("_rowid"), col("l_orderkey").as("orderkey"),
         col("l_linenumber").as("linenumber"), col("l_quantity").as("quantity"))
-  }
 
   val rowidRangeSql: String =
     """SELECT _rowid, orderkey, linenumber, quantity FROM (
@@ -434,17 +460,30 @@ object Relational {
       | COUNT(DISTINCT o_orderstatus) AS n_statuses
       |FROM orders""".stripMargin
 
-  /** Exact per-group percentile, deterministically: the k-th element of the
-    * sorted sequence (lower median; ties broken by the full total order) —
-    * engine-independent where interpolated medians are not. One shuffle.
+  /** Exact per-group median as a distributed k-th-element selection.
+    *
+    * The lower median is the k-th smallest value (k = (n+1) div 2), and the
+    * OUTPUT depends only on the value order — so instead of sorting every
+    * row through a per-group window (3 groups here = 3 tasks sorting the
+    * whole table; unusable at 100 TB), aggregate a (group, value) → count
+    * histogram (one shuffle, map-side partials) and select the value whose
+    * cumulative-count range covers k. The only window runs over the
+    * HISTOGRAM — partition size = distinct values per group (≤ 50 for
+    * quantities), independent of row count. For high-cardinality value
+    * domains the same shape nests: histogram over coarse value ranges,
+    * then recurse into the one range containing k.
     */
   def medianQuantityPerFlag(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(s, d)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-      .where(col("rn") === expr("(n + 1) DIV 2")) // lower median, 1-based
+    val hist = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    val totW = Window.partitionBy("l_returnflag")
+    hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(totW))
+      .where(col("cum") - col("cnt") < expr("(n + 1) DIV 2")
+        && expr("(n + 1) DIV 2") <= col("cum")) // lower median, 1-based
       .select(col("l_returnflag"), col("l_quantity").as("median_qty"), col("n"))
   }
 
