@@ -50,10 +50,68 @@ final class VectorStore[T: Encoder](val table: VectorTable) {
     getx(index, count).getOrElse(
       throw new IndexOutOfBoundsException(s"pullx($index,$count) on store of length $len"))
 
-  /** Bounds-checked point read — reference `get` (src/vector_engine.rs:33-39). */
+  /** Bounds-checked point read — reference `get` (src/vector_engine.rs:33-39).
+    * Serves from the direct-parquet path (no Spark job, ~ms/key) when the
+    * schema and layout allow, matching the reference's serving-read class
+    * (readable_cache.rs:68-80); otherwise falls back to a pruned Spark read.
+    */
   def get(index: Long): Option[T] =
     if (index < 0 || index >= len) None
-    else decode(table.point(index)).headOption
+    else directGet(index).orElse(decode(table.point(index)).headOption)
+
+  private def directGet(index: Long): Option[T] =
+    directDecoder.flatMap { dec =>
+      try table.pointLocal(index).map(dec)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Column-name-keyed raw values → T, built once per store if every field
+    * is a flat supported type; None disables the fast path (the Spark
+    * decode handles everything).
+    */
+  private lazy val directDecoder: Option[Map[String, Any] => T] =
+    try {
+      import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoder, ExpressionEncoder}
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      val exprEncOpt = enc match {
+        case e: ExpressionEncoder[T @unchecked] => Some(e)
+        case a: AgnosticEncoder[T @unchecked]   => Some(ExpressionEncoder(a))
+        case _                                  => None
+      }
+      exprEncOpt.flatMap { exprEnc =>
+      val fields = exprEnc.schema.fields
+      val supported = fields.forall(_.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+             StringType | BinaryType | ShortType | ByteType => true
+        case _ => false
+      })
+      if (!supported) None
+      else {
+        val resolved = exprEnc.resolveAndBind()
+        // deserializers carry mutable projection state → one per thread
+        val deser = ThreadLocal.withInitial(() => resolved.createDeserializer())
+        Some { values =>
+          val row = new GenericInternalRow(fields.length)
+          var i = 0
+          while (i < fields.length) {
+            val f = fields(i)
+            val v = values.getOrElse(f.name, null)
+            row.update(i, (f.dataType, v) match {
+              case (_, null)            => null
+              case (StringType, s)      => UTF8String.fromString(s.asInstanceOf[String])
+              case (ShortType, n: Int)  => n.toShort
+              case (ByteType, n: Int)   => n.toByte
+              case (_, other)           => other
+            })
+            i += 1
+          }
+          deser.get()(row)
+        }
+      }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Bounds-checked range read — reference `getx` (src/vector_engine.rs:40-46). */
   def getx(index: Long, count: Long): Option[Seq[T]] =

@@ -266,6 +266,25 @@ final class VectorTable(val spark: SparkSession, val root: String) {
   /** Point read — reference `pull`/`get` (src/vector_engine.rs:27,33-39). */
   def point(index: Long): DataFrame = range(index, 1L)
 
+  /** Driver-local point read with NO Spark job: manifest → part-file footer
+    * → one page → one row (see [[DirectParquetRead]]). None means "can't
+    * serve directly" (remote filesystem, nested schema, foreign file) and
+    * the caller should use the Spark path — never a correctness signal.
+    */
+  def pointLocal(index: Long): Option[Map[String, Any]] = {
+    val m = manifest
+    m.batches.find(b => index >= b.start && index < b.end).flatMap { b =>
+      DirectParquetRead.partFiles(s"$root/${b.relPath}")
+        .collectFirst(Function.unlift { f =>
+          DirectParquetRead.rowidSpan(f) match {
+            case Some((lo, hi)) if index >= lo && index <= hi =>
+              DirectParquetRead.readByRowid(f, index)
+            case _ => None
+          }
+        })
+    }
+  }
+
   /** Batched point reads: one Spark job for all `indices` (manifest-pruned
     * to the touched batches, IN-filter pushed to the scan) — the serving
     * pattern that amortizes per-job latency over a whole lookup batch
