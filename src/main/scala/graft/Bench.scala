@@ -71,6 +71,16 @@ object Bench {
         val got = store.getMany(coldIds)
         assert(got.size == coldIds.distinct.size)
       }
+      // 1M-row dimensions at the reference harness's own scale
+      // (COUNT=1,000,000: tests/tests/sample_data_test.rs:8,
+      // cache_engine_performance_test.rs:14) so the comparison holds at
+      // equal row counts, not just equal shapes.
+      val root1m = java.nio.file.Files.createTempDirectory("graft-bench-1m").toString
+      val store1m = graft.core.VectorStore.create[BenchRec](spark, root1m)
+      val rows1m = (0 until 1000000).map(i => BenchRec(s"user${i % 97}", i.toLong, s"payload-$i-${"x" * 40}"))
+      val tAppend1m = timed(store1m.pushx(rows1m))
+      val tScan1m = timed(store1m.toDS().agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))).head())
+      val tGetall1m = timed(assert(store1m.getall().get.size == 1000000))
       Seq(
         "store_point_reads_50_batched" -> tBatchedPoints,
         "store_bulk_append_100k" -> tAppend,
@@ -78,7 +88,10 @@ object Bench {
         "store_range_read_1k" -> tRange,
         "store_point_reads_50_cold" -> tPoint,
         "store_point_reads_1k_cached" -> tPointHot,
-        "store_concurrent_10x100_reads" -> tConcurrent
+        "store_concurrent_10x100_reads" -> tConcurrent,
+        "store_bulk_append_1m" -> tAppend1m,
+        "store_full_scan_1m" -> tScan1m,
+        "store_getall_1m" -> tGetall1m
       )
     } catch { case _: Throwable => Seq("store_bench" -> -1.0) }
 

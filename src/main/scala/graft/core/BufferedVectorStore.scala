@@ -25,7 +25,7 @@ import scala.collection.mutable.ArrayBuffer
   */
 final class BufferedVectorStore[T: Encoder](
     val base: VectorStore[T],
-    val maxItems: Int = 500000,
+    val maxItems: Int = BufferedVectorStore.defaultMaxItems,
     pollMs: Long = 10L
 ) extends AutoCloseable {
 
@@ -123,4 +123,12 @@ final class BufferedVectorStore[T: Encoder](
     flusher.join(5000)
     flush()
   }
+}
+
+object BufferedVectorStore {
+  /** Default flush threshold: `MAX_WRCACHE_ITEMS` env var, falling back to
+    * the reference's 500 000 (writable_cache.rs:20,60-70). A same-named JVM
+    * system property takes precedence so tests can exercise the override.
+    */
+  def defaultMaxItems: Int = EnvCapacity("MAX_WRCACHE_ITEMS", 500000)
 }

@@ -22,7 +22,7 @@ import java.util.{LinkedHashMap => JLinkedHashMap, Map => JMap}
 final class ReadCachedStore[T](
     fetch: Long => Option[T],
     fetchRange: (Long, Long) => Option[Seq[T]],
-    capacity: Int = 1024000
+    capacity: Int = ReadCachedStore.defaultCapacity
 ) {
 
   private val lru = new JLinkedHashMap[Long, T](16, 0.75f, /*accessOrder=*/ true) {
@@ -65,13 +65,31 @@ final class ReadCachedStore[T](
 }
 
 object ReadCachedStore {
+  /** Default LRU capacity: `MAX_RECACHE_ITEMS` env var, falling back to the
+    * reference's 1 024 000 (readable_cache.rs:14,56-60). A same-named JVM
+    * system property takes precedence so tests can exercise the override
+    * without forking (env vars are immutable within a JVM).
+    */
+  def defaultCapacity: Int = EnvCapacity("MAX_RECACHE_ITEMS", 1024000)
+
   /** Cache stack composition as in the reference's
     * `ReadableCache<WritableCache<DynamicVectorManageService<T>,T>,T>`
     * (tests/tests/cache_engine_performance_test.rs:103-106).
     */
-  def over[T](store: BufferedVectorStore[T], capacity: Int = 1024000): ReadCachedStore[T] =
+  def over[T](store: BufferedVectorStore[T], capacity: Int = defaultCapacity): ReadCachedStore[T] =
     new ReadCachedStore[T](store.get, store.getx, capacity)
 
   def over[T](store: VectorStore[T])(implicit d: DummyImplicit): ReadCachedStore[T] =
-    new ReadCachedStore[T](store.get, store.getx, 1024000)
+    new ReadCachedStore[T](store.get, store.getx, defaultCapacity)
+}
+
+/** Env-tunable capacity lookup shared by the cache tiers — the reference
+  * pattern `env::var(name).ok().and_then(parse).unwrap_or(default)`
+  * (writable_cache.rs:60-70, readable_cache.rs:56-60). Non-numeric or
+  * non-positive values fall back to the default, as there.
+  */
+private[core] object EnvCapacity {
+  def apply(name: String, default: Int): Int =
+    sys.props.get(name).orElse(sys.env.get(name))
+      .flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse(default)
 }
