@@ -80,6 +80,7 @@ object SparkEntry {
     "text_fingerprints" -> (TextOps.fingerprints _),
     "text_top_tokens" -> (TextOps.topTokens _),
     "text_deterministic_sample" -> (TextOps.deterministicSample _),
+    "map_token_counts" -> (TextOps.tokenCountMap _),
     // north-star: multimodal plumbing
     "mm_binary_metadata" -> (Multimodal.binaryMetadata _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "text_fingerprints" -> TextOps.fingerprintsSql,
     "text_top_tokens" -> TextOps.topTokensSql,
     "text_deterministic_sample" -> TextOps.deterministicSampleSql,
+    "map_token_counts" -> TextOps.tokenCountMapSql,
     "mm_binary_metadata" -> Multimodal.binaryMetadataSql,
     "mm_decode_features" -> Multimodal.decodeFeaturesSql,
     "mm_payload_chunks" -> Multimodal.payloadChunksSql,

@@ -29,7 +29,33 @@ object Similarity {
   def hyperplane(j: Int): Array[Double] =
     Array.tabulate(dim)(i => ((i * 37 + j * 101) % 13 - 6).toDouble)
 
+  /** Plane count at oracle/test scale. The bucket space must grow with the
+    * corpus — occupancy is n / 2^planes and same-bucket pair work is
+    * quadratic in occupancy, so a constant plane count explodes at 100×
+    * data. [[planesFor]] scales it; every test scale factor (≤ ~16 k
+    * vectors) resolves to exactly this value, which is what keeps the
+    * static oracle SQL valid.
+    */
   val numPlanes = 8
+
+  /** Target mean bucket occupancy the plane count aims for. */
+  val targetOccupancy = 64L
+
+  /** Hyperplane budget cap: 24 planes = 16.7 M buckets, enough to hold
+    * mean occupancy at `targetOccupancy` up to ~10^9 vectors.
+    */
+  val maxPlanes = 24
+
+  /** Corpus-size-scaled plane count: smallest p with n / 2^p <=
+    * targetOccupancy, clamped to [numPlanes, maxPlanes]. Monotone in n and
+    * == numPlanes for every n <= targetOccupancy * 2^numPlanes (16 384),
+    * i.e. all oracle scale factors.
+    */
+  def planesFor(n: Long): Int = {
+    var p = numPlanes
+    while (p < maxPlanes && (n >> p) > targetOccupancy) p += 1
+    p
+  }
 
   /** SQL fragment: same left-fold dot against the same literal vector. */
   private def dotLitSql(vecExpr: String, q: Array[Double]): String = {
@@ -75,21 +101,53 @@ object Similarity {
        |FROM scored, qn ORDER BY sim DESC, vec_id LIMIT $knnK""".stripMargin
   }
 
-  /** LSH bucket assignment: sign bits of `numPlanes` hyperplane dots,
-    * scored by the native dot expression. The hyperplane components are
-    * small integers (−6..6), exactly representable in Float, so the
-    * float-literal dots are bit-identical to the oracle's double folds.
+  /** LSH bucket assignment over any (vec_id, embedding) frame: sign bits of
+    * `planes` hyperplane dots, scored by the native dot expression. The
+    * hyperplane components are small integers (−6..6), exactly representable
+    * in Float, so the float-literal dots are bit-identical to the oracle's
+    * double folds.
     */
-  def lshBuckets(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val bucket = (0 until numPlanes)
+  def lshBucketsOver(df: DataFrame, planes: Int): DataFrame = {
+    val bucket = (0 until planes)
       .map { j =>
         val plane = lit(hyperplane(j).map(_.toFloat))
         when(graft.functions.VectorFunctions.dotF(col("embedding"), plane) > 0,
           lit(1L << j)).otherwise(lit(0L))
       }
       .reduce(_ + _)
-    emb.withColumn("bucket", bucket)
+    df.withColumn("bucket", bucket)
+  }
+
+  /** LSH bucket assignment for the embeddings table, plane count scaled to
+    * the corpus ([[planesFor]]; the count(*) sizing job is metadata-cheap
+    * on parquet). At every oracle scale factor this is exactly the static
+    * `numPlanes`-plane layout.
+    */
+  def lshBuckets(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    lshBucketsOver(emb, planesFor(emb.count()))
+  }
+
+  /** Occupancy-capped bucket assignment: at most `maxOccupancy` vectors per
+    * bucket survive (lowest vec_id first — deterministic), the rest are
+    * dropped and accounted. This is the backstop for adversarial/clustered
+    * corpora where scaling the plane count alone can't bound the in-bucket
+    * quadratic work; the drop count must be surfaced, never silent.
+    * The rank window partitions by bucket — with scaled planes bucket
+    * occupancy is bounded, so no single task sees more than
+    * ~targetOccupancy-class row counts.
+    */
+  def lshBucketsCapped(df: DataFrame, planes: Int, maxOccupancy: Int): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = lshBucketsOver(df, planes)
+      .withColumn("occ_rank",
+        row_number().over(Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))
+    val kept = ranked.where(col("occ_rank") <= maxOccupancy).drop("occ_rank")
+    val dropped = ranked.where(col("occ_rank") > maxOccupancy).count()
+    if (dropped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"lshBucketsCapped: dropped $dropped vectors over occupancy cap $maxOccupancy")
+    (kept, dropped)
   }
 
   /** Bucket histogram — the verifiable face of the LSH index. */

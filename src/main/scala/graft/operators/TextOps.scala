@@ -148,4 +148,45 @@ object TextOps {
       |     list_transform(string_split(text, ' '), t -> CAST(ascii(t) + length(t) AS BIGINT))),
       |   (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
       |FROM documents""".stripMargin
+
+  /** Map-typed surface — the reference's dynamic records carry `HashMap`
+    * fields surfaced via `get_dynamic_map`
+    * (tools/dynamic-vector-macro/src/lib.rs:186-194). Here the per-document
+    * token→count map is built as a genuine `MapType` column
+    * (`map_from_entries`) and interrogated with the map function family
+    * (`map_keys`/`map_values`/`element_at`/`map_filter`); outputs are
+    * reduced to hashable scalars (sorted key prefix, sums, lookups) so the
+    * cross-engine comparator never sees engine-specific map ordering.
+    * Two shuffles — (doc_id, token) counts then doc_id re-group — both with
+    * map-side partials; fine at 100 TB since cardinality is bounded by
+    * corpus vocabulary × docs.
+    */
+  def tokenCountMap(s: SparkSession, d: String): DataFrame = {
+    val perToken = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens("text")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("cnt"))
+    perToken.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("token"), col("cnt")))).as("m"))
+      .select(
+        col("doc_id"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"),
+        coalesce(element_at(col("m"), lit("the")), lit(0L)).as("the_count"),
+        array_join(slice(array_sort(map_keys(col("m"))), 1, 5), ",").as("top5_keys"),
+        expr("aggregate(map_values(m), 0L, (a, v) -> a + v)").as("total_tokens"),
+        size(map_filter(col("m"), (_, v) => v > lit(1L))).cast("long").as("n_repeated"))
+  }
+
+  val tokenCountMapSql: String =
+    """WITH tc AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY doc_id, token)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(coalesce(max(CASE WHEN token = 'the' THEN cnt END), 0) AS BIGINT) AS the_count,
+      |  array_to_string(list_slice(list_sort(list(token)), 1, 5), ',') AS top5_keys,
+      |  CAST(sum(cnt) AS BIGINT) AS total_tokens,
+      |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
+      |FROM tc GROUP BY doc_id""".stripMargin
 }
