@@ -21,9 +21,10 @@ final case class BatchInfo(id: Long, start: Long, end: Long, relPath: String)
   * the reference's header read (dynamic_vector_manage_service.rs:72-79).
   */
 final case class Manifest(version: Long, length: Long, layout: String, batches: Vector[BatchInfo],
-                          streamBatch: Long = -1L) {
+                          streamBatch: Long = -1L, encoding: String = "dictionary") {
   def serialize: String = {
-    val header = Seq(s"version=$version", s"length=$length", s"layout=$layout") ++
+    val header = Seq(s"version=$version", s"length=$length", s"layout=$layout",
+        s"encoding=$encoding") ++
       (if (streamBatch >= 0L) Seq(s"streamBatch=$streamBatch") else Nil)
     val lines = batches.map(b => s"batch=${b.id},${b.start},${b.end},${b.relPath}")
     (header ++ lines).mkString("\n") + "\n"
@@ -47,7 +48,12 @@ object Manifest {
     val streamBatch = kv.collectFirst {
       case l if l.startsWith("streamBatch=") => l.drop("streamBatch=".length).toLong
     }.getOrElse(-1L)
-    Manifest(field("version").toLong, field("length").toLong, field("layout"), batches, streamBatch)
+    // older manifests predate the encoding field — they were all dictionary-written
+    val encoding = kv.collectFirst {
+      case l if l.startsWith("encoding=") => l.drop("encoding=".length)
+    }.getOrElse("dictionary")
+    Manifest(field("version").toLong, field("length").toLong, field("layout"), batches,
+      streamBatch, encoding)
   }
 
   /** Latest committed manifest, or the empty v0 manifest for a new table. */
@@ -101,9 +107,11 @@ object Manifest {
   *   group, never a full scan.
   * - The static/dynamic layout split (reference
   *   static_vector_manage_service.rs vs dynamic_vector_manage_service.rs)
-  *   collapses inside Parquet (fixed-width plain encoding vs offsets+values)
-  *   — we keep the *classification* (SchemaIntrospect) and record it in the
-  *   manifest for observability.
+  *   maps onto Parquet encoding choice: all-fixed-width (static) batches are
+  *   written with dictionary encoding off (PLAIN pages decode by stride —
+  *   the reference's static read), variable-width (dynamic) batches keep
+  *   dictionary encoding. The classification (SchemaIntrospect) and the
+  *   chosen encoding are recorded in the manifest.
   */
 final class VectorTable(val spark: SparkSession, val root: String) {
   import VectorTable.ROWID
@@ -183,12 +191,24 @@ final class VectorTable(val spark: SparkSession, val root: String) {
 
         val batchId = m.version + 1
         val rel = f"data/batch-$batchId%08d"
-        sized.write.mode("errorifexists").parquet(s"$root/$rel")
 
+        // The reference's static/dynamic layout split made load-bearing:
+        // all-fixed-width batches (the static_vector_manage_service.rs:96-123
+        // fast path) are written with dictionary encoding off — fixed-width
+        // values with mostly-unique content (rowids, measurements) gain
+        // nothing from a dictionary but pay its build + indirection, and
+        // PLAIN pages decode by stride, exactly the reference's static read.
+        // Variable-width (dynamic) batches keep dictionary encoding, which
+        // is where it earns its keep (repeated strings).
         val layout = if (SchemaIntrospect.isDynamicStructure(schema)) "dynamic" else "static"
+        val encoding = if (layout == "static") "plain" else "dictionary"
+        val writer = sized.write.mode("errorifexists")
+          .option("parquet.enable.dictionary", (encoding == "dictionary").toString)
+        writer.parquet(s"$root/$rel")
+
         try Manifest.commit(root, Manifest(batchId, start + n, layout,
           m.batches :+ BatchInfo(batchId, start, start + n, rel),
-          streamBatchId.getOrElse(m.streamBatch)))
+          streamBatchId.getOrElse(m.streamBatch), encoding))
         catch {
           case e: java.nio.file.FileAlreadyExistsException =>
             throw new IllegalStateException(
@@ -221,9 +241,11 @@ final class VectorTable(val spark: SparkSession, val root: String) {
       // so per-file min/max stats stay tight for pruning.
       all.repartitionByRange(files, col(ROWID))
         .sortWithinPartitions(ROWID)
-        .write.mode("errorifexists").parquet(s"$root/$rel")
+        .write.mode("errorifexists")
+        .option("parquet.enable.dictionary", (m.encoding == "dictionary").toString)
+        .parquet(s"$root/$rel")
       Manifest.commit(root, Manifest(batchId, n, m.layout,
-        Vector(BatchInfo(batchId, 0L, n, rel)), m.streamBatch))
+        Vector(BatchInfo(batchId, 0L, n, rel)), m.streamBatch, m.encoding))
     }
 
   /** Time travel: the table as of a committed manifest `version` — every
