@@ -34,6 +34,11 @@ object SparkEntry {
     "cube_quantity" -> (Relational.cubeQuantity _),
     "grouping_sets_quantity" -> (Relational.groupingSetsQuantity _),
     "orders_above_customer_avg" -> (Relational.ordersAboveCustomerAvg _),
+    "pivot_order_status" -> (Relational.pivotOrderStatus _),
+    "unpivot_part_metrics" -> (Relational.unpivotPartMetrics _),
+    "quantity_quartiles" -> (Relational.quantityQuartiles _),
+    "histogram_order_totals" -> (Relational.histogramOrderTotals _),
+    "order_value_extremes" -> (Relational.orderValueExtremes _),
     "quantity_stats_per_flag" -> (Relational.quantityStatsPerFlag _),
     "theta_nation_region" -> (Relational.thetaNationRegion _),
     "order_price_ranks" -> (Relational.orderPriceRanks _),
@@ -73,6 +78,7 @@ object SparkEntry {
     "ann_ivf_assign" -> (Similarity.ivfAssign _),
     "ann_ivf_cell_stats" -> (Similarity.ivfCellStats _),
     "ann_ivf_search" -> (Similarity.ivfSearch _),
+    "ann_ivf_search_multiprobe" -> (Similarity.ivfSearchMultiprobe _),
     // north-star: text analysis
     "text_token_stats" -> (TextOps.tokenStats _),
     "text_quality_scores" -> (TextOps.qualityScores _),
@@ -109,6 +115,11 @@ object SparkEntry {
     "cube_quantity" -> Relational.cubeQuantitySql,
     "grouping_sets_quantity" -> Relational.groupingSetsQuantitySql,
     "orders_above_customer_avg" -> Relational.ordersAboveCustomerAvgSql,
+    "pivot_order_status" -> Relational.pivotOrderStatusSql,
+    "unpivot_part_metrics" -> Relational.unpivotPartMetricsSql,
+    "quantity_quartiles" -> Relational.quantityQuartilesSql,
+    "histogram_order_totals" -> Relational.histogramOrderTotalsSql,
+    "order_value_extremes" -> Relational.orderValueExtremesSql,
     "quantity_stats_per_flag" -> Relational.quantityStatsPerFlagSql,
     "theta_nation_region" -> Relational.thetaNationRegionSql,
     "order_price_ranks" -> Relational.orderPriceRanksSql,
@@ -144,6 +155,7 @@ object SparkEntry {
     "ann_ivf_assign" -> Similarity.ivfAssignSql,
     "ann_ivf_cell_stats" -> Similarity.ivfCellStatsSql,
     "ann_ivf_search" -> Similarity.ivfSearchSql,
+    "ann_ivf_search_multiprobe" -> Similarity.ivfSearchMultiprobeSql,
     "text_token_stats" -> TextOps.tokenStatsSql,
     "text_quality_scores" -> TextOps.qualityScoresSql,
     "text_language_id" -> TextOps.languageIdSql,

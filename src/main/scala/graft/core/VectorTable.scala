@@ -165,10 +165,15 @@ final class VectorTable(val spark: SparkSession, val root: String) {
       val schema = df.schema
       require(!schema.fieldNames.contains(ROWID), s"input must not carry $ROWID")
 
-      // Persisted before the two-pass count+stamp scheme: a shuffle-fed (or
-      // otherwise non-deterministic) input recomputed between the jobs could
-      // reorder rows, breaking the input-order rowid contract.
-      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // The two-pass count+stamp scheme runs on InternalRows
+      // (queryExecution.toRdd): df.rdd would box every value into a
+      // GenericRow and back — measured ~2× slower end-to-end at 1M rows.
+      // toRdd iterators REUSE the UnsafeRow, so rows are copied before the
+      // persist; the persist itself guards determinism — a shuffle-fed
+      // input recomputed between the two jobs could reorder rows and break
+      // the input-order rowid contract.
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
           Iterator((pid, it.size.toLong))
@@ -176,17 +181,36 @@ final class VectorTable(val spark: SparkSession, val root: String) {
         val n = counts.sum
         val offsets = counts.scanLeft(start)(_ + _)
 
+        val outSchema = StructType(StructField(ROWID, LongType, nullable = false) +: schema.fields)
         val withId = {
+          import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
           val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
             var next = offsets(pid)
-            it.map { r => val id = next; next += 1; Row.fromSeq(id +: r.toSeq) }
+            val idRow = new GenericInternalRow(1)
+            val joined = new JoinedRow
+            val project = UnsafeProjection.create(outSchema)
+            it.map { r =>
+              idRow.setLong(0, next)
+              next += 1
+              // the projection's output row is reused — safe: the parquet
+              // writer consumes each row before the next is produced
+              project(joined(idRow, r)): org.apache.spark.sql.catalyst.InternalRow
+            }
           }
-          spark.createDataFrame(stamped,
-            StructType(StructField(ROWID, LongType, nullable = false) +: schema.fields))
+          org.apache.spark.sql.graft.Bridge.internalCreateDataFrame(spark, stamped, outSchema)
         }
 
+        // File sizing vs write parallelism: few big files keep manifest/
+        // row-group pruning sharp, but coalesce(k) also collapses the stamp
+        // + parquet encode into k tasks — a 1M-row batch funneled into one
+        // task writes ~2× slower end-to-end. Floor the task count so no
+        // write task handles more than ~256 k rows; coalesce groups parent
+        // partitions contiguously (no locality prefs here), so each file
+        // still covers one dense rowid range and stays direct-read servable.
+        val byTarget = (n + targetRowsPerFile - 1) / targetRowsPerFile
+        val byTask = (n + 262143L) / 262144L
         val files = math.max(1L, math.min(rdd.getNumPartitions.toLong,
-          (n + targetRowsPerFile - 1) / targetRowsPerFile)).toInt
+          math.max(byTarget, byTask))).toInt
         val sized = if (files < rdd.getNumPartitions) withId.coalesce(files) else withId
 
         val batchId = m.version + 1

@@ -646,4 +646,113 @@ object Relational {
       |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |    > 3 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
       |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin
+
+  /** Pivot (long → wide): order counts per status × priority, via Spark's
+    * `RelationalGroupedDataset.pivot` with an explicit value list (the
+    * listed values keep the plan a single hash aggregate — without them
+    * Spark runs an extra distinct job to discover columns, an anti-pattern
+    * at scale). Missing combinations surface as 0, not NULL, to match the
+    * oracle's FILTER-aggregate formulation.
+    */
+  def pivotOrderStatus(s: SparkSession, d: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val renames = priorities.map(p => p -> s"n_${p.charAt(0)}")
+    val pivoted = Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+    renames.foldLeft(pivoted) { case (df, (from, to)) =>
+      df.withColumn(to, coalesce(col(s"`$from`"), lit(0L))).drop(from)
+    }.withColumnRenamed("o_orderstatus", "status")
+  }
+
+  val pivotOrderStatusSql: String =
+    """SELECT o_orderstatus AS status,
+      | CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_1,
+      | CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS n_2,
+      | CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_3,
+      | CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_4,
+      | CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS n_5
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Unpivot (wide → long): part's numeric metrics melted to (part, metric,
+    * value) rows — Spark's `unpivot` (Expand node: map-only, no shuffle).
+    */
+  def unpivotPartMetrics(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "metric", "value")
+
+  val unpivotPartMetricsSql: String =
+    """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part""".stripMargin
+
+  /** Exact interpolated quartiles per return flag — Spark's `percentile`
+    * (exact; one shuffle with map-side partial state). The interpolation
+    * x + f·(y−x) is bit-exact across engines here: quantities are small
+    * integers and f ∈ {0, .25, .5, .75}, all exactly representable.
+    */
+  def quantityQuartiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q1"),
+        expr("percentile(l_quantity, 0.5)").as("q2"),
+        expr("percentile(l_quantity, 0.75)").as("q3"))
+
+  val quantityQuartilesSql: String =
+    """SELECT l_returnflag,
+      | quantile_cont(l_quantity, 0.25) AS q1,
+      | quantile_cont(l_quantity, 0.5) AS q2,
+      | quantile_cont(l_quantity, 0.75) AS q3
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Equi-width histogram of order totals: one shuffle on the bucket id
+    * with map-side partials — the profiling primitive that stays map-side
+    * cheap at any scale (bucket count is fixed, not data-dependent).
+    */
+  def histogramOrderTotals(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select((floor(col("o_totalprice") / 20000.0)).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+
+  val histogramOrderTotalsSql: String =
+    """SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket, COUNT(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Positional window values per customer: first / last / 2nd order price
+    * in o_orderdate order (o_orderkey tie-break gives a total order; the
+    * last_value frame is pinned to the full partition — the default frame
+    * stops at CURRENT ROW and silently yields the running last).
+    */
+  def orderValueExtremes(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .withColumn("first_price", first(col("o_totalprice")).over(full))
+      .withColumn("last_price", last(col("o_totalprice")).over(full))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(full))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey").as("custkey"),
+        col("first_price"), col("last_price"), col("second_price"))
+  }
+
+  val orderValueExtremesSql: String =
+    """SELECT custkey, first_price, last_price, second_price FROM (
+      | SELECT o_custkey AS custkey,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  last_value(o_totalprice) OVER w AS last_price,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      | FROM orders
+      | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |WHERE rn = 1""".stripMargin
 }

@@ -294,6 +294,77 @@ object Similarity {
        |SELECT vec_id, dot / (sqrt(norm2) * qn.qnorm) AS sim
        |FROM scored, qn ORDER BY sim DESC, vec_id LIMIT $ivfK""".stripMargin
 
+  val ivfNprobe = 2
+
+  /** Multi-probe IVF top-k: score the `ivfNprobe` cells nearest the query
+    * instead of one — the standard recall lever (a query near a cell
+    * boundary finds neighbors assigned to the adjacent cell). The probe-cell
+    * ranking is a driver-side computation over numCells centroids (tiny);
+    * the scan still reads only nprobe/numCells of the corpus. Cosines are
+    * computed as the same three left folds as the SQL's `list_reduce`, so
+    * the probe set is bit-identical across engines.
+    */
+  def ivfSearchMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val cs = centroids(s, d)
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === ivfQueryId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    def fold(f: Int => Double): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += f(i); i += 1 }
+      acc
+    }
+    def cosine(a: Array[Float], b: Array[Float]): Double =
+      fold(i => a(i).toDouble * b(i).toDouble) /
+        (math.sqrt(fold(i => a(i).toDouble * a(i).toDouble)) *
+          math.sqrt(fold(i => b(i).toDouble * b(i).toDouble)))
+    val probe = cs.indices.map(j => (j, cosine(q, cs(j))))
+      .sortBy { case (j, sim) => (-sim, j) } // ties to the lower cell id
+      .take(ivfNprobe).map(_._1)
+    val members = ivfAssign(s, d).where(col("cell").isin(probe: _*)).select("vec_id")
+    emb.join(members, Seq("vec_id"), "left_semi")
+      .where(col("vec_id") =!= ivfQueryId)
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("embedding"), lit(q)))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(ivfK)
+      .select("vec_id", "sim")
+  }
+
+  val ivfSearchMultiprobeSql: String = {
+    // query-to-centroid cosine, same fold order as everywhere else
+    def qSim(j: Int): String =
+      s"""(SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, $dim + 1), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), (acc, p) -> acc + p)
+         |  / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |       list_transform(range(1, $dim + 1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)), (acc, p) -> acc + p))
+         |   * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |       list_transform(range(1, $dim + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), (acc, p) -> acc + p)))
+         | FROM (SELECT embedding FROM embeddings WHERE vec_id = $ivfQueryId) q,
+         |      (SELECT embedding FROM embeddings WHERE vec_id = $j) c)""".stripMargin
+    val cellSims = (0 until numCells)
+      .map(j => s"SELECT $j AS cell, ${qSim(j)} AS sim")
+      .mkString("\n  UNION ALL ")
+    s"""WITH assign AS ($ivfAssignSql),
+       | cellsims AS (
+       |  $cellSims),
+       | probe AS (SELECT cell FROM cellsims ORDER BY sim DESC, cell LIMIT $ivfNprobe),
+       | members AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cell),
+       | q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $ivfQueryId),
+       | qn AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, $dim + 1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)), (acc, p) -> acc + p)) AS qnorm FROM q),
+       | scored AS (
+       |  SELECT e.vec_id,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), (acc, p) -> acc + p) AS dot,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (acc, p) -> acc + p) AS norm2
+       |  FROM embeddings e JOIN members m ON e.vec_id = m.vec_id, q
+       |  WHERE e.vec_id <> $ivfQueryId)
+       |SELECT vec_id, dot / (sqrt(norm2) * qn.qnorm) AS sim
+       |FROM scored, qn ORDER BY sim DESC, vec_id LIMIT $ivfK""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed: score only same-bucket
     * pairs (the quadratic explosion is contained to bucket occupancy).
     */

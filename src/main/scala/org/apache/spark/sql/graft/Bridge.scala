@@ -20,4 +20,14 @@ object Bridge {
   /** Register a native function builder under `name` for SQL use. */
   def registerFunction(spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Build a DataFrame directly over an InternalRow RDD (no Row boxing) —
+    * the write-path twin of `queryExecution.toRdd`.
+    */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
