@@ -39,6 +39,11 @@ object SparkEntry {
     "quantity_quartiles" -> (Relational.quantityQuartiles _),
     "histogram_order_totals" -> (Relational.histogramOrderTotals _),
     "order_value_extremes" -> (Relational.orderValueExtremes _),
+    "string_agg_types" -> (Relational.stringAggTypes _),
+    "array_functions_orders" -> (Relational.arrayFunctionsOrders _),
+    "null_semantics_orders" -> (Relational.nullSemanticsOrders _),
+    "regex_part_names" -> (Relational.regexPartNames _),
+    "events_hourly_gapfill" -> (Events.hourlyGapfill _),
     "quantity_stats_per_flag" -> (Relational.quantityStatsPerFlag _),
     "theta_nation_region" -> (Relational.thetaNationRegion _),
     "order_price_ranks" -> (Relational.orderPriceRanks _),
@@ -120,6 +125,11 @@ object SparkEntry {
     "quantity_quartiles" -> Relational.quantityQuartilesSql,
     "histogram_order_totals" -> Relational.histogramOrderTotalsSql,
     "order_value_extremes" -> Relational.orderValueExtremesSql,
+    "string_agg_types" -> Relational.stringAggTypesSql,
+    "array_functions_orders" -> Relational.arrayFunctionsOrdersSql,
+    "null_semantics_orders" -> Relational.nullSemanticsOrdersSql,
+    "regex_part_names" -> Relational.regexPartNamesSql,
+    "events_hourly_gapfill" -> Events.hourlyGapfillSql,
     "quantity_stats_per_flag" -> Relational.quantityStatsPerFlagSql,
     "theta_nation_region" -> Relational.thetaNationRegionSql,
     "order_price_ranks" -> Relational.orderPriceRanksSql,

@@ -159,4 +159,45 @@ object Events {
       |  epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
       | FROM events)
       |WHERE gap_us IS NOT NULL""".stripMargin
+
+  /** Time-series gap-fill + forward-fill: a dense hourly spine per event
+    * type (explode of `sequence` over the global bounds — generated, never
+    * scanned), left-joined with observed hourly aggregates; missing hours
+    * get n=0 and carry the last observed max forward (`last` IGNORE NULLS
+    * over a running frame). The spine is |types| × |hours| rows — tiny next
+    * to the data at any scale — and the ffill window partitions per type,
+    * so no task ever sees more than one type's spine.
+    */
+  def hourlyGapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("h"), col("value"))
+    val hourly = ev.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+    val bounds = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h").as("hour_epoch"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("mx"), ignoreNulls = true).over(w).as("mx_ffill"))
+  }
+
+  val hourlyGapfillSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, value FROM events),
+      | hourly AS (SELECT event_type, h, COUNT(*) AS n, MAX(value) AS mx FROM ev GROUP BY 1, 2),
+      | bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+      | spine AS (
+      |  SELECT t.event_type, u.h
+      |  FROM (SELECT DISTINCT event_type FROM ev) t
+      |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, 3600)) AS h FROM bounds) u)
+      |SELECT s.event_type, s.h AS hour_epoch, coalesce(hh.n, 0) AS n,
+      | last_value(hh.mx IGNORE NULLS) OVER (PARTITION BY s.event_type ORDER BY s.h
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx_ffill
+      |FROM spine s LEFT JOIN hourly hh ON s.event_type = hh.event_type AND s.h = hh.h""".stripMargin
 }

@@ -744,6 +744,92 @@ object Relational {
         col("first_price"), col("last_price"), col("second_price"))
   }
 
+  /** Ordered string aggregation (listagg): distinct part types per brand,
+    * sorted then joined — the deterministic form (an unordered string_agg
+    * is nondeterministic across partitionings and can never oracle-match).
+    * collect_set + array_sort keeps the heavy lifting distributed; only the
+    * per-group joined string materializes.
+    */
+  def stringAggTypes(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy("p_brand")
+      .agg(array_join(array_sort(collect_set(col("p_type"))), ",").as("types"),
+        countDistinct(col("p_type")).as("n_types"))
+
+  val stringAggTypesSql: String =
+    """SELECT p_brand, string_agg(p_type, ',' ORDER BY p_type) AS types,
+      | CAST(COUNT(*) AS BIGINT) AS n_types
+      |FROM (SELECT DISTINCT p_brand, p_type FROM part)
+      |GROUP BY p_brand""".stripMargin
+
+  /** Array-function surface over per-order quantity vectors: sort, distinct
+    * intersection with a reference set, membership, extremes. The arrays
+    * stay bounded by order size (≤7 lineitems), so every op is map-side.
+    */
+  def arrayFunctionsOrders(s: SparkSession, d: String): DataFrame = {
+    val small = (1L to 10L).map(_.toDouble)
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
+      .select(
+        col("l_orderkey").as("orderkey"),
+        size(col("qtys")).cast("long").as("n_items"),
+        size(array_intersect(col("qtys"), lit(small.toArray))).cast("long").as("n_small_distinct"),
+        array_contains(col("qtys"), 25.0).cast("boolean").as("has_25"),
+        element_at(col("qtys"), 1).as("min_qty"),
+        element_at(col("qtys"), -1).as("max_qty"),
+        size(array_distinct(col("qtys"))).cast("long").as("n_distinct"))
+  }
+
+  val arrayFunctionsOrdersSql: String =
+    """SELECT l_orderkey AS orderkey,
+      | CAST(len(qtys) AS BIGINT) AS n_items,
+      | CAST(len(list_distinct(list_filter(qtys, x -> x >= 1 AND x <= 10))) AS BIGINT) AS n_small_distinct,
+      | list_contains(qtys, 25.0) AS has_25,
+      | qtys[1] AS min_qty,
+      | qtys[-1] AS max_qty,
+      | CAST(len(list_distinct(qtys)) AS BIGINT) AS n_distinct
+      |FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys FROM lineitem GROUP BY 1)""".stripMargin
+
+  /** NULL-semantics surface: `count(expr)` skips NULLs, `nullif` produces
+    * them, `coalesce` recovers them — the trio every engine must agree on.
+    */
+  def nullSemanticsOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(nullif(col("o_orderpriority"), lit("5-LOW"))).as("n_not_low"),
+        sum(when(nullif(col("o_orderpriority"), lit("5-LOW")).isNull, 1L).otherwise(0L)).as("n_low"),
+        max(coalesce(nullif(col("o_orderpriority"), lit("5-LOW")), lit("0-FILLED"))).as("max_prio"))
+
+  val nullSemanticsOrdersSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      | COUNT(nullif(o_orderpriority, '5-LOW')) AS n_not_low,
+      | CAST(SUM(CASE WHEN nullif(o_orderpriority, '5-LOW') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      | MAX(coalesce(nullif(o_orderpriority, '5-LOW'), '0-FILLED')) AS max_prio
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Regex surface: extract / replace / match with patterns in the portable
+    * subset (character classes + anchors) where Java and RE2 semantics
+    * coincide.
+    */
+  def regexPartNames(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey").as("partkey"),
+      regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+      regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+      col("p_name").rlike("widget$").as("is_widget"),
+      length(regexp_replace(col("p_name"), "[^ ]", "")).cast("long").as("n_spaces"))
+
+  val regexPartNamesSql: String =
+    """SELECT p_partkey AS partkey,
+      | regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+      | regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+      | regexp_matches(p_name, 'widget$') AS is_widget,
+      | CAST(length(regexp_replace(p_name, '[^ ]', '', 'g')) AS BIGINT) AS n_spaces
+      |FROM part""".stripMargin
+
   val orderValueExtremesSql: String =
     """SELECT custkey, first_price, last_price, second_price FROM (
       | SELECT o_custkey AS custkey,
