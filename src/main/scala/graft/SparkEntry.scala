@@ -44,6 +44,7 @@ object SparkEntry {
     "null_semantics_orders" -> (Relational.nullSemanticsOrders _),
     "regex_part_names" -> (Relational.regexPartNames _),
     "events_hourly_gapfill" -> (Events.hourlyGapfill _),
+    "lateral_top_parts" -> (Relational.lateralTopParts _),
     "quantity_stats_per_flag" -> (Relational.quantityStatsPerFlag _),
     "theta_nation_region" -> (Relational.thetaNationRegion _),
     "order_price_ranks" -> (Relational.orderPriceRanks _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "null_semantics_orders" -> Relational.nullSemanticsOrdersSql,
     "regex_part_names" -> Relational.regexPartNamesSql,
     "events_hourly_gapfill" -> Events.hourlyGapfillSql,
+    "lateral_top_parts" -> Relational.lateralTopPartsSql,
     "quantity_stats_per_flag" -> Relational.quantityStatsPerFlagSql,
     "theta_nation_region" -> Relational.thetaNationRegionSql,
     "order_price_ranks" -> Relational.orderPriceRanksSql,

@@ -830,6 +830,26 @@ object Relational {
       | CAST(length(regexp_replace(p_name, '[^ ]', '', 'g')) AS BIGINT) AS n_spaces
       |FROM part""".stripMargin
 
+  /** LATERAL correlated subquery (top-2 per group), exercised through the
+    * SQL front door ([[graft.GraftCatalog]]): Catalyst decorrelates the
+    * per-brand LIMIT subquery into a rank-filter join — no per-row
+    * re-execution survives in the plan.
+    */
+  def lateralTopParts(s: SparkSession, d: String): DataFrame =
+    graft.GraftCatalog.sql(s, d,
+      """SELECT b.p_brand AS brand, t.p_partkey AS partkey, t.p_retailprice AS price
+        |FROM (SELECT DISTINCT p_brand FROM part) b,
+        |LATERAL (SELECT p_partkey, p_retailprice FROM part p
+        |         WHERE p.p_brand = b.p_brand
+        |         ORDER BY p_retailprice DESC, p_partkey LIMIT 2) t""".stripMargin)
+
+  val lateralTopPartsSql: String =
+    """SELECT b.p_brand AS brand, t.p_partkey AS partkey, t.p_retailprice AS price
+      |FROM (SELECT DISTINCT p_brand FROM part) b,
+      |LATERAL (SELECT p_partkey, p_retailprice FROM part p
+      |         WHERE p.p_brand = b.p_brand
+      |         ORDER BY p_retailprice DESC, p_partkey LIMIT 2) t""".stripMargin
+
   val orderValueExtremesSql: String =
     """SELECT custkey, first_price, last_price, second_price FROM (
       | SELECT o_custkey AS custkey,

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Shuffle-count invariants for the round-2 query surfaces: each plan was
+  * `.explain`-inspected and these pins keep a refactor from silently
+  * reintroducing a discovery job, a second shuffle, or a full-table window.
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  /** Shuffle exchanges in the prepared plan. Counted from the executed
+    * plan's tree string: sparkPlan precedes EnsureRequirements (no
+    * exchanges yet) and AQE's AdaptiveSparkPlanExec hides its subtree from
+    * `collect`, but its treeString prints the full current tree.
+    */
+  private def shuffles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+
+  test("pivot with an explicit value list runs no distinct-discovery job") {
+    // Spark's pivot double-aggregates: shuffle 1 is the data-sized
+    // (status, priority) count with map-side partials; shuffle 2 re-groups
+    // the <= |status|x|priority| (15-row) intermediate. The explicit value
+    // list is what keeps a third, full-scan distinct job out of the plan.
+    assert(shuffles(Relational.pivotOrderStatus(spark, sf())) == 2)
+  }
+
+  test("unpivot is map-only (Expand, zero shuffles)") {
+    assert(shuffles(Relational.unpivotPartMetrics(spark, sf())) == 0)
+  }
+
+  test("histogram is one aggregate shuffle with map-side partials") {
+    val df = Relational.histogramOrderTotals(spark, sf())
+    assert(shuffles(df) == 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), "expected partial+final hash aggregate")
+  }
+
+  test("exact quartiles are one aggregate shuffle (percentile partial state)") {
+    assert(shuffles(Relational.quantityQuartiles(spark, sf())) == 1)
+  }
+
+  test("gap-fill windows over the joined spine, never the raw events") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val plan = Events.hourlyGapfill(spark, sf()).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.child.collect { case j: Join => j }.nonEmpty,
+        "ffill window must sit above the spine join")
+    }
+  }
+
+  test("lateral top-2 decorrelates to a rank filter, not a per-row re-execution") {
+    val plan = Relational.lateralTopParts(spark, sf()).queryExecution.optimizedPlan
+    // Catalyst rewrites the correlated LIMIT into window/rank machinery; a
+    // surviving LateralJoin would re-run the subquery per outer row.
+    assert(!plan.toString.contains("LateralJoin"),
+      s"lateral join survived decorrelation:\n$plan")
+  }
+}
