@@ -94,6 +94,42 @@ final class BufferedVectorStore[T: Encoder](
   def getall(): Option[Seq[T]] =
     if (isEmpty) None else getx(0, len)
 
+  // --- buffer introspection (reference writable_cache.rs:119-159) ---
+  // Indices here are BUFFER-relative (position among not-yet-flushed rows),
+  // exactly as in the reference — not global rowids.
+
+  /** Committed length — reference `get_base_len` (writable_cache.rs:119). */
+  def baseLen: Long = base.len
+
+  /** Buffered (unflushed) count — reference `get_cache_len` (:123). */
+  def cacheLen: Int = bufferedCount
+
+  /** (buffered, committed, total) under one consistent snapshot —
+    * reference `get_each_len` (writable_cache.rs:140-145).
+    */
+  def eachLen: (Long, Long, Long) = {
+    val (b, s) = mergedSnapshot()
+    (s.size.toLong, b, b + s.size)
+  }
+
+  /** Total buffer read, panicking OOB — reference `getting_obj_from_cache`
+    * (writable_cache.rs:127).
+    */
+  def gettingObjFromCache(index: Long): T =
+    getObjFromCache(index).getOrElse(
+      throw new IndexOutOfBoundsException(s"buffer index $index of $cacheLen"))
+
+  /** Partial buffer read — reference `get_obj_from_cache` (:147). */
+  def getObjFromCache(index: Long): Option[T] = buf.synchronized {
+    if (index < 0 || index >= buf.size) None else Some(buf(index.toInt))
+  }
+
+  /** Partial buffer range read — reference `get_objs_from_cache` (:151). */
+  def getObjsFromCache(index: Long, count: Long): Option[Seq[T]] = buf.synchronized {
+    if (index < 0 || count < 0 || index + count > buf.size) None
+    else Some(buf.slice(index.toInt, (index + count).toInt).toVector)
+  }
+
   /** Committed ⋃ in-flight as one Dataset (SURVEY.md §2.4 merged view). */
   def mergedView(): Dataset[T] = this.synchronized {
     // Both sides pinned under the flush lock: base.toDS() resolves the

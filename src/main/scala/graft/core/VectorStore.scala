@@ -118,12 +118,32 @@ final class VectorStore[T: Encoder](val table: VectorTable) {
     if (index < 0 || count < 0 || index + count > len) None
     else Some(decode(table.range(index, count)))
 
-  /** Batched point reads in ONE job — amortizes Spark's per-job latency
-    * across a lookup batch; out-of-range ids are simply absent from the
-    * result (total, like `get`).
+  /** Batched point reads — amortizes lookup cost across a batch;
+    * out-of-range ids are simply absent from the result (total, like
+    * `get`). Small batches (≤ `directBatchLimit`) serve from the
+    * direct-parquet path when every key resolves there (~1 ms/key warm, no
+    * job); larger batches — or any direct miss — fall back to ONE Spark job
+    * with the IN-filter pushed to the scan, which amortizes better as the
+    * batch grows and row groups get revisited.
     */
   def getMany(indices: Seq[Long]): Map[Long, T] = {
     if (indices.isEmpty) return Map.empty
+    if (indices.size <= VectorStore.directBatchLimit) {
+      directDecoder match {
+        case Some(dec) =>
+          val hits = indices.distinct.flatMap { i =>
+            if (i < 0 || i >= len) None
+            else try table.pointLocal(i).map(v => i -> dec(v))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+          // all-or-fallback: a partial direct result can't distinguish
+          // "absent" from "file not directly servable", so any miss on an
+          // in-range key routes the whole batch through the Spark path
+          if (hits.size == indices.distinct.count(i => i >= 0 && i < len))
+            return hits.toMap
+        case None => ()
+      }
+    }
     val df = table.points(indices)
     val payload = df.columns.filterNot(_ == VectorTable.ROWID).map(col)
     df.select(col(VectorTable.ROWID), struct(payload: _*).as("v"))
@@ -151,6 +171,13 @@ final class VectorStore[T: Encoder](val table: VectorTable) {
 }
 
 object VectorStore {
+  /** getMany batches up to this size try the direct path first; beyond it
+    * one Spark job with a pushed IN-filter amortizes better. Measured
+    * crossover at ~5 ms/key direct vs ~130 ms flat for the batched job
+    * (local[32], warm footers) → the job wins from ~25 keys up.
+    */
+  val directBatchLimit = 16
+
   def create[T: Encoder](spark: SparkSession, root: String): VectorStore[T] =
     new VectorStore[T](VectorTable.create(spark, root))
 

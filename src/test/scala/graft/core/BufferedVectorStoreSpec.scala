@@ -71,4 +71,23 @@ class BufferedVectorStoreSpec extends SparkSpec {
     assert(buf.mergedView().collect().map(_.v).sorted.toSeq == Seq(1L, 2L))
     buf.close()
   }
+
+  test("buffer introspection: each_len + buffer-relative reads (writable_cache.rs:119-159)") {
+    val (base, buf) = fresh()
+    base.pushx((0 until 3).map(i => BRec(i.toLong)))
+    buf.pushx((10 until 14).map(i => BRec(i.toLong)))
+    assert(buf.baseLen == 3L && buf.cacheLen == 4)
+    assert(buf.eachLen == ((4L, 3L, 7L)))
+    // buffer-relative, not global rowid: index 0 is the first UNFLUSHED row
+    assert(buf.getObjFromCache(0L).contains(BRec(10L)))
+    assert(buf.gettingObjFromCache(3L) == BRec(13L))
+    assert(buf.getObjsFromCache(1L, 2L).contains(Seq(BRec(11L), BRec(12L))))
+    assert(buf.getObjFromCache(4L).isEmpty)
+    assert(buf.getObjsFromCache(3L, 2L).isEmpty)
+    intercept[IndexOutOfBoundsException](buf.gettingObjFromCache(4L))
+    buf.flush()
+    assert(buf.eachLen == ((0L, 7L, 7L)))
+    assert(buf.getObjFromCache(0L).isEmpty)
+    buf.close()
+  }
 }

@@ -45,6 +45,24 @@ class DirectReadSpec extends SparkSpec {
     assert(store.get(1L).contains(DNested("b", Seq(3L)))) // fallback serves it
   }
 
+  test("getMany: small batches serve directly, agree with the job path, stay total") {
+    val store = VectorStore.create[DRec](spark, tmpDir("direct-many"))
+    store.pushx((0 until 3000).map(i => DRec(s"name-$i", i.toLong, i * 0.5, s"t$i")))
+    val keys = Seq(0L, 17L, 2999L, 1234L, 5000L, -3L) // incl. out-of-range
+    val got = store.getMany(keys)
+    assert(got.keySet == Set(0L, 17L, 2999L, 1234L))
+    assert(got(17L) == DRec("name-17", 17L, 8.5, "t17"))
+    // past the direct limit the Spark path must produce the same picture
+    val bigKeys = (0L until (VectorStore.directBatchLimit + 10L))
+    val big = store.getMany(bigKeys)
+    assert(big.size == bigKeys.size)
+    assert(bigKeys.forall(k => big(k).n == k))
+    // nested schema: direct path refuses, fallback still total
+    val nested = VectorStore.create[DNested](spark, tmpDir("direct-many-nested"))
+    nested.pushx(Seq(DNested("a", Seq(1L)), DNested("b", Seq(2L, 3L))))
+    assert(nested.getMany(Seq(0L, 1L))(1L) == DNested("b", Seq(2L, 3L)))
+  }
+
   test("direct reads skip the Spark scheduler (latency class)") {
     val store = VectorStore.create[DRec](spark, tmpDir("direct-lat"))
     store.pushx((0 until 100000).map(i => DRec(s"name-$i", i.toLong, i * 0.5, s"t$i")))
