@@ -68,6 +68,7 @@ object SparkEntry {
     "events_funnel" -> (Events.signupClickPurchaseFunnel _),
     "events_cohort_retention" -> (Events.cohortRetention _),
     "asof_last_purchase" -> (AsofJoin.lastPurchaseBeforeClick _),
+    "asof_next_error" -> (AsofJoin.nextErrorAfterClick _),
     "range_errors_near_clicks" -> (AsofJoin.errorsNearClicks _),
     // north-star: dedup
     "dedup_exact" -> (Dedup.exactDedup _),
@@ -153,6 +154,7 @@ object SparkEntry {
     "events_funnel" -> Events.signupClickPurchaseFunnelSql,
     "events_cohort_retention" -> Events.cohortRetentionSql,
     "asof_last_purchase" -> AsofJoin.lastPurchaseBeforeClickSql,
+    "asof_next_error" -> AsofJoin.nextErrorAfterClickSql,
     "range_errors_near_clicks" -> AsofJoin.errorsNearClicksSql,
     "dedup_exact" -> Dedup.exactDedupSql,
     "dedup_minhash_signatures" -> Dedup.minhashSignaturesSql,

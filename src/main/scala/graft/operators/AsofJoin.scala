@@ -81,6 +81,73 @@ object AsofJoin {
       |                FROM events WHERE event_type = 'purchase') p
       |  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us""".stripMargin
 
+  /** Forward as-of: for each `left` row, the EARLIEST `right` row with the
+    * same `key` and `rightTime` >= `leftTime` (inclusive) — the mirror of
+    * [[asof]] ("next state change after this event"). Same single-shuffle
+    * shape: the window runs current-row-to-following and carries the first
+    * right-side value; right rows at an equal timestamp sort after left
+    * rows so the match is inclusive.
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    val SIDE = "_asof_side"
+    val T = "_asof_t"
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn(SIDE, lit(0))
+      .withColumn(T, col(leftTime))
+      .select(Seq(col(key).as("_asof_key"), col(SIDE), col(T)) ++
+        leftCols.filterNot(_ == key).map(c => col(c)) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"_p_$p")): _*)
+    val r = right
+      .withColumn(SIDE, lit(1))
+      .withColumn(T, col(rightTime))
+      .select(Seq(col(key).as("_asof_key"), col(SIDE), col(T)) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(p => col(p).as(s"_p_$p")): _*)
+    val w = Window.partitionBy("_asof_key").orderBy(col(T), col(SIDE))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
+      df.withColumn(s"_v_$p", first(col(s"_p_$p"), ignoreNulls = true).over(w))
+    }
+    carried
+      .where(col(SIDE) === 0)
+      .select(Seq(col("_asof_key").as(key)) ++
+        leftCols.filterNot(_ == key).map(c => col(c)) ++
+        payload.map(p => col(s"_v_$p").as(p)): _*)
+  }
+
+  /** For each click event: the same user's next error at or after the click
+    * (forward as-of — "what broke after this?").
+    */
+  def nextErrorAfterClick(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us").as("e_ts_us"), col("value").as("e_value"))
+    asofForward(clicks, errors, key = "user_id", leftTime = "ts_us", rightTime = "e_ts_us",
+      payload = Seq("e_ts_us", "e_value"))
+      .select(col("event_id"), col("user_id"), col("e_ts_us"), col("e_value"))
+  }
+
+  val nextErrorAfterClickSql: String =
+    """SELECT c.event_id, c.user_id, t.e_ts_us, t.e_value
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      |      WHERE event_type = 'click') c
+      |LEFT JOIN LATERAL (
+      |  SELECT e_ts_us, e_value
+      |  FROM (SELECT user_id, epoch_us(ts) AS e_ts_us, value AS e_value
+      |        FROM events WHERE event_type = 'error') e
+      |  WHERE e.user_id = c.user_id AND e.e_ts_us >= c.ts_us
+      |  ORDER BY e.e_ts_us LIMIT 1) t ON true""".stripMargin
+
   /** Range join: errors within 10 minutes after each click, same user — executed as
     * an equi join on user_id with the time range as a join-level predicate
     * (no nested loop; at 100 TB both sides shuffle once on user_id, and a

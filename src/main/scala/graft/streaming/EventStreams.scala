@@ -68,6 +68,60 @@ object EventStreams {
       }
   }
 
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n: Long, total: Double)
+  final case class SessionAgg(start: Long, end: Long, n: Long, total: Double)
+
+  /** Sessionization as an explicit state machine with EVENT-TIME TIMEOUT —
+    * `flatMapGroupsWithState` in Append mode: a session closes (and is
+    * emitted exactly once) either when a later in-batch event exceeds the
+    * gap, or when the watermark passes `last event + gap` and the state
+    * times out. This is the custom-state pattern `session_window` cannot
+    * express (per-session bespoke merging/emission logic), with state
+    * lifetime bounded by the timeout — nothing accumulates forever.
+    */
+  def sessionsWithTimeout(events: Dataset[TimedEvent], gapMinutes: Int = 10,
+                          watermark: String = "0 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[TimedEvent], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.start, s.end, s.n, s.total))
+          } else {
+            val evs = it.toList.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            for (e <- evs) {
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(c) if t <= c.end + gapMs =>
+                  Some(SessionAgg(c.start, math.max(c.end, t), c.n + 1, c.total + e.value))
+                case Some(c) =>
+                  closed ::= SessionOut(uid, c.start, c.end, c.n, c.total)
+                  Some(SessionAgg(t, t, 1L, e.value))
+                case None =>
+                  Some(SessionAgg(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // a session whose horizon the watermark already passed times
+              // out on the next trigger (timeout must exceed the watermark)
+              state.setTimeoutTimestamp(
+                math.max(c.end + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** Streaming exact deduplication — the training-data dedup operator in
     * its online form: `dropDuplicates` keyed on content identity with a
     * watermark bounding the dedup state (duplicates arriving within the
@@ -104,6 +158,7 @@ object EventStreams {
     "hourlyCounts" -> OutputMode.Update(),
     "slidingCounts" -> OutputMode.Update(),
     "userSessions" -> OutputMode.Update(),
-    "runningUserTotals" -> OutputMode.Update()
+    "runningUserTotals" -> OutputMode.Update(),
+    "sessionsWithTimeout" -> OutputMode.Append()
   )
 }

@@ -25,6 +25,23 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("v")))
   }
 
+  test("asofForward picks the earliest right row at or after each left time") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 150L, "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 10.0), (1L, 120L, 20.0), (1L, 190L, 30.0), (2L, 140L, 40.0))
+      .toDF("k", "rt", "v")
+    val out = AsofJoin.asofForward(left, right, "k", "t", "rt", Seq("rt", "v"))
+      .orderBy("k", "t").collect()
+
+    // (1,100): right at exactly 100 matches (inclusive), not 120
+    assert(out(0).getAs[Double]("v") == 10.0 && out(0).getAs[Long]("rt") == 100L)
+    // (1,200): no right row at or after 200 → null
+    assert(out(1).isNullAt(out(1).fieldIndex("v")))
+    // (2,150): right row at 140 is before → null
+    assert(out(2).isNullAt(out(2).fieldIndex("v")))
+  }
+
   test("asof query on events: purchase always at or before the click") {
     val out = AsofJoin.lastPurchaseBeforeClick(spark, sf())
     val bad = out.where(col("p_ts_us").isNotNull)

@@ -142,4 +142,54 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Long]("n") == 3L)
     assert(last.getAs[Double]("total") == 10.0)
   }
+
+  test("flatMapGroupsWithState: event-time timeout closes and emits sessions exactly once") {
+    import spark.implicits._
+    import EventStreams.TimedEvent
+    val input = MemoryStream[TimedEvent](spark)
+    val sessions = EventStreams.sessionsWithTimeout(input.toDS(), gapMinutes = 10)
+    val q = sessions.writeStream.format("memory").queryName("touts")
+      .outputMode("append").start()
+
+    // user 1: two events 5 min apart -> one open session
+    input.addData(TimedEvent(1L, ts(0), 2.0), TimedEvent(1L, ts(5), 3.0))
+    q.processAllAvailable()
+    assert(spark.table("touts").isEmpty) // nothing closed yet
+
+    // user 2 at 10:30 advances the watermark past 10:05 + 10 min
+    // -> user 1's state times out and the session is emitted
+    input.addData(TimedEvent(2L, ts(30), 1.0))
+    q.processAllAvailable()
+    // one more trigger so the timeout fires after the watermark update
+    input.addData(TimedEvent(2L, ts(31), 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("touts").where(col("user_id") === 1L).collect()
+    assert(out.length == 1, s"expected exactly one closed session, got ${out.toSeq}")
+    val s = out.head
+    assert(s.getAs[Long]("start_ms") == ts(0).getTime)
+    assert(s.getAs[Long]("end_ms") == ts(5).getTime)
+    assert(s.getAs[Long]("n") == 2L && s.getAs[Double]("total") == 5.0)
+  }
+
+  test("flatMapGroupsWithState: an in-batch gap closes the earlier session immediately") {
+    import spark.implicits._
+    import EventStreams.TimedEvent
+    val input = MemoryStream[TimedEvent](spark)
+    val sessions = EventStreams.sessionsWithTimeout(input.toDS(), gapMinutes = 10)
+    val q = sessions.writeStream.format("memory").queryName("gaps")
+      .outputMode("append").start()
+
+    // 10:00 and 10:25 exceed the 10-minute gap inside one batch
+    input.addData(TimedEvent(7L, ts(0), 1.0), TimedEvent(7L, ts(25), 4.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("gaps").where(col("user_id") === 7L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("start_ms") == ts(0).getTime)
+    assert(out.head.getAs[Long]("end_ms") == ts(0).getTime)
+    assert(out.head.getAs[Long]("n") == 1L)
+  }
 }
