@@ -100,6 +100,7 @@ object SparkEntry {
     "mm_payload_chunks" -> (Multimodal.payloadChunks _),
     // skew + sketches
     "skew_salted_event_totals" -> (Skew.eventTypeTotalsSalted _),
+    "skew_salted_join" -> (Skew.eventTypeJoinSalted _),
     "approx_sketches" -> (Relational.approxSketches _)
   )
 
@@ -180,7 +181,8 @@ object SparkEntry {
     "mm_binary_metadata" -> Multimodal.binaryMetadataSql,
     "mm_decode_features" -> Multimodal.decodeFeaturesSql,
     "mm_payload_chunks" -> Multimodal.payloadChunksSql,
-    "skew_salted_event_totals" -> Skew.eventTypeTotalsSaltedSql
+    "skew_salted_event_totals" -> Skew.eventTypeTotalsSaltedSql,
+    "skew_salted_join" -> Skew.eventTypeJoinSaltedSql
     // approx_sketches intentionally has no oracle: sketch internals are
     // engine-specific; the exact counterparts are verified above.
   )

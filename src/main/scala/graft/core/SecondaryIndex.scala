@@ -1,0 +1,66 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Secondary index over a [[VectorTable]] column: a (key → rowid) mapping
+  * stored as its own range-partitioned, sorted parquet directory. Parquet
+  * min/max stats on the sorted key play the role of a B-tree's inner
+  * nodes: a lookup pushes `key = v` to the scan, file- and row-group-level
+  * stats prune everything else, and the resulting rowids feed the store's
+  * point-read paths (`getMany` → direct-parquet for small hit sets).
+  *
+  * The reference addresses records by rowid only; this is part of the
+  * capability-gap mandate (SURVEY.md §2.5) — real serving workloads look
+  * up by business key. Index builds are one range-shuffle of (key, rowid)
+  * pairs — two slim columns, not the payload — and the index is versioned
+  * by the table version it was built from, so staleness is detectable.
+  */
+final class SecondaryIndex private (
+    val spark: SparkSession,
+    val root: String,
+    val keyCol: String,
+    val builtFromVersion: Long) {
+
+  private lazy val df: DataFrame = spark.read.parquet(s"$root/data")
+
+  /** Rowids whose `keyCol` equals `value` (pushed-filter pruned scan). */
+  def lookup(value: Any): Seq[Long] =
+    df.where(col("k") === lit(value)).select("r").collect().map(_.getLong(0)).toSeq
+
+  /** Rowids for a key range [lo, hi] — the sorted layout makes this a
+    * contiguous file slice, same pruning as a rowid range read.
+    */
+  def lookupRange(lo: Any, hi: Any): Seq[Long] =
+    df.where(col("k") >= lit(lo) && col("k") <= lit(hi))
+      .select("r").collect().map(_.getLong(0)).toSeq
+
+  /** True iff the table has committed batches past the index build. */
+  def isStale(table: VectorTable): Boolean =
+    table.manifest.version > builtFromVersion
+}
+
+object SecondaryIndex {
+  /** Build (or rebuild) the index for `table.keyCol` under `root`. */
+  def build(table: VectorTable, keyCol: String, root: String,
+            partitions: Int = 0): SecondaryIndex = {
+    val m = table.manifest
+    val pairs = table.scan().select(col(keyCol).as("k"), col(VectorTable.ROWID).as("r"))
+    val parts =
+      if (partitions > 0) partitions
+      else math.max(1, math.min(table.spark.sparkContext.defaultParallelism,
+        (m.length / 4000000L + 1L).toInt))
+    pairs.repartitionByRange(parts, col("k"))
+      .sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$root/data")
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "version.txt"),
+      m.version.toString.getBytes("UTF-8"))
+    new SecondaryIndex(table.spark, root, keyCol, m.version)
+  }
+
+  /** Open a previously built index. */
+  def open(spark: SparkSession, root: String, keyCol: String): SecondaryIndex = {
+    val v = java.nio.file.Files.readString(java.nio.file.Paths.get(root, "version.txt")).trim.toLong
+    new SecondaryIndex(spark, root, keyCol, v)
+  }
+}

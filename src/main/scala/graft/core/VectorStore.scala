@@ -152,6 +152,16 @@ final class VectorStore[T: Encoder](val table: VectorTable) {
       .collect().toMap
   }
 
+  /** Records whose indexed key equals `value`: secondary-index lookup +
+    * batched point reads (small hit sets ride the direct-parquet path).
+    * Result is in rowid order.
+    */
+  def findBy(index: SecondaryIndex, value: Any): Seq[T] = {
+    val ids = index.lookup(value).sorted
+    val hit = getMany(ids)
+    ids.flatMap(hit.get)
+  }
+
   /** Full scan — reference `getall` (src/vector_engine.rs:47-53). */
   def getall(): Option[Seq[T]] =
     if (isEmpty) None else Some(decode(table.scan()))

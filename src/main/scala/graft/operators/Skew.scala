@@ -42,4 +42,38 @@ object Skew {
     """SELECT event_type, COUNT(*) AS n,
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY event_type""".stripMargin
+
+  /** Salted equi join for skewed fact keys: the fact side gets a random-ish
+    * but DETERMINISTIC salt in [0, salts), the dimension side is exploded
+    * into `salts` replicas, and the join runs on (key, salt) — every fact
+    * partition of a hot key meets its own dimension copy, so no task
+    * receives more than ~1/salts of that key. The result set is row-for-row
+    * identical to the unsalted join (the oracle proves it); the cost is a
+    * salts× dimension blow-up, which is the right trade when the dimension
+    * is small and the fact key is hot.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    val salted = fact.withColumn("_salt",
+      pmod(crc32(col(key).cast("string")) + spark_partition_id(), lit(salts)))
+    val replicated = dim.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Per-event-type reference values joined onto the skewed events fact via
+    * [[saltedJoin]] then aggregated — oracle-identical to the plain join.
+    */
+  def eventTypeJoinSalted(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.events(s, d)
+      .groupBy("event_type").agg(min("user_id").as("first_user"))
+    saltedJoin(Tables.events(s, d), dim, "event_type", salts = 16)
+      .groupBy("event_type", "first_user")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val eventTypeJoinSaltedSql: String =
+    """SELECT e.event_type, d.first_user, COUNT(*) AS n
+      |FROM events e
+      |JOIN (SELECT event_type, MIN(user_id) AS first_user FROM events GROUP BY 1) d
+      |  ON e.event_type = d.event_type
+      |GROUP BY 1, 2""".stripMargin
 }
