@@ -55,6 +55,37 @@ object ScaleProbe {
           .partitionBy("l_orderkey").orderBy("l_linenumber")
         replicate(li, k).withColumn("rn", row_number().over(w))
           .where(col("rn") === 1).agg(count(lit(1))).collect(); ()
+      },
+      "exact_quartiles" -> { k =>
+        replicate(li, k).groupBy("l_returnflag")
+          .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))")).collect(); ()
+      },
+      "histogram" -> { k =>
+        replicate(li, k)
+          .select((floor(col("l_extendedprice") / 5000.0)).cast("long").as("b"))
+          .groupBy("b").agg(count(lit(1))).collect(); ()
+      },
+      "asof_union_window" -> { k =>
+        // the as-of shape: union two sides, one key shuffle, one window pass
+        val left = replicate(li, k).select(col("l_orderkey").as("key"),
+          col("l_linenumber").cast("long").as("t"), lit(1).as("side"))
+        val right = replicate(li, k).select(col("l_orderkey").as("key"),
+          (col("l_linenumber").cast("long") - 1L).as("t"), lit(0).as("side"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy("t", "side")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        left.unionByName(right).withColumn("c", last(col("side")).over(w))
+          .where(col("side") === 1).agg(count(lit(1))).collect(); ()
+      },
+      "gapfill_spine_join" -> { k =>
+        val ev = replicate(spark.read.parquet(s"$d/documents.parquet"), k)
+          .select(pmod(col("doc_id"), lit(500)).as("h"), col("lang"))
+        val hourly = ev.groupBy("lang", "h").agg(count(lit(1)).as("n"))
+        val spine = ev.select("lang").distinct()
+          .crossJoin(spark.range(0, 500).toDF("h"))
+        spine.join(hourly, Seq("lang", "h"), "left")
+          .agg(sum(coalesce(col("n"), lit(0L)))).collect(); ()
       }
     )
 
