@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   final case class BenchRec(name: String, n: Long, payload: String)
+  /** Array-heavy row mirroring the reference's `DynamicStruct` with a
+    * growing `Vec<usize>` (tests/tests/vector_performance_test.rs:8,67-98).
+    */
+  final case class ArrayRec(id: Long, xs: Seq[Long])
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,7 +85,16 @@ object Bench {
       val tAppend1m = timed(store1m.pushx(rows1m))
       val tScan1m = timed(store1m.toDS().agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))).head())
       val tGetall1m = timed(assert(store1m.getall().get.size == 1000000))
+      // array-heavy rows at the reference harness scale (COUNT=10,000,
+      // growing list field — vector_performance_test.rs:8,67-98)
+      val rootArr = java.nio.file.Files.createTempDirectory("graft-bench-arr").toString
+      val storeArr = graft.core.VectorStore.create[ArrayRec](spark, rootArr)
+      val arrRows = (0 until 10000).map(i => ArrayRec(i.toLong, (0L to (i % 100).toLong)))
+      val tArrAppend = timed(storeArr.pushx(arrRows))
+      val tArrRead = timed(assert(storeArr.getall().get.size == 10000))
       Seq(
+        "store_array_rows_10k_append" -> tArrAppend,
+        "store_array_rows_10k_read" -> tArrRead,
         "store_point_reads_50_batched" -> tBatchedPoints,
         "store_bulk_append_100k" -> tAppend,
         "store_full_scan" -> tScan,
