@@ -94,6 +94,8 @@ object SparkEntry {
     "text_top_tokens" -> (TextOps.topTokens _),
     "text_deterministic_sample" -> (TextOps.deterministicSample _),
     "map_token_counts" -> (TextOps.tokenCountMap _),
+    "text_tfidf_top_terms" -> (TextOps.tfidfTopTerms _),
+    "text_bigram_counts" -> (TextOps.bigramCounts _),
     // north-star: multimodal plumbing
     "mm_binary_metadata" -> (Multimodal.binaryMetadata _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
@@ -178,6 +180,8 @@ object SparkEntry {
     "text_top_tokens" -> TextOps.topTokensSql,
     "text_deterministic_sample" -> TextOps.deterministicSampleSql,
     "map_token_counts" -> TextOps.tokenCountMapSql,
+    "text_tfidf_top_terms" -> TextOps.tfidfTopTermsSql,
+    "text_bigram_counts" -> TextOps.bigramCountsSql,
     "mm_binary_metadata" -> Multimodal.binaryMetadataSql,
     "mm_decode_features" -> Multimodal.decodeFeaturesSql,
     "mm_payload_chunks" -> Multimodal.payloadChunksSql,

@@ -177,6 +177,65 @@ object TextOps {
         size(map_filter(col("m"), (_, v) => v > lit(1L))).cast("long").as("n_repeated"))
   }
 
+  /** TF-IDF top terms: term frequency per (doc, token), document frequency
+    * per token, scored tf · N / df — the canonical two-shuffle text-mining
+    * shape (tf agg on (doc,token), df agg on token, then a token-keyed
+    * join; at 100 TB the df side is vocabulary-sized and broadcastable).
+    * The score is two exact integers divided once in a fixed order, so both
+    * engines produce identical bits without any transcendental (ln-based
+    * idf is NOT cross-engine stable). Top 20 with a total order.
+    */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(tokens("text")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+      .select("doc_id", "token", "tf", "df", "score")
+      .orderBy(col("score").desc, col("doc_id"), col("token"))
+      .limit(20)
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY 1, 2),
+      | df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      | n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+      |SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      | CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+      |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+      |ORDER BY score DESC, tf.doc_id, tf.token LIMIT 20""".stripMargin
+
+  /** Bigram frequency: adjacent token pairs via token-array self-zip
+    * (map-only expand, one count shuffle) — the n-gram statistic language-ID
+    * and contamination checks build on. Top 15, total order.
+    */
+  def bigramCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      // zip of the token array against itself shifted by one; slice length
+      // size-1 collapses to empty for single-token docs (sequence-based
+      // indexing would DESCEND for size=1 — Spark sequence(1,0) = [1,0])
+      .select(explode(expr(
+        "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+          "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), " +
+          "(x, y) -> concat(x, ' ', y))")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(15)
+
+  val bigramCountsSql: String =
+    """SELECT bigram, COUNT(*) AS n FROM (
+      | SELECT unnest(list_transform(range(2, len(toks) + 1),
+      |   i -> toks[i - 1] || ' ' || toks[i])) AS bigram
+      | FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15""".stripMargin
+
   val tokenCountMapSql: String =
     """WITH tc AS (
       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
