@@ -100,6 +100,9 @@ object SparkEntry {
     "mm_binary_metadata" -> (Multimodal.binaryMetadata _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_payload_chunks" -> (Multimodal.payloadChunks _),
+    "mm_binary_dedup" -> (Multimodal.binaryDedup _),
+    "doc_embedding_fusion" -> (Multimodal.docEmbeddingFusion _),
+    "events_transition_counts" -> (Events.transitionCounts _),
     // skew + sketches
     "skew_salted_event_totals" -> (Skew.eventTypeTotalsSalted _),
     "skew_salted_join" -> (Skew.eventTypeJoinSalted _),
@@ -185,6 +188,9 @@ object SparkEntry {
     "mm_binary_metadata" -> Multimodal.binaryMetadataSql,
     "mm_decode_features" -> Multimodal.decodeFeaturesSql,
     "mm_payload_chunks" -> Multimodal.payloadChunksSql,
+    "mm_binary_dedup" -> Multimodal.binaryDedupSql,
+    "doc_embedding_fusion" -> Multimodal.docEmbeddingFusionSql,
+    "events_transition_counts" -> Events.transitionCountsSql,
     "skew_salted_event_totals" -> Skew.eventTypeTotalsSaltedSql,
     "skew_salted_join" -> Skew.eventTypeJoinSaltedSql
     // approx_sketches intentionally has no oracle: sketch internals are

@@ -160,6 +160,30 @@ object Events {
       | FROM events)
       |WHERE gap_us IS NOT NULL""".stripMargin
 
+  /** Event-transition (Markov) counts: per user, consecutive event-type
+    * pairs via `lead` over the exact-µs total order, then one count
+    * shuffle — the sequence-mining statistic behind funnel discovery and
+    * bot detection. Window partitions per user; no task sees more than one
+    * user's history.
+    */
+  def transitionCounts(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val transitionCountsSql: String =
+    """SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      |FROM (
+      | SELECT event_type,
+      |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+      | FROM events)
+      |WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
   /** Time-series gap-fill + forward-fill: a dense hourly spine per event
     * type (explode of `sequence` over the global bounds — generated, never
     * scanned), left-joined with observed hourly aggregates; missing hours

@@ -133,4 +133,55 @@ object Multimodal {
       |      (acc, x) -> acc + x) AS DOUBLE)
       |   / CAST(least(100, length(text)) AS DOUBLE) AS mean_byte
       |FROM documents""".stripMargin
+
+  /** Exact binary dedup by content digest — the multimodal twin of text
+    * exact-dedup: digests computed in the scan projection (the payload
+    * itself never shuffles), one distinct aggregation, plus per-source
+    * duplicate accounting so the result is non-empty even on a dupe-free
+    * corpus (a 0-row oracle row proves nothing).
+    */
+  def binaryDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    asBinaryTable(s, d)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_payloads"),
+        countDistinct(sha2(col("payload"), 256)).as("n_distinct"),
+        (count(lit(1)) - countDistinct(sha2(col("payload"), 256))).as("n_dupes"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  val binaryDedupSql: String =
+    """SELECT source, COUNT(*) AS n_payloads,
+      | COUNT(DISTINCT sha256(text)) AS n_distinct,
+      | COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_dupes,
+      | MIN(doc_id) AS first_doc
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** Cross-modality fusion: documents joined to their embedding rows
+    * (doc_id = vec_id) — the text × vector join every RAG/curation pipeline
+    * runs. Emits text quality proxies next to the embedding norm; the join
+    * is key-to-key (co-partitionable at scale; broadcast at corpus ratios
+    * where embeddings ≪ documents).
+    */
+  def docEmbeddingFusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), size(split(col("text"), " ")).as("n_tokens"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("label"),
+        sqrt(graft.functions.VectorFunctions.dotF(col("embedding"), col("embedding")))
+          .as("norm"))
+    docs.join(emb, "doc_id")
+      .select("doc_id", "n_chars", "n_tokens", "label", "norm")
+  }
+
+  val docEmbeddingFusionSql: String =
+    s"""SELECT d.doc_id, d.n_chars,
+       | CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+       | e.label,
+       | sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |   list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+       |   (acc, p) -> acc + p)) AS norm
+       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin
 }
