@@ -96,6 +96,44 @@ object ShingleKernel {
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** 60-bit token hash: first 15 md5 hex nibbles of `token + "|99"` —
+    * bit-identical to the declarative
+    * `conv(substr(md5(concat(t,'|99')),1,15),16,10)` and the oracle's
+    * `('0x' || substr(md5(t || '|99'), 1, 15))::BIGINT`.
+    */
+  def tokenHash99(token: String): Long = {
+    val md = digestTL.get()
+    md.reset()
+    val d = md.digest((token + "|99").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** 16-bit SimHash by token-hash bit voting, one pass per row — the
+    * map-only form of the explode→groupBy vote (same votes, same result:
+    * split keeps trailing empties exactly like the exploded form).
+    */
+  def simhash16(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val votes = new Array[Int](16)
+    var i = 0
+    while (i < toks.length) {
+      val h = tokenHash99(toks(i))
+      var b = 0
+      while (b < 16) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
 }
 
 abstract class ShingleExpression extends UnaryExpression {
@@ -124,6 +162,20 @@ case class ShingleHashes(child: Expression) extends ShingleExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** simhash16(text): 16-bit SimHash from token-hash bit voting, map-only. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING argument")
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.simhash16(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.simhash16($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
   def minhashSig(text: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(text), k))
@@ -131,7 +183,11 @@ object TextFunctions {
   def shingleHashes(text: Column): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text)))
 
+  def simhash16(text: Column): Column =
+    Bridge.column(SimHash16(Bridge.expression(text)))
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, "shingle_hashes", args => ShingleHashes(args.head))
+    Bridge.registerFunction(spark, "simhash16", args => SimHash16(args.head))
   }
 }

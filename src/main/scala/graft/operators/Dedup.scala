@@ -266,10 +266,20 @@ object Dedup {
 
   val simhashBits = 16
 
-  /** SimHash: 16-bit signature from token-hash bit voting — explode +
-    * one shuffle on doc_id with map-side partial sums.
+  /** SimHash: 16-bit signature from token-hash bit voting — computed by the
+    * native one-pass kernel ([[graft.functions.SimHash16]]): a map-only
+    * scan projection with NO shuffle, where the declarative explode→groupBy
+    * form shuffled every (doc, token) row. At 100 TB that is the difference
+    * between a free column and a corpus-sized exchange.
     */
-  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.TextFunctions.simhash16(col("text")).as("simhash"))
+
+  /** The explode→groupBy formulation the kernel replaced — kept for the
+    * bit-parity spec (kernel ≡ declarative on every doc).
+    */
+  private[graft] def simhashSignaturesDeclarative(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .withColumn("hv", expr(h("t", 99)))

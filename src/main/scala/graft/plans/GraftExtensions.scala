@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hashes", "shingle_hashes(text) - sorted distinct 52-bit hashes of word 3-grams"),
       (args: Seq[Expression]) => ShingleHashes(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("simhash16"),
+      info("simhash16", "simhash16(text) - 16-bit SimHash from token-hash bit voting (map-only)"),
+      (args: Seq[Expression]) => graft.functions.SimHash16(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("blake2b_256"),
       info("blake2b_256", "blake2b_256(expr) - lowercase-hex BLAKE2b-256 of a STRING or BINARY (RFC 7693)"),
       (args: Seq[Expression]) => Blake2b256Expr(args.head)))
