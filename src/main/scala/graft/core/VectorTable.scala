@@ -21,11 +21,14 @@ final case class BatchInfo(id: Long, start: Long, end: Long, relPath: String)
   * the reference's header read (dynamic_vector_manage_service.rs:72-79).
   */
 final case class Manifest(version: Long, length: Long, layout: String, batches: Vector[BatchInfo],
-                          streamBatch: Long = -1L, encoding: String = "dictionary") {
+                          streamBatch: Long = -1L, encoding: String = "dictionary",
+                          schemaJson: String = "", mixedSchema: Boolean = false) {
   def serialize: String = {
     val header = Seq(s"version=$version", s"length=$length", s"layout=$layout",
         s"encoding=$encoding") ++
-      (if (streamBatch >= 0L) Seq(s"streamBatch=$streamBatch") else Nil)
+      (if (streamBatch >= 0L) Seq(s"streamBatch=$streamBatch") else Nil) ++
+      (if (schemaJson.nonEmpty) Seq(s"schema=$schemaJson") else Nil) ++
+      (if (mixedSchema) Seq("mixedSchema=true") else Nil)
     val lines = batches.map(b => s"batch=${b.id},${b.start},${b.end},${b.relPath}")
     (header ++ lines).mkString("\n") + "\n"
   }
@@ -52,8 +55,12 @@ object Manifest {
     val encoding = kv.collectFirst {
       case l if l.startsWith("encoding=") => l.drop("encoding=".length)
     }.getOrElse("dictionary")
+    val schemaJson = kv.collectFirst {
+      case l if l.startsWith("schema=") => l.drop("schema=".length)
+    }.getOrElse("")
+    val mixedSchema = kv.exists(_ == "mixedSchema=true")
     Manifest(field("version").toLong, field("length").toLong, field("layout"), batches,
-      streamBatch, encoding)
+      streamBatch, encoding, schemaJson, mixedSchema)
   }
 
   /** Latest committed manifest, or the empty v0 manifest for a new table. */
@@ -126,9 +133,12 @@ final class VectorTable(val spark: SparkSession, val root: String) {
     * produces a new key.
     */
   private val openCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def open(paths: Seq[String]): DataFrame =
-    openCache.computeIfAbsent(paths.mkString("\u0000"),
-      _ => spark.read.parquet(paths: _*))
+  private def open(paths: Seq[String], mergeSchema: Boolean = false): DataFrame =
+    openCache.computeIfAbsent((if (mergeSchema) "M" else "P") + paths.mkString("\u0000"),
+      _ => {
+        val r = spark.read
+        (if (mergeSchema) r.option("mergeSchema", "true") else r).parquet(paths: _*)
+      })
 
   /** O(1) record count — reference `len()` (src/vector_engine.rs:29). */
   def length: Long = manifest.length
@@ -164,6 +174,35 @@ final class VectorTable(val spark: SparkSession, val root: String) {
       val start = m.length
       val schema = df.schema
       require(!schema.fieldNames.contains(ROWID), s"input must not carry $ROWID")
+
+      // Schema evolution policy: additive nullable columns only. Every
+      // recorded column must reappear with the same type (no drops, no
+      // retypes — silent truncation at read time otherwise); new columns
+      // must be nullable so earlier batches can surface them as NULL
+      // through a merged-schema scan.
+      val prevSchema =
+        if (m.schemaJson.isEmpty) None
+        else Some(DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+      val widened = prevSchema match {
+        case None => schema
+        case Some(p) =>
+          p.fields.foreach { f =>
+            val nf = schema.fields.find(_.name == f.name).getOrElse(
+              throw new IllegalArgumentException(
+                s"schema evolution: column '${f.name}' missing from append — drops are not allowed"))
+            if (nf.dataType != f.dataType)
+              throw new IllegalArgumentException(
+                s"schema evolution: column '${f.name}' changed type ${f.dataType.sql} -> ${nf.dataType.sql}")
+          }
+          val added = schema.fields.filterNot(f => p.fieldNames.contains(f.name))
+          added.foreach { f =>
+            if (!f.nullable)
+              throw new IllegalArgumentException(
+                s"schema evolution: new column '${f.name}' must be nullable (earlier rows have no value)")
+          }
+          StructType(p.fields ++ added)
+      }
+      val mixed = m.mixedSchema || prevSchema.exists(_ != schema)
 
       // The two-pass count+stamp scheme runs on InternalRows
       // (queryExecution.toRdd): df.rdd would box every value into a
@@ -232,7 +271,7 @@ final class VectorTable(val spark: SparkSession, val root: String) {
 
         try Manifest.commit(root, Manifest(batchId, start + n, layout,
           m.batches :+ BatchInfo(batchId, start, start + n, rel),
-          streamBatchId.getOrElse(m.streamBatch), encoding))
+          streamBatchId.getOrElse(m.streamBatch), encoding, widened.json, mixed))
         catch {
           case e: java.nio.file.FileAlreadyExistsException =>
             throw new IllegalStateException(
@@ -256,7 +295,7 @@ final class VectorTable(val spark: SparkSession, val root: String) {
     VectorTable.commitLock.synchronized {
       val m = manifest
       if (m.batches.size <= 1) return
-      val all = spark.read.parquet(m.batches.map(b => s"$root/${b.relPath}"): _*)
+      val all = open(m.batches.map(b => s"$root/${b.relPath}"), m.mixedSchema)
       val n = m.length
       val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
       val batchId = m.version + 1
@@ -268,8 +307,11 @@ final class VectorTable(val spark: SparkSession, val root: String) {
         .write.mode("errorifexists")
         .option("parquet.enable.dictionary", (m.encoding == "dictionary").toString)
         .parquet(s"$root/$rel")
+      // the compacted batch carries the unified (widest) schema, so the
+      // merged-read flag resets
       Manifest.commit(root, Manifest(batchId, n, m.layout,
-        Vector(BatchInfo(batchId, 0L, n, rel)), m.streamBatch, m.encoding))
+        Vector(BatchInfo(batchId, 0L, n, rel)), m.streamBatch, m.encoding,
+        m.schemaJson, mixedSchema = false))
     }
 
   /** Time travel: the table as of a committed manifest `version` — every
@@ -279,7 +321,7 @@ final class VectorTable(val spark: SparkSession, val root: String) {
   def scanAt(version: Long): DataFrame = {
     val m = Manifest.loadVersion(root, version)
     if (m.batches.isEmpty) emptyLike()
-    else open(m.batches.map(b => s"$root/${b.relPath}"))
+    else open(m.batches.map(b => s"$root/${b.relPath}"), m.mixedSchema)
   }
 
   /** Length as of a committed manifest version. */
@@ -292,7 +334,7 @@ final class VectorTable(val spark: SparkSession, val root: String) {
   def scan(): DataFrame = {
     val m = manifest
     if (m.batches.isEmpty) emptyLike()
-    else open(m.batches.map(b => s"$root/${b.relPath}"))
+    else open(m.batches.map(b => s"$root/${b.relPath}"), m.mixedSchema)
   }
 
   /** Range read [index, index+count) — reference `pullx`/`getx`
@@ -305,7 +347,7 @@ final class VectorTable(val spark: SparkSession, val root: String) {
     val hi = index + count
     val hit = m.batches.filter(b => b.end > lo && b.start < hi)
     if (hit.isEmpty) emptyLike()
-    else open(hit.map(b => s"$root/${b.relPath}"))
+    else open(hit.map(b => s"$root/${b.relPath}"), m.mixedSchema)
       .where(col(ROWID) >= lo && col(ROWID) < hi)
   }
 
@@ -342,7 +384,7 @@ final class VectorTable(val spark: SparkSession, val root: String) {
     val wanted = indices.distinct
     val hit = m.batches.filter(b => wanted.exists(i => i >= b.start && i < b.end))
     if (hit.isEmpty) emptyLike()
-    else open(hit.map(b => s"$root/${b.relPath}"))
+    else open(hit.map(b => s"$root/${b.relPath}"), m.mixedSchema)
       .where(col(ROWID).isInCollection(wanted))
   }
 

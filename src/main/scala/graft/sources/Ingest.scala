@@ -34,6 +34,12 @@ object Ingest {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read ORC (columnar, predicate-pushing — the other warehouse-native
+    * format Spark ships).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Land any DataFrame into `table` (dense rowid assignment, manifest
     * commit). Returns the first assigned rowid.
     */

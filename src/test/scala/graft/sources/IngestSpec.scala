@@ -48,4 +48,18 @@ class IngestSpec extends SparkSpec {
     assert(back.columns.toSet == Set("id", "v"))
     assert(back.count() == 2)
   }
+
+  test("orc roundtrip: export to ORC, ingest back into a VectorTable") {
+    import spark.implicits._
+    val table = VectorTable.create(spark, tmpDir("orc-table"))
+    table.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val out = tmpDir("orc-out")
+    Ingest.export(table, out, format = "orc")
+    val back = Ingest.orc(spark, out)
+    assert(back.count() == 100)
+    val table2 = VectorTable.create(spark, tmpDir("orc-table2"))
+    Ingest.intoTable(back, table2)
+    assert(table2.length == 100L)
+    assert(table2.scan().agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) == 5050L)
+  }
 }
