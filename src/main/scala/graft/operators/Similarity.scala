@@ -390,6 +390,36 @@ object Similarity {
        |FROM scored, qn ORDER BY sim DESC, vec_id LIMIT $ivfK""".stripMargin
   }
 
+  /** Persisted IVF index: the embeddings written once as a parquet table
+    * PARTITIONED BY cell — the concrete form of "at scale, `cell` is the
+    * partition key". A search then reads only the probe cells' directories
+    * (hive partition pruning, visible as PartitionFilters in the plan):
+    * the other numCells-1 cells are never listed, let alone scanned —
+    * source-level pruning instead of the semi-join the ad-hoc query uses.
+    */
+  def buildIvfIndex(s: SparkSession, d: String, root: String): Unit =
+    ivfAssign(s, d)
+      .join(Tables.embeddings(s, d), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(root)
+
+  /** Top-k over the persisted index, probing `nprobe` cells: the scan's
+    * partition filter prunes to the probe directories at the source.
+    */
+  def searchIvfIndex(s: SparkSession, indexRoot: String, d: String,
+                     queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val probe = rankedCells(q, centroids(s, d)).take(nprobe)
+    s.read.parquet(indexRoot)
+      .where(col("cell").isin(probe: _*) && col("vec_id") =!= queryId)
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("embedding"), lit(q)))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .select("vec_id", "sim")
+  }
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed: score only same-bucket
     * pairs (the quadratic explosion is contained to bucket occupancy).
     */
