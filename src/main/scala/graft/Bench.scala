@@ -27,10 +27,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Session/JIT warmup only — no input table is touched, so scan
-    // dimensions stay honest; without this the alphabetically-first query
-    // absorbs several seconds of executor/codegen startup.
+    // Session/JIT warmup — no INPUT table is touched, so scan dimensions
+    // stay honest, but the parquet read/write stack, codegen, and window
+    // machinery are exercised on a scratch table; without this the
+    // alphabetically-first query absorbs >1 s of cold-start that belongs
+    // to the session, not the operator.
     spark.range(1000000).selectExpr("sum(id)").head()
+    val warmDir = java.nio.file.Files.createTempDirectory("graft-bench-warm").toString + "/t"
+    spark.range(10000).selectExpr("id", "CAST(id AS STRING) AS s", "id * 1.5 AS v")
+      .write.parquet(warmDir)
+    val warm = spark.read.parquet(warmDir)
+    warm.where(org.apache.spark.sql.functions.col("id") > 100)
+      .groupBy("s").agg(org.apache.spark.sql.functions.sum("v")).count()
+    warm.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("s").orderBy("id"))).count()
 
     // One-time table/index builds, timed as their own dimension: the rowid
     // table is built once per machine and reused across runs (the serving

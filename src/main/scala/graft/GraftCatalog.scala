@@ -18,17 +18,25 @@ object GraftCatalog {
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "documents", "embeddings")
 
-  /** Idempotent: temp views are cheap to re-create and always reflect `d`. */
-  def register(s: SparkSession, d: String): Unit = {
-    tableNames.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
-    Tables.events(s, d).createOrReplaceTempView("events")
+  /** Idempotent: temp views are cheap to re-create and always reflect `d`.
+    * Pass `only` to register a subset — each registration reads that
+    * table's parquet footer, so registering all 11 costs ~1.5 s cold.
+    */
+  def register(s: SparkSession, d: String, only: Seq[String] = Nil): Unit = {
+    val wanted = if (only.nonEmpty) only else tableNames :+ "events"
+    wanted.foreach {
+      case "events" => Tables.events(s, d).createOrReplaceTempView("events")
+      case t        => Tables.table(s, d, t).createOrReplaceTempView(t)
+    }
     graft.functions.VectorFunctions.register(s)
     graft.functions.TextFunctions.register(s)
   }
 
-  /** Register + run: the one-liner SQL entry point. */
-  def sql(s: SparkSession, d: String, query: String): DataFrame = {
-    register(s, d)
+  /** Register + run: the one-liner SQL entry point. `tables` limits the
+    * registration to what the query reads (all tables when empty).
+    */
+  def sql(s: SparkSession, d: String, query: String, tables: Seq[String] = Nil): DataFrame = {
+    register(s, d, tables)
     s.sql(query)
   }
 }

@@ -841,7 +841,8 @@ object Relational {
         |FROM (SELECT DISTINCT p_brand FROM part) b,
         |LATERAL (SELECT p_partkey, p_retailprice FROM part p
         |         WHERE p.p_brand = b.p_brand
-        |         ORDER BY p_retailprice DESC, p_partkey LIMIT 2) t""".stripMargin)
+        |         ORDER BY p_retailprice DESC, p_partkey LIMIT 2) t""".stripMargin,
+      tables = Seq("part"))
 
   val lateralTopPartsSql: String =
     """SELECT b.p_brand AS brand, t.p_partkey AS partkey, t.p_retailprice AS price
