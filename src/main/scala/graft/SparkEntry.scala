@@ -86,6 +86,7 @@ object SparkEntry {
     "ann_ivf_cell_stats" -> (Similarity.ivfCellStats _),
     "ann_ivf_search" -> (Similarity.ivfSearch _),
     "ann_ivf_search_multiprobe" -> (Similarity.ivfSearchMultiprobe _),
+    "ann_ivf_index_search" -> (Similarity.ivfIndexSearch _),
     // north-star: text analysis
     "text_token_stats" -> (TextOps.tokenStats _),
     "text_quality_scores" -> (TextOps.qualityScores _),
@@ -176,6 +177,7 @@ object SparkEntry {
     "ann_ivf_cell_stats" -> Similarity.ivfCellStatsSql,
     "ann_ivf_search" -> Similarity.ivfSearchSql,
     "ann_ivf_search_multiprobe" -> Similarity.ivfSearchMultiprobeSql,
+    "ann_ivf_index_search" -> Similarity.ivfSearchMultiprobeSql,
     "text_token_stats" -> TextOps.tokenStatsSql,
     "text_quality_scores" -> TextOps.qualityScoresSql,
     "text_language_id" -> TextOps.languageIdSql,

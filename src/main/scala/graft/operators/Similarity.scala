@@ -403,6 +403,36 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(root)
 
+  /** Persisted index per immutable corpus dir, built once per machine
+    * (crash-safe create-if-absent pointer publish, same pattern as the
+    * rowid table): the declared index-search query pays a pruned read,
+    * not a rebuild.
+    */
+  private val ivfIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def ivfIndexFor(s: SparkSession, d: String): String =
+    ivfIndexRoots.computeIfAbsent(d, dir => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-ivf-indexes")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"ivf-$key.path")
+      if (!Files.exists(pointer)) {
+        val root = base.resolve(s"ivf-$key-${java.util.UUID.randomUUID()}")
+        buildIvfIndex(s, dir, root.toString)
+        try Files.write(pointer, root.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () } // racer won; adopt theirs
+      }
+      Files.readString(pointer)
+    })
+
+  /** Multi-probe top-k through the PERSISTED index (partition-pruned scan);
+    * result-identical to [[ivfSearchMultiprobe]] — the oracle runs the same
+    * SQL for both.
+    */
+  def ivfIndexSearch(s: SparkSession, d: String): DataFrame =
+    searchIvfIndex(s, ivfIndexFor(s, d), d, ivfQueryId, ivfK, ivfNprobe)
+
   /** Top-k over the persisted index, probing `nprobe` cells: the scan's
     * partition filter prunes to the probe directories at the source.
     */
