@@ -20,7 +20,8 @@ final class SecondaryIndex private (
     val spark: SparkSession,
     val root: String,
     val keyCol: String,
-    val builtFromVersion: Long) {
+    val builtFromVersion: Long,
+    val indexedLength: Long) {
 
   private lazy val df: DataFrame = spark.read.parquet(s"$root/data")
 
@@ -38,6 +39,24 @@ final class SecondaryIndex private (
   /** True iff the table has committed batches past the index build. */
   def isStale(table: VectorTable): Boolean =
     table.manifest.version > builtFromVersion
+
+  /** Incremental maintenance: index ONLY the rows appended since this
+    * index was built (one pruned range read of the new rowid span — the
+    * indexed prefix is append-only and immutable, so it is never
+    * re-scanned), appended as additional sorted files. Returns the
+    * refreshed handle; a no-op returns `this`.
+    */
+  def refresh(table: VectorTable): SecondaryIndex = {
+    val m = table.manifest
+    if (m.length <= indexedLength) return this
+    import org.apache.spark.sql.functions.col
+    table.range(indexedLength, m.length - indexedLength)
+      .select(col(keyCol).as("k"), col(VectorTable.ROWID).as("r"))
+      .sortWithinPartitions("k")
+      .write.mode("append").parquet(s"$root/data")
+    SecondaryIndex.writeMeta(root, m.version, m.length)
+    new SecondaryIndex(spark, root, keyCol, m.version, m.length)
+  }
 }
 
 object SecondaryIndex {
@@ -53,14 +72,20 @@ object SecondaryIndex {
     pairs.repartitionByRange(parts, col("k"))
       .sortWithinPartitions("k")
       .write.mode("overwrite").parquet(s"$root/data")
-    java.nio.file.Files.write(java.nio.file.Paths.get(root, "version.txt"),
-      m.version.toString.getBytes("UTF-8"))
-    new SecondaryIndex(table.spark, root, keyCol, m.version)
+    writeMeta(root, m.version, m.length)
+    new SecondaryIndex(table.spark, root, keyCol, m.version, m.length)
   }
 
   /** Open a previously built index. */
   def open(spark: SparkSession, root: String, keyCol: String): SecondaryIndex = {
-    val v = java.nio.file.Files.readString(java.nio.file.Paths.get(root, "version.txt")).trim.toLong
-    new SecondaryIndex(spark, root, keyCol, v)
+    val lines = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "version.txt")).trim.linesIterator.toSeq
+    val v = lines.head.toLong
+    val len = lines.lift(1).map(_.toLong).getOrElse(0L)
+    new SecondaryIndex(spark, root, keyCol, v, len)
   }
+
+  private[core] def writeMeta(root: String, version: Long, length: Long): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "version.txt"),
+      s"$version\n$length".getBytes("UTF-8"))
 }

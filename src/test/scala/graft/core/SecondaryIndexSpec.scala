@@ -47,6 +47,22 @@ class SecondaryIndexSpec extends SparkSpec {
       s"expected pushed key filter in:\n$plan")
   }
 
+  test("refresh indexes only the appended rowid span, incrementally") {
+    val (store, ixRoot) = freshStore("six-refresh")
+    val ix = SecondaryIndex.build(store.table, "user", ixRoot)
+    assert(ix.indexedLength == 5000L)
+    store.pushx((5000 until 5100).map(i => SIRec(s"user-${i % 50}", i.toLong, 0.0)))
+    val ix2 = ix.refresh(store.table)
+    assert(!ix2.isStale(store.table) && ix2.indexedLength == 5100L)
+    assert(ix2.lookup("user-7").size == 102) // 100 original + 2 appended
+    assert(store.findBy(ix2, "user-7").map(_.seq).max == 5057L)
+    // no-op refresh returns the same handle
+    assert(ix2.refresh(store.table) eq ix2)
+    // reopen round-trips the incremental metadata
+    val reopened = SecondaryIndex.open(spark, ixRoot, "user")
+    assert(reopened.indexedLength == 5100L && reopened.lookup("user-7").size == 102)
+  }
+
   test("staleness: a later append flags the index, rebuild clears it") {
     val (store, ixRoot) = freshStore("six-stale")
     val ix = SecondaryIndex.build(store.table, "user", ixRoot)
