@@ -211,8 +211,17 @@ final class VectorTable(val spark: SparkSession, val root: String) {
       // persist; the persist itself guards determinism — a shuffle-fed
       // input recomputed between the two jobs could reorder rows and break
       // the input-order rowid contract.
-      val rdd = df.queryExecution.toRdd.map(_.copy())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      //
+      // Driver-local inputs (pushx of a Seq → LocalRelation) skip both
+      // guards: the rows are already materialized distinct objects in
+      // driver memory and re-iteration is trivially order-stable, so the
+      // copy+persist materialization is pure overhead (~2 s at 1M rows).
+      val isLocal = df.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+      val rdd =
+        if (isLocal) df.queryExecution.toRdd
+        else df.queryExecution.toRdd.map(_.copy())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
           Iterator((pid, it.size.toLong))
@@ -282,7 +291,7 @@ final class VectorTable(val spark: SparkSession, val root: String) {
                 "or StreamIngest query", e)
         }
         start
-      } finally rdd.unpersist(blocking = false)
+      } finally if (!isLocal) rdd.unpersist(blocking = false)
     }
 
   /** Compact all committed batches into one (rowids preserved) — the
