@@ -104,6 +104,7 @@ object SparkEntry {
     "mm_binary_dedup" -> (Multimodal.binaryDedup _),
     "doc_embedding_fusion" -> (Multimodal.docEmbeddingFusion _),
     "events_transition_counts" -> (Events.transitionCounts _),
+    "events_hourly_anomalies" -> (Events.hourlyAnomalies _),
     // skew + sketches
     "skew_salted_event_totals" -> (Skew.eventTypeTotalsSalted _),
     "skew_salted_join" -> (Skew.eventTypeJoinSalted _),
@@ -193,6 +194,7 @@ object SparkEntry {
     "mm_binary_dedup" -> Multimodal.binaryDedupSql,
     "doc_embedding_fusion" -> Multimodal.docEmbeddingFusionSql,
     "events_transition_counts" -> Events.transitionCountsSql,
+    "events_hourly_anomalies" -> Events.hourlyAnomaliesSql,
     "skew_salted_event_totals" -> Skew.eventTypeTotalsSaltedSql,
     "skew_salted_join" -> Skew.eventTypeJoinSaltedSql
     // approx_sketches intentionally has no oracle: sketch internals are

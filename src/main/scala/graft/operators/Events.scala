@@ -184,6 +184,47 @@ object Events {
       |WHERE next_type IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  /** Hourly anomaly detection: z-score of each (type, hour) count against
+    * the type's own hourly distribution. Moments are exact BIGINT sums
+    * (counts and squared counts), so mean/variance reduce to two fixed-order
+    * double divisions both engines reproduce bit-for-bit — the monitoring
+    * primitive over event streams, two aggregations and a broadcastable
+    * per-type stats join.
+    */
+  def hourlyAnomalies(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("s"), sum(col("n") * col("n")).as("ss"))
+    val mean = col("s").cast("double") / col("cnt").cast("double")
+    val varr = col("ss").cast("double") / col("cnt").cast("double") - mean * mean
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("n").cast("double") - mean) / sqrt(varr))
+      .where(abs(col("z")) > 1.5)
+      .select("event_type", "hour_epoch", "n", "z")
+  }
+
+  val hourlyAnomaliesSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      | stats AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS ss
+      |  FROM hourly GROUP BY 1)
+      |SELECT h.event_type, h.hour_epoch, h.n,
+      |  (CAST(h.n AS DOUBLE) - CAST(t.s AS DOUBLE) / CAST(t.cnt AS DOUBLE))
+      |   / sqrt(CAST(t.ss AS DOUBLE) / CAST(t.cnt AS DOUBLE)
+      |          - (CAST(t.s AS DOUBLE) / CAST(t.cnt AS DOUBLE))
+      |            * (CAST(t.s AS DOUBLE) / CAST(t.cnt AS DOUBLE))) AS z
+      |FROM hourly h JOIN stats t ON h.event_type = t.event_type
+      |WHERE abs((CAST(h.n AS DOUBLE) - CAST(t.s AS DOUBLE) / CAST(t.cnt AS DOUBLE))
+      |   / sqrt(CAST(t.ss AS DOUBLE) / CAST(t.cnt AS DOUBLE)
+      |          - (CAST(t.s AS DOUBLE) / CAST(t.cnt AS DOUBLE))
+      |            * (CAST(t.s AS DOUBLE) / CAST(t.cnt AS DOUBLE)))) > 1.5""".stripMargin
+
   /** Time-series gap-fill + forward-fill: a dense hourly spine per event
     * type (explode of `sequence` over the global bounds — generated, never
     * scanned), left-joined with observed hourly aggregates; missing hours

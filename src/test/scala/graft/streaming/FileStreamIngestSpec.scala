@@ -43,4 +43,25 @@ class FileStreamIngestSpec extends SparkSpec {
     // rowids dense regardless of file arrival order
     assert(table.scan().select("_rowid").collect().map(_.getLong(0)).sorted.toSeq == (0L until 5L))
   }
+
+  test("a widened stream (added nullable column) evolves the table mid-ingest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("fs-evolve")
+    val table = VectorTable.create(spark, root)
+    // batch 1 through the original schema
+    table.append(Seq(FRec(0L, "a"), FRec(1L, "b")).toDF())
+    // the stream restarts with a widened (nullable) schema — the append-side
+    // evolution policy admits it and reads merge schemas
+    table.append(Seq((2L, "c", Some(0.5)), (3L, "d", None))
+      .toDF("id", "name", "score"))
+    val m = table.manifest
+    assert(m.mixedSchema && table.length == 4L)
+    val scan = table.scan()
+    assert(scan.where(col("score").isNull).count() == 3) // 2 old + 1 new null
+    // and a non-nullable widening is still rejected at the streaming append
+    intercept[IllegalArgumentException] {
+      table.append(Seq((4L, "e")).toDF("id", "name").withColumn("strict", lit(1L)))
+    }
+  }
 }
