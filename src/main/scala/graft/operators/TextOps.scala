@@ -123,6 +123,28 @@ object TextOps {
     """SELECT doc_id, n_chars FROM documents
       |WHERE (('0x' || substr(md5(text), 1, 13))::BIGINT) % 100 < 10""".stripMargin
 
+  /** Deterministic stratified sample: per-source rates (e.g. oversample
+    * scarce high-quality sources, downsample crawl bulk) decided by the
+    * same content-hash-mod discipline as the uniform sample — reproducible
+    * across engines, runs, partitionings, and scale, which random() can
+    * never be. Map-only.
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h", expr("pmod(CAST(conv(substr(md5(text), 1, 13), 16, 10) AS BIGINT), 100)"))
+      .withColumn("rate", expr(
+        "CASE WHEN source = 'src0' THEN 50 WHEN source = 'src1' THEN 10 ELSE 25 END"))
+      .where(col("h") < col("rate"))
+      .select("doc_id", "source", "n_chars")
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, source, n_chars FROM (
+      | SELECT doc_id, source, n_chars,
+      |  (('0x' || substr(md5(text), 1, 13))::BIGINT) % 100 AS h,
+      |  CASE WHEN source = 'src0' THEN 50 WHEN source = 'src1' THEN 10 ELSE 25 END AS rate
+      | FROM documents)
+      |WHERE h < rate""".stripMargin
+
   /** Corpus-level word count: top 20 tokens by frequency, total-order
     * tie-break. explode → one shuffle with map-side partial counts →
     * TakeOrdered; the canonical first distributed text job, here as a

@@ -52,6 +52,24 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("hot scan paths stay inside whole-stage codegen") {
+    // the native kernels (cosine_f, simhash16) and text scoring must not
+    // break the codegen span — a non-codegen Expression in the projection
+    // would drop the whole stage to interpreted row-at-a-time eval
+    for (df <- Seq(
+        Similarity.bruteForceKnn(spark, sf()),
+        graft.operators.Dedup.simhashSignatures(spark, sf()),
+        TextOps.qualityScores(spark, sf()))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // "*(n) Project ..." is the whole-stage-codegen marker in treeString;
+      // the native kernels must appear INSIDE a starred operator
+      val codegenLines = plan.linesIterator.filter(_.contains("*(")).mkString("\n")
+      assert(codegenLines.nonEmpty, s"no codegen span in:\n$plan")
+      assert(Seq("cosinesimilarityf", "simhash16", "Project").exists(codegenLines.contains),
+        s"hot projection outside codegen:\n$plan")
+    }
+  }
+
   test("lateral top-2 decorrelates to a rank filter, not a per-row re-execution") {
     val plan = Relational.lateralTopParts(spark, sf()).queryExecution.optimizedPlan
     // Catalyst rewrites the correlated LIMIT into window/rank machinery; a
