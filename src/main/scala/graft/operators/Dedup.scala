@@ -251,6 +251,68 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** PageRank (3 fixed iterations, damping 0.85) over the verified
+    * near-dup graph — the canonical iterative weighted-graph algorithm,
+    * shaped like the clusters pass: per iteration one join + one aggregate
+    * on the edge list, nothing driver-side. Float determinism comes from
+    * ORDERED neighbor folds: each node's contributions are sorted by
+    * source id and left-folded (Spark `aggregate(array_sort(...))`, DuckDB
+    * `list_reduce(list(... ORDER BY src))`) — a plain SUM would
+    * accumulate in partition order and never hash-match across engines.
+    */
+  def pagerankNearDups(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardVerifiedPairs(s, d).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    val deg = edges.groupBy("doc_a").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("doc_a").as("id")).distinct()
+    val nNodes = nodes.count()
+    var ranks = nodes.withColumn("r", lit(1.0) / nNodes.toDouble)
+    for (_ <- 1 to 3) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("id", "doc_a"), "doc_a")
+        .join(deg, "doc_a")
+        .select(col("doc_b").as("id"), col("doc_a").as("src"),
+          (col("r") / col("deg").cast("double")).as("c"))
+      val folded = contribs.groupBy("id")
+        .agg(expr("aggregate(transform(array_sort(collect_list(struct(src, c))), x -> x.c), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)").as("s"))
+      ranks = nodes.join(folded, Seq("id"), "left")
+        .select(col("id"),
+          (lit(0.15) / nNodes.toDouble + lit(0.85) * coalesce(col("s"), lit(0.0))).as("r"))
+    }
+    ranks.select(col("id").as("doc_id"), col("r").as("rank"))
+  }
+
+  val pagerankNearDupsSql: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.id, 0.15 / (SELECT nn FROM ncount) + 0.85 * coalesce(f.s, 0.0) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.doc_b AS id,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list(p.r / CAST(dg.deg AS DOUBLE) ORDER BY e.doc_a)), (acc, v) -> acc + v) AS s
+         |    FROM edges e
+         |    JOIN $prev p ON p.id = e.doc_a
+         |    JOIN degrees dg ON dg.doc_a = e.doc_a
+         |    GROUP BY e.doc_b) f ON f.id = n.id)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b FROM (${jaccardVerifiedPairsSql.replace("\n", "\n  ")})
+       |),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |degrees AS (SELECT doc_a, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT doc_a AS id FROM edges),
+       |ncount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes),
+       |r0 AS (SELECT id, 1.0 / (SELECT nn FROM ncount) AS r FROM nodes),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT id AS doc_id, r AS rank FROM r3""".stripMargin
+  }
+
   val duplicateClustersSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b FROM (${jaccardVerifiedPairsSql.replace("\n", "\n  ")})
