@@ -725,6 +725,33 @@ object Relational {
     """SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket, COUNT(*) AS n
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Equi-DEPTH histogram without a global sort: octile cutpoints from one
+    * `percentile` aggregate, then map-side binning by cutpoint count — the
+    * scale-correct alternative to `ntile` over the full table (a total
+    * sort). Octile fractions k/8 are binary-exact and quantities are small
+    * integers, so the interpolated cutpoints are bit-identical across
+    * engines.
+    */
+  def equidepthQuantity(s: SparkSession, d: String): DataFrame = {
+    val cuts = Tables.lineitem(s, d)
+      .agg(expr("percentile(l_quantity, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))")
+        .as("cuts"))
+    Tables.lineitem(s, d)
+      .crossJoin(broadcast(cuts))
+      .select(expr("size(filter(cuts, c -> c <= l_quantity))").cast("long").as("bin"),
+        col("l_quantity"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("l_quantity").as("lo"), max("l_quantity").as("hi"))
+  }
+
+  val equidepthQuantitySql: String =
+    """WITH cuts AS (
+      |  SELECT quantile_cont(l_quantity, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cuts
+      |  FROM lineitem)
+      |SELECT CAST(len(list_filter(c.cuts, x -> x <= l_quantity)) AS BIGINT) AS bin,
+      |  COUNT(*) AS n, MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
+      |FROM lineitem, cuts c GROUP BY 1""".stripMargin
+
   /** Positional window values per customer: first / last / 2nd order price
     * in o_orderdate order (o_orderkey tie-break gives a total order; the
     * last_value frame is pinned to the full partition — the default frame
