@@ -145,6 +145,64 @@ object TextOps {
       | FROM documents)
       |WHERE h < rate""".stripMargin
 
+  /** BM25 ranking for a fixed term query — the retrieval scorer curation
+    * pipelines use to mine topical subsets. Rational idf
+    * (N − df + 0.5)/(df + 0.5) instead of the ln() form: transcendentals
+    * are not bit-stable across engines, pure ratios of exact integers are.
+    * tf is a map-side `filter` count (no explode, no shuffle); the one
+    * corpus-stats row broadcasts; every double op is written in the same
+    * order in both engines. k1 = 1.2, b = 0.75.
+    */
+  val bm25Terms: Seq[String] = Seq("hash", "scan", "merge")
+
+  /** Shared scoring arithmetic — identical text on both engines. */
+  private def bm25ScoreExpr: String =
+    bm25Terms.indices.map { i =>
+      s"""((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+         | * ((tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 *
+         |     (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))""".stripMargin
+        .replaceAll("\n", " ")
+    }.mkString("(", ") + (", ")")
+
+  def bm25Ranking(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("toks", tokens("text"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val withTf = bm25Terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i", expr(s"CAST(size(filter(toks, x -> x = '$t')) AS DOUBLE)"))
+    }
+    val statsAggs = Seq(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sdl")) ++
+      bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = withTf.agg(statsAggs.head, statsAggs.tail: _*)
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("score", expr(bm25ScoreExpr))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .select("doc_id", "score")
+  }
+
+  val bm25RankingSql: String = {
+    val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n  ")
+    val dfs = bm25Terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |  $tfs
+       |  FROM documents),
+       | stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sdl, $dfs
+       |  FROM t)
+       |SELECT doc_id, $bm25ScoreExpr AS score
+       |FROM t, stats
+       |WHERE $bm25ScoreExpr > 0
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** Corpus-level word count: top 20 tokens by frequency, total-order
     * tie-break. explode → one shuffle with map-side partial counts →
     * TakeOrdered; the canonical first distributed text job, here as a
