@@ -30,6 +30,10 @@ object GraftSession {
     // zstd over default snappy: ~30% smaller files at negligible CPU — at
     // 100 TB the scan bottleneck is I/O, so denser files are faster files.
     .config("spark.sql.parquet.compression.codec", "zstd")
+    // INT96 timestamps (the legacy default) carry no usable min/max stats,
+    // which would blind both parquet row-group pruning and the manifest
+    // zone maps on timestamp columns; INT64 micros is the modern encoding.
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // Managed tables (bucketed layouts) land outside the repo.
     .config("spark.sql.warehouse.dir",
       s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")

@@ -173,36 +173,7 @@ final class VectorTable(val spark: SparkSession, val root: String) {
       }
       val start = m.length
       val schema = df.schema
-      require(!schema.fieldNames.contains(ROWID), s"input must not carry $ROWID")
-
-      // Schema evolution policy: additive nullable columns only. Every
-      // recorded column must reappear with the same type (no drops, no
-      // retypes — silent truncation at read time otherwise); new columns
-      // must be nullable so earlier batches can surface them as NULL
-      // through a merged-schema scan.
-      val prevSchema =
-        if (m.schemaJson.isEmpty) None
-        else Some(DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
-      val widened = prevSchema match {
-        case None => schema
-        case Some(p) =>
-          p.fields.foreach { f =>
-            val nf = schema.fields.find(_.name == f.name).getOrElse(
-              throw new IllegalArgumentException(
-                s"schema evolution: column '${f.name}' missing from append — drops are not allowed"))
-            if (nf.dataType != f.dataType)
-              throw new IllegalArgumentException(
-                s"schema evolution: column '${f.name}' changed type ${f.dataType.sql} -> ${nf.dataType.sql}")
-          }
-          val added = schema.fields.filterNot(f => p.fieldNames.contains(f.name))
-          added.foreach { f =>
-            if (!f.nullable)
-              throw new IllegalArgumentException(
-                s"schema evolution: new column '${f.name}' must be nullable (earlier rows have no value)")
-          }
-          StructType(p.fields ++ added)
-      }
-      val mixed = m.mixedSchema || prevSchema.exists(_ != schema)
+      val (widened, mixed) = widenSchema(m, schema)
 
       // The two-pass count+stamp scheme runs on InternalRows
       // (queryExecution.toRdd): df.rdd would box every value into a
@@ -225,74 +196,153 @@ final class VectorTable(val spark: SparkSession, val root: String) {
       try {
         val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
           Iterator((pid, it.size.toLong))
-        }.collect().sortBy(_._1).map(_._2)
-        val n = counts.sum
-        val offsets = counts.scanLeft(start)(_ + _)
-
-        val outSchema = StructType(StructField(ROWID, LongType, nullable = false) +: schema.fields)
-        val withId = {
-          import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
-          val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
-            var next = offsets(pid)
-            val idRow = new GenericInternalRow(1)
-            val joined = new JoinedRow
-            val project = UnsafeProjection.create(outSchema)
-            it.map { r =>
-              idRow.setLong(0, next)
-              next += 1
-              // the projection's output row is reused — safe: the parquet
-              // writer consumes each row before the next is produced
-              project(joined(idRow, r)): org.apache.spark.sql.catalyst.InternalRow
-            }
-          }
-          org.apache.spark.sql.graft.Bridge.internalCreateDataFrame(spark, stamped, outSchema)
-        }
-
-        // File sizing vs write parallelism: few big files keep manifest/
-        // row-group pruning sharp, but coalesce(k) also collapses the stamp
-        // + parquet encode into k tasks — a 1M-row batch funneled into one
-        // task writes ~2× slower end-to-end. Floor the task count so no
-        // write task handles more than ~256 k rows; coalesce groups parent
-        // partitions contiguously (no locality prefs here), so each file
-        // still covers one dense rowid range and stays direct-read servable.
-        val byTarget = (n + targetRowsPerFile - 1) / targetRowsPerFile
-        val byTask = (n + 262143L) / 262144L
-        val files = math.max(1L, math.min(rdd.getNumPartitions.toLong,
-          math.max(byTarget, byTask))).toInt
-        val sized = if (files < rdd.getNumPartitions) withId.coalesce(files) else withId
-
-        val batchId = m.version + 1
-        val rel = f"data/batch-$batchId%08d"
-
-        // The reference's static/dynamic layout split made load-bearing:
-        // all-fixed-width batches (the static_vector_manage_service.rs:96-123
-        // fast path) are written with dictionary encoding off — fixed-width
-        // values with mostly-unique content (rowids, measurements) gain
-        // nothing from a dictionary but pay its build + indirection, and
-        // PLAIN pages decode by stride, exactly the reference's static read.
-        // Variable-width (dynamic) batches keep dictionary encoding, which
-        // is where it earns its keep (repeated strings).
-        val layout = if (SchemaIntrospect.isDynamicStructure(schema)) "dynamic" else "static"
-        val encoding = if (layout == "static") "plain" else "dictionary"
-        val writer = sized.write.mode("errorifexists")
-          .option("parquet.enable.dictionary", (encoding == "dictionary").toString)
-        writer.parquet(s"$root/$rel")
-
-        try Manifest.commit(root, Manifest(batchId, start + n, layout,
-          m.batches :+ BatchInfo(batchId, start, start + n, rel),
-          streamBatchId.getOrElse(m.streamBatch), encoding, widened.json, mixed))
-        catch {
-          case e: java.nio.file.FileAlreadyExistsException =>
-            throw new IllegalStateException(
-              s"concurrent append detected on $root (manifest v$batchId already " +
-                "committed by another writer); VectorTable appends are " +
-                "single-writer per table, matching the reference's in-process " +
-                "mutex — route concurrent producers through one BufferedVectorStore " +
-                "or StreamIngest query", e)
-        }
-        start
+        }.collect().sortBy(_._1).map(_._2).toSeq
+        commitStamped(m, schema, widened, mixed, rdd, counts, start,
+          targetRowsPerFile, streamBatchId)
       } finally if (!isLocal) rdd.unpersist(blocking = false)
     }
+
+  /** Bulk append of pre-encoded rows with known per-slice sizes — the
+    * driver-local `pushx` fast path. The distributed count pass is
+    * unnecessary (slice sizes are known on the driver) and so is the
+    * order-stability persist (slices are immutable in-memory arrays), so
+    * the whole commit is ONE Spark job: stamp + parquet encode. Each slice
+    * becomes exactly one task (`parallelize(slices, slices.size)` puts one
+    * element per partition), so rowid ranges stay contiguous per partition.
+    */
+  private[graft] def appendEncoded(
+      schema: StructType,
+      slices: Seq[Array[org.apache.spark.sql.catalyst.InternalRow]],
+      targetRowsPerFile: Long = 4_000_000L,
+      streamBatchId: Option[Long] = None): Long =
+    VectorTable.commitLock.synchronized {
+      val m = manifest
+      streamBatchId.foreach { id =>
+        if (id <= m.streamBatch) return m.length
+      }
+      val start = m.length
+      val (widened, mixed) = widenSchema(m, schema)
+      val nonEmpty = slices.filter(_.nonEmpty)
+      require(nonEmpty.nonEmpty, "appendEncoded requires at least one row")
+      val rdd = spark.sparkContext.parallelize(nonEmpty, nonEmpty.size)
+        .mapPartitions(_.flatMap(_.iterator))
+      commitStamped(m, schema, widened, mixed, rdd, nonEmpty.map(_.length.toLong),
+        start, targetRowsPerFile, streamBatchId)
+    }
+
+  /** Schema evolution policy: additive nullable columns only. Every
+    * recorded column must reappear with the same type (no drops, no
+    * retypes — silent truncation at read time otherwise); new columns
+    * must be nullable so earlier batches can surface them as NULL
+    * through a merged-schema scan. Returns (widest schema, mixed flag).
+    */
+  private def widenSchema(m: Manifest, schema: StructType): (StructType, Boolean) = {
+    require(!schema.fieldNames.contains(ROWID), s"input must not carry $ROWID")
+    val prevSchema =
+      if (m.schemaJson.isEmpty) None
+      else Some(DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+    val widened = prevSchema match {
+      case None => schema
+      case Some(p) =>
+        p.fields.foreach { f =>
+          val nf = schema.fields.find(_.name == f.name).getOrElse(
+            throw new IllegalArgumentException(
+              s"schema evolution: column '${f.name}' missing from append — drops are not allowed"))
+          if (nf.dataType != f.dataType)
+            throw new IllegalArgumentException(
+              s"schema evolution: column '${f.name}' changed type ${f.dataType.sql} -> ${nf.dataType.sql}")
+        }
+        val added = schema.fields.filterNot(f => p.fieldNames.contains(f.name))
+        added.foreach { f =>
+          if (!f.nullable)
+            throw new IllegalArgumentException(
+              s"schema evolution: new column '${f.name}' must be nullable (earlier rows have no value)")
+        }
+        StructType(p.fields ++ added)
+    }
+    (widened, m.mixedSchema || prevSchema.exists(_ != schema))
+  }
+
+  /** Stamp dense rowids (per-partition contiguous ranges from known
+    * `counts`), size output files, write the batch dir, commit the
+    * manifest. Callers hold `commitLock` and have validated the schema.
+    */
+  private def commitStamped(
+      m: Manifest,
+      schema: StructType,
+      widened: StructType,
+      mixed: Boolean,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      counts: Seq[Long],
+      start: Long,
+      targetRowsPerFile: Long,
+      streamBatchId: Option[Long]): Long = {
+    val n = counts.sum
+    val offsets = counts.scanLeft(start)(_ + _).toArray
+
+    val outSchema = StructType(StructField(ROWID, LongType, nullable = false) +: schema.fields)
+    val withId = {
+      import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+      val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var next = offsets(pid)
+        val idRow = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        val project = UnsafeProjection.create(outSchema)
+        it.map { r =>
+          idRow.setLong(0, next)
+          next += 1
+          // the projection's output row is reused — safe: the parquet
+          // writer consumes each row before the next is produced
+          project(joined(idRow, r)): org.apache.spark.sql.catalyst.InternalRow
+        }
+      }
+      org.apache.spark.sql.graft.Bridge.internalCreateDataFrame(spark, stamped, outSchema)
+    }
+
+    // File sizing vs write parallelism: few big files keep manifest/
+    // row-group pruning sharp, but coalesce(k) also collapses the stamp
+    // + parquet encode into k tasks — a 1M-row batch funneled into one
+    // task writes ~2× slower end-to-end. Floor the task count so no
+    // write task handles more than ~256 k rows; coalesce groups parent
+    // partitions contiguously (no locality prefs here), so each file
+    // still covers one dense rowid range and stays direct-read servable.
+    val byTarget = (n + targetRowsPerFile - 1) / targetRowsPerFile
+    val byTask = (n + 262143L) / 262144L
+    val files = math.max(1L, math.min(rdd.getNumPartitions.toLong,
+      math.max(byTarget, byTask))).toInt
+    val sized = if (files < rdd.getNumPartitions) withId.coalesce(files) else withId
+
+    val batchId = m.version + 1
+    val rel = f"data/batch-$batchId%08d"
+
+    // The reference's static/dynamic layout split made load-bearing:
+    // all-fixed-width batches (the static_vector_manage_service.rs:96-123
+    // fast path) are written with dictionary encoding off — fixed-width
+    // values with mostly-unique content (rowids, measurements) gain
+    // nothing from a dictionary but pay its build + indirection, and
+    // PLAIN pages decode by stride, exactly the reference's static read.
+    // Variable-width (dynamic) batches keep dictionary encoding, which
+    // is where it earns its keep (repeated strings).
+    val layout = if (SchemaIntrospect.isDynamicStructure(schema)) "dynamic" else "static"
+    val encoding = if (layout == "static") "plain" else "dictionary"
+    val writer = sized.write.mode("errorifexists")
+      .option("parquet.enable.dictionary", (encoding == "dictionary").toString)
+    writer.parquet(s"$root/$rel")
+
+    try Manifest.commit(root, Manifest(batchId, start + n, layout,
+      m.batches :+ BatchInfo(batchId, start, start + n, rel),
+      streamBatchId.getOrElse(m.streamBatch), encoding, widened.json, mixed))
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent append detected on $root (manifest v$batchId already " +
+            "committed by another writer); VectorTable appends are " +
+            "single-writer per table, matching the reference's in-process " +
+            "mutex — route concurrent producers through one BufferedVectorStore " +
+            "or StreamIngest query", e)
+    }
+    start
+  }
 
   /** Compact all committed batches into one (rowids preserved) — the
     * maintenance pass that keeps many small streaming micro-batches from

@@ -42,10 +42,10 @@ object ProfileAppend {
       out.write.mode("overwrite").parquet(java.nio.file.Files.createTempDirectory("pa-out").toString + "/d")
     }
     rdd.unpersist()
-    t("end-to-end pushx") {
-      val s2 = VectorStore.create[BenchRec](spark, java.nio.file.Files.createTempDirectory("pa-e2e").toString)
-      s2.pushx(rows)
-    }
+    val s2 = VectorStore.create[BenchRec](spark, java.nio.file.Files.createTempDirectory("pa-e2e").toString)
+    t("end-to-end pushx")(s2.pushx(rows))
+    t("getall 1m")(assert(s2.getall().get.size == 1000000))
+    t("getall 1m again")(assert(s2.getall().get.size == 1000000))
     spark.stop()
   }
 }
