@@ -47,12 +47,15 @@ object Bench {
     // query itself must cost a pruned range read, not a rebuild).
     val tRowidBuild = try timed(graft.operators.Relational.prebuildRowidTable(spark, sfDir))
       catch { case _: Throwable => -1.0 }
+    val tZoneBuild = try timed(graft.operators.Relational.prebuildZoneTable(spark, sfDir))
+      catch { case _: Throwable => -1.0 }
     val tIvfIndexBuild = try timed(graft.operators.Similarity.ivfIndexFor(spark, sfDir))
       catch { case _: Throwable => -1.0 }
 
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (try timed(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 })
-    } :+ ("rowid_table_build" -> tRowidBuild) :+ ("ivf_index_build" -> tIvfIndexBuild)
+    } :+ ("rowid_table_build" -> tRowidBuild) :+ ("ivf_index_build" -> tIvfIndexBuild) :+
+      ("zonemap_table_build" -> tZoneBuild)
 
     // --- store-level dimensions (reference harness workloads, BASELINE.md) ---
     val storeTimes = try {

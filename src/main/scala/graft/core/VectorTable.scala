@@ -22,7 +22,8 @@ final case class BatchInfo(id: Long, start: Long, end: Long, relPath: String)
   */
 final case class Manifest(version: Long, length: Long, layout: String, batches: Vector[BatchInfo],
                           streamBatch: Long = -1L, encoding: String = "dictionary",
-                          schemaJson: String = "", mixedSchema: Boolean = false) {
+                          schemaJson: String = "", mixedSchema: Boolean = false,
+                          zstats: Map[Long, Seq[ZoneMaps.ColStats]] = Map.empty) {
   def serialize: String = {
     val header = Seq(s"version=$version", s"length=$length", s"layout=$layout",
         s"encoding=$encoding") ++
@@ -30,7 +31,10 @@ final case class Manifest(version: Long, length: Long, layout: String, batches: 
       (if (schemaJson.nonEmpty) Seq(s"schema=$schemaJson") else Nil) ++
       (if (mixedSchema) Seq("mixedSchema=true") else Nil)
     val lines = batches.map(b => s"batch=${b.id},${b.start},${b.end},${b.relPath}")
-    (header ++ lines).mkString("\n") + "\n"
+    val zlines = zstats.toSeq.sortBy(_._1).flatMap { case (id, css) =>
+      css.map(cs => ZoneMaps.serializeLine(id, cs))
+    }
+    (header ++ lines ++ zlines).mkString("\n") + "\n"
   }
 }
 
@@ -59,8 +63,11 @@ object Manifest {
       case l if l.startsWith("schema=") => l.drop("schema=".length)
     }.getOrElse("")
     val mixedSchema = kv.exists(_ == "mixedSchema=true")
+    val zstats = kv.collect { case l if l.startsWith("zstat=") => l.drop(6) }
+      .flatMap(ZoneMaps.parseLine)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     Manifest(field("version").toLong, field("length").toLong, field("layout"), batches,
-      streamBatch, encoding, schemaJson, mixedSchema)
+      streamBatch, encoding, schemaJson, mixedSchema, zstats)
   }
 
   /** Latest committed manifest, or the empty v0 manifest for a new table. */
@@ -329,9 +336,14 @@ final class VectorTable(val spark: SparkSession, val root: String) {
       .option("parquet.enable.dictionary", (encoding == "dictionary").toString)
     writer.parquet(s"$root/$rel")
 
+    // Zone maps: lift the just-written files' footer stats to batch level —
+    // a few driver-side footer reads, no Spark job (see [[ZoneMaps]]).
+    val zs = ZoneMaps.collect(s"$root/$rel")
+    val zstats = if (zs.isEmpty) m.zstats else m.zstats.updated(batchId, zs)
+
     try Manifest.commit(root, Manifest(batchId, start + n, layout,
       m.batches :+ BatchInfo(batchId, start, start + n, rel),
-      streamBatchId.getOrElse(m.streamBatch), encoding, widened.json, mixed))
+      streamBatchId.getOrElse(m.streamBatch), encoding, widened.json, mixed, zstats))
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(
@@ -367,10 +379,12 @@ final class VectorTable(val spark: SparkSession, val root: String) {
         .option("parquet.enable.dictionary", (m.encoding == "dictionary").toString)
         .parquet(s"$root/$rel")
       // the compacted batch carries the unified (widest) schema, so the
-      // merged-read flag resets
+      // merged-read flag resets; zone maps are re-lifted from the new files
+      val zs = ZoneMaps.collect(s"$root/$rel")
       Manifest.commit(root, Manifest(batchId, n, m.layout,
         Vector(BatchInfo(batchId, 0L, n, rel)), m.streamBatch, m.encoding,
-        m.schemaJson, mixedSchema = false))
+        m.schemaJson, mixedSchema = false,
+        if (zs.isEmpty) Map.empty else Map(batchId -> zs)))
     }
 
   /** Time travel: the table as of a committed manifest `version` — every
@@ -412,6 +426,36 @@ final class VectorTable(val spark: SparkSession, val root: String) {
 
   /** Point read — reference `pull`/`get` (src/vector_engine.rs:27,33-39). */
   def point(index: Long): DataFrame = range(index, 1L)
+
+  /** Zone-map-pruned scan: a conjunction of inclusive range predicates
+    * `(column, lower?, upper?)` prunes whole batch directories on the
+    * driver (see [[ZoneMaps]]), then the same predicates are applied
+    * in-plan so parquet row-group stats refine file-level and Spark
+    * refines row-level. Exactly `scan().where(...)` semantically; the
+    * zone maps only remove work.
+    */
+  def scanWhere(preds: (String, Option[Any], Option[Any])*): DataFrame = {
+    val base = {
+      val hit = batchesOverlapping(preds)
+      if (hit.isEmpty) emptyLike().where(lit(false))
+      else open(hit.map(b => s"$root/${b.relPath}"), manifest.mixedSchema)
+    }
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      val withLo = lo.map(v => df.where(col(c) >= lit(v))).getOrElse(df)
+      hi.map(v => withLo.where(col(c) <= lit(v))).getOrElse(withLo)
+    }
+  }
+
+  /** The batches a zone-map-pruned scan would read (exposed for specs and
+    * plan diagnostics).
+    */
+  def batchesOverlapping(preds: Seq[(String, Option[Any], Option[Any])]): Vector[BatchInfo] = {
+    val m = manifest
+    m.batches.filter { b =>
+      val zs = m.zstats.getOrElse(b.id, Nil)
+      preds.forall { case (c, lo, hi) => ZoneMaps.mayOverlap(zs, c, lo, hi) }
+    }
+  }
 
   /** Driver-local point read with NO Spark job: manifest → part-file footer
     * → one page → one row (see [[DirectParquetRead]]). None means "can't

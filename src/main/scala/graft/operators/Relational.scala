@@ -385,6 +385,63 @@ object Relational {
       | FROM lineitem)
       |WHERE _rowid >= 1000 AND _rowid < 1100""".stripMargin
 
+  /** Orders re-laid-out as a date-clustered VectorTable (one append per
+    * order year → one batch per year with tight `odate` zone maps in the
+    * manifest). The build runs once per (machine, sf dir) behind the same
+    * crash-safe pointer protocol as the rowid table.
+    */
+  private def ordersZoneTable(s: SparkSession, d: String): graft.core.VectorTable =
+    rowidTables.computeIfAbsent("zm:" + d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"orders-zm-$key.path")
+      if (!Files.exists(pointer)) {
+        val root = base.resolve(s"orders-zm-$key-${java.util.UUID.randomUUID()}")
+        val t = graft.core.VectorTable.create(s, root.toString)
+        val src = Tables.orders(s, d).select(
+          to_date(col("o_orderdate")).as("odate"),
+          col("o_orderkey").as("orderkey"),
+          col("o_custkey").as("custkey"),
+          col("o_totalprice").as("totalprice"))
+        val years = src.select(year(col("odate"))).distinct()
+          .collect().map(_.getInt(0)).sorted
+        years.foreach(y => t.append(src.where(year(col("odate")) === y)))
+        try Files.write(pointer, root.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+      graft.core.VectorTable.open(s, Files.readString(pointer))
+    })
+
+  def prebuildZoneTable(s: SparkSession, d: String): Unit =
+    ordersZoneTable(s, d)
+
+  /** Zone-map-pruned date-range scan: the manifest's per-batch min/max on
+    * `odate` lets the driver skip every batch (year) outside 1995 before
+    * Spark plans anything — the file-skipping discipline that turns a
+    * 100 TB time-range query into a scan of just the matching partitions.
+    * Results are identical to a full scan + filter (the zone maps only
+    * remove work); the oracle checks exactly that.
+    */
+  def zonemapOrdersDaterange(s: SparkSession, d: String): DataFrame = {
+    val lo = java.time.LocalDate.parse("1995-01-01")
+    val hi = java.time.LocalDate.parse("1995-12-31")
+    ordersZoneTable(s, d)
+      .scanWhere(("odate", Some(lo), Some(hi)))
+      .groupBy(month(col("odate")).as("m"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("totalprice"))).cast("double").as("total"))
+  }
+
+  val zonemapOrdersDaterangeSql: String =
+    """SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+      |GROUP BY 1""".stripMargin
+
   /** O(1)-able count — reference `len()` (src/vector_engine.rs:29). */
   def tableLength(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).agg(count(lit(1)).as("len"))
