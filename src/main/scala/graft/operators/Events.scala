@@ -18,6 +18,26 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Events {
 
+  /** Batch twin of the streaming leaderboard
+    * ([[graft.streaming.TopK.topKPerType]]): top-5 events per type by
+    * (value desc, event_id) — the state the bounded streaming operator
+    * converges to, which StreamingTopKSpec proves; this declared form
+    * oracle-checks the ranking semantics.
+    */
+  def streamingTopk(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))))
+      .where(col("rank") <= 5)
+      .select(col("event_type"), col("rank"), col("event_id"), col("value"))
+
+  val streamingTopkSql: String =
+    """SELECT event_type, CAST(rn AS INTEGER) AS rank, event_id, value FROM (
+      | SELECT event_type, event_id, value,
+      |   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+      | FROM events)
+      |WHERE rn <= 5""".stripMargin
+
   /** Tumbling 1-hour windows per event type (streaming: groupBy(window(...))). */
   def hourlyByType(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
