@@ -69,14 +69,43 @@ object Dedup {
     * hashes. Map-only (aggregate/transform fold inside codegen).
     */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(Tables.documents(s, d))
+
+  /** Signature stage over any (doc_id, text) frame — shared by the
+    * query-time pipeline and the persisted [[LshIndex]].
+    */
+  private[operators] def signaturesOf(docs: DataFrame): DataFrame =
     // Native codegen'd kernel (graft.functions.MinHashSig): one tight loop
     // per row for split → shingle → md5 → k mixed minima. The declarative
     // HOF pipeline computes the same values ~20× slower (interpreted lambda
     // evaluation per array element); semantics and oracle SQL unchanged.
-    Tables.documents(s, d)
+    docs
       .withColumn("mins", graft.functions.TextFunctions.minhashSig(col("text"), numHashes))
       .where(size(col("mins")) > 0)
       .select(col("doc_id") +: (0 until numHashes).map(j => col("mins")(j).as(s"mh$j")): _*)
+
+  /** Banding stage: k-row signature → (doc_id, band, h1, h2) bucket rows. */
+  private[operators] def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      (0 until numHashes / 2).map(b =>
+        struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))): _*
+    )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.h1"), col("bb.h2"))
+
+  /** Pair stage: ONE aggregation on the bucket key with in-bucket ordered
+    * pair expansion (see [[lshCandidatePairs]] for why not a self-join).
+    */
+  private[operators] def pairsFromBands(bands: DataFrame): DataFrame =
+    bands
+      .groupBy("band", "h1", "h2")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        // all ordered pairs (ids[i], ids[j]) with i < j from the sorted bucket
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin
+      )).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
 
   val minhashSignaturesSql: String = {
     val mins = (0 until numHashes)
@@ -101,24 +130,54 @@ object Dedup {
     * computed once, shuffled once, and the quadratic work is contained to
     * bucket occupancy (the LSH guarantee). Measured 4× faster at sf0.1.
     */
-  def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d)
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until numHashes / 2).map(b =>
-        struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))): _*
-    )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.h1"), col("bb.h2"))
-    bands
-      .groupBy("band", "h1", "h2")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        // all ordered pairs (ids[i], ids[j]) with i < j from the sorted bucket
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin
-      )).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
-  }
+  def lshCandidatePairs(s: SparkSession, d: String): DataFrame =
+    pairsFromBands(bandsOf(minhashSignatures(s, d)))
+
+  /** Documents ingested into a VectorTable in two stages with an
+    * [[LshIndex]] built on the first and INCREMENTALLY refreshed for the
+    * second — cached per (machine, sf dir) behind the pointer protocol.
+    * The declared query then reads candidates from the index, so the
+    * oracle (which recomputes from raw text) proves incremental
+    * maintenance is lossless.
+    */
+  private val lshIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, LshIndex]()
+  private def documentsLshIndex(s: SparkSession, d: String): LshIndex =
+    lshIndexes.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"docs-lsh-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"docs-lsh-$key-${java.util.UUID.randomUUID()}")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val cutoff = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+        val t = graft.core.VectorTable.create(s, s"$dir/table")
+        t.append(docs.where(col("doc_id") <= cutoff))
+        val idx = LshIndex.build(t, s"$dir/index")
+        t.append(docs.where(col("doc_id") > cutoff))
+        idx.refresh(t)
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+      LshIndex.open(s, s"${Files.readString(pointer)}/index")
+    })
+
+  def prebuildLshIndex(s: SparkSession, d: String): Unit =
+    documentsLshIndex(s, d)
+
+  /** Candidate pairs served from the persisted two-stage index (no
+    * signature recomputation at query time). Oracle: identical SQL to
+    * [[lshCandidatePairs]] — DuckDB recomputes from raw text.
+    */
+  def lshIndexCandidates(s: SparkSession, d: String): DataFrame =
+    documentsLshIndex(s, d).candidatePairs()
+
+  // lazy: lshCandidatePairsSql is declared later in this object, and a
+  // strict val here would read it before initialization (null)
+  lazy val lshIndexCandidatesSql: String = lshCandidatePairsSql
 
   val lshCandidatePairsSql: String = {
     val bandRows = (0 until numHashes / 2)

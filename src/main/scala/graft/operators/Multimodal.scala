@@ -134,6 +134,49 @@ object Multimodal {
       |   / CAST(least(100, length(text)) AS DOUBLE) AS mean_byte
       |FROM documents""".stripMargin
 
+  /** Schema of the thumbnail/feature stage: an 8-bin byte histogram per
+    * payload (the deterministic stand-in for "resize to fixed dims and
+    * featurize").
+    */
+  val thumbnailSchema: StructType = StructType(
+    StructField("doc_id", LongType, nullable = false) +:
+      (0 until 8).map(b => StructField(s"h$b", IntegerType, nullable = false)))
+
+  /** Fixed-size-batch feature extraction — the `mapInPandas` batch
+    * contract made explicit: the partition iterator is processed in
+    * batches of 64 rows (a real codec/model amortizes per-BATCH setup —
+    * tensor allocation, accelerator dispatch — not just per-partition),
+    * and each payload maps to a fixed-width feature row (here an 8-bin
+    * byte histogram, i.e. a deterministic "thumbnail"). Streaming
+    * iterators end to end: nothing materializes beyond one batch per
+    * partition.
+    */
+  def thumbnailHistogram(s: SparkSession, d: String): DataFrame = {
+    val bin = asBinaryTable(s, d).select("doc_id", "payload")
+    val rows = bin.rdd.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        // per-batch decoder setup would live here
+        batch.map { r =>
+          val p = r.getAs[Array[Byte]](1)
+          val h = new Array[Int](8)
+          p.foreach(b => h((b & 0xff) >> 5) += 1)
+          Row.fromSeq(r.getLong(0) +: h.toIndexedSeq)
+        }
+      }
+    }
+    s.createDataFrame(rows, thumbnailSchema)
+  }
+
+  /** The histogram arithmetic mirrored in SQL for the oracle. */
+  val thumbnailHistogramSql: String = {
+    val bins = (0 until 8).map(b =>
+      s"CAST(len(list_filter(range(1, length(text) + 1), i -> ascii(substr(text, i, 1)) // 32 = $b)) AS INTEGER) AS h$b")
+      .mkString(",\n ")
+    s"""SELECT doc_id,
+       | $bins
+       |FROM documents""".stripMargin
+  }
+
   /** Exact binary dedup by content digest — the multimodal twin of text
     * exact-dedup: digests computed in the scan projection (the payload
     * itself never shuffles), one distinct aggregation, plus per-source

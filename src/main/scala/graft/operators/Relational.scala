@@ -525,6 +525,79 @@ object Relational {
           (sqrt(m("sxx") - m("sx") * m("sx")) * sqrt(m("syy") - m("sy") * m("sy")))).as("corr"))
   }
 
+  /** Simple linear regression (slope/intercept of extendedprice on
+    * quantity) per flag, built from the same DECIMAL(38,0) integer-cent
+    * moments as the covariance query: every double is produced by a single
+    * cast or a fixed-order arithmetic step, so the oracle reproduces the
+    * exact bits (the built-in `regr_slope`'s internal summation order
+    * would not be reproducible across engines).
+    */
+  def quantityPriceRegression(s: SparkSession, d: String): DataFrame = {
+    val xc = expr("CAST(round(l_quantity * 100) AS BIGINT)")
+    val yc = expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    val d0 = DecimalType(38, 0)
+    def dbl(c: String): Column = col(c).cast("double")
+    def m(c: String): Column = dbl(c) / col("n")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), xc.as("xc"), yc.as("yc"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xc").cast(d0)).as("sx"), sum(col("yc").cast(d0)).as("sy"),
+        sum((col("xc").cast(d0) * col("yc")).cast(d0)).as("sxy"),
+        sum((col("xc").cast(d0) * col("xc")).cast(d0)).as("sxx"))
+      .withColumn("slope",
+        (m("sxy") - m("sx") * m("sy")) / (m("sxx") - m("sx") * m("sx")))
+      .select(col("l_returnflag"), col("n"), col("slope"),
+        ((m("sy") - col("slope") * m("sx")) / 100.0).as("intercept"))
+  }
+
+  val quantityPriceRegressionSql: String =
+    """SELECT l_returnflag, n, slope,
+      | (CAST(sy AS DOUBLE) / n - slope * (CAST(sx AS DOUBLE) / n)) / 100.0 AS intercept
+      |FROM (SELECT l_returnflag, n, sx, sy,
+      |        (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+      |         / (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS slope
+      |      FROM (SELECT l_returnflag, COUNT(*) AS n,
+      |              SUM(CAST(xc AS DECIMAL(38,0))) AS sx,
+      |              SUM(CAST(yc AS DECIMAL(38,0))) AS sy,
+      |              SUM(CAST(CAST(xc AS DECIMAL(38,0)) * yc AS DECIMAL(38,0))) AS sxy,
+      |              SUM(CAST(CAST(xc AS DECIMAL(38,0)) * xc AS DECIMAL(38,0))) AS sxx
+      |            FROM (SELECT l_returnflag,
+      |                    CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+      |                    CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      |                  FROM lineitem)
+      |            GROUP BY l_returnflag))""".stripMargin
+
+  /** Deterministic mode (smallest value among the most frequent — an
+    * explicit tie-break both engines compute identically, where built-in
+    * `mode()` tie behavior is unspecified) plus boolean aggregates.
+    */
+  def flagModeProfile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val c = li.groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("qty"))
+      .agg(count(lit(1)).as("cnt"))
+    val mx = c.groupBy("flag").agg(max("cnt").as("mx"))
+    val mode = c.join(mx, Seq("flag")).where(col("cnt") === col("mx"))
+      .groupBy("flag").agg(min("qty").as("mode_qty"), max("cnt").as("mode_n"))
+    val bools = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(expr("bool_and(l_quantity > 0)").as("all_pos"),
+        expr("bool_or(l_discount > 0.05)").as("any_big_disc"))
+    mode.join(bools, Seq("flag"))
+  }
+
+  val flagModeProfileSql: String =
+    """WITH c AS (SELECT l_returnflag AS flag, l_quantity AS qty, COUNT(*) AS cnt
+      |           FROM lineitem GROUP BY 1, 2),
+      | m AS (SELECT flag, MAX(cnt) AS mx FROM c GROUP BY 1),
+      | md AS (SELECT c.flag, MIN(c.qty) AS mode_qty, MAX(c.cnt) AS mode_n
+      |        FROM c JOIN m ON c.flag = m.flag AND c.cnt = m.mx GROUP BY c.flag),
+      | b AS (SELECT l_returnflag AS flag, bool_and(l_quantity > 0) AS all_pos,
+      |         bool_or(l_discount > 0.05) AS any_big_disc
+      |       FROM lineitem GROUP BY 1)
+      |SELECT md.flag, md.mode_qty, md.mode_n, b.all_pos, b.any_big_disc
+      |FROM md JOIN b ON md.flag = b.flag""".stripMargin
+
   val quantityPriceCovarianceSql: String =
     """SELECT l_returnflag, n,
       | (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / 10000.0 AS covar_pop,

@@ -63,6 +63,114 @@ object TextOps {
       |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio
       | FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents))""".stripMargin
 
+  /** Benchmark-contamination check: fraction of each document's word
+    * 8-grams that appear anywhere in the EVAL SET (here the deterministic
+    * `doc_id % 50 = 0` subset stands in for a held-out benchmark). The
+    * standard decontamination pass for training corpora: exact n-gram
+    * overlap, corpus side exploded once, eval gram set deduplicated — at
+    * scale the eval set is tiny and the join broadcasts, so the whole
+    * check is one map-side pass over the corpus grams.
+    */
+  def contaminationCheck(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .withColumn("toks", tokens("text"))
+      .select(col("doc_id"), explode(expr(
+        """filter(transform(toks, (t, i) ->
+          |  IF(i + 8 <= size(toks), concat_ws(' ', slice(toks, i + 1, 8)), NULL)),
+          |  x -> x IS NOT NULL)""".stripMargin)).as("g"))
+    val evalGrams = grams.where(col("doc_id") % 50 === 0)
+      .select(col("g").as("eg")).distinct()
+    grams
+      .join(broadcast(evalGrams), col("g") === col("eg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("eg")).as("n_hit"))
+      .where(col("n_hit") > 0)
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_grams").cast("double"))
+  }
+
+  val contaminationCheckSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      | grams AS (SELECT doc_id,
+      |             unnest(list_transform(range(1, len(toks) - 6),
+      |               i -> array_to_string(toks[i:i+7], ' '))) AS g
+      |           FROM t WHERE len(toks) >= 8),
+      | eval_grams AS (SELECT DISTINCT g AS eg FROM grams WHERE doc_id % 50 = 0)
+      |SELECT doc_id, COUNT(*) AS n_grams, COUNT(eg) AS n_hit,
+      |  CAST(COUNT(eg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contamination
+      |FROM grams LEFT JOIN eval_grams ON g = eg
+      |GROUP BY doc_id
+      |HAVING COUNT(eg) > 0""".stripMargin
+
+  /** Intra-document repetition: duplicate word-bigram fraction plus the
+    * most-frequent-token share — the cheap repetitive-text signals quality
+    * filters cut on. Map-only.
+    */
+  def repetitionStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", tokens("text"))
+      .withColumn("bigrams", expr(
+        """filter(transform(toks, (t, i) ->
+          |  IF(i + 2 <= size(toks), concat_ws(' ', slice(toks, i + 1, 2)), NULL)),
+          |  x -> x IS NOT NULL)""".stripMargin))
+      .where(size(col("bigrams")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("bigrams")).as("n_bigrams"),
+        size(array_distinct(col("bigrams"))).as("n_distinct"),
+        (lit(1.0) - size(array_distinct(col("bigrams"))).cast("double")
+          / size(col("bigrams")).cast("double")).as("rep_ratio"),
+        (expr("CAST(array_max(transform(array_distinct(toks), u -> size(filter(toks, x -> x = u)))) AS DOUBLE)")
+          / size(col("toks")).cast("double")).as("top_token_share"))
+
+  val repetitionStatsSql: String =
+    """SELECT doc_id, len(bg) AS n_bigrams, len(list_distinct(bg)) AS n_distinct,
+      | 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE) AS rep_ratio,
+      | CAST(list_max(list_transform(list_distinct(toks),
+      |   u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+      |   / CAST(len(toks) AS DOUBLE) AS top_token_share
+      |FROM (SELECT doc_id, toks,
+      |        list_transform(range(1, len(toks)),
+      |          i -> array_to_string(toks[i:i+1], ' ')) AS bg
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      |WHERE len(bg) > 0""".stripMargin
+
+  /** PII-style masking: e-mails and phone-shaped digit groups counted and
+    * replaced (global regex). The corpus is synthetic word-salad with no
+    * PII, so each doc is AUGMENTED with a deterministic contact string —
+    * built identically in both engines — and the oracle then verifies the
+    * masking itself on real matches, not just on empty output.
+    */
+  def piiMasking(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-z0-9._]+@[a-z0-9.]+"
+    val phone = "[0-9]{3}-[0-9]{4}"
+    Tables.documents(s, d)
+      .withColumn("aug", concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example call 555-"),
+        lpad((col("doc_id") % 100).cast("string"), 4, "0")))
+      .select(
+        col("doc_id"),
+        expr(s"size(regexp_extract_all(aug, '$email', 0))").as("n_emails"),
+        expr(s"size(regexp_extract_all(aug, '$phone', 0))").as("n_phones"),
+        expr(s"regexp_replace(regexp_replace(aug, '$email', '<EMAIL>'), '$phone', '<PHONE>')")
+          .as("masked"))
+      .withColumn("masked_len", length(col("masked")))
+  }
+
+  val piiMaskingSql: String =
+    """SELECT doc_id,
+      | CAST(len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.]+')) AS INTEGER) AS n_emails,
+      | CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+      | regexp_replace(regexp_replace(aug, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked,
+      | CAST(length(regexp_replace(regexp_replace(aug, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS INTEGER) AS masked_len
+      |FROM (SELECT doc_id,
+      |        text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |          || '@mail.example call 555-' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') AS aug
+      |      FROM documents)""".stripMargin
+
   /** Language identification by stopword-marker voting — a deterministic
     * n-gram-style heuristic (the corpus is synthetic; the point is the
     * operator shape: argmax over per-language evidence in one pass).

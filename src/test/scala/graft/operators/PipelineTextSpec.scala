@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Mechanics of the training-pipeline text filters on crafted inputs (the
+  * declared queries oracle-check the same expressions over the corpus,
+  * where the synthetic text exercises fewer edge shapes).
+  */
+class PipelineTextSpec extends SparkSpec {
+
+  test("pii masking replaces every email and phone occurrence, counts match") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to alice.b@example.org or bob@site.io now"),
+      (2L, "call 555-1234 or 555-9876 twice 555-1234"),
+      (3L, "clean text with no contact info at all"))
+      .toDF("doc_id", "text")
+    val email = "[a-z0-9._]+@[a-z0-9.]+"
+    val phone = "[0-9]{3}-[0-9]{4}"
+    val byId = df.select(
+      col("doc_id"),
+      expr(s"size(regexp_extract_all(text, '$email', 0))").as("n_emails"),
+      expr(s"size(regexp_extract_all(text, '$phone', 0))").as("n_phones"),
+      expr(s"regexp_replace(regexp_replace(text, '$email', '<EMAIL>'), '$phone', '<PHONE>')").as("masked")
+    ).collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(byId(1L) == ((2, 0, "write to <EMAIL> or <EMAIL> now")))
+    assert(byId(2L) == ((0, 3, "call <PHONE> or <PHONE> twice <PHONE>")))
+    assert(byId(3L) == ((0, 0, "clean text with no contact info at all")))
+  }
+
+  test("contamination flags exactly the docs sharing an 8-gram with the eval set") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (0L, s"$shared tail words here"),            // eval doc (id % 50 == 0)
+      (7L, s"prefix $shared and more"),            // contaminated via shared 8-gram
+      (9L, "totally different words that overlap nothing at all okay"))
+      .toDF("doc_id", "text")
+    // same expression pipeline as the declared query, against local docs
+    val grams = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """filter(transform(toks, (t, i) ->
+          |  IF(i + 8 <= size(toks), concat_ws(' ', slice(toks, i + 1, 8)), NULL)),
+          |  x -> x IS NOT NULL)""".stripMargin)).as("g"))
+    val evalGrams = grams.where(col("doc_id") % 50 === 0).select(col("g").as("eg")).distinct()
+    val hit = grams.join(evalGrams, col("g") === col("eg"), "left")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), count(col("eg")).as("h"))
+      .where(col("h") > 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hit.keySet == Set(0L, 7L), s"flagged: ${hit.keySet}")
+    assert(hit(0L)._1 == hit(0L)._2, "eval doc should be 100% contaminated")
+    assert(hit(7L)._2 == 1L, "exactly the one shared 8-gram should hit")
+  }
+}
