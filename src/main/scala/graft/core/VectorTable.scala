@@ -387,9 +387,41 @@ final class VectorTable(val spark: SparkSession, val root: String) {
         if (zs.isEmpty) Map.empty else Map(batchId -> zs)))
     }
 
+  /** Storage reclamation after compaction: drop every batch directory not
+    * referenced by one of the newest `retainVersions` manifests, and the
+    * older manifest files with them. Time travel is intentionally bounded
+    * by retention (exactly the lakehouse VACUUM contract): readers of
+    * retained versions are unaffected because their batch sets are kept in
+    * full; `scanAt` on a vacuumed version throws.
+    */
+  def vacuum(retainVersions: Int = 1): Unit = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    VectorTable.commitLock.synchronized {
+      val versions = Manifest.listVersions(root).sorted
+      if (versions.size <= retainVersions) return
+      val (drop, keep) = versions.splitAt(versions.size - retainVersions)
+      val keepDirs = keep.flatMap(v => Manifest.loadVersion(root, v).batches.map(_.relPath)).toSet
+      val dataDir = Paths.get(root, "data")
+      if (Files.isDirectory(dataDir)) {
+        Files.list(dataDir).iterator().asScala.toSeq.foreach { p =>
+          if (!keepDirs.contains(s"data/${p.getFileName}")) deleteRecursively(p)
+        }
+      }
+      drop.foreach(v => Files.deleteIfExists(Manifest.metaDir(root).resolve(Manifest.fileName(v))))
+      openCache.clear() // cached frames may reference deleted files
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.delete(p)
+  }
+
   /** Time travel: the table as of a committed manifest `version` — every
-    * manifest file is retained and batches are never deleted (append-only,
-    * like the reference's log), so any historical state stays readable.
+    * manifest file and batch dir is retained until [[vacuum]] explicitly
+    * reclaims it (append-only, like the reference's log), so any
+    * historical state within the retention window stays readable.
     */
   def scanAt(version: Long): DataFrame = {
     val m = Manifest.loadVersion(root, version)

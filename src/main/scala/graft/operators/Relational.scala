@@ -401,14 +401,17 @@ object Relational {
       if (!Files.exists(pointer)) {
         val root = base.resolve(s"orders-zm-$key-${java.util.UUID.randomUUID()}")
         val t = graft.core.VectorTable.create(s, root.toString)
+        // cache: each per-year append would otherwise rescan orders
         val src = Tables.orders(s, d).select(
           to_date(col("o_orderdate")).as("odate"),
           col("o_orderkey").as("orderkey"),
           col("o_custkey").as("custkey"),
-          col("o_totalprice").as("totalprice"))
-        val years = src.select(year(col("odate"))).distinct()
-          .collect().map(_.getInt(0)).sorted
-        years.foreach(y => t.append(src.where(year(col("odate")) === y)))
+          col("o_totalprice").as("totalprice")).persist()
+        try {
+          val years = src.select(year(col("odate"))).distinct()
+            .collect().map(_.getInt(0)).sorted
+          years.foreach(y => t.append(src.where(year(col("odate")) === y)))
+        } finally { src.unpersist(blocking = false); () }
         try Files.write(pointer, root.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
       }
@@ -489,6 +492,32 @@ object Relational {
       |FROM orders
       |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
       |GROUP BY 1""".stripMargin
+
+  /** Full outer join (the one outer-join shape the corpus lacked):
+    * customers capped to a key range against per-customer order
+    * aggregates, so BOTH unmatched sides are exercised — customers with
+    * no orders (left-only) and order keys past the cap (right-only).
+    */
+  def fullOuterCustomerOrders(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).where(col("c_custkey") <= 1000)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"))
+    val ord = Tables.orders(s, d).groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
+    cust.join(ord, Seq("custkey"), "full_outer")
+      .select(col("custkey"), col("segment"), col("n_orders"), col("total"),
+        col("segment").isNull.as("order_only"), col("n_orders").isNull.as("customer_only"))
+  }
+
+  val fullOuterCustomerOrdersSql: String =
+    """SELECT custkey, segment, n_orders, total,
+      | segment IS NULL AS order_only, n_orders IS NULL AS customer_only
+      |FROM (SELECT c_custkey AS custkey, c_mktsegment AS segment
+      |      FROM customer WHERE c_custkey <= 1000) c
+      |FULL OUTER JOIN
+      |     (SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+      |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |      FROM orders GROUP BY 1) o
+      |USING (custkey)""".stripMargin
 
   /** O(1)-able count — reference `len()` (src/vector_engine.rs:29). */
   def tableLength(s: SparkSession, d: String): DataFrame =
