@@ -435,6 +435,24 @@ final class VectorTable(val spark: SparkSession, val root: String) {
   /** All committed manifest versions, ascending. */
   def versions: Seq[Long] = Manifest.listVersions(root)
 
+  /** Change feed: the rows appended between committed versions
+    * (`fromVersion`, `toVersion`] — the append-only table's CDC surface.
+    * Pure manifest arithmetic (length at each version bounds the rowid
+    * span) plus one pruned range read; no data diffing. Maintenance
+    * commits that add no rows (compaction) correctly produce an empty
+    * feed. Versions outside the [[vacuum]] retention window throw.
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"fromVersion $fromVersion > toVersion $toVersion")
+    val lo = if (fromVersion <= 0L) 0L else Manifest.loadVersion(root, fromVersion).length
+    val m2 = Manifest.loadVersion(root, toVersion)
+    val hi = m2.length
+    val hit = m2.batches.filter(b => b.end > lo && b.start < hi)
+    if (hi <= lo || hit.isEmpty) emptyLike()
+    else open(hit.map(b => s"$root/${b.relPath}"), m2.mixedSchema)
+      .where(col(ROWID) >= lo && col(ROWID) < hi)
+  }
+
   /** Full scan carrying `_rowid`; storage order ≡ insertion order. */
   def scan(): DataFrame = {
     val m = manifest

@@ -151,6 +151,14 @@ object EventStreams {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** Stream-static enrichment: each micro-batch broadcast-joins the static
+    * dimension frame — stateless (nothing buffers across batches), the
+    * standard dimension-enrichment topology. At cluster scale the dim side
+    * is broadcast once per batch and the stream never shuffles.
+    */
+  def enrichWithDims(events: DataFrame, dims: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dims), Seq(key), "left")
+
   /** Output-mode contract for each transform above (windowed aggs complete/
     * update/append-with-watermark; stateful map is update).
     */

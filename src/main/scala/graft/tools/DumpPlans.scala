@@ -15,7 +15,9 @@ object DumpPlans {
       "q1_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
       "q5_local_supplier", "top10_lineitems", "dedup_lsh_candidates",
       "knn_brute_force", "asof_last_purchase", "events_user_sessions",
-      "skew_salted_event_totals")
+      "skew_salted_event_totals",
+      "zonemap_orders_daterange", "zorder_rectangle", "text_contamination",
+      "dedup_lsh_index_candidates", "events_streaming_topk")
     picks.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, d)
       val txt = df.queryExecution.explainString(
