@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.core.VectorTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Incrementally-maintained IVF index over an embeddings [[VectorTable]]:
+  * centroids are fixed at build time (the standard IVF maintenance
+  * contract — re-clustering is a rebuild, not a refresh) and persisted
+  * with the index; a refresh assigns ONLY the appended rowid span to the
+  * existing cells and appends into the cell-partitioned layout.
+  *
+  * Scale shape: the assignment pass is map-only (k cosine kernels + argmax
+  * per new vector), the index directory stays hive-partitioned by `cell`
+  * so a search lists only the probed cells' files, and a continuously-fed
+  * corpus never pays a full re-index. Same (version, length) staleness
+  * protocol as [[LshIndex]] and [[graft.core.SecondaryIndex]].
+  */
+final class IvfTableIndex private (
+    val spark: SparkSession,
+    val root: String,
+    val builtFromVersion: Long,
+    val indexedLength: Long) {
+
+  /** Fixed cell centroids, persisted at build time. */
+  lazy val centroids: Array[Array[Float]] =
+    spark.read.parquet(s"$root/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+
+  /** The cell-partitioned index rows (vec_id, embedding, cell). */
+  def data: DataFrame = spark.read.parquet(s"$root/data")
+
+  def isStale(table: VectorTable): Boolean =
+    table.manifest.version > builtFromVersion
+
+  /** Assign only the appended span to the FIXED centroids; no-op → `this`. */
+  def refresh(table: VectorTable): IvfTableIndex = {
+    val m = table.manifest
+    if (m.length <= indexedLength) return this
+    IvfTableIndex.writeSpan(table, centroids, indexedLength, m.length - indexedLength, root)
+    IvfTableIndex.writeMeta(root, m.version, m.length)
+    new IvfTableIndex(spark, root, m.version, m.length)
+  }
+
+  /** Cell-pruned cosine top-k: probe the `nprobe` cells ranked nearest to
+    * `q`, scan only their partitions, deterministic (sim desc, vec_id) tie
+    * order.
+    */
+  def search(q: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val probes = IvfTableIndex.rankCells(q, centroids).take(nprobe)
+    data
+      .where(col("cell").isin(probes: _*))
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("embedding"), lit(q)))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .select("vec_id", "cell", "sim")
+  }
+}
+
+object IvfTableIndex {
+
+  /** Build with centroids = the table's first `numCells` vectors by vec_id
+    * (deterministic, no RNG — the same discipline as the corpus-level IVF
+    * queries).
+    */
+  def build(table: VectorTable, root: String, numCells: Int = 8): IvfTableIndex = {
+    val m = table.manifest
+    require(m.length >= numCells, s"need at least $numCells vectors to seed centroids")
+    Files.createDirectories(Paths.get(root))
+    val cs = table.scan()
+      .orderBy("vec_id").limit(numCells)
+      .select("vec_id", "embedding")
+      .collect().map(_.getSeq[Float](1).toArray)
+    val spark = table.spark
+    import spark.implicits._
+    cs.zipWithIndex.map { case (e, i) => (i, e.toSeq) }.toSeq.toDF("cell", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    writeSpan(table, cs, 0L, m.length, root)
+    writeMeta(root, m.version, m.length)
+    new IvfTableIndex(spark, root, m.version, m.length)
+  }
+
+  def open(spark: SparkSession, root: String): IvfTableIndex = {
+    val Array(v, len) = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
+    new IvfTableIndex(spark, root, v.toLong, len.toLong)
+  }
+
+  /** Cells ranked by cosine(q, centroid) desc, ties to the lower id —
+    * driver-side over numCells rows.
+    */
+  def rankCells(q: Array[Float], cs: Array[Array[Float]]): Array[Int] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    cs.indices.sortBy(i => (-cos(q, cs(i)), i)).toArray
+  }
+
+  private def writeSpan(table: VectorTable, cs: Array[Array[Float]],
+                        start: Long, count: Long, root: String): Unit = {
+    val sims = array(cs.indices.map(j =>
+      graft.functions.VectorFunctions.cosineF(col("embedding"), lit(cs(j)))): _*)
+    table.range(start, count)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("sims", sims)
+      .withColumn("centroid_sim", array_max(col("sims")))
+      .withColumn("cell", (array_position(col("sims"), col("centroid_sim")) - 1).cast("int"))
+      .select("vec_id", "embedding", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$root/data")
+  }
+
+  private def writeMeta(root: String, version: Long, length: Long): Unit = {
+    val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, s"$version,$length".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, Paths.get(root, "meta.txt"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.{Tables, VectorTable}
+import org.apache.spark.sql.functions._
+
+/** Incremental IVF maintenance: refresh assigns only the appended span to
+  * the FIXED centroids and must be indistinguishable from a full rebuild
+  * with the same centroids.
+  */
+class IvfIncrementalSpec extends SparkSpec {
+
+  private def results(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+
+  test("build + refresh equals full rebuild; only the new span is assigned") {
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    val cut = emb.agg(max("vec_id")).head.getLong(0) / 2
+    val root = tmpDir("ivfinc")
+
+    // two-stage table + incremental index
+    val t = VectorTable.create(spark, s"$root/table")
+    t.append(emb.where(col("vec_id") <= cut))
+    val idx = IvfTableIndex.build(t, s"$root/index")
+    val afterBuild = idx.data.count()
+    t.append(emb.where(col("vec_id") > cut))
+    assert(idx.isStale(t))
+    val idx2 = idx.refresh(t)
+    assert(!idx2.isStale(t))
+    assert(afterBuild == cut + 1, s"build indexed $afterBuild of ${cut + 1}")
+    assert(idx2.data.count() == t.length, "refresh must cover the whole table")
+
+    // one-stage control: same rows, same centroid seeds (first 8 vec_ids
+    // live in the first half, so both indexes fix identical centroids)
+    val t2 = VectorTable.create(spark, s"$root/table2")
+    t2.append(emb)
+    val rebuilt = IvfTableIndex.build(t2, s"$root/index2")
+    assert(idx2.centroids.map(_.toSeq).toSeq == rebuilt.centroids.map(_.toSeq).toSeq)
+
+    val q = emb.where(col("vec_id") === cut + 3).select("embedding")
+      .head.getSeq[Float](0).toArray
+    val got = results(idx2.search(q, 5, 2))
+    val want = results(rebuilt.search(q, 5, 2))
+    assert(got == want && got.size == 5, s"got $got\nwant $want")
+    // sanity: the searched vector itself must surface (sim 1.0 with itself)
+    assert(got.head._1 == cut + 3 && got.head._3 > 0.999)
+  }
+
+  test("search prunes to the probed cells' partitions") {
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    val root = tmpDir("ivfinc2")
+    val t = VectorTable.create(spark, s"$root/table")
+    t.append(emb)
+    val idx = IvfTableIndex.build(t, s"$root/index")
+    val q = emb.where(col("vec_id") === 11L).select("embedding").head.getSeq[Float](0).toArray
+    // AQE off: read post-pruning scan metrics (inputFiles is pre-pruning)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probed = idx.search(q, 5, 2)
+      probed.collect()
+      val scan = probed.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      val readFiles = scan.metrics("numFiles").value
+      val allFiles = spark.read.parquet(s"$root/index/data").inputFiles.length
+      assert(readFiles < allFiles, s"expected pruning: $readFiles of $allFiles")
+      // reopen serves the same results
+      val reopened = IvfTableIndex.open(spark, s"$root/index")
+      assert(results(reopened.search(q, 5, 2)) == results(probed))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

@@ -77,4 +77,18 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.toString.contains("LateralJoin"),
       s"lateral join survived decorrelation:\n$plan")
   }
+
+  test("no declared query plans a cartesian product (corpus-wide scale guard)") {
+    // Planning-only sweep over EVERY SparkEntry query: a cartesian product
+    // anywhere is the one join shape that can never survive a scale-up, so
+    // a refactor reintroducing one (e.g. by dropping a join key or a
+    // broadcast hint) fails here before it ships. BroadcastNestedLoopJoin
+    // is allowed — the theta queries use it deliberately, dims-only.
+    val d = sf()
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, d).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
 }
