@@ -519,6 +519,29 @@ object Relational {
       |      FROM orders GROUP BY 1) o
       |USING (custkey)""".stripMargin
 
+  /** Change feed as a declared query: the date-clustered orders table is
+    * built with one append per order year ascending (the testdata's order
+    * dates span 1995-2001 at every sf, so appends 1..7 are those years in
+    * order), and `versions(i)` is the manifest version after append i+1.
+    * The (versions(2), versions(4)] feed is therefore exactly appends 4
+    * and 5 — the 1998+1999 orders — which the oracle states directly,
+    * proving `changesBetween` returns precisely the appended span.
+    * `_rowid` is excluded: it reflects physical append order, which the
+    * oracle cannot (and need not) reproduce.
+    */
+  def changeFeedOrders(s: SparkSession, d: String): DataFrame = {
+    val t = ordersZoneTable(s, d)
+    val vs = t.versions
+    t.changesBetween(vs(2), vs(4))
+      .select("orderkey", "custkey", "totalprice", "odate")
+  }
+
+  val changeFeedOrdersSql: String =
+    """SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+      | o_totalprice AS totalprice, CAST(o_orderdate AS DATE) AS odate
+      |FROM orders
+      |WHERE EXTRACT(YEAR FROM o_orderdate) IN (1998, 1999)""".stripMargin
+
   /** O(1)-able count — reference `len()` (src/vector_engine.rs:29). */
   def tableLength(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).agg(count(lit(1)).as("len"))
