@@ -119,6 +119,115 @@ case class CosineSimilarityF(left: Expression, right: Expression) extends FloatV
     copy(left = l, right = r)
 }
 
+/** sq_recon_cosine(x, q): int8 scalar-quantize `x` per-vector (code_i =
+  * clamp(floor((x_i − mn)/scale + 0.5), 0, 255) with scale = (mx − mn)/255),
+  * reconstruct x̂_i = mn + code_i·scale, and return cosine(x̂, q) — the whole
+  * quantize→reconstruct→score path in one fused codegen'd loop.
+  *
+  * This is the serving shape for compressed-corpus search at 100 TB: the
+  * 4-byte-float column shrinks 4× to int8 codes + 2 floats, and scoring
+  * against the compressed form costs one tight loop, not a decode
+  * materialization. A constant vector (scale = 0) reconstructs exactly to
+  * `mn` — guarded, so no NaN ordering ambiguity reaches the comparator.
+  * Fold order matches the declarative/oracle form (one left-to-right pass,
+  * three accumulators), so results are bit-identical to DuckDB's
+  * `list_reduce` folds.
+  */
+case class SqReconCosine(left: Expression, right: Expression) extends FloatVectorFold {
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val q = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), q.numElements())
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val v = x.getFloat(i).toDouble
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    val scale = (mx - mn) / 255.0
+    var dot = 0.0
+    var nr = 0.0
+    var nq = 0.0
+    i = 0
+    while (i < n) {
+      val qi = q.getFloat(i).toDouble
+      val recon =
+        if (scale == 0.0) mn
+        else {
+          val code = math.min(255.0, math.max(0.0, math.floor((x.getFloat(i).toDouble - mn) / scale + 0.5)))
+          mn + code * scale
+        }
+      dot += recon * qi; nr += recon * recon; nq += qi * qi
+      i += 1
+    }
+    dot / (math.sqrt(nr) * math.sqrt(nq))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, q) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val mn = ctx.freshName("mn")
+      val mx = ctx.freshName("mx")
+      val v = ctx.freshName("v")
+      val scale = ctx.freshName("scale")
+      val dot = ctx.freshName("dot")
+      val nr = ctx.freshName("nr")
+      val nq = ctx.freshName("nq")
+      val qi = ctx.freshName("qi")
+      val code = ctx.freshName("code")
+      val recon = ctx.freshName("recon")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $q.numElements());
+         |double $mn = Double.POSITIVE_INFINITY; double $mx = Double.NEGATIVE_INFINITY;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $x.getFloat($i);
+         |  if ($v < $mn) $mn = $v;
+         |  if ($v > $mx) $mx = $v;
+         |}
+         |double $scale = ($mx - $mn) / 255.0;
+         |double $dot = 0.0; double $nr = 0.0; double $nq = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $qi = (double) $q.getFloat($i);
+         |  double $recon;
+         |  if ($scale == 0.0) { $recon = $mn; } else {
+         |    double $code = java.lang.Math.min(255.0, java.lang.Math.max(0.0,
+         |      java.lang.Math.floor((((double) $x.getFloat($i)) - $mn) / $scale + 0.5)));
+         |    $recon = $mn + $code * $scale;
+         |  }
+         |  $dot += $recon * $qi; $nr += $recon * $recon; $nq += $qi * $qi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nr) * java.lang.Math.sqrt($nq));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ln_m(x): natural log via `java.lang.Math.log`. Spark's builtin `ln`
+  * routes through `StrictMath.log` (fdlibm), which differs from C-libm
+  * `ln` (DuckDB, Python) by 1 ulp on some inputs — measured on the
+  * weighted-sample hash uniforms. `Math.log` (interpreted and as the
+  * HotSpot intrinsic) bit-matches libm on all tested inputs, so
+  * oracle-checked queries that genuinely need a transcendental use this.
+  */
+case class LogM(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"ln_m requires DOUBLE, got ${child.dataType.sql}")
+  override def nullSafeEval(x: Any): Any = java.lang.Math.log(x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Math.log($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API + SQL-registration surface for the native expressions. */
 object VectorFunctions {
 
@@ -128,9 +237,16 @@ object VectorFunctions {
   def cosineF(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarityF(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Register `dot_f` / `cosine_f` for SQL use in `spark.sql(...)`. */
+  def sqReconCosineF(a: Column, b: Column): Column =
+    Bridge.column(SqReconCosine(Bridge.expression(a), Bridge.expression(b)))
+
+  def lnM(a: Column): Column = Bridge.column(LogM(Bridge.expression(a)))
+
+  /** Register `dot_f` / `cosine_f` / `sq_recon_cosine` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, "dot_f", args => DotProductF(args(0), args(1)))
     Bridge.registerFunction(spark, "cosine_f", args => CosineSimilarityF(args(0), args(1)))
+    Bridge.registerFunction(spark, "sq_recon_cosine", args => SqReconCosine(args(0), args(1)))
+    Bridge.registerFunction(spark, "ln_m", args => LogM(args(0)))
   }
 }

@@ -285,4 +285,48 @@ object Events {
       | last_value(hh.mx IGNORE NULLS) OVER (PARTITION BY s.event_type ORDER BY s.h
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx_ffill
       |FROM spine s LEFT JOIN hourly hh ON s.event_type = hh.event_type AND s.h = hh.h""".stripMargin
+
+  /** Exact heavy hitters (users with > 1/k of all events) via the two-pass
+    * Misra–Gries shape: a per-partition bounded summary (`hhCounters` ≥ k
+    * counters, so no global heavy hitter can be missed — pigeonhole: an
+    * item with global share > 1/k has share > 1/k in at least one
+    * partition, and MG with s ≥ k counters retains every such item) emits
+    * a small candidate superset, then only candidates are exactly
+    * recounted. The exact recount makes the result identical to a full
+    * GROUP BY — which is exactly what the oracle runs — but the shuffle
+    * carries only candidate rows and each summary is O(s) memory
+    * regardless of partition size: at 100 TB this is a map-only pass plus
+    * a candidate-bounded aggregation, where the naive form shuffles every
+    * distinct key.
+    */
+  val hhK = 200
+  val hhCounters = 256
+
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, d).select(col("user_id")).as[Long]
+    val candidates = users.mapPartitions { it =>
+      val counters = scala.collection.mutable.LongMap.empty[Long]
+      it.foreach { v =>
+        if (counters.contains(v)) counters(v) += 1
+        else if (counters.size < hhCounters) counters(v) = 1L
+        else {
+          val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+          counters.foreachEntry((k, c) => if (c == 1L) dead += k else counters(k) = c - 1)
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("user_id").distinct()
+    val total = users.count()
+    Tables.events(s, d)
+      .join(broadcast(candidates), "user_id")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * hhK > total)
+  }
+
+  val heavyHittersSql: String =
+    s"""SELECT user_id, COUNT(*) AS cnt FROM events
+       |GROUP BY user_id
+       |HAVING COUNT(*) * $hhK > (SELECT COUNT(*) FROM events)""".stripMargin
 }

@@ -484,4 +484,195 @@ object Similarity {
        |SELECT id_a, id_b, dot / (sqrt(na2) * sqrt(nb2)) AS sim
        |FROM scored WHERE dot / (sqrt(na2) * sqrt(nb2)) >= $nearDupThreshold""".stripMargin
   }
+
+  // ---------------------------------------------------------------- int8 SQ
+
+  /** Per-vector int8 scalar-quantization profile: min/max/scale plus the
+    * max absolute reconstruction error. The quantization contract (codes =
+    * clamp(floor((x−mn)/scale + 0.5), 0, 255), scale = (mx−mn)/255) is the
+    * standard SQ8 form: a 64-float embedding compresses 4× to 64 codes + 2
+    * floats. This diagnostic is map-only — one pass per row, no shuffle —
+    * and pins exactly the same arithmetic the fused search kernel
+    * ([[graft.functions.SqReconCosine]]) uses, so the oracle checking this
+    * query transitively checks the kernel's quantizer.
+    */
+  def sqErrorStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("CAST(array_min(embedding) AS DOUBLE)").as("mn"),
+        expr("CAST(array_max(embedding) AS DOUBLE)").as("mx"),
+        col("embedding"))
+      .withColumn("scale", expr("(mx - mn) / 255.0D"))
+      .withColumn("max_abs_err", expr(
+        """array_max(transform(embedding, x ->
+          |  CASE WHEN scale = 0D THEN abs(CAST(x AS DOUBLE) - mn)
+          |  ELSE abs(CAST(x AS DOUBLE) - (mn + least(255D, greatest(0D,
+          |    floor((CAST(x AS DOUBLE) - mn) / scale + 0.5D))) * scale)) END))""".stripMargin))
+      .select("vec_id", "mn", "mx", "scale", "max_abs_err")
+
+  val sqErrorStatsSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+      |    CAST(list_max(embedding) AS DOUBLE) AS mx
+      |  FROM embeddings),
+      | sc AS (SELECT *, (mx - mn) / 255.0 AS scale FROM base)
+      |SELECT vec_id, mn, mx, scale,
+      |  list_max(list_transform(embedding, x ->
+      |    CASE WHEN scale = 0 THEN abs(CAST(x AS DOUBLE) - mn)
+      |    ELSE abs(CAST(x AS DOUBLE) - (mn + LEAST(255, GREATEST(0,
+      |      floor((CAST(x AS DOUBLE) - mn) / scale + 0.5))) * scale)) END)) AS max_abs_err
+      |FROM sc""".stripMargin
+
+  /** Top-k cosine search over the int8-compressed corpus: each corpus
+    * vector is quantized + reconstructed + scored against the raw query in
+    * ONE fused codegen'd loop ([[graft.functions.SqReconCosine]]) — scan →
+    * native score → TakeOrderedAndProject, no shuffle, no decode
+    * materialization. At 100 TB the compressed column is what makes a
+    * brute-force rescore pass affordable (4× less I/O than raw floats).
+    */
+  def sqSearch(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === knnQueryId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    emb.where(col("vec_id") =!= knnQueryId)
+      .withColumn("sim", graft.functions.VectorFunctions.sqReconCosineF(col("embedding"), lit(q)))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(knnK)
+      .select("vec_id", "sim")
+  }
+
+  val sqSearchSql: String = {
+    // recon_i for the corpus vector, as a SQL fragment over index i
+    val recon =
+      """(CASE WHEN scale = 0 THEN mn ELSE mn + LEAST(255, GREATEST(0,
+        |    floor((sc.embedding[i]::DOUBLE - mn) / scale + 0.5))) * scale END)""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $knnQueryId),
+       | base AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+       |    CAST(list_max(embedding) AS DOUBLE) AS mx
+       |  FROM embeddings WHERE vec_id <> $knnQueryId),
+       | sc AS (SELECT *, (mx - mn) / 255.0 AS scale FROM base),
+       | scored AS (
+       |  SELECT sc.vec_id,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i ->
+       |     $recon * q.qe[i]::DOUBLE)), (acc, p) -> acc + p) AS dot,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i ->
+       |     $recon * $recon)), (acc, p) -> acc + p) AS nr,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i ->
+       |     q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)), (acc, p) -> acc + p) AS nq
+       |  FROM sc, q)
+       |SELECT vec_id, dot / (sqrt(nr) * sqrt(nq)) AS sim
+       |FROM scored ORDER BY sim DESC, vec_id LIMIT $knnK""".stripMargin
+  }
+
+  // -------------------------------------------------- product quantization
+
+  /** PQ layout: 64 dims split into `pqM` = 8 subspaces of `pqSub` = 8; each
+    * subspace has a `pqK` = 16-entry codebook, so a vector compresses to
+    * 8 nibbles (4 bytes — 64× vs raw floats). Codebooks are the subvectors
+    * of the anchor rows vec_id 1..16 — deterministic (no RNG, no k-means
+    * iterations), derivable in plain SQL, which is what lets the oracle
+    * replay the whole encode+search. A production build would k-means the
+    * codebooks; assignment and ADC search — the scale-critical parts —
+    * are identical either way.
+    */
+  val pqM = 8
+  val pqSub = 8
+  val pqK = 16
+  val pqQueryId = 0L
+  val pqTopK = 10
+
+  /** Subspace-m squared-L2 between `xa` and `xb`, as a strict left fold
+    * (Spark `aggregate` ≡ DuckDB `list_reduce`, same order, bit-identical).
+    */
+  private def subDistExpr(xa: String, xb: String): String = {
+    val diff = s"(CAST(element_at($xa, m * $pqSub + i + 1) AS DOUBLE) - CAST(element_at($xb, m * $pqSub + i + 1) AS DOUBLE))"
+    s"aggregate(sequence(0, ${pqSub - 1}), CAST(0 AS DOUBLE), (acc, i) -> acc + $diff * $diff)"
+  }
+
+  private def subDistSql(xa: String, xb: String): String = {
+    val diff = s"($xa[m * $pqSub + i + 1]::DOUBLE - $xb[m * $pqSub + i + 1]::DOUBLE)"
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, $pqSub), i -> $diff * $diff)), (acc, p) -> acc + p)"
+  }
+
+  /** One row per (vector, subspace, chosen code): nearest anchor per
+    * subspace (ties → lower code), carrying the query↔anchor subspace
+    * distance for ADC. Anchors and the 8-row subspace spine broadcast, so
+    * the only shuffle is the per-(vector, subspace) argmin; the corpus
+    * side streams map-only through the expansion.
+    */
+  private def pqBest(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val anchors = emb.where(col("vec_id").between(1L, pqK.toLong))
+      .select(col("vec_id").cast("int").as("code"), col("embedding").as("ae"))
+    val q = emb.where(col("vec_id") === pqQueryId).select(col("embedding").as("qe"))
+    val pairs = emb.select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"), explode(expr(s"sequence(0, ${pqM - 1})")).as("m"))
+      .crossJoin(broadcast(anchors))
+      .crossJoin(broadcast(q))
+      .withColumn("dist", expr(subDistExpr("embedding", "ae")))
+      .withColumn("qdist", expr(subDistExpr("qe", "ae")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "m").orderBy(col("dist").asc, col("code").asc)
+    pairs.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("vec_id", "m", "code", "qdist")
+  }
+
+  private def pqBestSql: String =
+    s"""pairs AS (
+       |  SELECT e.vec_id, ms.m, a.code,
+       |    ${subDistSql("e.embedding", "a.ae")} AS dist,
+       |    ${subDistSql("q.qe", "a.ae")} AS qdist
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT unnest(range(0, $pqM)) AS m) ms
+       |  CROSS JOIN (SELECT CAST(vec_id AS INTEGER) AS code, embedding AS ae
+       |              FROM embeddings WHERE vec_id BETWEEN 1 AND $pqK) a
+       |  CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = $pqQueryId) q),
+       | best AS (
+       |  SELECT vec_id, m, code, qdist FROM (
+       |    SELECT vec_id, m, code, qdist,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+       |    FROM pairs)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** PQ encode: each vector's 8 subspace codes as a dash-joined string
+    * (strings keep the driver's comparator happy; the codes ARE the
+    * compressed representation).
+    */
+  def pqCodes(s: SparkSession, d: String): DataFrame =
+    pqBest(s, d).groupBy("vec_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(m, code))), x -> CAST(x.code AS STRING)), '-')")
+        .as("code_str"))
+
+  val pqCodesSql: String =
+    s"""WITH $pqBestSql
+       |SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS code_str
+       |FROM best GROUP BY vec_id""".stripMargin
+
+  /** ADC (asymmetric distance) top-k: approximate distance(query, x) =
+    * Σ_m ‖q_m − codebook[m][code_m(x)]‖², i.e. one 16-entry lookup table
+    * per subspace instead of touching raw vectors. The per-vector sum is
+    * an m-ordered fold in both engines (float sums are order-sensitive).
+    * At scale: codebooks + query LUT broadcast; the scan reads only the
+    * 4-byte code column; TakeOrderedAndProject merges k rows — this is
+    * the memory-bound shape IVF-PQ engines use for billion-vector search.
+    */
+  def pqAdcSearch(s: SparkSession, d: String): DataFrame =
+    pqBest(s, d).where(col("vec_id") =!= pqQueryId)
+      .groupBy("vec_id")
+      .agg(expr(
+        "aggregate(array_sort(collect_list(struct(m, qdist))), CAST(0 AS DOUBLE), (acc, x) -> acc + x.qdist)")
+        .as("adc"))
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(pqTopK)
+
+  val pqAdcSearchSql: String =
+    s"""WITH $pqBestSql
+       |SELECT vec_id,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qdist ORDER BY m)), (acc, p) -> acc + p) AS adc
+       |FROM best WHERE vec_id <> $pqQueryId
+       |GROUP BY vec_id ORDER BY adc, vec_id LIMIT $pqTopK""".stripMargin
 }

@@ -293,6 +293,40 @@ object TextOps {
       | FROM documents)
       |WHERE h < rate""".stripMargin
 
+  /** Size-weighted deterministic sample (Efraimidis–Spirakis A-Res): each
+    * doc gets priority u^(1/w) with u a content-hash uniform and w =
+    * n_chars; the top-k by priority is a weighted-without-replacement
+    * sample biased toward long documents (what a token-budget-driven
+    * curation pass wants). Ranking uses the monotone transform ln(u)/w —
+    * one map-only projection + TakeOrderedAndProject, no shuffle, k-row
+    * driver merge: embarrassingly parallel at any corpus size.
+    *
+    * ln() is the one transcendental in the oracle corpus: measured
+    * bit-identical between Java's Math.log (interpreted AND post-JIT
+    * intrinsic) and DuckDB/libm ln over these exact hash-uniform inputs,
+    * and the sample emits `skey` so any future drift fails the gate
+    * loudly instead of silently reordering the sample.
+    */
+  val weightedSampleK = 50
+
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("u", expr(
+        "(CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), 'wsample')), 1, 13), 16, 10) AS BIGINT) + 1) / 4503599627370497.0D"))
+      .withColumn("skey",
+        graft.functions.VectorFunctions.lnM(col("u")) / col("n_chars").cast("double"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(weightedSampleK)
+      .select("doc_id", "source", "n_chars", "skey")
+
+  val weightedSampleSql: String =
+    s"""SELECT doc_id, source, n_chars, skey FROM (
+       | SELECT doc_id, source, n_chars,
+       |  ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wsample'), 1, 13)) AS BIGINT) + 1)
+       |      / 4503599627370497.0) / CAST(n_chars AS DOUBLE) AS skey
+       | FROM documents)
+       |ORDER BY skey DESC, doc_id LIMIT $weightedSampleK""".stripMargin
+
   /** BM25 ranking for a fixed term query — the retrieval scorer curation
     * pipelines use to mine topical subsets. Rational idf
     * (N − df + 0.5)/(df + 0.5) instead of the ln() form: transcendentals
