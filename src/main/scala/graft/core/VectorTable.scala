@@ -23,13 +23,15 @@ final case class BatchInfo(id: Long, start: Long, end: Long, relPath: String)
 final case class Manifest(version: Long, length: Long, layout: String, batches: Vector[BatchInfo],
                           streamBatch: Long = -1L, encoding: String = "dictionary",
                           schemaJson: String = "", mixedSchema: Boolean = false,
-                          zstats: Map[Long, Seq[ZoneMaps.ColStats]] = Map.empty) {
+                          zstats: Map[Long, Seq[ZoneMaps.ColStats]] = Map.empty,
+                          maskPath: String = "", maskCount: Long = 0L) {
   def serialize: String = {
     val header = Seq(s"version=$version", s"length=$length", s"layout=$layout",
         s"encoding=$encoding") ++
       (if (streamBatch >= 0L) Seq(s"streamBatch=$streamBatch") else Nil) ++
       (if (schemaJson.nonEmpty) Seq(s"schema=$schemaJson") else Nil) ++
-      (if (mixedSchema) Seq("mixedSchema=true") else Nil)
+      (if (mixedSchema) Seq("mixedSchema=true") else Nil) ++
+      (if (maskPath.nonEmpty) Seq(s"maskPath=$maskPath", s"maskCount=$maskCount") else Nil)
     val lines = batches.map(b => s"batch=${b.id},${b.start},${b.end},${b.relPath}")
     val zlines = zstats.toSeq.sortBy(_._1).flatMap { case (id, css) =>
       css.map(cs => ZoneMaps.serializeLine(id, cs))
@@ -66,8 +68,14 @@ object Manifest {
     val zstats = kv.collect { case l if l.startsWith("zstat=") => l.drop(6) }
       .flatMap(ZoneMaps.parseLine)
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val maskPath = kv.collectFirst {
+      case l if l.startsWith("maskPath=") => l.drop("maskPath=".length)
+    }.getOrElse("")
+    val maskCount = kv.collectFirst {
+      case l if l.startsWith("maskCount=") => l.drop("maskCount=".length).toLong
+    }.getOrElse(0L)
     Manifest(field("version").toLong, field("length").toLong, field("layout"), batches,
-      streamBatch, encoding, schemaJson, mixedSchema, zstats)
+      streamBatch, encoding, schemaJson, mixedSchema, zstats, maskPath, maskCount)
   }
 
   /** Latest committed manifest, or the empty v0 manifest for a new table. */
@@ -343,7 +351,8 @@ final class VectorTable(val spark: SparkSession, val root: String) {
 
     try Manifest.commit(root, Manifest(batchId, start + n, layout,
       m.batches :+ BatchInfo(batchId, start, start + n, rel),
-      streamBatchId.getOrElse(m.streamBatch), encoding, widened.json, mixed, zstats))
+      streamBatchId.getOrElse(m.streamBatch), encoding, widened.json, mixed, zstats,
+      m.maskPath, m.maskCount))
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(
@@ -384,7 +393,8 @@ final class VectorTable(val spark: SparkSession, val root: String) {
       Manifest.commit(root, Manifest(batchId, n, m.layout,
         Vector(BatchInfo(batchId, 0L, n, rel)), m.streamBatch, m.encoding,
         m.schemaJson, mixedSchema = false,
-        if (zs.isEmpty) Map.empty else Map(batchId -> zs)))
+        if (zs.isEmpty) Map.empty else Map(batchId -> zs),
+        m.maskPath, m.maskCount))
     }
 
   /** Storage reclamation after compaction: drop every batch directory not
@@ -400,7 +410,10 @@ final class VectorTable(val spark: SparkSession, val root: String) {
       val versions = Manifest.listVersions(root).sorted
       if (versions.size <= retainVersions) return
       val (drop, keep) = versions.splitAt(versions.size - retainVersions)
-      val keepDirs = keep.flatMap(v => Manifest.loadVersion(root, v).batches.map(_.relPath)).toSet
+      val keepDirs = keep.flatMap { v =>
+        val km = Manifest.loadVersion(root, v)
+        km.batches.map(_.relPath) ++ (if (km.maskPath.nonEmpty) Seq(km.maskPath) else Nil)
+      }.toSet
       val dataDir = Paths.get(root, "data")
       if (Files.isDirectory(dataDir)) {
         Files.list(dataDir).iterator().asScala.toSeq.foreach { p =>
@@ -452,6 +465,68 @@ final class VectorTable(val spark: SparkSession, val root: String) {
     else open(hit.map(b => s"$root/${b.relPath}"), m2.mixedSchema)
       .where(col(ROWID) >= lo && col(ROWID) < hi)
   }
+
+  /** MERGE/upsert by key (merge-on-read): committed live rows whose key
+    * appears in `df` are tombstoned via a delete-vector sidecar (a parquet
+    * of masked rowids), and `df` is appended — no data file is rewritten,
+    * the lakehouse upsert shape. [[liveScan]]/[[liveCount]] give the
+    * logical after-image; the physical rowid surface (`scan`/`range`/
+    * `point`, the reference's append-only VectorEngine contract) is
+    * untouched, and every pre-upsert version stays readable via [[scanAt]].
+    *
+    * Scale: the mask is computed with one broadcast semi-join of the
+    * incoming keys against the live scan (incoming batches are small
+    * relative to the table), and [[liveScan]] subtracts it with a
+    * broadcast anti-join — map-only on the table side, no shuffle of the
+    * 100 TB operand. Commit order is mask-write → append → metadata
+    * commit, all under the writer lock: a crash mid-sequence can leave
+    * the new rows visible alongside their predecessors (never lost), and
+    * re-running the same upsert converges because the mask is recomputed
+    * from the then-live rows. Returns the first appended rowid.
+    */
+  def upsertBy(df: DataFrame, keyCols: Seq[String]): Long =
+    VectorTable.commitLock.synchronized {
+      require(keyCols.nonEmpty, "upsertBy needs at least one key column")
+      val m = manifest
+      val newHits =
+        if (m.batches.isEmpty) None
+        else {
+          val keys = df.select(keyCols.map(col): _*).distinct()
+          val hits = liveScanOf(m).join(broadcast(keys), keyCols, "left_semi")
+            .select(col(ROWID))
+          val mask = (m.maskPath match {
+            case "" => hits
+            case p  => spark.read.parquet(s"$root/$p").unionByName(hits)
+          }).distinct()
+          val rel = f"data/mask-${m.version + 1}%08d"
+          mask.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel")
+          Some(rel -> spark.read.parquet(s"$root/$rel").count())
+        }
+      val start = append(df)
+      newHits.foreach { case (rel, cnt) =>
+        val m2 = manifest
+        Manifest.commit(root, m2.copy(version = m2.version + 1,
+          maskPath = rel, maskCount = cnt))
+      }
+      start
+    }
+
+  /** The logical (post-upsert) view: committed rows minus the delete-vector
+    * mask. Identical to [[scan]] when no upsert has run.
+    */
+  def liveScan(): DataFrame = liveScanOf(manifest)
+
+  private def liveScanOf(m: Manifest): DataFrame = {
+    val base =
+      if (m.batches.isEmpty) emptyLike()
+      else open(m.batches.map(b => s"$root/${b.relPath}"), m.mixedSchema)
+    if (m.maskPath.isEmpty) base
+    else base.join(broadcast(spark.read.parquet(s"$root/${m.maskPath}")),
+      Seq(ROWID), "left_anti")
+  }
+
+  /** Logical row count after upserts: O(1) from the manifest. */
+  def liveCount: Long = { val m = manifest; m.length - m.maskCount }
 
   /** Full scan carrying `_rowid`; storage order ≡ insertion order. */
   def scan(): DataFrame = {

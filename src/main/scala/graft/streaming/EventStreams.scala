@@ -151,6 +151,27 @@ object EventStreams {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** Stream-stream LEFT OUTER join with the same time-range condition:
+    * unmatched clicks are held in state and emitted with NULL purchase
+    * columns only once the watermark passes their join window (before
+    * that, a match could still arrive) — the abandoned-session shape:
+    * clicks that never converted within the hour. State stays bounded by
+    * the same watermark eviction as the inner form; the NULL-side rows are
+    * emitted exactly once, on watermark advance.
+    */
+  def clickToPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame,
+                              watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+  }
+
   /** Stream-static enrichment: each micro-batch broadcast-joins the static
     * dimension frame — stateless (nothing buffers across batches), the
     * standard dimension-enrichment topology. At cluster scale the dim side

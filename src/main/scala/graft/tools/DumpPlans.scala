@@ -17,7 +17,9 @@ object DumpPlans {
       "knn_brute_force", "asof_last_purchase", "events_user_sessions",
       "skew_salted_event_totals",
       "zonemap_orders_daterange", "zorder_rectangle", "text_contamination",
-      "dedup_lsh_index_candidates", "events_streaming_topk")
+      "dedup_lsh_index_candidates", "events_streaming_topk",
+      "ann_sq_search", "ann_pq_adc_search", "events_heavy_hitters",
+      "text_weighted_sample")
     picks.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, d)
       val txt = df.queryExecution.explainString(

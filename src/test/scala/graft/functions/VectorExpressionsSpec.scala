@@ -66,6 +66,61 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(n == 50)
   }
 
+  test("sq_recon_cosine is bit-identical to the declarative quantize+reconstruct+score") {
+    // declarative twin of the fused kernel, using the same SQ8 contract
+    val recon =
+      """CASE WHEN (CAST(array_max(a) AS DOUBLE) - CAST(array_min(a) AS DOUBLE)) / 255.0D = 0D
+        |  THEN CAST(array_min(a) AS DOUBLE)
+        |  ELSE CAST(array_min(a) AS DOUBLE) + least(255D, greatest(0D,
+        |    floor((CAST(x AS DOUBLE) - CAST(array_min(a) AS DOUBLE)) /
+        |          ((CAST(array_max(a) AS DOUBLE) - CAST(array_min(a) AS DOUBLE)) / 255.0D) + 0.5D))) *
+        |    ((CAST(array_max(a) AS DOUBLE) - CAST(array_min(a) AS DOUBLE)) / 255.0D) END""".stripMargin
+    val rows = df
+      .withColumn("native", VectorFunctions.sqReconCosineF(col("a"), col("b")))
+      .withColumn("composed", expr(
+        s"""aggregate(zip_with(a, b, (x, y) -> ($recon) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, p) -> acc + p) /
+           |(sqrt(aggregate(transform(a, x -> ($recon) * ($recon)), CAST(0 AS DOUBLE), (acc, p) -> acc + p)) *
+           | sqrt(aggregate(transform(b, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, p) -> acc + p)))""".stripMargin))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("native")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("composed")))
+    }
+  }
+
+  test("sq_recon_cosine: constant vector reconstructs exactly (scale = 0 guard)") {
+    import spark.implicits._
+    val a = Array.fill(8)(0.75f)
+    val b = Array.tabulate(8)(i => (i + 1).toFloat)
+    val sim = Seq((a, b)).toDF("a", "b")
+      .select(VectorFunctions.sqReconCosineF(col("a"), col("b"))).head().getDouble(0)
+    // recon == a exactly, so this is plain cosine(a, b)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      dot += a(i).toDouble * b(i).toDouble; na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+    }
+    assert(java.lang.Double.doubleToLongBits(sim) ==
+      java.lang.Double.doubleToLongBits(dot / (math.sqrt(na) * math.sqrt(nb))))
+  }
+
+  test("ln_m uses Math.log (codegen and interpreted agree with the JVM value)") {
+    import spark.implicits._
+    val us = Seq(0.8894821240461972, 1e-12, 0.5, 0.9999999999)
+    val got = us.toDF("u").select(VectorFunctions.lnM(col("u"))).collect().map(_.getDouble(0))
+    us.zip(got).foreach { case (u, g) =>
+      assert(java.lang.Double.doubleToLongBits(g) ==
+        java.lang.Double.doubleToLongBits(java.lang.Math.log(u)))
+    }
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    us.foreach { u =>
+      val v = LogM(Literal(u)).eval(null).asInstanceOf[Double]
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(java.lang.Math.log(u)))
+    }
+  }
+
   test("interpreted eval agrees with codegen") {
     // Expression.eval path (no codegen): evaluate on a local Literal-only plan
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -124,6 +124,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("p_value") == 9.99)
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched clicks once the watermark closes their window") {
+    import spark.implicits._
+    val clicks = MemoryStream[SEvent](spark)
+    val purchases = MemoryStream[SEvent](spark)
+    val joined = EventStreams.clickToPurchaseLeftJoin(clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("ss_left_join")
+      .outputMode("append").start()
+
+    clicks.addData(SEvent(ts(0), "click", 1, 0.0), SEvent(ts(0), "click", 2, 0.0))
+    purchases.addData(SEvent(ts(30), "purchase", 1, 9.99))
+    q.processAllAvailable()
+    // user 2's window (10:00 + 1h join range + 30m watermark) is still
+    // open — no NULL row may be emitted yet (a match could still arrive)
+    assert(spark.table("ss_left_join").where(col("p_user").isNull).count() == 0)
+
+    // advance both watermarks past 11:30 (outer rows flush on a subsequent
+    // trigger, so feed advancing batches until the NULL row lands)
+    var hour = 14
+    while (hour < 18 && spark.table("ss_left_join").where(col("p_user").isNull).count() == 0) {
+      val t = Timestamp.valueOf(f"2026-01-01 $hour%02d:00:00")
+      clicks.addData(SEvent(t, "click", 100 + hour, 0.0))
+      purchases.addData(SEvent(t, "purchase", 100 + hour, 1.0))
+      q.processAllAvailable()
+      hour += 1
+    }
+    q.stop()
+
+    val rows = spark.table("ss_left_join").collect()
+    val nulls = rows.filter(_.getAs[Any]("p_user") == null).map(_.getAs[Long]("c_user"))
+    assert(nulls.contains(2L), s"expected unmatched click for user 2, got ${rows.mkString(";")}")
+    assert(nulls.count(_ == 2L) == 1, "NULL-side row must be emitted exactly once")
+    // the matched click must NOT also appear as a NULL row
+    assert(!nulls.contains(1L))
+    assert(rows.count(r => r.getAs[Long]("c_user") == 1L && r.getAs[Any]("p_user") != null) == 1)
+  }
+
   test("mapGroupsWithState accumulates running totals across batches") {
     import spark.implicits._
     val input = MemoryStream[EventStreams.UserEvent](spark)
