@@ -597,13 +597,47 @@ object Similarity {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, $pqSub), i -> $diff * $diff)), (acc, p) -> acc + p)"
   }
 
+  /** Driver-collected codebook (16 anchor embeddings, ~4 KB) + query
+    * vector — the "broadcast the codebook" side of PQ: at 100 TB the
+    * codebook is a constant in the plan, never a join operand.
+    */
+  private def pqCodebook(s: SparkSession, d: String): (Seq[Seq[Float]], Seq[Float]) = {
+    val emb = Tables.embeddings(s, d)
+    val cb = emb.where(col("vec_id").between(1L, pqK.toLong)).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
+    val q = emb.where(col("vec_id") === pqQueryId)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    (cb, q)
+  }
+
+  /** Subspace-m squared-L2 between two array columns, Column-DSL form of
+    * [[subDistExpr]] (same fold order — bit-identical).
+    */
+  private def subDistCol(m: Column, xa: Column, xb: Column): Column =
+    aggregate(sequence(lit(0), lit(pqSub - 1)), lit(0.0), (acc, i) => {
+      val idx = m * lit(pqSub) + i + lit(1)
+      val diff = element_at(xa, idx).cast("double") - element_at(xb, idx).cast("double")
+      acc + diff * diff
+    })
+
+  /** code_m(x): argmin over the 16 codebook entries of subspace m — the
+    * one-pass array-of-structs min, ties to the lower code by lexicographic
+    * struct order (same semantics as the oracle's `ORDER BY dist, code`
+    * row_number). Map-only: no join, no shuffle.
+    */
+  private def pqCodeAt(cbLit: Column, m: Column, x: Column): Column =
+    array_min(transform(sequence(lit(0), lit(pqK - 1)), a =>
+      struct(subDistCol(m, x, element_at(cbLit, a + lit(1))).as("dist"),
+        (a + lit(1)).as("code")))).getField("code")
+
   /** One row per (vector, subspace, chosen code): nearest anchor per
     * subspace (ties → lower code), carrying the query↔anchor subspace
-    * distance for ADC. Anchors and the 8-row subspace spine broadcast, so
-    * the only shuffle is the per-(vector, subspace) argmin; the corpus
-    * side streams map-only through the expansion.
+    * distance for ADC. Relational scaffold — the declared queries use the
+    * map-only literal-codebook form above; PqEquivalenceSpec proves the
+    * two produce identical codes, and the oracle SQL mirrors this
+    * relational shape.
     */
-  private def pqBest(s: SparkSession, d: String): DataFrame = {
+  private[operators] def pqBest(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val anchors = emb.where(col("vec_id").between(1L, pqK.toLong))
       .select(col("vec_id").cast("int").as("code"), col("embedding").as("ae"))
@@ -639,13 +673,19 @@ object Similarity {
 
   /** PQ encode: each vector's 8 subspace codes as a dash-joined string
     * (strings keep the driver's comparator happy; the codes ARE the
-    * compressed representation).
+    * compressed representation). Plan shape: scan → per-row code
+    * computation against the literal codebook → project. NO shuffle, NO
+    * join — encoding 100 TB of vectors is a pure map over the corpus.
     */
-  def pqCodes(s: SparkSession, d: String): DataFrame =
-    pqBest(s, d).groupBy("vec_id")
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(struct(m, code))), x -> CAST(x.code AS STRING)), '-')")
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val (cb, _) = pqCodebook(s, d)
+    val cbLit = typedLit(cb)
+    Tables.embeddings(s, d).select(col("vec_id"),
+      array_join(
+        transform(sequence(lit(0), lit(pqM - 1)), m =>
+          pqCodeAt(cbLit, m, col("embedding")).cast("string")), "-")
         .as("code_str"))
+  }
 
   val pqCodesSql: String =
     s"""WITH $pqBestSql
@@ -660,14 +700,18 @@ object Similarity {
     * 4-byte code column; TakeOrderedAndProject merges k rows — this is
     * the memory-bound shape IVF-PQ engines use for billion-vector search.
     */
-  def pqAdcSearch(s: SparkSession, d: String): DataFrame =
-    pqBest(s, d).where(col("vec_id") =!= pqQueryId)
-      .groupBy("vec_id")
-      .agg(expr(
-        "aggregate(array_sort(collect_list(struct(m, qdist))), CAST(0 AS DOUBLE), (acc, x) -> acc + x.qdist)")
-        .as("adc"))
+  def pqAdcSearch(s: SparkSession, d: String): DataFrame = {
+    val (cb, q) = pqCodebook(s, d)
+    val cbLit = typedLit(cb)
+    val qLit = typedLit(q)
+    Tables.embeddings(s, d).where(col("vec_id") =!= pqQueryId)
+      .select(col("vec_id"),
+        aggregate(sequence(lit(0), lit(pqM - 1)), lit(0.0), (acc, m) =>
+          acc + subDistCol(m, qLit, element_at(cbLit, pqCodeAt(cbLit, m, col("embedding")))))
+          .as("adc"))
       .orderBy(col("adc").asc, col("vec_id"))
       .limit(pqTopK)
+  }
 
   val pqAdcSearchSql: String =
     s"""WITH $pqBestSql
