@@ -286,6 +286,38 @@ object Events {
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx_ffill
       |FROM spine s LEFT JOIN hourly hh ON s.event_type = hh.event_type AND s.h = hh.h""".stripMargin
 
+  /** Exponentially-weighted moving average over each type's hourly count
+    * series (α = 0.2) — the smoothing step behind rate-anomaly monitors.
+    * The recursion s_t = α·x_t + (1−α)·s_{t−1} is inherently ordered, so
+    * both engines compute it as a left fold over the hour-sorted list
+    * seeded with the first element (Spark `aggregate(slice(arr,2,…),
+    * arr[1], …)` ≡ DuckDB `list_reduce`, which seeds from the head) —
+    * bit-identical, no float-order ambiguity. One shuffle (the hourly
+    * pre-aggregation carries map-side partials); per-type state is one
+    * bounded array.
+    */
+  def hourlyEwma(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(collect_list(struct(col("h"), col("n"))).as("hs"))
+      .select(col("event_type"),
+        size(col("hs")).as("n_hours"),
+        expr("""aggregate(slice(transform(array_sort(hs), p -> CAST(p.n AS DOUBLE)), 2, size(hs)),
+               | element_at(transform(array_sort(hs), p -> CAST(p.n AS DOUBLE)), 1),
+               | (acc, x) -> CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc)""".stripMargin)
+          .as("ewma"))
+
+  val hourlyEwmaSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, COUNT(*) AS n_hours,
+      | list_reduce(list_transform(list(n ORDER BY h), v -> CAST(v AS DOUBLE)),
+      |   (acc, x) -> CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc) AS ewma
+      |FROM hourly GROUP BY event_type""".stripMargin
+
   /** Exact heavy hitters (users with > 1/k of all events) via the two-pass
     * Misra–Gries shape: a per-partition bounded summary (`hhCounters` ≥ k
     * counters, so no global heavy hitter can be missed — pigeonhole: an

@@ -421,6 +421,52 @@ object Relational {
   def prebuildZoneTable(s: SparkSession, d: String): Unit =
     ordersZoneTable(s, d)
 
+  /** Secondary (custkey → rowid) index over the orders table, built once
+    * per (machine, sf dir) behind the same crash-safe pointer protocol as
+    * the table itself.
+    */
+  private def ordersCustkeyIndex(s: SparkSession, d: String): graft.core.SecondaryIndex = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val t = ordersZoneTable(s, d)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+    Files.createDirectories(base)
+    val pointer = base.resolve(s"orders-ck-idx-$key.path")
+    if (!Files.exists(pointer)) {
+      val root = base.resolve(s"orders-ck-idx-$key-${java.util.UUID.randomUUID()}")
+      graft.core.SecondaryIndex.build(t, "custkey", root.toString)
+      try Files.write(pointer, root.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    graft.core.SecondaryIndex.open(s, Files.readString(pointer), "custkey")
+  }
+
+  def prebuildCustkeyIndex(s: SparkSession, d: String): Unit =
+    ordersCustkeyIndex(s, d)
+
+  val indexedCustkey = 7L
+
+  /** Key-indexed serving lookup as a declared query: rowids come from the
+    * [[graft.core.SecondaryIndex]] (sorted (key → rowid) parquet; the
+    * pushed `k = 7` filter prunes to one file slice via min/max stats),
+    * then the table serves exactly those rows through the manifest-pruned
+    * IN-filter point path — the business-key analog of `rowid_range`. The
+    * oracle states the result directly (all orders of customer 7), so the
+    * gate proves the index round-trip is lossless. At 100 TB the query
+    * touches the index slice + the hit batches, never the table scan.
+    */
+  def indexedCustomerOrders(s: SparkSession, d: String): DataFrame = {
+    val t = ordersZoneTable(s, d)
+    val idx = ordersCustkeyIndex(s, d)
+    val rowids = idx.lookup(indexedCustkey)
+    t.points(rowids).select("orderkey", "custkey", "totalprice")
+  }
+
+  val indexedCustomerOrdersSql: String =
+    s"""SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice
+       |FROM orders WHERE o_custkey = $indexedCustkey""".stripMargin
+
   /** Orders re-laid-out on a Morton curve over (custkey, totalprice) — see
     * [[graft.sources.ZOrder]]. Built once per (machine, sf dir) behind the
     * same crash-safe pointer protocol as the other derived layouts.
