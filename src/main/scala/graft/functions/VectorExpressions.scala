@@ -209,6 +209,121 @@ case class SqReconCosine(left: Expression, right: Expression) extends FloatVecto
     copy(left = l, right = r)
 }
 
+/** pq_adc(x, codebook, q): product-quantization ADC distance in one fused
+  * codegen'd kernel — for each of the M subspaces, argmin over the K
+  * codebook entries of the subspace L2² (strict `<`, so ties keep the
+  * lower code — the same semantics as lexicographic (dist, code) min),
+  * then accumulate ‖q_m − c_{m,code}‖² in subspace order. Bit-identical
+  * to the declarative HOF form (PqEquivalenceSpec / the DuckDB oracle):
+  * every fold runs left-to-right over the same element order. The
+  * declarative form costs ~ms/row in interpreted lambda dispatch; this is
+  * a tight JIT loop — the difference between a 100 TB ADC scan being
+  * feasible and not. `numSub` subspaces of `x.length / numSub` dims each.
+  */
+case class PqAdcDistance(first: Expression, second: Expression, third: Expression, numSub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def flat(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    val nested = second.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _                                     => false
+    }
+    if (flat(first.dataType) && nested && flat(third.dataType) && numSub > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_adc requires (ARRAY<FLOAT>, ARRAY<ARRAY<FLOAT>>, ARRAY<FLOAT>, numSub>0)")
+  }
+
+  override def nullSafeEval(xv: Any, cbv: Any, qv: Any): Any = {
+    val x = xv.asInstanceOf[ArrayData]
+    val cb = cbv.asInstanceOf[ArrayData]
+    val q = qv.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val sub = dim / numSub
+    val k = cb.numElements()
+    var adc = 0.0
+    var m = 0
+    while (m < numSub) {
+      var best = Double.PositiveInfinity
+      var bestA = -1
+      var a = 0
+      while (a < k) {
+        val c = cb.getArray(a)
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = x.getFloat(m * sub + i).toDouble - c.getFloat(m * sub + i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < best) { best = d; bestA = a }
+        a += 1
+      }
+      val c = cb.getArray(bestA)
+      var qd = 0.0
+      var i = 0
+      while (i < sub) {
+        val diff = q.getFloat(m * sub + i).toDouble - c.getFloat(m * sub + i).toDouble
+        qd += diff * diff
+        i += 1
+      }
+      adc += qd
+      m += 1
+    }
+    adc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, cb, q) => {
+      val sub = ctx.freshName("sub")
+      val k = ctx.freshName("k")
+      val adc = ctx.freshName("adc")
+      val m = ctx.freshName("m")
+      val a = ctx.freshName("a")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val bestA = ctx.freshName("bestA")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val qd = ctx.freshName("qd")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $sub = $x.numElements() / $numSub;
+         |int $k = $cb.numElements();
+         |double $adc = 0.0;
+         |for (int $m = 0; $m < $numSub; $m++) {
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $bestA = -1;
+         |  for (int $a = 0; $a < $k; $a++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $c = $cb.getArray($a);
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      double $diff = ((double) $x.getFloat($m * $sub + $i)) - ((double) $c.getFloat($m * $sub + $i));
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $best) { $best = $d; $bestA = $a; }
+         |  }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $c = $cb.getArray($bestA);
+         |  double $qd = 0.0;
+         |  for (int $i = 0; $i < $sub; $i++) {
+         |    double $diff = ((double) $q.getFloat($m * $sub + $i)) - ((double) $c.getFloat($m * $sub + $i));
+         |    $qd += $diff * $diff;
+         |  }
+         |  $adc += $qd;
+         |}
+         |${ev.value} = $adc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** ln_m(x): natural log via `java.lang.Math.log`. Spark's builtin `ln`
   * routes through `StrictMath.log` (fdlibm), which differs from C-libm
   * `ln` (DuckDB, Python) by 1 ulp on some inputs — measured on the
@@ -241,6 +356,10 @@ object VectorFunctions {
     Bridge.column(SqReconCosine(Bridge.expression(a), Bridge.expression(b)))
 
   def lnM(a: Column): Column = Bridge.column(LogM(Bridge.expression(a)))
+
+  def pqAdcF(x: Column, cb: Column, q: Column, numSub: Int): Column =
+    Bridge.column(PqAdcDistance(Bridge.expression(x), Bridge.expression(cb),
+      Bridge.expression(q), numSub))
 
   /** Register `dot_f` / `cosine_f` / `sq_recon_cosine` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -702,6 +702,20 @@ object Similarity {
     */
   def pqAdcSearch(s: SparkSession, d: String): DataFrame = {
     val (cb, q) = pqCodebook(s, d)
+    Tables.embeddings(s, d).where(col("vec_id") =!= pqQueryId)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.pqAdcF(col("embedding"),
+          typedLit(cb), typedLit(q), pqM).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(pqTopK)
+  }
+
+  /** Declarative HOF twin of the fused [[graft.functions.PqAdcDistance]]
+    * kernel (PqEquivalenceSpec proves bit-identity) — kept as the
+    * readable specification of the ADC arithmetic.
+    */
+  private[operators] def pqAdcSearchDeclarative(s: SparkSession, d: String): DataFrame = {
+    val (cb, q) = pqCodebook(s, d)
     val cbLit = typedLit(cb)
     val qLit = typedLit(q)
     Tables.embeddings(s, d).where(col("vec_id") =!= pqQueryId)

@@ -39,6 +39,14 @@ class PqEquivalenceSpec extends SparkSpec {
     assert(mapOnly.toSeq == relational.toSeq)
   }
 
+  test("fused ADC kernel is bit-identical to the declarative HOF form, all rows") {
+    val kernel = Similarity.pqAdcSearch(spark, sf())
+      .collect().map(r => r.getLong(0) -> java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    val declarative = Similarity.pqAdcSearchDeclarative(spark, sf())
+      .collect().map(r => r.getLong(0) -> java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    assert(kernel.toSeq == declarative.toSeq)
+  }
+
   test("declared PQ plans are shuffle-free (map + TakeOrdered only)") {
     Seq(Similarity.pqCodes(spark, sf()), Similarity.pqAdcSearch(spark, sf())).foreach { df =>
       val plan = df.queryExecution.sparkPlan.treeString
