@@ -109,16 +109,19 @@ object TextOps {
   def repetitionStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", tokens("text"))
+      // bigrams via ONE slice + zip_with (the tail is one element short, so
+      // zip_with pads with NULL and concat propagates it — filtered out);
+      // the per-element IF + slice + concat_ws form allocated a 2-array per
+      // token and ran ~2× slower at sf0.1
       .withColumn("bigrams", expr(
-        """filter(transform(toks, (t, i) ->
-          |  IF(i + 2 <= size(toks), concat_ws(' ', slice(toks, i + 1, 2)), NULL)),
-          |  x -> x IS NOT NULL)""".stripMargin))
+        "filter(zip_with(toks, slice(toks, 2, size(toks)), (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"))
       .where(size(col("bigrams")) > 0)
+      .withColumn("nd", size(array_distinct(col("bigrams"))))
       .select(
         col("doc_id"),
         size(col("bigrams")).as("n_bigrams"),
-        size(array_distinct(col("bigrams"))).as("n_distinct"),
-        (lit(1.0) - size(array_distinct(col("bigrams"))).cast("double")
+        col("nd").as("n_distinct"),
+        (lit(1.0) - col("nd").cast("double")
           / size(col("bigrams")).cast("double")).as("rep_ratio"),
         // max token frequency == longest equal run in the SORTED array —
         // an O(n) fold where the naive distinct×filter form is O(n²) of
