@@ -367,5 +367,12 @@ object VectorFunctions {
     Bridge.registerFunction(spark, "cosine_f", args => CosineSimilarityF(args(0), args(1)))
     Bridge.registerFunction(spark, "sq_recon_cosine", args => SqReconCosine(args(0), args(1)))
     Bridge.registerFunction(spark, "ln_m", args => LogM(args(0)))
+    // pq_adc(x, codebook, q, numSub) — numSub must be an integer literal
+    Bridge.registerFunction(spark, "pq_adc", args => PqAdcDistance(args(0), args(1), args(2),
+      args(3) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"pq_adc: numSub must be an integer literal, got $other")
+      }))
   }
 }

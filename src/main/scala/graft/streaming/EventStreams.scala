@@ -134,6 +134,21 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Key-only streaming dedup with bounded state:
+    * `dropDuplicatesWithinWatermark` deduplicates on the BUSINESS key
+    * alone (no timestamp in the key — records with the same key but
+    * different event times are still duplicates, which plain
+    * `dropDuplicates(key)` can only do with unbounded state). State for a
+    * key is evicted once the watermark passes its event time + delay, so
+    * memory stays finite; the guarantee is exact dedup for duplicates
+    * arriving within the watermark delay of each other.
+    */
+  def dedupKeysWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                               watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream-stream inner join with event-time range condition — both sides
     * watermarked so join state is bounded (Spark buffers each side only
     * until the watermark passes the range bound): clicks matched to the

@@ -66,6 +66,22 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(n == 50)
   }
 
+  test("SQL registration: sq_recon_cosine/ln_m/pq_adc usable from spark.sql") {
+    VectorFunctions.register(spark)
+    df.createOrReplaceTempView("vecs_test2")
+    val r = spark.sql(
+      """SELECT id, sq_recon_cosine(a, b) AS s, ln_m(CAST(0.5 AS DOUBLE)) AS l,
+        |  pq_adc(a, array(a, b), b, 4) AS adc
+        |FROM vecs_test2 WHERE id < 3""".stripMargin).collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      assert(!row.isNullAt(1) && math.abs(row.getDouble(1)) <= 1.001)
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(java.lang.Math.log(0.5)))
+      assert(row.getDouble(3) >= 0.0)
+    }
+  }
+
   test("sq_recon_cosine is bit-identical to the declarative quantize+reconstruct+score") {
     // declarative twin of the fused kernel, using the same SQ8 contract
     val recon =

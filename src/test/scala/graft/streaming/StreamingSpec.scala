@@ -124,6 +124,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("p_value") == 9.99)
   }
 
+  test("dropDuplicatesWithinWatermark dedups on the key alone across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[SEvent](spark)
+    val deduped = EventStreams.dedupKeysWithinWatermark(
+      input.toDF(), Seq("user_id", "event_type"))
+    val q = deduped.writeStream.format("memory").queryName("dd_wm")
+      .outputMode("append").start()
+
+    // same (user, type) at DIFFERENT event times — still duplicates
+    input.addData(SEvent(ts(0), "click", 1, 1.0), SEvent(ts(5), "click", 1, 2.0))
+    q.processAllAvailable()
+    input.addData(SEvent(ts(10), "click", 1, 3.0), SEvent(ts(10), "view", 1, 4.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("dd_wm").collect()
+    assert(rows.count(_.getAs[String]("event_type") == "click") == 1,
+      s"key-only dedup must keep one click: ${rows.mkString(";")}")
+    assert(rows.count(_.getAs[String]("event_type") == "view") == 1)
+    // first occurrence wins
+    assert(rows.find(_.getAs[String]("event_type") == "click").get.getAs[Double]("value") == 1.0)
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched clicks once the watermark closes their window") {
     import spark.implicits._
     val clicks = MemoryStream[SEvent](spark)
