@@ -163,12 +163,16 @@ object Bench {
       "store_point_reads_1k_cached", "store_concurrent_10x100_reads",
       "rowid_table_build", "ivf_index_build", "lsh_index_build")
     val allMap = all.toMap
-    val failed = all.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // cap the failed list: under mass failure an unbounded array would
+    // itself overflow the tail window; n_failed carries the true count
+    val failedAll = all.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = failedAll.take(8)
     val rest = all.map(_._1).filterNot(headline.contains)
     def render(names: Seq[String]): String = {
       val qs = names.map(k => "\"" + k + "\":" + fmt(allMap(k))).mkString("{", ",", "}")
       s"""{"metric":"total_query_sec","value":${fmt(total)},"unit":"sec","n_dims":${all.size},""" +
-        s""""failed":${failed.mkString("[", ",", "]")},"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}"""
+        s""""n_failed":${failedAll.size},"failed":${failed.mkString("[", ",", "]")},""" +
+        s""""detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}"""
     }
     var names = headline.filter(allMap.contains) ++ rest
     while (render(names).length > 1850 && names.nonEmpty) names = names.init

@@ -498,9 +498,20 @@ final class VectorTable(val spark: SparkSession, val root: String) {
             case "" => hits
             case p  => spark.read.parquet(s"$root/$p").unionByName(hits)
           }).distinct()
-          val rel = f"data/mask-${m.version + 1}%08d"
+          // UUID suffix: a crash between mask write and the metadata commit
+          // must leave a RETRYABLE table — a deterministic path would hit
+          // errorifexists forever; the orphaned directory is unreferenced
+          // by any manifest, so vacuum() reclaims it
+          val rel = f"data/mask-${m.version + 1}%08d-${java.util.UUID.randomUUID()}"
           mask.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel")
-          Some(rel -> spark.read.parquet(s"$root/$rel").count())
+          val cnt = spark.read.parquet(s"$root/$rel").count()
+          if (cnt == m.maskCount) {
+            // nothing newly masked (no key overlap): drop the redundant file
+            // and keep the manifest as is — liveScan must not pay an
+            // anti-join (or an extra commit) for a plain append
+            deleteRecursively(Paths.get(root, rel))
+            None
+          } else Some(rel -> cnt)
         }
       val start = append(df)
       newHits.foreach { case (rel, cnt) =>

@@ -128,10 +128,15 @@ case class CosineSimilarityF(left: Expression, right: Expression) extends FloatV
   * 4-byte-float column shrinks 4× to int8 codes + 2 floats, and scoring
   * against the compressed form costs one tight loop, not a decode
   * materialization. A constant vector (scale = 0) reconstructs exactly to
-  * `mn` — guarded, so no NaN ordering ambiguity reaches the comparator.
-  * Fold order matches the declarative/oracle form (one left-to-right pass,
-  * three accumulators), so results are bit-identical to DuckDB's
-  * `list_reduce` folds.
+  * `mn` — guarded so the quantizer itself never divides by zero. A
+  * zero-NORM input still yields NaN (0/0 in the final division), matching
+  * `cosine_f` and the oracle: DuckDB also produces NaN and both engines
+  * order NaN above every real double, so cross-engine results agree. The
+  * quantizer's min/max pass covers the FULL corpus vector (the documented
+  * per-vector SQ8 contract) even if the query is shorter; the scoring
+  * loop runs over the common prefix. Fold order matches the declarative/
+  * oracle form (one left-to-right pass, three accumulators), so results
+  * are bit-identical to DuckDB's `list_reduce` folds.
   */
 case class SqReconCosine(left: Expression, right: Expression) extends FloatVectorFold {
 
@@ -142,7 +147,7 @@ case class SqReconCosine(left: Expression, right: Expression) extends FloatVecto
     var mn = Double.PositiveInfinity
     var mx = Double.NegativeInfinity
     var i = 0
-    while (i < n) {
+    while (i < x.numElements()) {
       val v = x.getFloat(i).toDouble
       if (v < mn) mn = v
       if (v > mx) mx = v
@@ -184,7 +189,7 @@ case class SqReconCosine(left: Expression, right: Expression) extends FloatVecto
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $q.numElements());
          |double $mn = Double.POSITIVE_INFINITY; double $mx = Double.NEGATIVE_INFINITY;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; $i < $x.numElements(); $i++) {
          |  double $v = (double) $x.getFloat($i);
          |  if ($v < $mn) $mn = $v;
          |  if ($v > $mx) $mx = $v;
@@ -246,6 +251,12 @@ case class PqAdcDistance(first: Expression, second: Expression, third: Expressio
     val dim = x.numElements()
     val sub = dim / numSub
     val k = cb.numElements()
+    // geometry guard: the contract is full-dim codebook entries; a short
+    // entry would read out of bounds under UnsafeArrayData (garbage, not
+    // an error), and an empty codebook would index entry -1
+    if (k == 0 || cb.getArray(0).numElements() < dim || q.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"pq_adc: requires a non-empty codebook of >=${dim}-dim entries and a >=${dim}-dim query")
     var adc = 0.0
     var m = 0
     while (m < numSub) {
@@ -295,6 +306,11 @@ case class PqAdcDistance(first: Expression, second: Expression, third: Expressio
       s"""
          |int $sub = $x.numElements() / $numSub;
          |int $k = $cb.numElements();
+         |if ($k == 0 || $cb.getArray(0).numElements() < $x.numElements()
+         |    || $q.numElements() < $x.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc: requires a non-empty codebook of full-dim entries and a full-dim query");
+         |}
          |double $adc = 0.0;
          |for (int $m = 0; $m < $numSub; $m++) {
          |  double $best = Double.POSITIVE_INFINITY;

@@ -337,9 +337,15 @@ object Events {
   def heavyHitters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val users = Tables.events(s, d).select(col("user_id")).as[Long]
-    val candidates = users.mapPartitions { it =>
+    // ONE summary pass emits both the MG candidates (tag 0) and the
+    // partition row count (tag 1) — the total must not cost a second full
+    // scan; the summary is tiny (≤ counters+1 rows per partition) and is
+    // persisted so candidates + total don't recompute it
+    val summary = users.mapPartitions { it =>
       val counters = scala.collection.mutable.LongMap.empty[Long]
+      var rows = 0L
       it.foreach { v =>
+        rows += 1
         if (counters.contains(v)) counters(v) += 1
         else if (counters.size < hhCounters) counters(v) = 1L
         else {
@@ -348,11 +354,19 @@ object Events {
           dead.foreach(counters.remove)
         }
       }
-      counters.keysIterator
-    }.toDF("user_id").distinct()
-    val total = users.count()
+      counters.keysIterator.map(k => (0, k)) ++ Iterator((1, rows))
+    }.toDF("tag", "v").persist()
+    val (total, cands) =
+      try {
+        val t = summary.where(col("tag") === 1).agg(sum(col("v"))).head().getLong(0)
+        val c = summary.where(col("tag") === 0).select("v").as[Long].collect().distinct
+        (t, c)
+      } finally { summary.unpersist(blocking = false); () }
+    // candidate set is driver-small (≤ counters × partitions): an IN-set
+    // predicate reaches the scan, and the recount shuffle carries only
+    // candidate rows
     Tables.events(s, d)
-      .join(broadcast(candidates), "user_id")
+      .where(col("user_id").isInCollection(cands))
       .groupBy("user_id").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * hhK > total)
   }

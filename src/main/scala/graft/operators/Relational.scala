@@ -425,22 +425,27 @@ object Relational {
     * per (machine, sf dir) behind the same crash-safe pointer protocol as
     * the table itself.
     */
-  private def ordersCustkeyIndex(s: SparkSession, d: String): graft.core.SecondaryIndex = {
-    import java.nio.file.{Files, Paths, StandardOpenOption}
-    val t = ordersZoneTable(s, d)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
-    Files.createDirectories(base)
-    val pointer = base.resolve(s"orders-ck-idx-$key.path")
-    if (!Files.exists(pointer)) {
-      val root = base.resolve(s"orders-ck-idx-$key-${java.util.UUID.randomUUID()}")
-      graft.core.SecondaryIndex.build(t, "custkey", root.toString)
-      try Files.write(pointer, root.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    }
-    graft.core.SecondaryIndex.open(s, Files.readString(pointer), "custkey")
-  }
+  private val custkeyIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.core.SecondaryIndex]()
+  private def ordersCustkeyIndex(s: SparkSession, d: String): graft.core.SecondaryIndex =
+    // computeIfAbsent serializes in-process first callers (same as the
+    // sibling table builders) so two threads can't both run the build
+    custkeyIndexes.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val t = ordersZoneTable(s, d)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"orders-ck-idx-$key.path")
+      if (!Files.exists(pointer)) {
+        val root = base.resolve(s"orders-ck-idx-$key-${java.util.UUID.randomUUID()}")
+        graft.core.SecondaryIndex.build(t, "custkey", root.toString)
+        try Files.write(pointer, root.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+      graft.core.SecondaryIndex.open(s, Files.readString(pointer), "custkey")
+    })
 
   def prebuildCustkeyIndex(s: SparkSession, d: String): Unit =
     ordersCustkeyIndex(s, d)
@@ -578,6 +583,12 @@ object Relational {
   def changeFeedOrders(s: SparkSession, d: String): DataFrame = {
     val t = ordersZoneTable(s, d)
     val vs = t.versions
+    // the cached table lives behind a /tmp pointer: fail loudly if a stale
+    // or foreign build left a different version history than the 7
+    // one-append-per-year commits this query's oracle assumes
+    require(vs.size == 7,
+      s"orders zone table at ${t.root} has ${vs.size} versions, expected 7 (one per order year); " +
+        "delete the stale /tmp/graft-rowid-tables pointer and rebuild")
     t.changesBetween(vs(2), vs(4))
       .select("orderkey", "custkey", "totalprice", "odate")
   }

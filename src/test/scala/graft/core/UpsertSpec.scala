@@ -61,6 +61,9 @@ class UpsertSpec extends SparkSpec {
     t.upsertBy(Seq(KV(2, "b")).toDF(), Seq("k")) // no overlap
     assert(t.liveCount == 2L)
     assert(t.liveScan().count() == 2L)
+    // a no-overlap upsert must NOT leave a mask behind: liveScan stays a
+    // plain scan (no anti-join) and no redundant metadata commit happens
+    assert(t.manifest.maskPath.isEmpty)
   }
 
   test("mask survives compaction and vacuum retention") {
