@@ -72,6 +72,48 @@ object Multimodal {
       |      FROM documents WHERE n_chars > 0)
       |WHERE i % 4 = 0""".stripMargin
 
+  /** Per-frame energy profile over the raw payload bytes — the codec-free
+    * audio/video framing analysis (silence detection, peak localization):
+    * 64-byte frames, per-frame unsigned-byte sums via the fused
+    * [[graft.functions.ByteFrameEnergy]] kernel, then peak frame by
+    * argmax (ties → lowest index, `array_position` of the max in both
+    * engines). All integer arithmetic, so the oracle — which must walk
+    * the hex string two chars at a time — matches bit-for-bit. Map-only:
+    * at 100 TB this is one codegen'd pass over the payload column.
+    */
+  val frameEnergySize = 64
+
+  def frameEnergy(s: SparkSession, d: String): DataFrame =
+    asBinaryTable(s, d)
+      .where(col("n_chars") > 0)
+      .withColumn("energies",
+        graft.functions.VectorFunctions.byteFrameEnergyF(col("payload"), frameEnergySize))
+      .select(
+        col("doc_id"),
+        size(col("energies")).cast("long").as("n_frames"),
+        expr("aggregate(energies, CAST(0 AS BIGINT), (a, x) -> a + x)").as("total_energy"),
+        (array_position(col("energies"), array_max(col("energies"))) - 1L).as("peak_idx"),
+        array_max(col("energies")).as("peak_energy"))
+
+  val frameEnergySql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+       |         octet_length(CAST(text AS BLOB)) AS n
+       |  FROM documents WHERE n_chars > 0),
+       | f AS (
+       |  SELECT doc_id,
+       |   list_transform(range(0, CAST(ceil(n / $frameEnergySize.0) AS BIGINT)), fi ->
+       |     list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |       list_transform(range(fi * $frameEnergySize, least((fi + 1) * $frameEnergySize, n)),
+       |         j -> CAST(('0x' || substr(h, CAST(2 * j + 1 AS INTEGER), 2)) AS BIGINT))),
+       |       (a, x) -> a + x)) AS energies
+       |  FROM b)
+       |SELECT doc_id, CAST(len(energies) AS BIGINT) AS n_frames,
+       | list_reduce(list_prepend(CAST(0 AS BIGINT), energies), (a, x) -> a + x) AS total_energy,
+       | CAST(list_position(energies, list_max(energies)) - 1 AS BIGINT) AS peak_idx,
+       | list_max(energies) AS peak_energy
+       |FROM f""".stripMargin
+
   /** Schema produced by the (stubbed) decoder. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

@@ -137,6 +137,26 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("byte_frame_energy: frame boundaries, unsigned bytes, codegen ≡ interpreted") {
+    import spark.implicits._
+    // bytes include negative JVM values (0x80.. = unsigned 128..)
+    val payload = Array[Byte](1, 2, 3, -1, 0, 127, -128, 5, 9) // 9 bytes, frame=4
+    val got = Seq(Tuple1(payload)).toDF("p")
+      .select(VectorFunctions.byteFrameEnergyF(col("p"), 4)).head().getSeq[Long](0)
+    // frames: [1,2,3,255]=261, [0,127,128,5]=260, [9]=9
+    assert(got == Seq(261L, 260L, 9L))
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = ByteFrameEnergy(
+      Literal.create(payload, org.apache.spark.sql.types.BinaryType), 4)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(interp.toLongArray().toSeq == Seq(261L, 260L, 9L))
+    // empty payload → zero frames
+    val empty = Seq(Tuple1(Array.empty[Byte])).toDF("p")
+      .select(VectorFunctions.byteFrameEnergyF(col("p"), 4)).head().getSeq[Long](0)
+    assert(empty.isEmpty)
+  }
+
   test("interpreted eval agrees with codegen") {
     // Expression.eval path (no codegen): evaluate on a local Literal-only plan
     import org.apache.spark.sql.catalyst.expressions.Literal
