@@ -45,6 +45,26 @@ class VacuumSpec extends SparkSpec {
     assert(s.len == 151L)
   }
 
+  test("vacuum reclaims an orphaned mask dir (crashed upsert) but keeps the live one") {
+    import spark.implicits._
+    val s = VectorStore.create[VacRec](spark, tmpDir("vac4"))
+    s.pushx((0 until 10).map(i => VacRec(i.toLong, "a")))
+    s.table.upsertBy(Seq(VacRec(3L, "a2")).toDF(), Seq("v"))
+    val liveMask = s.table.manifest.maskPath
+    assert(liveMask.nonEmpty)
+    // simulate a crashed upsert: a mask dir no manifest references
+    val orphan = java.nio.file.Paths.get(s.table.root, "data", "mask-99999999-deadbeef")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("part-orphan.parquet"), "x")
+    s.table.vacuum(1)
+    assert(!java.nio.file.Files.exists(orphan), "orphaned mask must be reclaimed")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s.table.root, liveMask)), "live mask must survive")
+    assert(s.table.liveCount == 10L)
+    assert(s.table.liveScan().where(org.apache.spark.sql.functions.col("v") === 3L)
+      .head().getAs[String]("s") == "a2")
+  }
+
   test("vacuum is a no-op when everything is within retention") {
     import spark.implicits._
     val s = VectorStore.create[VacRec](spark, tmpDir("vac3"))
