@@ -472,6 +472,25 @@ object Relational {
     s"""SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice
        |FROM orders WHERE o_custkey = $indexedCustkey""".stripMargin
 
+  /** Range form of the indexed lookup: the sorted index layout serves
+    * `custkey BETWEEN lo AND hi` as one contiguous file slice (parquet
+    * min/max stats prune the rest — the B-tree range-scan analog), then
+    * the table serves the hit rowids through the point path.
+    */
+  val indexedCustkeyLo = 7L
+  val indexedCustkeyHi = 9L
+
+  def indexedCustomerOrdersRange(s: SparkSession, d: String): DataFrame = {
+    val t = ordersZoneTable(s, d)
+    val idx = ordersCustkeyIndex(s, d)
+    val rowids = idx.lookupRange(indexedCustkeyLo, indexedCustkeyHi)
+    t.points(rowids).select("orderkey", "custkey", "totalprice")
+  }
+
+  val indexedCustomerOrdersRangeSql: String =
+    s"""SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice
+       |FROM orders WHERE o_custkey BETWEEN $indexedCustkeyLo AND $indexedCustkeyHi""".stripMargin
+
   /** Orders re-laid-out on a Morton curve over (custkey, totalprice) — see
     * [[graft.sources.ZOrder]]. Built once per (machine, sf dir) behind the
     * same crash-safe pointer protocol as the other derived layouts.

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{Blake2b256Expr, CosineSimilarityF, DotProductF, MinHashSig, ShingleHashes}
+import graft.functions.{Blake2b256Expr, ByteFrameEnergy, CosineSimilarityF, DotProductF, LogM, MinHashSig, PqAdcDistance, ShingleHashes, SqReconCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -57,5 +57,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("blake2b_256"),
       info("blake2b_256", "blake2b_256(expr) - lowercase-hex BLAKE2b-256 of a STRING or BINARY (RFC 7693)"),
       (args: Seq[Expression]) => Blake2b256Expr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sq_recon_cosine"),
+      info("sq_recon_cosine", "sq_recon_cosine(x, q) - cosine of int8-quantize-reconstructed x vs q"),
+      (args: Seq[Expression]) => SqReconCosine(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ln_m"),
+      info("ln_m", "ln_m(x) - natural log via Math.log (libm bit parity)"),
+      (args: Seq[Expression]) => LogM(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      info("pq_adc", "pq_adc(x, codebook, q, numSub) - product-quantization ADC distance"),
+      (args: Seq[Expression]) => PqAdcDistance(args(0), args(1), args(2),
+        args(3).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("byte_frame_energy"),
+      info("byte_frame_energy", "byte_frame_energy(payload, frameSize) - per-frame unsigned-byte sums"),
+      (args: Seq[Expression]) => ByteFrameEnergy(args(0), args(1).eval().asInstanceOf[Int])))
   }
 }
