@@ -567,6 +567,46 @@ object Similarity {
        |FROM scored ORDER BY sim DESC, vec_id LIMIT $knnK""".stripMargin
   }
 
+  /** Recall@k of the cell-pruned IVF search against the exact brute-force
+    * top-k for the same query — the accuracy/cost dial every approximate
+    * index must report (nprobe trades recall for scan fraction; this
+    * query pins the measurement itself as oracle-checked semantics).
+    * Integer set-overlap plus one division: fully deterministic.
+    */
+  def ivfRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === ivfQueryId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val exact = emb.where(col("vec_id") =!= ivfQueryId)
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("embedding"), lit(q)))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(ivfK)
+      .select("vec_id")
+    val approx = ivfSearchMultiprobe(s, d).select(col("vec_id").as("iv"))
+    exact.join(approx, col("vec_id") === col("iv"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(ivfK).as("k"), col("hits"),
+        (col("hits").cast("double") / lit(ivfK.toDouble)).as("recall"))
+  }
+
+  val ivfRecallSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $ivfQueryId),
+       | qn AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, $dim + 1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)), (acc, p) -> acc + p)) AS qnorm FROM q),
+       | scored AS (
+       |  SELECT e.vec_id,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), (acc, p) -> acc + p) AS dot,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (acc, p) -> acc + p) AS norm2
+       |  FROM embeddings e, q WHERE e.vec_id <> $ivfQueryId),
+       | exact AS (SELECT vec_id FROM scored, qn
+       |           ORDER BY dot / (sqrt(norm2) * qn.qnorm) DESC, vec_id LIMIT $ivfK),
+       | approx AS (SELECT vec_id AS iv FROM ($ivfSearchMultiprobeSql))
+       |SELECT CAST($ivfK AS INTEGER) AS k, COUNT(*) AS hits,
+       |  CAST(COUNT(*) AS DOUBLE) / $ivfK.0 AS recall
+       |FROM exact JOIN approx ON exact.vec_id = approx.iv""".stripMargin
+
   // -------------------------------------------------- product quantization
 
   /** PQ layout: 64 dims split into `pqM` = 8 subspaces of `pqSub` = 8; each
