@@ -31,12 +31,21 @@ object StreamIngest {
 
   /** Start ingesting a streaming DataFrame into `table`. The input must not
     * already carry `_rowid` (assigned here, dense, in arrival order).
+    *
+    * `compactEvery` > 0 folds small-files maintenance into the ingest
+    * loop: every N applied micro-batches the table is compacted
+    * (rowid-preserving), so a long-running stream doesn't degrade scan
+    * and pruning performance under thousands of tiny batch dirs — the
+    * auto-optimize behavior a production ingest pipeline needs.
+    * Compaction commits don't advance the recorded stream batch id, so
+    * replay idempotency is unaffected.
     */
   def start(
       stream: DataFrame,
       table: VectorTable,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      compactEvery: Int = 0
   ): StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -44,6 +53,8 @@ object StreamIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) { table.append(batch, streamBatchId = Some(batchId)); () }
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+          table.manifest.batches.size > 1) { table.compact(); () }
       }
       .start()
 }

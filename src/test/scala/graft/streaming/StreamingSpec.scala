@@ -124,6 +124,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("p_value") == 9.99)
   }
 
+  test("auto-compaction keeps a long-running ingest's batch count bounded") {
+    import spark.implicits._
+    val input = MemoryStream[SRec](spark)
+    val table = VectorTable.create(spark, tmpDir("stream-autocompact") + "/t")
+    val q = StreamIngest.start(input.toDF(), table, tmpDir("ckpt-ac"),
+      compactEvery = 2)
+
+    (0 until 6).foreach { b =>
+      input.addData((0 until 10).map(i => SRec(s"b$b-$i", b * 10L + i)))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    assert(table.length == 60L)
+    // without compaction this would be 6 batch dirs; auto-compact folds them
+    assert(table.manifest.batches.size < 6,
+      s"expected compaction to bound batches, got ${table.manifest.batches}")
+    // data intact, rowids dense and in arrival order
+    val store = VectorStore.open[SRec](spark, table.root)
+    assert(store.getall().get.map(_.n) == (0L until 60L))
+  }
+
   test("dropDuplicatesWithinWatermark dedups on the key alone across micro-batches") {
     import spark.implicits._
     val input = MemoryStream[SEvent](spark)
