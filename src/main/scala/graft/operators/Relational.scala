@@ -491,6 +491,55 @@ object Relational {
     s"""SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice
        |FROM orders WHERE o_custkey BETWEEN $indexedCustkeyLo AND $indexedCustkeyHi""".stripMargin
 
+  /** Upserted orders table, built once per (machine, sf dir): base append
+    * of all orders, then `upsertBy(orderkey)` of the 1998 orders with
+    * doubled totalprice. The declared query reads [[graft.core.VectorTable.liveScan]]
+    * — the merge-on-read after-image — and the oracle states it directly
+    * as a CASE over the raw table, proving the delete-vector mask +
+    * replacement rows reproduce exactly the logical MERGE result.
+    * Doubling a DOUBLE is exact (exponent bump), so no float ambiguity.
+    */
+  private def ordersUpsertTable(s: SparkSession, d: String): graft.core.VectorTable =
+    rowidTables.computeIfAbsent("up:" + d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"orders-up-$key.path")
+      if (!Files.exists(pointer)) {
+        val root = base.resolve(s"orders-up-$key-${java.util.UUID.randomUUID()}")
+        val t = graft.core.VectorTable.create(s, root.toString)
+        val src = Tables.orders(s, d).select(
+          col("o_orderkey").as("orderkey"),
+          col("o_custkey").as("custkey"),
+          col("o_totalprice").as("totalprice"),
+          to_date(col("o_orderdate")).as("odate"))
+        t.append(src)
+        t.upsertBy(
+          src.where(year(col("odate")) === 1998)
+            .withColumn("totalprice", col("totalprice") * 2.0d),
+          Seq("orderkey"))
+        try Files.write(pointer, root.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+      graft.core.VectorTable.open(s, Files.readString(pointer))
+    })
+
+  def prebuildUpsertTable(s: SparkSession, d: String): Unit =
+    ordersUpsertTable(s, d)
+
+  def upsertOrdersLive(s: SparkSession, d: String): DataFrame =
+    ordersUpsertTable(s, d).liveScan()
+      .select("orderkey", "custkey", "totalprice", "odate")
+
+  val upsertOrdersLiveSql: String =
+    """SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+      | CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1998
+      |      THEN o_totalprice * 2.0 ELSE o_totalprice END AS totalprice,
+      | CAST(o_orderdate AS DATE) AS odate
+      |FROM orders""".stripMargin
+
   /** Orders re-laid-out on a Morton curve over (custkey, totalprice) — see
     * [[graft.sources.ZOrder]]. Built once per (machine, sf dir) behind the
     * same crash-safe pointer protocol as the other derived layouts.
