@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's single JSON stdout line from the tail of the
+// sbt output. Two obstacles, both fixed here: (a) the default fork output
+// strategy routes child stdout through sbt's logger, prefixing "[info] "
+// (BENCH_r01..r03 all show "parsed": null); (b) the "[success] Total time"
+// epilogue lands after the JSON line. StdoutOutput passes child output
+// through verbatim; showSuccess drops the epilogue.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +35,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Pin the heap: growing/uncommitting it re-faults pages, which is
+  // pathologically expensive on some virtualized hosts (measured ~3.4 µs
+  // per 4 KB fault here — paying it once at startup beats paying it on
+  // every GC cycle). THP (madvise mode) cuts the fault count ~500×.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseTransparentHugePages",
+) ++ {
+  // Scratch tables/temp dirs on tmpfs when the host has one: everything
+  // under java.io.tmpdir here is transient (bench/test scratch), and some
+  // hosts back /tmp with a ~20 MB/s disk.
+  val shm = new java.io.File("/dev/shm")
+  if (shm.isDirectory && shm.canWrite) Seq("-Djava.io.tmpdir=/dev/shm") else Seq.empty
+}

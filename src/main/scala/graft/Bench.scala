@@ -59,13 +59,15 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val tUpsertBuild = try timed(graft.operators.Relational.prebuildUpsertTable(spark, sfDir))
       catch { case _: Throwable => -1.0 }
+    val tMvBuild = try timed(graft.operators.Relational.prebuildPricingSummaryView(spark, sfDir))
+      catch { case _: Throwable => -1.0 }
 
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (try timed(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 })
     } :+ ("rowid_table_build" -> tRowidBuild) :+ ("ivf_index_build" -> tIvfIndexBuild) :+
       ("zonemap_table_build" -> tZoneBuild) :+ ("zorder_layout_build" -> tZOrderBuild) :+
       ("lsh_index_build" -> tLshIndexBuild) :+ ("sec_index_build" -> tSecIndexBuild) :+
-      ("upsert_table_build" -> tUpsertBuild)
+      ("upsert_table_build" -> tUpsertBuild) :+ ("mv_view_build" -> tMvBuild)
 
     // --- store-level dimensions (reference harness workloads, BASELINE.md) ---
     val storeTimes = try {

@@ -195,13 +195,25 @@ object Dedup {
     * O(bucket), verification is O(candidates)).
     */
   def jaccardVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    // Materialized once: the candidate set feeds three consumers (the id
+    // projection below + both verification joins); without the checkpoint
+    // the signature→banding chain re-executes per consumer.
+    val pairs = lshCandidatePairs(s, d).localCheckpoint()
+    // Verification work is sized to the CANDIDATES, not the corpus: only
+    // docs that appear in some LSH pair need their shingle set, so a
+    // semi-join prunes the corpus before the (expensive) shingle-hash
+    // kernel runs — at scale |candidates| << |docs| and this is the
+    // difference between a full-corpus pass and a near-free one.
+    val candidateIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     // Jaccard over distinct *hashed* shingle sets (52-bit md5-derived ints,
     // the same family the signatures use): set ops on bigint arrays instead
     // of 3-word strings — less shuffle weight, same verified pairs, and the
     // oracle recomputes identical hash sets in SQL.
     val docsWithShingles = Tables.documents(s, d)
+      .join(candidateIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
-    val pairs = lshCandidatePairs(s, d)
+      .localCheckpoint()
     pairs
       .join(docsWithShingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
       .join(docsWithShingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")
@@ -245,7 +257,11 @@ object Dedup {
     */
   private[operators] def duplicateClusters(s: SparkSession, d: String,
                                            smallGraphLimit: Long): DataFrame = {
-    val pairs = jaccardVerifiedPairs(s, d).select("doc_a", "doc_b")
+    // Materialize the verified pairs BEFORE the union: both union branches
+    // reference `pairs`, and without the checkpoint the whole
+    // MinHash→LSH→Jaccard chain executes twice inside one job (measured
+    // ~2× the chain cost at sf0.1).
+    val pairs = jaccardVerifiedPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
     // undirected edge list, both directions; size the iteration's
     // parallelism to the edge count — the candidate graph is orders of
     // magnitude smaller than the corpus, and iterating at corpus
@@ -320,7 +336,9 @@ object Dedup {
     * accumulate in partition order and never hash-match across engines.
     */
   def pagerankNearDups(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardVerifiedPairs(s, d).select("doc_a", "doc_b")
+    // checkpoint before union: see duplicateClusters (avoids running the
+    // MinHash→Jaccard chain once per union branch)
+    val pairs = jaccardVerifiedPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()

@@ -1244,4 +1244,225 @@ object Relational {
       | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
       |WHERE rn = 1""".stripMargin
+
+  /** Lineitem ingested in two stages with a [[graft.core.MaterializedAggView]]
+    * built on stage one and INCREMENTALLY refreshed for stage two — cached
+    * per (machine, sf dir) behind the pointer protocol. The declared query
+    * reads the maintained view; the oracle recomputes the same rollup from
+    * scratch over all of lineitem, so a green row proves
+    * refresh(build(half), rest) ≡ full rebuild, bit-exact.
+    */
+  private val aggViews =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.core.MaterializedAggView]()
+  private def pricingSummaryView(s: SparkSession, d: String): graft.core.MaterializedAggView =
+    aggViews.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"li-mv-$key.path")
+      if (!Files.exists(pointer)) {
+        val root = base.resolve(s"li-mv-$key-${java.util.UUID.randomUUID()}")
+        val t = graft.core.VectorTable.create(s, s"$root/table")
+        val src = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"))
+        val cutoff = src.agg(max(col("l_orderkey"))).head.getLong(0) / 2
+        t.append(src.where(col("l_orderkey") <= cutoff))
+        val v = graft.core.MaterializedAggView.build(t, s"$root/view",
+          Seq("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_extendedprice"))
+        t.append(src.where(col("l_orderkey") > cutoff))
+        v.refresh()
+        try Files.write(pointer, root.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+      val root = Files.readString(pointer)
+      graft.core.MaterializedAggView.open(
+        graft.core.VectorTable.open(s, s"$root/table"), s"$root/view")
+    })
+
+  def prebuildPricingSummaryView(s: SparkSession, d: String): Unit =
+    pricingSummaryView(s, d)
+
+  /** The maintained rollup, served from the view state (no base scan at
+    * query time). Output shape mirrors q1 so the oracle is a from-scratch
+    * GROUP BY over lineitem.
+    */
+  def mvPricingSummary(s: SparkSession, d: String): DataFrame =
+    pricingSummaryView(s, d).read()
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("n_rows"),
+        col("l_quantity_sum").cast("double").as("sum_qty"),
+        col("l_extendedprice_sum").cast("double").as("sum_base_price"),
+        col("l_quantity_min").as("min_qty"),
+        col("l_extendedprice_max").as("max_price"))
+
+  val mvPricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | MIN(l_quantity) AS min_qty,
+      | MAX(l_extendedprice) AS max_price
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- TPC-H-shaped join-plan depth (Q4/Q7/Q9/Q10 analogs on the reduced
+  // schema) — each exercises a distinct physical join pattern the others
+  // don't: conditional semi-join, dual-dimension role-playing join,
+  // part-filtered star join, and top-k-after-aggregate.
+
+  /** TPC-H Q4-shaped: order-priority census of orders with at least one
+    * LATE lineitem (shipped after a grace window past the order date) —
+    * an EXISTS with an inequality across tables. Physical shape: LEFT SEMI
+    * join on orderkey with the non-equi predicate as join condition; one
+    * shuffle each side, then a tiny priority aggregate. The date window
+    * prunes orders at the scan.
+    */
+  def q4PriorityCensus(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
+  val q4PriorityCensusSql: String =
+    """SELECT o_orderpriority AS priority, COUNT(*) AS n_late_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q7-shaped: bilateral shipping volume between two nation pairs
+    * by ship year. The nation dimension is joined TWICE in different roles
+    * (supplier's nation vs customer's nation) — the role-playing-dimension
+    * pattern. All dims broadcast; lineitem streams through unshuffled
+    * until the final (year, pair) aggregate.
+    */
+  def q7NationVolume(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    // The two-nation filter is applied INSIDE each dimension branch before
+    // any big join: supplier and customer each shrink to ~2/25 of their
+    // rows, lineitem rows for other suppliers drop at the first (broadcast)
+    // join, and only the surviving fact rows shuffle for the orderkey join.
+    // Only genuinely small tables are broadcast (nation; the
+    // nation-filtered supplier/customer sides — at 100 TB those are the
+    // AQE-decided joins, not forced).
+    val wanted = Seq("NATION_3", "NATION_1")
+    val n1 = Tables.nation(s, d).where(col("n_name").isin(wanted: _*))
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).where(col("n_name").isin(wanted: _*))
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    val suppN = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custN = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val ordN = ord.join(custN, ord("o_custkey") === custN("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    li.join(broadcast(suppN), li("l_suppkey") === suppN("s_suppkey"))
+      .join(ordN, li("l_orderkey") === ordN("o_orderkey"))
+      .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_1") ||
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("volume"))
+  }
+
+  val q7NationVolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      | CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_1')
+      |   OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_3')
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q9-shaped: profit by supplier nation × order year for a
+    * part-name family. The selective part filter is applied BEFORE the
+    * join (broadcast the surviving part keys), so lineitem rows for other
+    * parts never shuffle — the star-join pruning pattern Q9 exists to
+    * exercise.
+    */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val parts = Tables.part(s, d).where(col("p_name").contains("red")).select("p_partkey")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val nation = Tables.nation(s, d)
+    li.join(broadcast(parts), li("l_partkey") === parts("p_partkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("profit"))
+  }
+
+  val q9ProductProfitSql: String =
+    """SELECT n_name AS nation,
+      | CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+      |FROM lineitem
+      | JOIN part ON l_partkey = p_partkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      | JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q10-shaped: top 20 customers by returned-revenue in a quarter —
+    * aggregate THEN top-k, so the heavy join output collapses to one row
+    * per customer before the TakeOrderedAndProject. Deterministic order:
+    * revenue DESC, custkey ASC (exact decimal revenue makes the sort key
+    * engine-stable).
+    */
+  def q10ReturnedRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .as("rev_dec"))
+      .join(broadcast(cust), col("o_custkey") === cust("c_custkey"))
+      .orderBy(col("rev_dec").desc, col("o_custkey"))
+      .limit(20)
+      .select(col("o_custkey").as("custkey"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), col("rev_dec").cast("double").as("revenue"))
+  }
+
+  val q10ReturnedRevenueSql: String =
+    """SELECT o_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+      | CAST(rev_dec AS DOUBLE) AS revenue
+      |FROM (
+      | SELECT o_custkey,
+      |   SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | WHERE l_returnflag = 'R'
+      |   AND o_orderdate >= TIMESTAMP '1997-07-01'
+      |   AND o_orderdate < TIMESTAMP '1997-10-01'
+      | GROUP BY o_custkey)
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY rev_dec DESC, o_custkey LIMIT 20""".stripMargin
 }

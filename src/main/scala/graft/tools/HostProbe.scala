@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Host-health probe: times the primitive layers (session up, codegen'd
+  * range sum, parquet scan, shuffle agg, temp write) so a slow round can be
+  * attributed to the machine vs the query plans.
+  * sbt "runMain graft.tools.HostProbe <sfDir> [cpus]"
+  */
+object HostProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = if (args.length > 1) args(1) else "8"
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    val spark = timed("session_up")(graft.core.GraftSession.local("probe", cpus))
+    spark.sparkContext.setLogLevel("WARN")
+    timed("range_sum_1e7")(spark.range(10000000).selectExpr("sum(id)").head())
+    timed("range_sum_1e7_again")(spark.range(10000000).selectExpr("sum(id)").head())
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    timed("lineitem_count")(li.count())
+    timed("lineitem_count_again")(li.count())
+    timed("lineitem_agg")(li.groupBy("l_returnflag").count().collect())
+    timed("lineitem_agg_again")(li.groupBy("l_returnflag").count().collect())
+    timed("lineitem_shuffle")(li.repartition(32, org.apache.spark.sql.functions.col("l_orderkey")).count())
+    val tmp = java.nio.file.Files.createTempDirectory("probe").toString
+    timed("write_parquet_1e6")(spark.range(1000000).selectExpr("id", "id*2 AS x").write.parquet(s"$tmp/t"))
+    timed("read_back_count")(spark.read.parquet(s"$tmp/t").count())
+    spark.stop()
+  }
+}
