@@ -289,6 +289,10 @@ case class PqAdcDistance(first: Expression, second: Expression, third: Expressio
     adc
   }
 
+  // Emitted lines must not START with '|': Spark's Block materialization
+  // stripMargins nested code again, eating one margin char per nesting
+  // level (a leading "||" became "" and silently demoted this kernel to
+  // interpreted mode — caught by CodegenFallbackSpec).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, cb, q) => {
       val sub = ctx.freshName("sub")
@@ -306,8 +310,8 @@ case class PqAdcDistance(first: Expression, second: Expression, third: Expressio
       s"""
          |int $sub = $x.numElements() / $numSub;
          |int $k = $cb.numElements();
-         |if ($k == 0 || $cb.getArray(0).numElements() < $x.numElements()
-         |    || $q.numElements() < $x.numElements()) {
+         |if ($k == 0 || $cb.getArray(0).numElements() < $x.numElements() ||
+         |    $q.numElements() < $x.numElements()) {
          |  throw new IllegalArgumentException(
          |    "pq_adc: requires a non-empty codebook of full-dim entries and a full-dim query");
          |}
