@@ -136,6 +136,46 @@ object ShingleKernel {
   }
 }
 
+/** graft_shingles(text): table-generating function — the Generator rung of
+  * the §2.7 extension ladder (scalar Expression → typed Aggregator →
+  * Generator). Emits one (pos, shingle) row per word-3-gram, the same
+  * shingling contract as [[ShingleKernel]], usable from SQL via
+  * `LATERAL VIEW graft_shingles(text)`. Generators sit behind GenerateExec
+  * (eval per input row, output streamed) — CodegenFallback here affects
+  * only the generator expression itself, exactly like Spark's own
+  * non-explode generators (e.g. json_tuple, stack).
+  */
+case class ShingleGenerator(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def elementSchema: StructType = StructType(
+    StructField("pos", IntegerType, nullable = false) ::
+    StructField("shingle", StringType, nullable = false) :: Nil)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles requires STRING input, got $other")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Iterator.empty
+    else {
+      val toks = t.asInstanceOf[UTF8String].toString.split(" ", -1)
+      if (toks.length < 3) Iterator.empty
+      else (0 to toks.length - 3).iterator.map { i =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          i, UTF8String.fromString(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 abstract class ShingleExpression extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -189,5 +229,6 @@ object TextFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, "shingle_hashes", args => ShingleHashes(args.head))
     Bridge.registerFunction(spark, "simhash16", args => SimHash16(args.head))
+    Bridge.registerFunction(spark, "graft_shingles", args => ShingleGenerator(args.head))
   }
 }

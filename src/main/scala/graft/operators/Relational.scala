@@ -1306,6 +1306,32 @@ object Relational {
       | MAX(l_extendedprice) AS max_price
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Time-based RANGE frame: per customer, rolling 30-day spend — the
+    * value-bounded window frame (`RANGE BETWEEN INTERVAL ... PRECEDING`)
+    * that ROWS frames can't express (same-day orders share one frame, so
+    * the result is insensitive to intra-day ordering — which is also what
+    * makes it engine-deterministic). One shuffle on custkey; the frame is
+    * evaluated by a sliding aggregate over the sorted partition, not a
+    * self-join.
+    */
+  def rollingSpend30d(s: SparkSession, d: String): DataFrame =
+    graft.GraftCatalog.sql(s, d,
+      """SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate
+        |   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS spend_30d
+        |FROM orders""".stripMargin,
+      tables = Seq("orders"))
+
+  val rollingSpend30dSql: String =
+    """SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate
+      |   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |   AS spend_30d
+      |FROM orders""".stripMargin
+
   // --- TPC-H-shaped join-plan depth (Q4/Q7/Q9/Q10 analogs on the reduced
   // schema) — each exercises a distinct physical join pattern the others
   // don't: conditional semi-join, dual-dimension role-playing join,

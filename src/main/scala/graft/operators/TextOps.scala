@@ -501,6 +501,28 @@ object TextOps {
       | FROM (SELECT string_split(text, ' ') AS toks FROM documents))
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15""".stripMargin
 
+  /** UDTF surface (§2.7 Generator tier): top word-3-gram shingles via the
+    * native `graft_shingles` table-generating function in SQL
+    * (`LATERAL VIEW`), aggregated map-side like any explode. The oracle
+    * recomputes the same shingles with unnest — proving the Generator
+    * yields exactly the contract shingling row-for-row.
+    */
+  def shingleUdtfTopK(s: SparkSession, d: String): DataFrame =
+    graft.GraftCatalog.sql(s, d,
+      """SELECT shingle, COUNT(*) AS n
+        |FROM documents LATERAL VIEW graft_shingles(text) t AS pos, shingle
+        |GROUP BY shingle ORDER BY n DESC, shingle LIMIT 15""".stripMargin,
+      tables = Seq("documents"))
+
+  val shingleUdtfTopKSql: String =
+    """SELECT shingle, COUNT(*) AS n FROM (
+      | SELECT unnest(CASE WHEN len(toks) >= 3
+      |   THEN list_transform(range(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |   ELSE [] END) AS shingle
+      | FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+      |GROUP BY shingle ORDER BY n DESC, shingle LIMIT 15""".stripMargin
+
   val tokenCountMapSql: String =
     """WITH tc AS (
       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
