@@ -19,7 +19,10 @@ object DumpPlans {
       "zonemap_orders_daterange", "zorder_rectangle", "text_contamination",
       "dedup_lsh_index_candidates", "events_streaming_topk",
       "ann_sq_search", "ann_pq_adc_search", "events_heavy_hitters",
-      "text_weighted_sample")
+      "text_weighted_sample",
+      "q4_priority_census", "q7_nation_volume", "q9_product_profit",
+      "q10_returned_revenue", "mv_pricing_summary", "rolling_spend_30d",
+      "text_shingle_udtf", "dedup_jaccard_verified")
     picks.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, d)
       val txt = df.queryExecution.explainString(
