@@ -2,7 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Queries run on a small thread pool (GRAFT_VERIFY_THREADS, default 6):
+  * results are independent one-query-one-dir writes, Spark's scheduler
+  * interleaves the jobs, and — the actual win on a slow machine — each
+  * query's driver-side planning + Janino codegen compiles on its own
+  * thread instead of serializing with every other query's. Failures stay
+  * per-query (logged, other queries unaffected). The oracle_sql.json dump
+  * is written FIRST so a wall-clock-truncated run still yields a usable
+  * (partial) gate rather than zero rows.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -10,13 +20,6 @@ object Verify {
     val spark = graft.core.GraftSession.local("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter { case (n, _) => only.isEmpty || only(n) }.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -32,6 +35,23 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val picked = SparkEntry.queries.filter { case (n, _) => only.isEmpty || only(n) }.toSeq
+      .sortBy(_._1)
+    val threads = math.max(1, sys.env.getOrElse("GRAFT_VERIFY_THREADS", "6").toInt)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futures = picked.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
     spark.stop()
   }
 }
