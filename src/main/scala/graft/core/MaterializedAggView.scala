@@ -58,6 +58,11 @@ final class MaterializedAggView private (
     val (basis, stateDir) = readCurrent(root)
     val head = table.versions.max
     if (head == basis) return
+    // A restore can rewind the head BELOW the basis (shrinking length):
+    // the insert-only delta algebra can't subtract, so fail loudly
+    // instead of silently over-counting.
+    require(table.lengthAt(head) >= table.lengthAt(basis),
+      s"table rewound past the view basis (v$basis) — rebuild the view")
     val delta = aggregate(table.changesBetween(basis, head), keyCols, valCols)
     val old = spark.read.parquet(s"$root/$stateDir")
     val merged = mergeStates(old, delta, keyCols, valCols)

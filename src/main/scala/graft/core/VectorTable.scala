@@ -448,6 +448,25 @@ final class VectorTable(val spark: SparkSession, val root: String) {
   /** All committed manifest versions, ascending. */
   def versions: Seq[Long] = Manifest.listVersions(root)
 
+  /** RESTORE (rollback): make the head equal the table's state at
+    * `version` by committing a NEW manifest carrying that version's
+    * content — the lakehouse rollback, not a destructive reset. History
+    * is untouched: every intermediate version (including the pre-restore
+    * head) stays readable via [[scanAt]], and batches dropped from the
+    * head remain on disk for time travel until [[vacuum]] reclaims them.
+    * Restoring also rewinds the recorded stream batch id and the upsert
+    * mask to their values at `version` (a replayed stream batch after a
+    * restore re-applies, which is the correct at-least-once behavior for
+    * "I rolled the data back").
+    */
+  def restore(version: Long): Unit = VectorTable.commitLock.synchronized {
+    val head = manifest
+    require(version <= head.version,
+      s"restore($version): head is ${head.version}")
+    val target = Manifest.loadVersion(root, version)
+    Manifest.commit(root, target.copy(version = head.version + 1))
+  }
+
   /** Change feed: the rows appended between committed versions
     * (`fromVersion`, `toVersion`] — the append-only table's CDC surface.
     * Pure manifest arithmetic (length at each version bounds the rowid

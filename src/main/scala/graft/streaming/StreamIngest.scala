@@ -45,7 +45,8 @@ object StreamIngest {
       table: VectorTable,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
-      compactEvery: Int = 0
+      compactEvery: Int = 0,
+      maintainViews: Seq[graft.core.MaterializedAggView] = Nil
   ): StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -55,6 +56,12 @@ object StreamIngest {
         if (!batch.isEmpty) { table.append(batch, streamBatchId = Some(batchId)); () }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
           table.manifest.batches.size > 1) { table.compact(); () }
+        // Streaming IVM: bring maintained rollups up to the new head inside
+        // the micro-batch loop. refresh() is a basis-version no-op for
+        // replayed batches (idempotent append → unchanged head), so the
+        // views inherit the ingest's effective exactly-once semantics;
+        // each refresh costs O(batch + |view|), never a base rescan.
+        maintainViews.foreach(_.refresh())
       }
       .start()
 }
