@@ -42,10 +42,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
   "-XX:+UseTransparentHugePages",
-) ++ {
-  // Scratch tables/temp dirs on tmpfs when the host has one: everything
-  // under java.io.tmpdir here is transient (bench/test scratch), and some
-  // hosts back /tmp with a ~20 MB/s disk.
-  val shm = new java.io.File("/dev/shm")
-  if (shm.isDirectory && shm.canWrite) Seq("-Djava.io.tmpdir=/dev/shm") else Seq.empty
-}
+)
+// (Deliberately NOT pointing java.io.tmpdir/spark.local.dir at /dev/shm:
+// this harness periodically wipes it, which killed live SparkContexts.)

@@ -15,6 +15,12 @@ object Bench {
     * growing `Vec<usize>` (tests/tests/vector_performance_test.rs:8,67-98).
     */
   final case class ArrayRec(id: Long, xs: Seq[Long])
+  /** All-fixed-width row mirroring the reference's static-layout 1M bench
+    * (30-byte rows, static_vector_manage_service.rs:185,218-240) — takes
+    * the PLAIN-encoded static write path (SchemaIntrospect → manifest
+    * layout=static, LayoutEncodingSpec).
+    */
+  final case class FixedRec(a: Long, b: Long, c: Double, d: Boolean)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,7 +125,15 @@ object Bench {
       val arrRows = (0 until 10000).map(i => ArrayRec(i.toLong, (0L to (i % 100).toLong)))
       val tArrAppend = timed(storeArr.pushx(arrRows))
       val tArrRead = timed(assert(storeArr.getall().get.size == 10000))
+      // static-layout 1M (reference static_vector_manage_service 1M bench)
+      val rootFix = java.nio.file.Files.createTempDirectory("graft-bench-fix").toString
+      val storeFix = graft.core.VectorStore.create[FixedRec](spark, rootFix)
+      val fixRows = (0 until 1000000).map(i => FixedRec(i.toLong, i * 2L, i * 0.5, (i & 1) == 0))
+      val tFixAppend = timed(storeFix.pushx(fixRows))
+      val tFixRead = timed(assert(storeFix.pullx(250000, 500000).size == 500000))
       Seq(
+        "store_static_append_1m" -> tFixAppend,
+        "store_static_range_read_500k" -> tFixRead,
         "store_array_rows_10k_append" -> tArrAppend,
         "store_array_rows_10k_read" -> tArrRead,
         "store_point_reads_50_batched" -> tBatchedPoints,

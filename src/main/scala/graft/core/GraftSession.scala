@@ -37,16 +37,14 @@ object GraftSession {
     // Managed tables (bucketed layouts) land outside the repo.
     .config("spark.sql.warehouse.dir",
       s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")
-    // Shuffle/spill scratch on tmpfs when available: local-mode shuffle
-    // files are transient by construction, and some hosts back /tmp with a
-    // disk an order of magnitude slower than memory (measured 20 MB/s vs
-    // 160 MB/s here). On a real cluster this is the provisioning default
-    // (fast local SSD/ramdisk for spark.local.dir), not a semantic change.
-    .config("spark.local.dir", {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-local"
-      else s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-local"
-    })
+    // Shuffle/spill scratch under java.io.tmpdir. NOTE: /dev/shm looked
+    // attractive on hosts whose /tmp disk writes at ~20 MB/s, but this
+    // harness periodically wipes /dev/shm — DiskBlockManager dirs vanished
+    // mid-suite and the SparkContext died ("Cannot call methods on a
+    // stopped SparkContext"). Durability of scratch beats its speed here;
+    // on a real cluster spark.local.dir is provisioned fast local storage.
+    .config("spark.local.dir",
+      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-local")
 
   def local(appName: String = "graft", cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = tune(

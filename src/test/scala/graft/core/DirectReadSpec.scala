@@ -76,8 +76,15 @@ class DirectReadSpec extends SparkSpec {
       keys.foreach(k => assert(store.get(k).exists(_.n == k)))
       (System.nanoTime() - t0) / 1e9
     }.min
-    // 50 cold keys took ~7.5 s through the job path (~150 ms/key); the
-    // direct path measures ~0.45 s. 2.5 s keeps 3× margin on both sides.
-    assert(sec < 2.5, f"50 direct point reads took $sec%.3f s")
+    // Latency CLASS, not absolute wall-clock (an absolute bound flakes on
+    // slow/shared hosts — seen at 2.585 s vs a 2.5 s limit on a machine
+    // where every Spark op ran 4× slow): the direct path must beat the
+    // same 50 keys THROUGH the scheduler by a wide factor. Job-path floor
+    // is ~20-150 ms/key; direct is ~2-10 ms/key → 3× is a loose bound.
+    val t1 = System.nanoTime()
+    keys.foreach(k => assert(store.table.point(k).collect().length == 1))
+    val jobSec = (System.nanoTime() - t1) / 1e9
+    assert(sec * 3 < jobSec,
+      f"direct reads ($sec%.3f s / 50) not decisively faster than job path ($jobSec%.3f s / 50)")
   }
 }
