@@ -40,8 +40,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // per 4 KB fault here — paying it once at startup beats paying it on
   // every GC cycle). THP (madvise mode) cuts the fault count ~500×.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+) ++ (if (sys.env.get("GRAFT_PRETOUCH").contains("1")) Seq(
   "-XX:+AlwaysPreTouch",
   "-XX:+UseTransparentHugePages",
-)
+) else Nil)
 // (Deliberately NOT pointing java.io.tmpdir/spark.local.dir at /dev/shm:
 // this harness periodically wipes it, which killed live SparkContexts.)
