@@ -12,8 +12,36 @@ import java.nio.file.{Files, Paths}
   * per-query (logged, other queries unaffected). The oracle_sql.json dump
   * is written FIRST so a wall-clock-truncated run still yields a usable
   * (partial) gate rather than zero rows.
+  *
+  * Submission order (round-4 lesson: a truncated run covered 0 of the 7
+  * new queries because they sort mid-alphabet behind 40 already-proven
+  * ones): queries NEVER recorded green in any committed
+  * CORRECTNESS_r*.json run first, so truncation eats the already-proven
+  * tail, not the new surface.
   */
 object Verify {
+  /** Query names ever recorded green (hash or rows match) by a past
+    * driver round — read from the CORRECTNESS_r*.json files in cwd.
+    * Unreadable/absent files contribute nothing (fresh checkout ⇒ all
+    * queries count as new).
+    */
+  def previouslyGreen(): Set[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("CORRECTNESS_r\\d+\\.json"))
+    files.flatMap { f =>
+      try JsonMethods.parse(Files.readString(f.toPath)) match {
+        case JObject(fields) => fields.collect {
+          case (name, JObject(v))
+            if v.toMap.get("hash_match").contains(JBool(true)) ||
+               v.toMap.get("rows_match").contains(JBool(true)) => name
+        }
+        case _ => Nil
+      } catch { case _: Throwable => Nil }
+    }.toSet
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet // optional query-name filter for iteration
@@ -36,8 +64,15 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
+    // Register every temp view ONCE before the pool: worker threads share
+    // one SparkSession, and concurrent createOrReplaceTempView on shared
+    // names is only safe because GraftCatalog definitions are a pure
+    // function of sfDir — registering up front removes the race entirely.
+    GraftCatalog.register(spark, sfDir)
+
+    val green = previouslyGreen()
     val picked = SparkEntry.queries.filter { case (n, _) => only.isEmpty || only(n) }.toSeq
-      .sortBy(_._1)
+      .sortBy { case (n, _) => (green(n), n) } // never-green first, then by name
     val threads = math.max(1, sys.env.getOrElse("GRAFT_VERIFY_THREADS", "6").toInt)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val futures = picked.map { case (name, fn) =>
