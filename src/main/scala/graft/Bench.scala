@@ -15,10 +15,20 @@ import org.apache.spark.sql.SparkSession
   *     checked before EACH dimension; once exceeded, remaining dims are
   *     skipped (recorded as -2.0) and the JSON line still prints with the
   *     skips counted in n_failed/failed;
-  *   - BENCH_DETAIL.json is rewritten after EVERY dimension (always valid
-  *     JSON), so even a hard kill leaves per-dim partial evidence;
-  *   - the reference-parity store dims run BEFORE the query corpus: they
-  *     are the direct BASELINE.md comparison and must survive truncation.
+  *   - the reference-parity store dims run BEFORE the query corpus but
+  *     under a SUB-budget (25% of the total): round 5 showed a 14.8 MB/s
+  *     disk making the 1M-row store dims eat the whole 2400 s and starve
+  *     all 119 query dims — the headline metric. Once the store block's
+  *     share is spent its remaining dims skip (-2.0) and the query corpus
+  *     always gets the rest of the budget;
+  *   - the first store dim (100k append) doubles as a disk-speed probe:
+  *     if it exceeds 20 s (healthy hosts: <2 s) the 1M-row dims run at
+  *     100k scale instead, with the actual scale recorded in the dim name
+  *     (e.g. `store_bulk_append_1m_scaled100k`) so numbers are never
+  *     silently compared across scales;
+  *   - BENCH_DETAIL.json is rewritten after EVERY dimension via
+  *     temp-file + ATOMIC_MOVE (always a complete JSON document even
+  *     under a hard kill mid-write).
   */
 object Bench {
 
@@ -60,19 +70,31 @@ object Bench {
       val total = results.collect { case (k, v) if v >= 0 && !storeDims(k) => v }.sum
       val detailJson =
         s"""{"metric":"total_query_sec","value":$total,"unit":"sec","elapsed_s":$elapsedS,"budget_s":$budgetS,"queries":$qs,"sf":"$sfDir"}"""
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_DETAIL.json"), detailJson + "\n")
-      catch { case _: Throwable => () }
+      // temp + ATOMIC_MOVE: a hard kill mid-rewrite must never leave a
+      // truncated detail file (it is the only evidence a killed run has).
+      try {
+        val dir = java.nio.file.Paths.get(".")
+        val tmp = java.nio.file.Files.createTempFile(dir, ".bench-detail", ".tmp")
+        java.nio.file.Files.writeString(tmp, detailJson + "\n")
+        java.nio.file.Files.move(tmp, dir.resolve("BENCH_DETAIL.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: Throwable => () }
     }
 
+    // Store dims get 25% of the wall clock; everything else (index builds
+    // + the query corpus, the headline metric) gets the full budget.
+    val storeBudgetS = budgetS * sys.env.getOrElse("GRAFT_BENCH_STORE_FRAC", "0.25").toDouble
+
     /** Run one dimension under the wall-clock budget: skip (never launch)
-      * once the budget is spent, never let one failure kill the harness,
-      * and persist the detail file after every dimension.
+      * once the applicable budget is spent, never let one failure kill the
+      * harness, and persist the detail file after every dimension.
       */
     def dim(name: String, store: Boolean = false)(f: => Unit): Unit = {
       if (store) storeDims += name
+      val cap = if (store) storeBudgetS else budgetS
       results(name) =
-        if (elapsedS > budgetS) -2.0
+        if (elapsedS > cap) -2.0
         else try timed(f) catch { case _: Throwable => -1.0 }
       writeDetail()
     }
@@ -141,18 +163,28 @@ object Bench {
     // 1M-row dimensions at the reference harness's own scale
     // (COUNT=1,000,000: tests/tests/sample_data_test.rs:8,
     // cache_engine_performance_test.rs:14) so the comparison holds at
-    // equal row counts, not just equal shapes.
+    // equal row counts, not just equal shapes. On a degraded disk
+    // (round 5: 14.8 MB/s, 1M append = 852 s) the full scale would eat the
+    // whole bench budget, so the 100k-append probe above decides the scale
+    // and the dim NAME records it — a scaled number is never presented as
+    // a 1M number.
+    val probeS = results.getOrElse("store_bulk_append_100k", -1.0)
+    val degradedHost = probeS < 0 || probeS > 20.0
+    val n1m = if (degradedHost) 100000 else 1000000
+    val tag1m = if (degradedHost) "_scaled100k" else ""
+    if (degradedHost)
+      System.err.println(s"[bench] degraded host (100k append ${probeS}s): 1M dims scaled to 100k")
     var store1m: graft.core.VectorStore[BenchRec] = null
-    dim("store_bulk_append_1m", store = true) {
+    dim(s"store_bulk_append_1m$tag1m", store = true) {
       val root1m = java.nio.file.Files.createTempDirectory("graft-bench-1m").toString
       store1m = graft.core.VectorStore.create[BenchRec](spark, root1m)
-      val rows1m = (0 until 1000000).map(i => BenchRec(s"user${i % 97}", i.toLong, s"payload-$i-${"x" * 40}"))
+      val rows1m = (0 until n1m).map(i => BenchRec(s"user${i % 97}", i.toLong, s"payload-$i-${"x" * 40}"))
       store1m.pushx(rows1m)
     }
-    dim("store_full_scan_1m", store = true) {
+    dim(s"store_full_scan_1m$tag1m", store = true) {
       store1m.toDS().agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))).head()
     }
-    dim("store_getall_1m", store = true)(assert(store1m.getall().get.size == 1000000))
+    dim(s"store_getall_1m$tag1m", store = true)(assert(store1m.getall().get.size == n1m))
     // array-heavy rows at the reference harness scale (COUNT=10,000,
     // growing list field — vector_performance_test.rs:8,67-98)
     var storeArr: graft.core.VectorStore[ArrayRec] = null
@@ -165,14 +197,14 @@ object Bench {
     dim("store_array_rows_10k_read", store = true)(assert(storeArr.getall().get.size == 10000))
     // static-layout 1M (reference static_vector_manage_service 1M bench)
     var storeFix: graft.core.VectorStore[FixedRec] = null
-    dim("store_static_append_1m", store = true) {
+    dim(s"store_static_append_1m$tag1m", store = true) {
       val rootFix = java.nio.file.Files.createTempDirectory("graft-bench-fix").toString
       storeFix = graft.core.VectorStore.create[FixedRec](spark, rootFix)
-      val fixRows = (0 until 1000000).map(i => FixedRec(i.toLong, i * 2L, i * 0.5, (i & 1) == 0))
+      val fixRows = (0 until n1m).map(i => FixedRec(i.toLong, i * 2L, i * 0.5, (i & 1) == 0))
       storeFix.pushx(fixRows)
     }
-    dim("store_static_range_read_500k", store = true) {
-      assert(storeFix.pullx(250000, 500000).size == 500000)
+    dim(s"store_static_range_read_500k$tag1m", store = true) {
+      assert(storeFix.pullx(n1m / 4, n1m / 2).size == n1m / 2)
     }
 
     // One-time table/index builds, timed as their own dimension: the rowid

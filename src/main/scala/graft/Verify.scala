@@ -20,10 +20,12 @@ import java.nio.file.{Files, Paths}
   * tail, not the new surface.
   */
 object Verify {
-  /** Query names ever recorded green (hash or rows match) by a past
-    * driver round — read from the CORRECTNESS_r*.json files in cwd.
-    * Unreadable/absent files contribute nothing (fresh checkout ⇒ all
-    * queries count as new).
+  /** Query names ever recorded HASH-green by a past driver round — read
+    * from the CORRECTNESS_r*.json files in cwd. hash_match is the driver's
+    * strong signal; a rows-match-only query (right count, wrong values)
+    * still counts as never-green so it re-runs in the truncation-safe
+    * head of the queue. Unreadable/absent files contribute nothing
+    * (fresh checkout ⇒ all queries count as new).
     */
   def previouslyGreen(): Set[String] = {
     import org.json4s._
@@ -34,8 +36,7 @@ object Verify {
       try JsonMethods.parse(Files.readString(f.toPath)) match {
         case JObject(fields) => fields.collect {
           case (name, JObject(v))
-            if v.toMap.get("hash_match").contains(JBool(true)) ||
-               v.toMap.get("rows_match").contains(JBool(true)) => name
+            if v.toMap.get("hash_match").contains(JBool(true)) => name
         }
         case _ => Nil
       } catch { case _: Throwable => Nil }
@@ -64,10 +65,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
-    // Register every temp view ONCE before the pool: worker threads share
-    // one SparkSession, and concurrent createOrReplaceTempView on shared
-    // names is only safe because GraftCatalog definitions are a pure
-    // function of sfDir — registering up front removes the race entirely.
+    // Register every temp view before the pool. Some query fns still
+    // re-register the same views / run GraftCatalog.sql on their own
+    // (Relational/TextOps); that concurrent re-registration is benign —
+    // every definition is a pure function of sfDir, so workers only ever
+    // replace a view with an identical one, and Spark's temp-view catalog
+    // ops are synchronized — but it is re-registration, not absence of it.
     GraftCatalog.register(spark, sfDir)
 
     val green = previouslyGreen()
@@ -75,11 +78,28 @@ object Verify {
       .sortBy { case (n, _) => (green(n), n) } // never-green first, then by name
     val threads = math.max(1, sys.env.getOrElse("GRAFT_VERIFY_THREADS", "6").toInt)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    // Each result is written to a dot-prefixed temp dir and renamed into
+    // place only on success: a wall-clock kill mid-write then leaves NO
+    // $outDir/$name dir (driver scores the query untested) instead of a
+    // half-written/empty one (driver scored those as 0-row FAILs in
+    // round 5: median_quantity_per_flag, mm_decode_features — both green
+    // on re-run).
+    def deleteRecursively(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
     val futures = picked.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
+          try {
+            val tmp = s"$outDir/.tmp-$name"
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+            val target = Paths.get(s"$outDir/$name")
+            deleteRecursively(target)
+            Files.move(Paths.get(tmp), target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }

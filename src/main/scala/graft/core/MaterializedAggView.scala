@@ -13,7 +13,8 @@ import org.apache.spark.sql.types.DecimalType
   * view is maintained from the CHANGE FEED, so a refresh after appending
   * ΔN rows costs O(ΔN + |view|), never a rescan of the base table.
   *
-  * Maintained aggregates per group: row count, exact DECIMAL(18,2) sum,
+  * Maintained aggregates per group: row count, exact decimal sum (inputs
+  * at (18,2), accumulator held at DECIMAL(28,2) across build AND refresh),
   * min, max of each tracked value column — the insert-monotone set (all
   * are mergeable from partial states, so increments compose associatively
   * and the refreshed view is bit-identical to a from-scratch rebuild; a
@@ -58,15 +59,35 @@ final class MaterializedAggView private (
     val (basis, stateDir) = readCurrent(root)
     val head = table.versions.max
     if (head == basis) return
-    // A restore can rewind the head BELOW the basis (shrinking length):
-    // the insert-only delta algebra can't subtract, so fail loudly
-    // instead of silently over-counting.
-    require(table.lengthAt(head) >= table.lengthAt(basis),
-      s"table rewound past the view basis (v$basis) — rebuild the view")
+    // Restore-epoch guard. A length comparison is NOT enough: restore
+    // below the basis followed by regrowth past the basis length passes a
+    // length check while the rowid range [restoredLen, basisLen) now holds
+    // DIFFERENT rows than the ones this view counted — changesBetween
+    // (pure rowid arithmetic) cannot see that, so the view would silently
+    // diverge. The manifest's restore counter tells "advanced" apart from
+    // "rewound and regrown": any restore since the basis ⇒ refuse and
+    // direct the caller to rebuild(). (Conservative: a restore to a
+    // version ≥ basis is also refused — rebuild() is always safe.)
+    val headM = Manifest.loadVersion(table.root, head)
+    val basisM = Manifest.loadVersion(table.root, basis)
+    require(basisM.restores == headM.restores,
+      s"table was RESTOREd since the view basis (v$basis) — the insert-only " +
+        "delta algebra cannot subtract dropped rows; call rebuild()")
+    require(headM.length >= basisM.length,
+      s"table rewound past the view basis (v$basis) — call rebuild()")
     val delta = aggregate(table.changesBetween(basis, head), keyCols, valCols)
     val old = spark.read.parquet(s"$root/$stateDir")
     val merged = mergeStates(old, delta, keyCols, valCols)
     writeState(merged, head)
+  }
+
+  /** From-scratch rebuild at the table's current head — the recovery path
+    * after [[refresh]] refuses (table was restored past the basis). One
+    * full aggregation of the base, same cost as [[MaterializedAggView.build]].
+    */
+  def rebuild(): Unit = {
+    val head = table.versions.max
+    writeState(aggregate(table.scan().drop(VectorTable.ROWID), keyCols, valCols), head)
   }
 
   private def writeState(df: DataFrame, version: Long): Unit = {
@@ -82,13 +103,20 @@ final class MaterializedAggView private (
 object MaterializedAggView {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  // Accumulator type for sums. Inputs are exact at (18,2); Spark widens
+  // SUM(DECIMAL(18,2)) to (28,2), and build() persists that. The merge
+  // must stay at (28,2) too: narrowing the accumulator back to (18,2)
+  // (the round-5 defect) silently NULLed group sums past 10^16 via the
+  // non-ANSI overflow cast on the first refresh. Consumers narrow/cast at
+  // read() time if they want a tighter type.
+  private val SumType = DecimalType(28, 2)
 
   /** Group-aggregate `df` into the maintainable state shape. */
   private def aggregate(df: DataFrame, keyCols: Seq[String], valCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         valCols.flatMap(v => Seq(
-          sum(dec(col(v))).as(s"${v}_sum"),
+          sum(dec(col(v))).cast(SumType).as(s"${v}_sum"),
           min(col(v)).as(s"${v}_min"),
           max(col(v)).as(s"${v}_max"))): _*)
 
@@ -102,9 +130,9 @@ object MaterializedAggView {
         (coalesce(col("n_rows"), lit(0L)) + coalesce(col("n_rows_r"), lit(0L))).as("n_rows")) ++
         valCols.flatMap { v =>
           Seq(
-            (coalesce(col(s"${v}_sum"), lit(0).cast(DecimalType(18, 2))) +
-              coalesce(col(s"${v}_sum_r"), lit(0).cast(DecimalType(18, 2))))
-              .cast(DecimalType(18, 2)).as(s"${v}_sum"),
+            (coalesce(col(s"${v}_sum"), lit(0).cast(SumType)) +
+              coalesce(col(s"${v}_sum_r"), lit(0).cast(SumType)))
+              .cast(SumType).as(s"${v}_sum"),
             least(col(s"${v}_min"), col(s"${v}_min_r")).as(s"${v}_min"),
             greatest(col(s"${v}_max"), col(s"${v}_max_r")).as(s"${v}_max"))
         }: _*)

@@ -24,14 +24,20 @@ final case class Manifest(version: Long, length: Long, layout: String, batches: 
                           streamBatch: Long = -1L, encoding: String = "dictionary",
                           schemaJson: String = "", mixedSchema: Boolean = false,
                           zstats: Map[Long, Seq[ZoneMaps.ColStats]] = Map.empty,
-                          maskPath: String = "", maskCount: Long = 0L) {
+                          maskPath: String = "", maskCount: Long = 0L,
+                          restores: Long = 0L) {
   def serialize: String = {
     val header = Seq(s"version=$version", s"length=$length", s"layout=$layout",
         s"encoding=$encoding") ++
       (if (streamBatch >= 0L) Seq(s"streamBatch=$streamBatch") else Nil) ++
       (if (schemaJson.nonEmpty) Seq(s"schema=$schemaJson") else Nil) ++
       (if (mixedSchema) Seq("mixedSchema=true") else Nil) ++
-      (if (maskPath.nonEmpty) Seq(s"maskPath=$maskPath", s"maskCount=$maskCount") else Nil)
+      (if (maskPath.nonEmpty) Seq(s"maskPath=$maskPath", s"maskCount=$maskCount") else Nil) ++
+      // restore-epoch counter: bumped by every restore() commit so derived
+      // artifacts (materialized views) can tell "head advanced" from "head
+      // was rewound and regrown over a reused rowid range" — a length
+      // comparison cannot (see MaterializedAggView.refresh).
+      (if (restores > 0L) Seq(s"restores=$restores") else Nil)
     val lines = batches.map(b => s"batch=${b.id},${b.start},${b.end},${b.relPath}")
     val zlines = zstats.toSeq.sortBy(_._1).flatMap { case (id, css) =>
       css.map(cs => ZoneMaps.serializeLine(id, cs))
@@ -74,8 +80,13 @@ object Manifest {
     val maskCount = kv.collectFirst {
       case l if l.startsWith("maskCount=") => l.drop("maskCount=".length).toLong
     }.getOrElse(0L)
+    // manifests predating the restore-epoch counter never saw a restore
+    val restores = kv.collectFirst {
+      case l if l.startsWith("restores=") => l.drop("restores=".length).toLong
+    }.getOrElse(0L)
     Manifest(field("version").toLong, field("length").toLong, field("layout"), batches,
-      streamBatch, encoding, schemaJson, mixedSchema, zstats, maskPath, maskCount)
+      streamBatch, encoding, schemaJson, mixedSchema, zstats, maskPath, maskCount,
+      restores)
   }
 
   /** Latest committed manifest, or the empty v0 manifest for a new table. */
@@ -352,7 +363,7 @@ final class VectorTable(val spark: SparkSession, val root: String) {
     try Manifest.commit(root, Manifest(batchId, start + n, layout,
       m.batches :+ BatchInfo(batchId, start, start + n, rel),
       streamBatchId.getOrElse(m.streamBatch), encoding, widened.json, mixed, zstats,
-      m.maskPath, m.maskCount))
+      m.maskPath, m.maskCount, m.restores))
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(
@@ -394,7 +405,7 @@ final class VectorTable(val spark: SparkSession, val root: String) {
         Vector(BatchInfo(batchId, 0L, n, rel)), m.streamBatch, m.encoding,
         m.schemaJson, mixedSchema = false,
         if (zs.isEmpty) Map.empty else Map(batchId -> zs),
-        m.maskPath, m.maskCount))
+        m.maskPath, m.maskCount, m.restores))
     }
 
   /** Storage reclamation after compaction: drop every batch directory not
@@ -464,7 +475,10 @@ final class VectorTable(val spark: SparkSession, val root: String) {
     require(version <= head.version,
       s"restore($version): head is ${head.version}")
     val target = Manifest.loadVersion(root, version)
-    Manifest.commit(root, target.copy(version = head.version + 1))
+    // bump the restore epoch: rowids dropped here may be REUSED by later
+    // appends with different content, which derived views must detect
+    Manifest.commit(root, target.copy(version = head.version + 1,
+      restores = head.restores + 1))
   }
 
   /** Change feed: the rows appended between committed versions

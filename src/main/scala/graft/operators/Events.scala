@@ -362,11 +362,16 @@ object Events {
         val c = summary.where(col("tag") === 0).select("v").as[Long].collect().distinct
         (t, c)
       } finally { summary.unpersist(blocking = false); () }
-    // candidate set is driver-small (≤ counters × partitions): an IN-set
-    // predicate reaches the scan, and the recount shuffle carries only
-    // candidate rows
+    // candidate set is driver-small (≤ counters × partitions) but NOT
+    // O(1): compiling it into an IN-list predicate grows the generated
+    // code with counters×partitions literals (a 4000-partition cluster ⇒
+    // a megabyte-scale predicate). A broadcast LEFT SEMI join is the
+    // size-safe shape: the candidate table ships once per executor, the
+    // probe is a hash lookup, and the recount shuffle still carries only
+    // candidate rows.
+    val candDf = cands.toSeq.toDF("user_id")
     Tables.events(s, d)
-      .where(col("user_id").isInCollection(cands))
+      .join(broadcast(candDf), Seq("user_id"), "left_semi")
       .groupBy("user_id").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * hhK > total)
   }

@@ -67,18 +67,20 @@ object Relational {
       |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
       |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
 
-  /** TPC-H Q3-shaped 3-way join + aggregate. customer is small relative to
-    * lineitem → explicit broadcast removes one shuffle; orders⋈lineitem
-    * shuffles on orderkey (the natural co-location key for both tables —
-    * at 100 TB both sides would be bucketed by orderkey making this
-    * shuffle-free).
+  /** TPC-H Q3-shaped 3-way join + aggregate. The mktsegment-filtered
+    * customer side SCALES WITH SF (~150M rows at sf1000), so it is NOT
+    * force-broadcast: AQE decides at runtime from the observed post-filter
+    * size (broadcast at small SF, shuffle join at large — same policy as
+    * q7). orders⋈lineitem shuffles on orderkey (the natural co-location
+    * key for both tables — at 100 TB both sides would be bucketed by
+    * orderkey making this shuffle-free).
     */
   def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(s, d)
     val li = Tables.lineitem(s, d)
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy("o_orderkey")
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
         .cast("double").as("revenue"))
@@ -93,8 +95,12 @@ object Relational {
       |WHERE c_mktsegment = 'BUILDING'
       |GROUP BY o_orderkey""".stripMargin
 
-  /** TPC-H Q5-shaped 6-way join: all dimensions (region/nation/customer/
-    * supplier) broadcast; the only shuffle is lineitem⋈orders.
+  /** TPC-H Q5-shaped 6-way join. Only the FIXED-cardinality dims are
+    * force-broadcast (region: 5 rows, nation: 25 rows — size independent
+    * of SF). supplier and customer grow with SF (~10M / ~150M rows at
+    * sf1000 — a forced broadcast there is a driver OOM at scale), so those
+    * joins are left to AQE, which broadcasts them at small SF and switches
+    * to shuffle joins when the observed size says so (the q7 policy).
     */
   def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
     val region = Tables.region(s, d).where(col("r_name") === "ASIA")
@@ -104,8 +110,8 @@ object Relational {
     val ord = Tables.orders(s, d)
     val li = Tables.lineitem(s, d)
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-      .join(broadcast(cust),
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(cust,
         ord("o_custkey") === cust("c_custkey") && supp("s_nationkey") === cust("c_nationkey"))
       .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
@@ -1422,9 +1428,11 @@ object Relational {
 
   /** TPC-H Q9-shaped: profit by supplier nation × order year for a
     * part-name family. The selective part filter is applied BEFORE the
-    * join (broadcast the surviving part keys), so lineitem rows for other
-    * parts never shuffle — the star-join pruning pattern Q9 exists to
-    * exercise.
+    * join (broadcast the surviving part-KEY list — a post-filter key
+    * column, small at any SF), so lineitem rows for other parts never
+    * shuffle — the star-join pruning pattern Q9 exists to exercise.
+    * supplier grows with SF (~10M rows at sf1000) so its join is
+    * AQE-decided, not forced; nation (25 rows, fixed) stays broadcast.
     */
   def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
@@ -1433,7 +1441,7 @@ object Relational {
     val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
     val nation = Tables.nation(s, d)
     li.join(broadcast(parts), li("l_partkey") === parts("p_partkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
       .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
       .join(ord, li("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("n_name").as("nation"),

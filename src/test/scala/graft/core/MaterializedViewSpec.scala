@@ -68,6 +68,45 @@ class MaterializedViewSpec extends SparkSpec {
     assert(canon(reopened.read()) == canon(v.read()))
   }
 
+  test("refresh after restore-and-regrow refuses (never diverges); rebuild recovers") {
+    val root = tmpDir("mvrestore")
+    import spark.implicits._
+    val t = VectorTable.create(spark, s"$root/t")
+    t.append(Seq("a" -> 1.0, "b" -> 2.0).toDF("k", "v"))            // v1, rows [0,2)
+    t.append(Seq("a" -> 10.0, "c" -> 20.0).toDF("k", "v"))          // v2, rows [2,4)
+    val v = MaterializedAggView.build(t, s"$root/view", Seq("k"), Seq("v")) // basis v2
+    t.restore(1L)                                                    // v3, length back to 2
+    // regrow PAST the basis length with different content on reused rowids
+    t.append(Seq("z" -> 100.0, "z" -> 200.0, "z" -> 300.0).toDF("k", "v")) // v4, rows [2,5)
+    assert(t.lengthAt(t.versions.max) >= 4L) // the old length-only guard would pass here
+    val ex = intercept[IllegalArgumentException](v.refresh())
+    assert(ex.getMessage.contains("RESTORE"))
+    // view state is untouched by the refused refresh
+    assert(v.read().where(col("k") === "c").count() == 1)
+    v.rebuild()
+    val fresh = MaterializedAggView.build(t, s"$root/view2", Seq("k"), Seq("v"))
+    assert(canon(v.read()) == canon(fresh.read()))
+    assert(v.read().where(col("k") === "c").count() == 0) // dropped rows really gone
+  }
+
+  test("refresh keeps DECIMAL(28,2) sums exact past 10^16 (no narrowing overflow)") {
+    val root = tmpDir("mvbig")
+    import spark.implicits._
+    // each value fits DECIMAL(18,2); the group SUM does not — only the
+    // (28,2) accumulator carries it through a refresh un-NULLed
+    val big = 9.0e15
+    val t = VectorTable.create(spark, s"$root/t")
+    t.append(Seq("g" -> big, "g" -> big).toDF("k", "v"))
+    val v = MaterializedAggView.build(t, s"$root/view", Seq("k"), Seq("v"))
+    t.append(Seq("g" -> big, "g" -> big).toDF("k", "v"))
+    v.refresh()
+    val sum = v.read().select(col("v_sum")).head.getDecimal(0)
+    assert(sum != null, "sum must not overflow to NULL on refresh")
+    assert(sum == new java.math.BigDecimal("36000000000000000.00"))
+    val rebuilt = MaterializedAggView.build(t, s"$root/view2", Seq("k"), Seq("v"))
+    assert(canon(v.read()) == canon(rebuilt.read()))
+  }
+
   test("orphaned state dir from a crashed refresh is ignored") {
     val root = tmpDir("mvcrash")
     import spark.implicits._

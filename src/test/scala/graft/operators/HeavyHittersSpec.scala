@@ -65,4 +65,15 @@ class HeavyHittersSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("cnt")).toMap
     assert(hh == direct)
   }
+
+  test("recount probes candidates via broadcast LEFT SEMI join, not an IN-list") {
+    val df = Events.heavyHitters(spark, sf())
+    df.collect() // materialize so AQE settles the final join strategy
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a left-semi recount join:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate probe should broadcast the tiny candidate set:\n${plan.take(3000)}")
+    assert(!plan.contains("isInCollection") && !plan.toLowerCase.contains(" in ("),
+      "candidate set must not be compiled into the predicate as literals")
+  }
 }

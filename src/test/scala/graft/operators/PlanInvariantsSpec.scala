@@ -78,6 +78,29 @@ class PlanInvariantsSpec extends SparkSpec {
       s"lateral join survived decorrelation:\n$plan")
   }
 
+  test("star joins never force-broadcast an SF-growing table (q3/q5/q9 policy)") {
+    // customer (~150M rows at sf1000) and supplier (~10M) grow with scale:
+    // a broadcast() hint on them is a driver OOM on a real cluster. Only
+    // fixed-cardinality dims (nation: 25, region: 5) and post-filter key
+    // lists (q9's red parts) may carry the hint; mid-size sides are AQE's
+    // call at runtime. This pin keeps the round-5 defect from returning.
+    import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, Join, LogicalPlan, BROADCAST}
+    for ((qname, df) <- Seq(
+        "q3" -> Relational.q3ShippingPriority(spark, sf()),
+        "q5" -> Relational.q5LocalSupplier(spark, sf()),
+        "q9" -> Relational.q9ProductProfit(spark, sf()))) {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      def checkSide(side: LogicalPlan, hint: Option[HintInfo]): Unit =
+        if (hint.exists(_.strategy.contains(BROADCAST))) {
+          val leaves = side.collectLeaves().map(_.toString.toLowerCase).mkString(" ")
+          for (grown <- Seq("customer", "supplier", "orders", "lineitem"))
+            assert(!leaves.contains(grown),
+              s"$qname force-broadcasts SF-growing table '$grown'")
+        }
+      joins.foreach { j => checkSide(j.left, j.hint.leftHint); checkSide(j.right, j.hint.rightHint) }
+    }
+  }
+
   test("no declared query plans a cartesian product (corpus-wide scale guard)") {
     // Planning-only sweep over EVERY SparkEntry query: a cartesian product
     // anywhere is the one join shape that can never survive a scale-up, so
