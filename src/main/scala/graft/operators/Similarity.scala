@@ -218,9 +218,16 @@ object Similarity {
     * every sim expression O(cells²) times in generated code and its Janino
     * compile dominated the query (measured 3.1 s → ~1 s at sf0.1).
     */
-  def ivfAssign(s: SparkSession, d: String): DataFrame = {
-    val cs = centroids(s, d)
-    val sims = array((0 until numCells).map(j =>
+  def ivfAssign(s: SparkSession, d: String): DataFrame =
+    assignWith(s, d, centroids(s, d))
+
+  /** Cell assignment against an arbitrary centroid set — shared by the
+    * deterministic-anchor path (oracle-checked) and the k-means-trained
+    * path ([[trainedCentroids]]). Map-only: each centroid cosine is
+    * evaluated once per row inside whole-stage codegen.
+    */
+  private def assignWith(s: SparkSession, d: String, cs: Array[Array[Float]]): DataFrame = {
+    val sims = array(cs.indices.map(j =>
       graft.functions.VectorFunctions.cosineF(col("embedding"), lit(cs(j)))): _*)
     Tables.embeddings(s, d)
       .withColumn("sims", sims)
@@ -342,12 +349,19 @@ object Similarity {
     * computed as the same three left folds as the SQL's `list_reduce`, so
     * the probe set is bit-identical across engines.
     */
-  def ivfSearchMultiprobe(s: SparkSession, d: String): DataFrame = {
+  def ivfSearchMultiprobe(s: SparkSession, d: String): DataFrame =
+    multiprobeWith(s, d, centroids(s, d))
+
+  /** Multi-probe search against an arbitrary centroid set (shared by the
+    * anchor and trained paths). Probe-cell ranking is driver-side over
+    * `cs` (tiny); the scan reads only the probed cells' members.
+    */
+  private def multiprobeWith(s: SparkSession, d: String, cs: Array[Array[Float]]): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val q = emb.where(col("vec_id") === ivfQueryId)
       .select("embedding").head().getSeq[Float](0).toArray
-    val probe = rankedCells(q, centroids(s, d)).take(ivfNprobe)
-    val members = ivfAssign(s, d).where(col("cell").isin(probe: _*)).select("vec_id")
+    val probe = rankedCells(q, cs).take(ivfNprobe)
+    val members = assignWith(s, d, cs).where(col("cell").isin(probe: _*)).select("vec_id")
     emb.join(members, Seq("vec_id"), "left_semi")
       .where(col("vec_id") =!= ivfQueryId)
       .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("embedding"), lit(q)))
@@ -607,6 +621,157 @@ object Similarity {
        |  CAST(COUNT(*) AS DOUBLE) / $ivfK.0 AS recall
        |FROM exact JOIN approx ON exact.vec_id = approx.iv""".stripMargin
 
+  // ------------------------------------------------ trained IVF quantizer
+
+  /** k-means-trained centroids — the QUALITY path the deterministic
+    * first-`numCells` anchors only approximate. Lloyd iterations
+    * INITIALIZED FROM THE ANCHORS, assigning by the SAME cosine argmax the
+    * index uses at query time (training under the serving metric — an L2
+    * k-means would optimize a different partition than the one searches
+    * see). Each iteration is one distributed pass: map-side cell argmax +
+    * a partial-aggregated per-cell per-dim mean whose reduce output is
+    * numCells × dim values — at 100 TB, 20 scans of the corpus (or of a
+    * deterministic sample; the iteration count, not the algebra, is the
+    * cost lever). Anchor init keeps the build deterministic end-to-end
+    * (no RNG) and guarantees the quantization objective never regresses
+    * from the anchor baseline (Lloyd steps are monotone in it). The
+    * result is NOT derivable in plain SQL (iterative float means), so
+    * trained-path queries expose oracle-checkable INVARIANTS (see
+    * [[ivfTrainedRecall]]) rather than the centroid values themselves.
+    * Driver-side size: numCells × dim floats — same as the anchor cache.
+    */
+  private val trainedCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+  def trainedCentroids(s: SparkSession, d: String): Array[Array[Float]] =
+    trainedCentroidCache.computeIfAbsent(d, _ => {
+      val emb = Tables.embeddings(s, d)
+      var cs = centroids(s, d)
+      var iter = 0
+      var converged = false
+      while (iter < 20 && !converged) {
+        val sims = array(cs.indices.map(j =>
+          graft.functions.VectorFunctions.cosineF(col("embedding"), lit(cs(j)))): _*)
+        val means = (0 until dim).map(i =>
+          avg(element_at(col("embedding"), i + 1).cast("double")).as(s"m$i"))
+        val rows = emb
+          .withColumn("sims", sims)
+          .withColumn("cell",
+            (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+          .groupBy("cell").agg(means.head, means.tail: _*)
+          .collect()
+        val next = cs.map(_.clone) // empty cells keep their centroid
+        rows.foreach { r =>
+          val c = r.getInt(0)
+          next(c) = Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat)
+        }
+        converged = next.indices.forall(j => java.util.Arrays.equals(next(j), cs(j)))
+        cs = next
+        iter += 1
+      }
+      cs
+    })
+
+  /** Recall panel: mean recall@k over the first `panelSize` vectors as
+    * queries, not one hand-picked query — a single query's recall is a
+    * coin flip of where its neighbors fell, and "trained ≥ anchor" is only
+    * a meaningful quality statement in the mean.
+    */
+  val panelSize = 32
+
+  /** Total top-k hits (Σ over panel queries of |exact∩approx|) of
+    * `nprobe`-cell multiprobe search under centroid set `cs`. One
+    * distributed computation, no per-query driver loop: exact ranks come
+    * from a broadcast panel × corpus score + per-query window; approx
+    * ranks from probe-cell membership (probe sets computed driver-side
+    * over numCells × panelSize cosines, tiny) joined back to scores.
+    * Integer-valued and tie-broken on vec_id, so the count is
+    * deterministic under any partitioning.
+    */
+  private def panelHits(s: SparkSession, d: String, cs: Array[Array[Float]]): Long = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val panel = emb.where(col("vec_id") < panelSize.toLong)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    val scored = emb.crossJoin(broadcast(panel))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("sim",
+        graft.functions.VectorFunctions.cosineF(col("embedding"), col("qe")))
+    val exact = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= ivfK).select("qid", "vec_id")
+    val probePairs = panel.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .flatMap { case (qid, q) => rankedCells(q, cs).take(ivfNprobe).map(c => (qid, c)) }
+      .toSeq.toDF("qid", "cell")
+    val members = assignWith(s, d, cs)
+      .join(broadcast(probePairs), Seq("cell")).select("qid", "vec_id")
+    val approx = scored.join(members, Seq("qid", "vec_id"), "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= ivfK).select("qid", "vec_id")
+    exact.join(approx, Seq("qid", "vec_id")).count()
+  }
+
+  /** Trained-vs-anchor quantizer quality, as an oracle-FALSIFIABLE check:
+    * the Lloyd-trained centroids must reach at least the anchor
+    * centroids' mean recall@k over the query panel at the SAME nprobe.
+    * The oracle reproduces the anchor panel hits exactly (the anchor path
+    * is pure SQL over integer ranks) but cannot run Lloyd, so the trained
+    * side enters the result as the comparison OUTCOME: the oracle pins
+    * `trained_ge_anchor = TRUE`, and a quality regression in training
+    * flips the Spark value to false and fails the hash gate — the
+    * invariant is checked, not assumed.
+    */
+  def ivfTrainedRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val aHits = panelHits(s, d, centroids(s, d))
+    val tHits = panelHits(s, d, trainedCentroids(s, d))
+    Seq((ivfK, panelSize, aHits,
+        aHits.toDouble / (ivfK.toDouble * panelSize.toDouble), tHits >= aHits))
+      .toDF("k", "n_queries", "anchor_hits", "anchor_recall", "trained_ge_anchor")
+  }
+
+  val ivfTrainedRecallSql: String = {
+    // cosine between two array columns, same left folds as everywhere else
+    def cosCols(a: String, b: String): String =
+      s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |   list_transform(range(1, $dim + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, p) -> acc + p)
+         | / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, $dim + 1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (acc, p) -> acc + p))
+         |  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, $dim + 1), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (acc, p) -> acc + p))))""".stripMargin
+    s"""WITH panel AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |               WHERE vec_id < $panelSize),
+       | cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings
+       |           WHERE vec_id < $numCells),
+       | qcell AS (
+       |  SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cell) AS crn
+       |  FROM (SELECT p.qid, c.cell, ${cosCols("p.qe", "c.ce")} AS csim
+       |        FROM panel p CROSS JOIN cents c)),
+       | probe AS (SELECT qid, cell FROM qcell WHERE crn <= $ivfNprobe),
+       | scored AS (
+       |  SELECT p.qid, e.vec_id, ${cosCols("e.embedding", "p.qe")} AS sim
+       |  FROM embeddings e CROSS JOIN panel p
+       |  WHERE e.vec_id <> p.qid),
+       | exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= $ivfK),
+       | members AS (
+       |  SELECT pr.qid, a.vec_id FROM ($ivfAssignSql) a JOIN probe pr ON a.cell = pr.cell),
+       | approx AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT s.qid, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.vec_id) AS rn
+       |    FROM scored s JOIN members m ON s.qid = m.qid AND s.vec_id = m.vec_id)
+       |  WHERE rn <= $ivfK)
+       |SELECT CAST($ivfK AS INTEGER) AS k, CAST($panelSize AS INTEGER) AS n_queries,
+       | COUNT(*) AS anchor_hits,
+       | CAST(COUNT(*) AS DOUBLE) / (CAST($ivfK AS DOUBLE) * CAST($panelSize AS DOUBLE)) AS anchor_recall,
+       | TRUE AS trained_ge_anchor
+       |FROM exact e JOIN approx a ON e.qid = a.qid AND e.vec_id = a.vec_id""".stripMargin
+  }
+
   // -------------------------------------------------- product quantization
 
   /** PQ layout: 64 dims split into `pqM` = 8 subspaces of `pqSub` = 8; each
@@ -773,4 +938,99 @@ object Similarity {
        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qdist ORDER BY m)), (acc, p) -> acc + p) AS adc
        |FROM best WHERE vec_id <> $pqQueryId
        |GROUP BY vec_id ORDER BY adc, vec_id LIMIT $pqTopK""".stripMargin
+
+  // ------------------------------------------------ trained PQ codebooks
+
+  /** Per-subspace k-means-trained PQ codebooks, assembled into the same
+    * composite shape [[pqCodebook]] uses (pqK entries × dim floats, where
+    * entry j's subspace-m slice is cluster center j of subspace m) so the
+    * encode/ADC machinery is shared verbatim between the anchor and
+    * trained paths. Training is Lloyd INITIALIZED FROM THE ANCHOR
+    * codebooks (deterministic, no RNG) on the squared-L2 subspace
+    * objective — the exact quantity [[pqTrainedError]] measures, so each
+    * step provably does not regress it. All pqM subspaces train in ONE
+    * distributed pass per iteration (explode m → per-(m,code) argmin
+    * assign → partial-aggregated per-dim means; reduce output is
+    * pqM × pqK × pqSub values). The result is a plan literal like the
+    * anchors (~4 KB); at 100 TB the per-iteration pass (or a sample of
+    * it) is the cost lever, not the algebra.
+    */
+  private val trainedPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Float]]]()
+  def trainedPqCodebook(s: SparkSession, d: String): Seq[Seq[Float]] =
+    trainedPqCache.computeIfAbsent(d, _ => {
+      val emb = Tables.embeddings(s, d)
+      val (cbAnchor, _) = pqCodebook(s, d)
+      // books(m)(j): subspace-m center j (pqSub floats), anchor slices at start
+      var books: Array[Array[Array[Float]]] = Array.tabulate(pqM)(m =>
+        Array.tabulate(pqK)(j => cbAnchor(j).slice(m * pqSub, (m + 1) * pqSub).toArray))
+      var iter = 0
+      var converged = false
+      while (iter < 20 && !converged) {
+        val bookLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+        val sub = slice(col("embedding"), col("m") * pqSub + lit(1), lit(pqSub))
+        val entry = (a: Column) =>
+          element_at(element_at(bookLit, col("m") + 1), a + lit(1))
+        val distTo = (a: Column) =>
+          aggregate(sequence(lit(0), lit(pqSub - 1)), lit(0.0), (acc, i) => {
+            val diff = element_at(col("sub"), i + lit(1)).cast("double") -
+              element_at(entry(a), i + lit(1)).cast("double")
+            acc + diff * diff
+          })
+        val means = (0 until pqSub).map(i =>
+          avg(element_at(col("sub"), i + 1).cast("double")).as(s"m$i"))
+        val rows = emb
+          .select(explode(sequence(lit(0), lit(pqM - 1))).as("m"), col("embedding"))
+          .withColumn("sub", sub)
+          .withColumn("code", array_min(transform(sequence(lit(0), lit(pqK - 1)), a =>
+            struct(distTo(a).as("dist"), a.as("code")))).getField("code"))
+          .groupBy("m", "code").agg(means.head, means.tail: _*)
+          .collect()
+        val next = books.map(_.map(_.clone)) // empty (m,code) cells keep their entry
+        rows.foreach { r =>
+          val m = r.getInt(0)
+          val c = r.getInt(1)
+          next(m)(c) = Array.tabulate(pqSub)(i => r.getDouble(i + 2).toFloat)
+        }
+        converged = (0 until pqM).forall(m => (0 until pqK).forall(j =>
+          java.util.Arrays.equals(next(m)(j), books(m)(j))))
+        books = next
+        iter += 1
+      }
+      (0 until pqK).map(j => (0 until pqM).flatMap(m => books(m)(j).toSeq))
+    })
+
+  /** Per-vector PQ reconstruction error against a codebook: Σ_m (min over
+    * the pqK entries of subspace-m squared-L2) — the quantity PQ training
+    * minimizes. m-ordered fold, map-only.
+    */
+  private def reconErrExpr(cbLit: Column, x: Column): Column =
+    aggregate(sequence(lit(0), lit(pqM - 1)), lit(0.0), (acc, m) =>
+      acc + array_min(transform(sequence(lit(0), lit(pqK - 1)), a =>
+        subDistCol(m, x, element_at(cbLit, a + lit(1))))))
+
+  /** Trained-vs-anchor PQ codebook quality, oracle-falsifiable the same
+    * way as [[ivfTrainedRecall]]: total reconstruction error of the
+    * k-means codebooks must not exceed the anchor codebooks'. Both totals
+    * are summed in DECIMAL (order-independent, so the comparison is
+    * deterministic under any partitioning); the oracle pins the corpus
+    * size and `trained_le_anchor = TRUE` — a training regression flips the
+    * Spark value and fails the hash gate.
+    */
+  def pqTrainedError(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cb, _) = pqCodebook(s, d)
+    val trained = trainedPqCodebook(s, d)
+    val emb = Tables.embeddings(s, d)
+    def totalErr(book: Seq[Seq[Float]]): java.math.BigDecimal =
+      emb.select(reconErrExpr(typedLit(book), col("embedding"))
+          .cast(org.apache.spark.sql.types.DecimalType(30, 10)).as("e"))
+        .agg(sum(col("e"))).head().getDecimal(0)
+    val a = totalErr(cb)
+    val t = totalErr(trained)
+    Seq((emb.count(), t.compareTo(a) <= 0)).toDF("n_vectors", "trained_le_anchor")
+  }
+
+  val pqTrainedErrorSql: String =
+    "SELECT COUNT(*) AS n_vectors, TRUE AS trained_le_anchor FROM embeddings"
 }
