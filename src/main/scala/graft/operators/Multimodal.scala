@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted per partition.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic fake (`fakeDecode`) — but everything
-  * Spark-side is real and scale-shaped: binary columns flow through
-  * parquet, the decoder runs via `mapPartitions` with one decoder
-  * instantiation per partition (the Scala analog of `mapInPandas` batch
-  * processing: amortized setup, streaming iterators, no driver collect).
+  * The image path uses a REAL codec — the JDK's `javax.imageio` PNG
+  * encoder/decoder (zero extra dependencies): a parquet fixture of
+  * deterministic PNGs is built once per corpus, and the decode/thumbnail
+  * queries run actual PNG decodes per partition (the Scala analog of
+  * `mapInPandas` batch processing: amortized setup, streaming iterators,
+  * no driver collect). Because the fixture's pixels are a closed form of
+  * doc_id, the DuckDB oracle predicts every decoded statistic
+  * analytically — a codec or plumbing defect fails the hash gate.
+  * Payload-level operators (metadata, chunking, frame energy, dedup) run
+  * on the text-reinterpreted binary table, agnostic to the codec.
   */
 object Multimodal {
 
@@ -114,7 +118,7 @@ object Multimodal {
        | list_max(energies) AS peak_energy
        |FROM f""".stripMargin
 
-  /** Schema produced by the (stubbed) decoder. */
+  /** Schema produced by the PNG decoder. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
@@ -123,85 +127,163 @@ object Multimodal {
     StructField("mean_byte", DoubleType, nullable = false)
   ))
 
-  /** STUB — deterministic fake decoder standing in for an image codec.
-    * A real deployment replaces this body with (e.g.) JPEG decode +
-    * feature extraction; the signature (bytes in, fixed-schema features
-    * out) and the partition-wise batch driving around it are the real
-    * design artifact.
+  // PNG fixture geometry/pixels: closed-form in doc_id so the oracle can
+  // predict every decoded statistic WITHOUT a codec. The Spark side runs
+  // the real codec both ways (ImageIO PNG encode at fixture build, decode
+  // in the queries); any codec/plumbing defect diverges the decoded stats
+  // from the analytic oracle values and fails the hash gate.
+  private def pngW(id: Long): Int = (id % 16 + 8).toInt
+  private def pngH(id: Long): Int = (id % 11 + 8).toInt
+  private def pngV(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + 7L * x + 13L * y + 101L * c) % 256).toInt
+
+  /** Real PNG bytes for one document: deterministic RGB pixels through the
+    * JDK's ImageIO PNG encoder (lossless 8-bit — decode recovers the exact
+    * samples).
     */
-  def fakeDecode(payload: Array[Byte]): (Int, Int, Int, Double) = {
-    val n = payload.length
-    val width = n % 64 + 1
-    val height = n % 37 + 1
-    val channels = 3
-    // integer sum then one divide → deterministic double
-    val take = math.min(100, n)
-    var sum = 0L
-    var i = 0
-    while (i < take) { sum += payload(i) & 0xff; i += 1 }
-    val mean = if (take == 0) 0.0 else sum.toDouble / take.toDouble
-    (width, height, channels, mean)
+  def pngEncode(id: Long): Array[Byte] = {
+    val (w, h) = (pngW(id), pngH(id))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) { raster.setSample(x, y, c, pngV(id, x, y, c)); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Partition-wise decode: the `mapInPandas`-shaped stage. One decoder
-    * per partition, iterator in / iterator out (no materialization), rows
-    * produced with an explicit schema.
+  /** Parquet fixture of REAL PNG payloads, one per document, built once
+    * per (machine, corpus dir) behind the pointer protocol — the binary
+    * column flows through parquet exactly like a production image table.
+    */
+  private val pngFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def pngFixture(s: SparkSession, d: String): DataFrame = {
+    val dir = pngFixtures.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-png-fixtures")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"png-$key.path")
+      if (!Files.exists(pointer)) {
+        val root = base.resolve(s"png-$key-${java.util.UUID.randomUUID()}")
+        val ids = Tables.documents(s, d).select("doc_id")
+        val rows = ids.rdd.mapPartitions(_.map { r =>
+          Row(r.getLong(0), pngEncode(r.getLong(0)))
+        })
+        s.createDataFrame(rows, StructType(Seq(
+            StructField("doc_id", LongType, nullable = false),
+            StructField("payload", BinaryType, nullable = false))))
+          .write.mode("overwrite").parquet(root.toString)
+        try Files.write(pointer, root.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+      Files.readString(pointer)
+    })
+    s.read.parquet(dir)
+  }
+
+  /** Partition-wise PNG decode: the `mapInPandas`-shaped stage. One
+    * decoder instantiation per row via ImageIO (its readers are per-call;
+    * the per-partition iterator keeps setup amortizable for codecs that
+    * need it), iterator in / iterator out, rows with an explicit schema.
+    * Emitted stats are order-invariant over samples (sum → mean), so they
+    * are insensitive to the decoder's internal band order.
     */
   def decodeFeatures(s: SparkSession, d: String): DataFrame = {
-    val bin = asBinaryTable(s, d).select("doc_id", "payload")
+    val bin = pngFixture(s, d)
     val rows = bin.rdd.mapPartitions { it =>
-      // a real decoder would be constructed once per partition here
       it.map { r =>
         val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val (w, h, c, mean) = fakeDecode(payload)
-        Row(id, w, h, c, mean)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, w, h, bands, sum.toDouble / (w.toLong * h * bands).toDouble)
       }
     }
     s.createDataFrame(rows, decodedSchema)
   }
 
-  /** The decoder's arithmetic mirrored in SQL — lets the DuckDB oracle
-    * verify the distributed plumbing end-to-end even though the "codec"
-    * is a stub.
+  /** The fixture's closed-form pixel model evaluated analytically — the
+    * oracle predicts what a CORRECT codec must decode (integer sums, one
+    * final divide).
     */
   val decodeFeaturesSql: String =
     """SELECT doc_id,
-      | CAST(octet_length(CAST(text AS BLOB)) % 64 + 1 AS INTEGER) AS width,
-      | CAST(octet_length(CAST(text AS BLOB)) % 37 + 1 AS INTEGER) AS height,
+      | CAST(doc_id % 16 + 8 AS INTEGER) AS width,
+      | CAST(doc_id % 11 + 8 AS INTEGER) AS height,
       | 3 AS channels,
       | CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(range(1, least(100, length(text)) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-      |      (acc, x) -> acc + x) AS DOUBLE)
-      |   / CAST(least(100, length(text)) AS DOUBLE) AS mean_byte
+      |        flatten(list_transform(range(0, doc_id % 16 + 8), x ->
+      |          flatten(list_transform(range(0, doc_id % 11 + 8), y ->
+      |            list_transform(range(0, 3), c ->
+      |              (doc_id * 31 + 7 * x + 13 * y + 101 * c) % 256)))))),
+      |      (acc, v) -> acc + v) AS DOUBLE)
+      |   / CAST((doc_id % 16 + 8) * (doc_id % 11 + 8) * 3 AS DOUBLE) AS mean_byte
       |FROM documents""".stripMargin
 
-  /** Schema of the thumbnail/feature stage: an 8-bin byte histogram per
-    * payload (the deterministic stand-in for "resize to fixed dims and
-    * featurize").
+  /** Schema of the thumbnail/feature stage: an 8-bin histogram of DECODED
+    * pixel samples per image (the fixed-width featurization step after
+    * "resize/decode").
     */
   val thumbnailSchema: StructType = StructType(
     StructField("doc_id", LongType, nullable = false) +:
       (0 until 8).map(b => StructField(s"h$b", IntegerType, nullable = false)))
 
-  /** Fixed-size-batch feature extraction — the `mapInPandas` batch
-    * contract made explicit: the partition iterator is processed in
-    * batches of 64 rows (a real codec/model amortizes per-BATCH setup —
-    * tensor allocation, accelerator dispatch — not just per-partition),
-    * and each payload maps to a fixed-width feature row (here an 8-bin
-    * byte histogram, i.e. a deterministic "thumbnail"). Streaming
-    * iterators end to end: nothing materializes beyond one batch per
-    * partition.
+  /** Fixed-size-batch feature extraction over REAL decoded pixels — the
+    * `mapInPandas` batch contract made explicit: the partition iterator is
+    * processed in batches of 64 rows (a real codec/model amortizes
+    * per-BATCH setup — tensor allocation, accelerator dispatch — not just
+    * per-partition), and each PNG decodes to a fixed-width feature row
+    * (8-bin pixel-sample histogram — order-invariant, so band order
+    * doesn't matter). Streaming iterators end to end: nothing
+    * materializes beyond one batch per partition.
     */
   def thumbnailHistogram(s: SparkSession, d: String): DataFrame = {
-    val bin = asBinaryTable(s, d).select("doc_id", "payload")
+    val bin = pngFixture(s, d)
     val rows = bin.rdd.mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         // per-batch decoder setup would live here
         batch.map { r =>
-          val p = r.getAs[Array[Byte]](1)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val raster = img.getRaster
           val h = new Array[Int](8)
-          p.foreach(b => h((b & 0xff) >> 5) += 1)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              var b = 0
+              while (b < raster.getNumBands) {
+                h(raster.getSample(x, y, b) >> 5) += 1
+                b += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
           Row.fromSeq(r.getLong(0) +: h.toIndexedSeq)
         }
       }
@@ -209,10 +291,17 @@ object Multimodal {
     s.createDataFrame(rows, thumbnailSchema)
   }
 
-  /** The histogram arithmetic mirrored in SQL for the oracle. */
+  /** The fixture pixel model's histogram, analytically — what a correct
+    * decode must histogram to.
+    */
   val thumbnailHistogramSql: String = {
+    val samples =
+      """flatten(list_transform(range(0, doc_id % 16 + 8), x ->
+        |          flatten(list_transform(range(0, doc_id % 11 + 8), y ->
+        |            list_transform(range(0, 3), c ->
+        |              (doc_id * 31 + 7 * x + 13 * y + 101 * c) % 256)))))""".stripMargin
     val bins = (0 until 8).map(b =>
-      s"CAST(len(list_filter(range(1, length(text) + 1), i -> ascii(substr(text, i, 1)) // 32 = $b)) AS INTEGER) AS h$b")
+      s"CAST(len(list_filter($samples, v -> v // 32 = $b)) AS INTEGER) AS h$b")
       .mkString(",\n ")
     s"""SELECT doc_id,
        | $bins
