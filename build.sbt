@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Default test run excludes @graft.SlowTest-tagged suites (streaming
+// awaits dominate: ~80 min observed on a degraded host, which blows the
+// driver's window). GRAFT_FULL_TESTS=1 runs the complete suite.
+Test / testOptions ++= (
+  if (sys.env.get("GRAFT_FULL_TESTS").contains("1")) Nil
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowTest")))
 // The driver parses Bench's single JSON stdout line from the tail of the
 // sbt output. Two obstacles, both fixed here: (a) the default fork output
 // strategy routes child stdout through sbt's logger, prefixing "[info] "

@@ -10,6 +10,7 @@ case class DRec(id: Long, body: String)
   * committed history all land exactly once; bloom false positives are
   * resolved by the exact anti-join (never dropping a novel row).
   */
+@graft.SlowTest
 class DedupIngestSpec extends SparkSpec {
 
   test("batch API: in-batch, cross-batch, and historical dups are dropped") {

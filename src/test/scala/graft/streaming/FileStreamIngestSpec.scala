@@ -12,6 +12,7 @@ case class FRec(id: Long, name: String)
   * dense rowids — the production ingest topology (the MemoryStream specs
   * cover semantics; this covers the real source wiring).
   */
+@graft.SlowTest
 class FileStreamIngestSpec extends SparkSpec {
 
   test("readStream over a directory lands files in the table as they arrive") {

@@ -11,6 +11,7 @@ case class IRec(id: Long, payload: String)
   * records the highest applied stream batch id in the manifest and replays
   * become no-ops — no duplicate rows, no rowid gaps.
   */
+@graft.SlowTest
 class IdempotentReplaySpec extends SparkSpec {
   import spark.implicits._
 

@@ -13,6 +13,7 @@ case class PEvent(ts: Timestamp, event_type: String, user_id: Long, value: Doubl
   * batch results — the property that makes the oracle-checked batch
   * operators (graft.operators.Events) pin the streaming semantics too.
   */
+@graft.SlowTest
 class StreamBatchParitySpec extends SparkSpec {
 
   test("streaming hourly counts over a replay == batch groupBy") {

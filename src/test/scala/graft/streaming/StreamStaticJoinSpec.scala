@@ -8,6 +8,7 @@ case class SsEvent(dim_id: Long, value: Double)
 /** Stream-static enrichment: micro-batches join a static dimension frame
   * with left semantics (unmatched events survive with NULL dims).
   */
+@graft.SlowTest
 class StreamStaticJoinSpec extends SparkSpec {
 
   test("events are enriched per batch; unmatched keys keep NULL dims") {

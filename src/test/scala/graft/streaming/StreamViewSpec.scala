@@ -12,6 +12,7 @@ case class SVRec(k: String, v: Double)
   * rebuild — the continuously-fresh-rollup pattern (ingest and the
   * maintained aggregate advance together, no full rescan per batch).
   */
+@graft.SlowTest
 class StreamViewSpec extends SparkSpec {
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =

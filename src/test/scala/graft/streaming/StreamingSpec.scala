@@ -14,6 +14,7 @@ case class SEvent(ts: Timestamp, event_type: String, user_id: Long, value: Doubl
   * dense rowids across batches; watermarked windows dropping late data;
   * mapGroupsWithState running totals.
   */
+@graft.SlowTest
 class StreamingSpec extends SparkSpec {
 
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 /** Streaming top-k: bounded per-key leaderboard state converging to the
   * batch window twin regardless of arrival order.
   */
+@graft.SlowTest
 class StreamingTopKSpec extends SparkSpec {
 
   private def finalTopK(table: String): Seq[(String, Int, Long, Double)] = {
