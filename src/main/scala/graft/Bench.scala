@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark harness: every declared query (cold, one-shot, in
-  * deterministic name order) plus the reference's own benchmark dimensions
+/** Per-round benchmark harness: every declared query (cold, one-shot,
+  * headline queries first then deterministic name order) plus the
+  * reference's own benchmark dimensions
   * (BASELINE.md: bulk append, full scan, contiguous range read, random point
   * reads, concurrent readers) against a scratch VectorTable.
   * Prints ONE JSON line for the driver.
@@ -85,17 +86,41 @@ object Bench {
     // Store dims get 25% of the wall clock; everything else (index builds
     // + the query corpus, the headline metric) gets the full budget.
     val storeBudgetS = budgetS * sys.env.getOrElse("GRAFT_BENCH_STORE_FRAC", "0.25").toDouble
+    // Per-dimension watchdog: round 5's 14.8 MB/s disk made ONE dim
+    // (store_bulk_append_1m, 852 s) eat a third of the whole budget. A dim
+    // that exceeds the cap has its Spark jobs cancelled (job group,
+    // interruptOnCancel) and records -1.0; the run moves on.
+    val dimCapS = sys.env.getOrElse("GRAFT_BENCH_DIM_CAP_S", "300").toDouble
 
     /** Run one dimension under the wall-clock budget: skip (never launch)
-      * once the applicable budget is spent, never let one failure kill the
-      * harness, and persist the detail file after every dimension.
+      * once the applicable budget is spent, cancel+move-on once the per-dim
+      * cap is hit, never let one failure kill the harness, and persist the
+      * detail file after every dimension.
       */
     def dim(name: String, store: Boolean = false)(f: => Unit): Unit = {
       if (store) storeDims += name
       val cap = if (store) storeBudgetS else budgetS
       results(name) =
         if (elapsedS > cap) -2.0
-        else try timed(f) catch { case _: Throwable => -1.0 }
+        else {
+          @volatile var res = -1.0
+          val worker = new Thread(() => {
+            spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+            try res = timed(f)
+            catch { case _: Throwable => res = -1.0 }
+            finally spark.sparkContext.clearJobGroup()
+          }, s"bench-$name")
+          worker.setDaemon(true)
+          worker.start()
+          worker.join((dimCapS * 1000).toLong)
+          if (worker.isAlive) {
+            System.err.println(s"[bench] $name exceeded ${dimCapS}s cap: cancelling")
+            try spark.sparkContext.cancelJobGroup(name) catch { case _: Throwable => () }
+            worker.interrupt()
+            worker.join(15000) // grace; if it still won't die, abandon (daemon)
+            -1.0
+          } else res
+        }
       writeDetail()
     }
 
@@ -207,6 +232,23 @@ object Bench {
       assert(storeFix.pullx(n1m / 4, n1m / 2).size == n1m / 2)
     }
 
+    // Curated headline subset: doubles as the query-corpus PRIORITY order
+    // (below) and the stdout line's leading keys (bottom).
+    val headline = Seq(
+      "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
+      "events_hourly_by_type", "events_user_sessions", "events_cohort_retention",
+      "pipeline_clean_corpus", "dedup_lsh_candidates", "dedup_jaccard_verified",
+      "dedup_simhash", "dedup_clusters", "pagerank_near_dups",
+      "knn_brute_force", "embedding_near_dups", "ann_ivf_search", "ann_ivf_index_search",
+      "text_tfidf_top_terms", "text_bm25_ranking", "median_quantity_per_flag",
+      "grouping_sets_quantity", "rowid_range", "zonemap_orders_daterange", "zorder_rectangle",
+      "top_order_per_customer", "asof_last_purchase", "skew_salted_join", "mm_decode_features",
+      "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
+      "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
+      "store_point_reads_1k_cached", "store_concurrent_10x100_reads",
+      "store_static_append_1m", "store_static_range_read_500k",
+      "rowid_table_build", "ivf_index_build", "lsh_index_build")
+
     // One-time table/index builds, timed as their own dimension: the rowid
     // table is built once per machine and reused across runs (the serving
     // query itself must cost a pruned range read, not a rebuild).
@@ -219,9 +261,16 @@ object Bench {
     dim("upsert_table_build")(graft.operators.Relational.prebuildUpsertTable(spark, sfDir))
     dim("mv_view_build")(graft.operators.Relational.prebuildPricingSummaryView(spark, sfDir))
 
-    // --- the query corpus (cold, one-shot, deterministic name order) ---
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      dim(name)(fn(spark, sfDir).count())
+    // --- the query corpus (cold, one-shot) ---
+    // Headline queries run FIRST: under budget pressure the dims that get
+    // recorded must be the ones the round is graded on. (The 420 s smoke
+    // of the round-5 fix ran alphabetically and skipped q1/q3/q5/q6 while
+    // ann_*/dedup_* ran — exactly backwards.) The rest follow in
+    // deterministic name order.
+    val prioQueries = headline.filter(SparkEntry.queries.contains)
+    val restQueries = SparkEntry.queries.keys.toSeq.filterNot(prioQueries.contains).sorted
+    (prioQueries ++ restQueries).foreach { name =>
+      dim(name)(SparkEntry.queries(name)(spark, sfDir).count())
     }
 
     val all = results.toSeq
@@ -238,20 +287,6 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) v.toInt.toString
       else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
-    val headline = Seq(
-      "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
-      "events_hourly_by_type", "events_user_sessions", "events_cohort_retention",
-      "pipeline_clean_corpus", "dedup_lsh_candidates", "dedup_jaccard_verified",
-      "dedup_simhash", "dedup_clusters", "pagerank_near_dups",
-      "knn_brute_force", "embedding_near_dups", "ann_ivf_search", "ann_ivf_index_search",
-      "text_tfidf_top_terms", "text_bm25_ranking", "median_quantity_per_flag",
-      "grouping_sets_quantity", "rowid_range", "zonemap_orders_daterange", "zorder_rectangle",
-      "top_order_per_customer", "asof_last_purchase", "skew_salted_join", "mm_decode_features",
-      "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
-      "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
-      "store_point_reads_1k_cached", "store_concurrent_10x100_reads",
-      "store_static_append_1m", "store_static_range_read_500k",
-      "rowid_table_build", "ivf_index_build", "lsh_index_build")
     // cap the failed list: under mass failure an unbounded array would
     // itself overflow the tail window; n_failed carries the true count
     // (failures AND budget-skips both count — a skip is a missing number).
