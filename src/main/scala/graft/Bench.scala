@@ -107,7 +107,13 @@ object Bench {
           val worker = new Thread(() => {
             spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
             try res = timed(f)
-            catch { case _: Throwable => res = -1.0 }
+            catch { case e: Throwable =>
+              // Log the cause (round 6: all 18 events dims recorded a bare
+              // -1.0 after a testdata schema change — the error was the
+              // whole diagnosis and it went nowhere).
+              System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              res = -1.0
+            }
             finally spark.sparkContext.clearJobGroup()
           }, s"bench-$name")
           worker.setDaemon(true)

@@ -1402,7 +1402,7 @@ object Relational {
       .select(col("c_custkey"), col("cust_nation"))
     val ordN = ord.join(custN, ord("o_custkey") === custN("c_custkey"))
       .select(col("o_orderkey"), col("cust_nation"))
-    li.join(broadcast(suppN), li("l_suppkey") === suppN("s_suppkey"))
+    li.join(suppN, li("l_suppkey") === suppN("s_suppkey"))
       .join(ordN, li("l_orderkey") === ordN("o_orderkey"))
       .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_1") ||
         (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_3"))
@@ -1475,13 +1475,19 @@ object Relational {
         col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
       .select("o_orderkey", "o_custkey")
     val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    // Top-k FIRST, then decorate: the 20 surviving rows (not customer,
+    // ~150M rows at sf1000) are the broadcast side, so customer streams
+    // through a BroadcastHashJoin with no shuffle and no driver-side risk.
+    // (rev_dec DESC, custkey ASC) is a total order (custkey unique), so
+    // the limit is deterministic.
+    val top = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
         .as("rev_dec"))
-      .join(broadcast(cust), col("o_custkey") === cust("c_custkey"))
       .orderBy(col("rev_dec").desc, col("o_custkey"))
       .limit(20)
+    broadcast(top).join(cust, top("o_custkey") === cust("c_custkey"))
+      .orderBy(col("rev_dec").desc, col("o_custkey"))
       .select(col("o_custkey").as("custkey"), col("c_name").as("name"),
         col("c_acctbal").as("acctbal"), col("rev_dec").cast("double").as("revenue"))
   }

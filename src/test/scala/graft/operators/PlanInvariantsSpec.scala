@@ -78,24 +78,31 @@ class PlanInvariantsSpec extends SparkSpec {
       s"lateral join survived decorrelation:\n$plan")
   }
 
-  test("star joins never force-broadcast an SF-growing table (q3/q5/q9 policy)") {
+  test("star joins never force-broadcast an SF-growing table (q3/q5/q7/q9/q10 policy)") {
     // customer (~150M rows at sf1000) and supplier (~10M) grow with scale:
     // a broadcast() hint on them is a driver OOM on a real cluster. Only
-    // fixed-cardinality dims (nation: 25, region: 5) and post-filter key
-    // lists (q9's red parts) may carry the hint; mid-size sides are AQE's
-    // call at runtime. This pin keeps the round-5 defect from returning.
-    import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, Join, LogicalPlan, BROADCAST}
+    // fixed-cardinality dims (nation: 25, region: 5), post-filter key
+    // lists (q9's red parts), and LIMIT-bounded subtrees (q10's top-20)
+    // may carry the hint; mid-size sides are AQE's call at runtime. This
+    // pin keeps the round-5 defect from returning.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, HintInfo, Join, LogicalPlan, BROADCAST}
     for ((qname, df) <- Seq(
         "q3" -> Relational.q3ShippingPriority(spark, sf()),
         "q5" -> Relational.q5LocalSupplier(spark, sf()),
-        "q9" -> Relational.q9ProductProfit(spark, sf()))) {
+        "q7" -> Relational.q7NationVolume(spark, sf()),
+        "q9" -> Relational.q9ProductProfit(spark, sf()),
+        "q10" -> Relational.q10ReturnedRevenue(spark, sf()))) {
       val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
       def checkSide(side: LogicalPlan, hint: Option[HintInfo]): Unit =
         if (hint.exists(_.strategy.contains(BROADCAST))) {
+          // A LIMIT anywhere above the leaves bounds the broadcast size at
+          // any SF — the leaves below it are irrelevant to driver memory.
+          val limited = side.collectFirst { case l: GlobalLimit => l }.isDefined
           val leaves = side.collectLeaves().map(_.toString.toLowerCase).mkString(" ")
-          for (grown <- Seq("customer", "supplier", "orders", "lineitem"))
-            assert(!leaves.contains(grown),
-              s"$qname force-broadcasts SF-growing table '$grown'")
+          if (!limited)
+            for (grown <- Seq("customer", "supplier", "orders", "lineitem"))
+              assert(!leaves.contains(grown),
+                s"$qname force-broadcasts SF-growing table '$grown'")
         }
       joins.foreach { j => checkSide(j.left, j.hint.leftHint); checkSide(j.right, j.hint.rightHint) }
     }
