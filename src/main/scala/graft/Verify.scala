@@ -71,7 +71,17 @@ object Verify {
     // every definition is a pure function of sfDir, so workers only ever
     // replace a view with an identical one, and Spark's temp-view catalog
     // ops are synchronized — but it is re-registration, not absence of it.
-    GraftCatalog.register(spark, sfDir)
+    // Registration is PER TABLE and failure-isolated: in round 6 a single
+    // events schema change made the all-tables register throw in main and
+    // zeroed the whole correctness record — including the ~100 queries
+    // that never touch events. A table that fails to register now costs
+    // exactly the queries that read it (they fail per-query below).
+    (GraftCatalog.tableNames :+ "events").foreach { t =>
+      try GraftCatalog.register(spark, sfDir, Seq(t))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] view '$t' failed to register: ${e.getMessage}")
+      }
+    }
 
     val green = previouslyGreen()
     val picked = SparkEntry.queries.filter { case (n, _) => only.isEmpty || only(n) }.toSeq

@@ -623,48 +623,77 @@ object Similarity {
 
   // ------------------------------------------------ trained IVF quantizer
 
+  /** Training-sample cap: quantizer training reads at most this many
+    * vectors (one pushed-predicate pruned scan) and trains ON THE DRIVER.
+    * Bounded driver memory at ANY corpus size: cap × dim floats = 16 MB.
+    * This is the standard IVF/PQ shape at scale — production ANN systems
+    * train coarse quantizers on a fixed-size sample (k-means statistical
+    * error shrinks with sample size, not corpus fraction; 64Ki vectors
+    * for 8 cells is ~8k samples/centroid, far past diminishing returns) —
+    * and it replaces the round-6 design of 20 DISTRIBUTED Lloyd passes,
+    * which priced per-iteration job overhead at small SF and 20 corpus
+    * scans at large SF into every trained-path query. Deterministic: the
+    * sample is vec_id-prefix (no RNG), accumulation is in vec_id order.
+    */
+  val trainSampleCap = 65536
+
+  private def trainingSample(s: SparkSession, d: String): Array[Array[Float]] =
+    Tables.embeddings(s, d)
+      .where(col("vec_id") < trainSampleCap.toLong)
+      .orderBy("vec_id")
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+
   /** k-means-trained centroids — the QUALITY path the deterministic
-    * first-`numCells` anchors only approximate. Lloyd iterations
-    * INITIALIZED FROM THE ANCHORS, assigning by the SAME cosine argmax the
-    * index uses at query time (training under the serving metric — an L2
-    * k-means would optimize a different partition than the one searches
-    * see). Each iteration is one distributed pass: map-side cell argmax +
-    * a partial-aggregated per-cell per-dim mean whose reduce output is
-    * numCells × dim values — at 100 TB, 20 scans of the corpus (or of a
-    * deterministic sample; the iteration count, not the algebra, is the
-    * cost lever). Anchor init keeps the build deterministic end-to-end
-    * (no RNG) and guarantees the quantization objective never regresses
-    * from the anchor baseline (Lloyd steps are monotone in it). The
+    * first-`numCells` anchors only approximate. Lloyd on the bounded
+    * [[trainingSample]], INITIALIZED FROM THE ANCHORS, assigning by the
+    * SAME cosine argmax (ties to the lower cell id) the index uses at
+    * query time — training under the serving metric; an L2 k-means would
+    * optimize a different partition than the one searches see. Anchor
+    * init keeps the build deterministic end-to-end (no RNG) and
+    * guarantees the quantization objective never regresses from the
+    * anchor baseline on the sample (Lloyd steps are monotone in it). The
     * result is NOT derivable in plain SQL (iterative float means), so
     * trained-path queries expose oracle-checkable INVARIANTS (see
     * [[ivfTrainedRecall]]) rather than the centroid values themselves.
-    * Driver-side size: numCells × dim floats — same as the anchor cache.
     */
   private val trainedCentroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
   def trainedCentroids(s: SparkSession, d: String): Array[Array[Float]] =
     trainedCentroidCache.computeIfAbsent(d, _ => {
-      val emb = Tables.embeddings(s, d)
+      val sample = trainingSample(s, d)
       var cs = centroids(s, d)
       var iter = 0
       var converged = false
       while (iter < 20 && !converged) {
-        val sims = array(cs.indices.map(j =>
-          graft.functions.VectorFunctions.cosineF(col("embedding"), lit(cs(j)))): _*)
-        val means = (0 until dim).map(i =>
-          avg(element_at(col("embedding"), i + 1).cast("double")).as(s"m$i"))
-        val rows = emb
-          .withColumn("sims", sims)
-          .withColumn("cell",
-            (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
-          .groupBy("cell").agg(means.head, means.tail: _*)
-          .collect()
-        val next = cs.map(_.clone) // empty cells keep their centroid
-        rows.foreach { r =>
-          val c = r.getInt(0)
-          next(c) = Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat)
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        sample.foreach { v =>
+          // argmax with ties to the LOWER cell id — identical to the
+          // distributed assign's array_max/array_position first-occurrence
+          var best = 0
+          var bestSim = driverCosine(v, cs(0))
+          var j = 1
+          while (j < cs.length) {
+            val sim = driverCosine(v, cs(j))
+            if (sim > bestSim) { best = j; bestSim = sim }
+            j += 1
+          }
+          val acc = sums(best)
+          var i = 0
+          while (i < dim) { acc(i) += v(i); i += 1 }
+          counts(best) += 1
         }
-        converged = next.indices.forall(j => java.util.Arrays.equals(next(j), cs(j)))
+        val next = cs.indices.map { j =>
+          if (counts(j) == 0) cs(j).clone() // empty cells keep their centroid
+          else Array.tabulate(dim)(i => (sums(j)(i) / counts(j)).toFloat)
+        }.toArray
+        // movement-epsilon stop: once every centroid moves < 1e-6 per
+        // coordinate the assignment argmax is stable (exact float
+        // equality may never fire)
+        converged = next.indices.forall(j =>
+          next(j).indices.forall(i => math.abs(next(j)(i) - cs(j)(i)) <= 1e-6f))
         cs = next
         iter += 1
       }
@@ -678,16 +707,27 @@ object Similarity {
     */
   val panelSize = 32
 
-  /** Total top-k hits (Σ over panel queries of |exact∩approx|) of
-    * `nprobe`-cell multiprobe search under centroid set `cs`. One
-    * distributed computation, no per-query driver loop: exact ranks come
-    * from a broadcast panel × corpus score + per-query window; approx
-    * ranks from probe-cell membership (probe sets computed driver-side
-    * over numCells × panelSize cosines, tiny) joined back to scores.
-    * Integer-valued and tie-broken on vec_id, so the count is
-    * deterministic under any partitioning.
+  /** Trained-vs-anchor quantizer quality, as an oracle-FALSIFIABLE check:
+    * the Lloyd-trained centroids must reach at least the anchor
+    * centroids' mean recall@k over the query panel at the SAME nprobe.
+    * The oracle reproduces the anchor panel hits exactly (the anchor path
+    * is pure SQL over integer ranks) but cannot run Lloyd, so the trained
+    * side enters the result as the comparison OUTCOME: the oracle pins
+    * `trained_ge_anchor = TRUE`, and a quality regression in training
+    * flips the Spark value to false and fails the hash gate — the
+    * invariant is checked, not assumed.
+    *
+    * Per centroid set: exact ranks come from a broadcast panel × corpus
+    * score + per-query window; approx ranks from probe-cell membership
+    * (probe sets computed driver-side over numCells × panelSize cosines,
+    * tiny) joined back to scores. Hit counts are integer-valued and
+    * tie-broken on vec_id, so deterministic under any partitioning. The
+    * corpus × panel cosine scores and the exact top-k are
+    * centroid-INDEPENDENT, so they are computed ONCE and persisted across
+    * both centroid sets — the naive per-set recomputation paid the
+    * cross-join 4× (measured: it dominated the whole dimension).
     */
-  private def panelHits(s: SparkSession, d: String, cs: Array[Array[Float]]): Long = {
+  def ivfTrainedRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val panel = emb.where(col("vec_id") < panelSize.toLong)
@@ -698,37 +738,30 @@ object Similarity {
       .where(col("vec_id") =!= col("qid"))
       .withColumn("sim",
         graft.functions.VectorFunctions.cosineF(col("embedding"), col("qe")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= ivfK).select("qid", "vec_id")
-    val probePairs = panel.collect()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val panelVecs = panel.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .flatMap { case (qid, q) => rankedCells(q, cs).take(ivfNprobe).map(c => (qid, c)) }
-      .toSeq.toDF("qid", "cell")
-    val members = assignWith(s, d, cs)
-      .join(broadcast(probePairs), Seq("cell")).select("qid", "vec_id")
-    val approx = scored.join(members, Seq("qid", "vec_id"), "left_semi")
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= ivfK).select("qid", "vec_id")
-    exact.join(approx, Seq("qid", "vec_id")).count()
-  }
-
-  /** Trained-vs-anchor quantizer quality, as an oracle-FALSIFIABLE check:
-    * the Lloyd-trained centroids must reach at least the anchor
-    * centroids' mean recall@k over the query panel at the SAME nprobe.
-    * The oracle reproduces the anchor panel hits exactly (the anchor path
-    * is pure SQL over integer ranks) but cannot run Lloyd, so the trained
-    * side enters the result as the comparison OUTCOME: the oracle pins
-    * `trained_ge_anchor = TRUE`, and a quality regression in training
-    * flips the Spark value to false and fails the hash gate — the
-    * invariant is checked, not assumed.
-    */
-  def ivfTrainedRecall(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val aHits = panelHits(s, d, centroids(s, d))
-    val tHits = panelHits(s, d, trainedCentroids(s, d))
-    Seq((ivfK, panelSize, aHits,
-        aHits.toDouble / (ivfK.toDouble * panelSize.toDouble), tHits >= aHits))
-      .toDF("k", "n_queries", "anchor_hits", "anchor_recall", "trained_ge_anchor")
+    def hits(cs: Array[Array[Float]]): Long = {
+      val probePairs = panelVecs
+        .flatMap { case (qid, q) => rankedCells(q, cs).take(ivfNprobe).map(c => (qid, c)) }
+        .toSeq.toDF("qid", "cell")
+      val members = assignWith(s, d, cs)
+        .join(broadcast(probePairs), Seq("cell")).select("qid", "vec_id")
+      val approx = scored.join(members, Seq("qid", "vec_id"), "left_semi")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= ivfK).select("qid", "vec_id")
+      exact.join(approx, Seq("qid", "vec_id")).count()
+    }
+    try {
+      val aHits = hits(centroids(s, d))
+      val tHits = hits(trainedCentroids(s, d))
+      Seq((ivfK, panelSize, aHits,
+          aHits.toDouble / (ivfK.toDouble * panelSize.toDouble), tHits >= aHits))
+        .toDF("k", "n_queries", "anchor_hits", "anchor_recall", "trained_ge_anchor")
+    } finally { scored.unpersist(); exact.unpersist() }
   }
 
   val ivfTrainedRecallSql: String = {
@@ -948,18 +981,19 @@ object Similarity {
     * trained paths. Training is Lloyd INITIALIZED FROM THE ANCHOR
     * codebooks (deterministic, no RNG) on the squared-L2 subspace
     * objective — the exact quantity [[pqTrainedError]] measures, so each
-    * step provably does not regress it. All pqM subspaces train in ONE
-    * distributed pass per iteration (explode m → per-(m,code) argmin
-    * assign → partial-aggregated per-dim means; reduce output is
-    * pqM × pqK × pqSub values). The result is a plan literal like the
-    * anchors (~4 KB); at 100 TB the per-iteration pass (or a sample of
-    * it) is the cost lever, not the algebra.
+    * step provably does not regress it on the sample. Like
+    * [[trainedCentroids]], training runs on the bounded driver-side
+    * [[trainingSample]] (the standard PQ shape: codebooks are ~4 KB plan
+    * literals learned from a fixed-size sample; only encode/search are
+    * corpus-sized, and those stay distributed). Ties in the per-subspace
+    * argmin go to the LOWER code, matching the anchor encoder's
+    * array_min-over-struct(dist, code) ordering.
     */
   private val trainedPqCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Float]]]()
   def trainedPqCodebook(s: SparkSession, d: String): Seq[Seq[Float]] =
     trainedPqCache.computeIfAbsent(d, _ => {
-      val emb = Tables.embeddings(s, d)
+      val sample = trainingSample(s, d)
       val (cbAnchor, _) = pqCodebook(s, d)
       // books(m)(j): subspace-m center j (pqSub floats), anchor slices at start
       var books: Array[Array[Array[Float]]] = Array.tabulate(pqM)(m =>
@@ -967,33 +1001,42 @@ object Similarity {
       var iter = 0
       var converged = false
       while (iter < 20 && !converged) {
-        val bookLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
-        val sub = slice(col("embedding"), col("m") * pqSub + lit(1), lit(pqSub))
-        val entry = (a: Column) =>
-          element_at(element_at(bookLit, col("m") + 1), a + lit(1))
-        val distTo = (a: Column) =>
-          aggregate(sequence(lit(0), lit(pqSub - 1)), lit(0.0), (acc, i) => {
-            val diff = element_at(col("sub"), i + lit(1)).cast("double") -
-              element_at(entry(a), i + lit(1)).cast("double")
-            acc + diff * diff
-          })
-        val means = (0 until pqSub).map(i =>
-          avg(element_at(col("sub"), i + 1).cast("double")).as(s"m$i"))
-        val rows = emb
-          .select(explode(sequence(lit(0), lit(pqM - 1))).as("m"), col("embedding"))
-          .withColumn("sub", sub)
-          .withColumn("code", array_min(transform(sequence(lit(0), lit(pqK - 1)), a =>
-            struct(distTo(a).as("dist"), a.as("code")))).getField("code"))
-          .groupBy("m", "code").agg(means.head, means.tail: _*)
-          .collect()
-        val next = books.map(_.map(_.clone)) // empty (m,code) cells keep their entry
-        rows.foreach { r =>
-          val m = r.getInt(0)
-          val c = r.getInt(1)
-          next(m)(c) = Array.tabulate(pqSub)(i => r.getDouble(i + 2).toFloat)
+        val sums = Array.fill(pqM, pqK)(new Array[Double](pqSub))
+        val counts = Array.fill(pqM)(new Array[Long](pqK))
+        sample.foreach { v =>
+          var m = 0
+          while (m < pqM) {
+            val off = m * pqSub
+            var best = 0
+            var bestDist = Double.MaxValue
+            var j = 0
+            while (j < pqK) {
+              val e = books(m)(j)
+              var dist = 0.0
+              var i = 0
+              while (i < pqSub) {
+                val diff = v(off + i).toDouble - e(i).toDouble
+                dist += diff * diff
+                i += 1
+              }
+              if (dist < bestDist) { best = j; bestDist = dist } // ties → lower code
+              j += 1
+            }
+            val acc = sums(m)(best)
+            var i = 0
+            while (i < pqSub) { acc(i) += v(off + i); i += 1 }
+            counts(m)(best) += 1
+            m += 1
+          }
         }
+        val next = Array.tabulate(pqM, pqK) { (m, j) =>
+          if (counts(m)(j) == 0) books(m)(j).clone() // empty cells keep their entry
+          else Array.tabulate(pqSub)(i => (sums(m)(j)(i) / counts(m)(j)).toFloat)
+        }
+        // movement-epsilon stop, as in trainedCentroids
         converged = (0 until pqM).forall(m => (0 until pqK).forall(j =>
-          java.util.Arrays.equals(next(m)(j), books(m)(j))))
+          next(m)(j).indices.forall(i =>
+            math.abs(next(m)(j)(i) - books(m)(j)(i)) <= 1e-6f)))
         books = next
         iter += 1
       }
