@@ -535,4 +535,86 @@ object TextOps {
       |  CAST(sum(cnt) AS BIGINT) AS total_tokens,
       |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
       |FROM tc GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ sequence packing
+
+  /** Token budget per packed training sequence (bin). */
+  val packBudget = 512
+  /** Parallel packing units. Packing is inherently sequential WITHIN a
+    * unit, so the shard is the scale knob: at 100 TB this is thousands of
+    * shards (one per input split), each folded independently.
+    */
+  val packShards = 16
+
+  /** Greedy sequence packing — the batch-assembly step of an LLM training
+    * pipeline: documents are packed in doc_id order into bins of at most
+    * [[packBudget]] whitespace tokens (a doc longer than the budget gets a
+    * bin of its own; packing never splits a doc). Docs are sharded by
+    * `doc_id % packShards`; each shard packs independently.
+    *
+    * Scale shape: ONE shuffle to co-locate each shard, an in-partition
+    * sort, then a STREAMING per-partition fold — O(1) state (current
+    * shard/bin/fill), no per-group materialization, so a shard can be
+    * arbitrarily large. The greedy fold is genuinely order-dependent
+    * imperative logic, which is the documented niche for dropping to a
+    * partition iterator rather than contorting window functions into a
+    * running-reset they cannot express.
+    *
+    * Output: one row per (shard, bin) with doc count, token fill, and the
+    * packed doc_id range — bins are contiguous doc ranges by construction,
+    * which PackSequencesSpec pins along with the budget invariant.
+    */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens("text")).as("n_tokens"))
+      .withColumn("shard", (col("doc_id") % packShards).cast("int"))
+    val packed = docs
+      .repartition(packShards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .select(col("shard"), col("doc_id"), col("n_tokens"))
+      .as[(Int, Long, Int)]
+      .mapPartitions { it =>
+        // multiple shards may hash to one partition; the fold resets on
+        // shard change (rows arrive shard-major, doc_id-minor)
+        var shard = Int.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (sh, id, nt) =>
+          if (sh != shard) { shard = sh; bin = 0L; fill = nt.toLong }
+          else if (fill + nt > packBudget) { bin += 1; fill = nt.toLong }
+          else fill += nt
+          (sh, bin, id, nt)
+        }
+      }
+      .toDF("shard", "bin", "doc_id", "n_tokens")
+    packed.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
+  /** The oracle replays the same greedy fold with a linear recursive CTE
+    * (rn-by-rn per shard) — sequential semantics are exactly what
+    * recursion expresses in SQL.
+    */
+  val packSequencesSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT CAST(doc_id % $packShards AS INTEGER) AS shard, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         row_number() OVER (PARTITION BY doc_id % $packShards ORDER BY doc_id) AS rn
+       |  FROM documents),
+       | pack AS (
+       |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+       |    CASE WHEN p.fill + d.n_tokens > $packBudget THEN p.bin + 1 ELSE p.bin END,
+       |    CASE WHEN p.fill + d.n_tokens > $packBudget THEN d.n_tokens
+       |         ELSE p.fill + d.n_tokens END
+       |  FROM d JOIN pack p ON d.shard = p.shard AND d.rn = p.rn + 1)
+       |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM pack GROUP BY shard, bin""".stripMargin
 }
