@@ -86,6 +86,26 @@ object ScaleProbe {
           .crossJoin(spark.range(0, 500).toDF("h"))
         spine.join(hourly, Seq("lang", "h"), "left")
           .agg(sum(coalesce(col("n"), lit(0L)))).collect(); ()
+      },
+      "pack_fold" -> { k =>
+        // sequence packing's shape: one shard shuffle + in-partition sort
+        // + streaming fold (state is 3 vars regardless of shard size)
+        val dd = replicate(docs, k)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+          .withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int"))
+        dd.repartition(16, col("shard"))
+          .sortWithinPartitions("shard", "doc_id")
+          .select(col("shard"), col("doc_id"), col("n_tokens"))
+          .as[(Int, Long, Int)]
+          .mapPartitions { it =>
+            var sh = Int.MinValue; var bin = 0L; var fill = 0L
+            it.map { case (s0, id, nt) =>
+              if (s0 != sh) { sh = s0; bin = 0; fill = nt.toLong }
+              else if (fill + nt > 512) { bin += 1; fill = nt.toLong }
+              else fill += nt
+              (s0, bin)
+            }
+          }.toDF("shard", "bin").groupBy("shard").agg(max("bin")).collect(); ()
       }
     )
 
