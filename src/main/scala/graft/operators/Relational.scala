@@ -890,13 +890,44 @@ object Relational {
     * rows-present check; exact counterparts are oracle-verified in
     * [[distinctPartsPerFlag]].
     */
+  /** Approximate sketches (HLL++ distinct counts, approx percentile),
+    * made oracle-FALSIFIABLE the same way as the trained-quantizer
+    * queries: sketch estimates are engine-specific (DuckDB cannot replay
+    * Spark's HLL++ registers), so the sketch side enters the result as
+    * ACCURACY-INVARIANT booleans the oracle pins TRUE — HLL++ at
+    * rsd=0.01 within ±5% of the exact distinct count is a 5σ bound, and
+    * percentile_approx at accuracy 1000 inside the exact [p45, p55] band
+    * is ~50× its rank-error guarantee. A sketch regression (bad merge,
+    * wrong rsd plumbing, broken percentile state) flips a boolean and
+    * fails the hash gate. Exact sides ride along as values so the row
+    * still carries oracle-checked data, not just flags.
+    */
   def approxSketches(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"))
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("am"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        expr("percentile(l_quantity, 0.45)").as("p45"),
+        expr("percentile(l_quantity, 0.55)").as("p55"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("ap") - col("exact_parts")) <=
+          col("exact_parts").cast("double") * 0.05).as("parts_within_5pct"),
+        (abs(col("ao") - col("exact_orders")) <=
+          col("exact_orders").cast("double") * 0.05).as("orders_within_5pct"),
+        (col("am") >= col("p45") && col("am") <= col("p55")).as("median_in_p45_p55"))
+
+  val approxSketchesSql: String =
+    """SELECT l_returnflag,
+      | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      | CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      | TRUE AS parts_within_5pct,
+      | TRUE AS orders_within_5pct,
+      | TRUE AS median_in_p45_p55
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** Custom typed aggregate (Aggregator[IN,BUF,OUT] → udaf): exact
     * count/mean/variance via int64 cent arithmetic — bit-stable under any
