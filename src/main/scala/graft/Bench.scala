@@ -279,6 +279,13 @@ object Bench {
       dim(name)(SparkEntry.queries(name)(spark, sfDir).count())
     }
 
+    // Sketch-only cost (bench-only, no oracle — sketch estimates are
+    // engine-specific): the declared `approx_sketches` query pays an exact
+    // distinct shuffle FOR its accuracy invariants, so it no longer
+    // measures what a sketch costs; this dimension does.
+    dim("approx_sketches_sketch_only")(
+      graft.operators.Relational.approxSketchesOnly(spark, sfDir).count())
+
     val all = results.toSeq
     val allMap = results.toMap
     val total = all.collect { case (k, v) if v >= 0 && !storeDims(k) => v }.sum

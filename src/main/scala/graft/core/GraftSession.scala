@@ -21,6 +21,13 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Runtime bloom-filter join pruning: when one join side is selectively
+    // filtered, build a bounded bloom from its keys and prune the big side
+    // BEFORE the shuffle. This is the scale-safe replacement for
+    // force-broadcasting SF-growing key lists (q9's filtered part keys):
+    // the bloom is built executor-side with a fixed size budget, so it
+    // works at any SF where a driver-collected broadcast would OOM.
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     // The driver's events table stores parquet TIMESTAMP(NANOS), which Spark

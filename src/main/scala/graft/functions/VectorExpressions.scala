@@ -344,6 +344,105 @@ case class PqAdcDistance(first: Expression, second: Expression, third: Expressio
     copy(first = f, second = s, third = t)
 }
 
+/** centroid_sims(x, centroids): cosine(x, centroids[j]) for every j, as one
+  * fused codegen'd loop returning ARRAY<DOUBLE> — the IVF assignment kernel
+  * for corpus-scaled cell counts. The inline alternative (one
+  * `cosine_f(x, lit(c_j))` column per centroid) generates O(cells) separate
+  * expressions each re-walking the vector: fine at 8 cells, a
+  * Janino-compile and code-size blowup at 4096. Here the generated code is
+  * constant-size in the cell count, the query vector norm is computed once,
+  * and each element is bit-identical to `cosine_f(x, c_j)` (same left
+  * folds: ‖x‖² once over x, then per centroid dot and ‖c‖² in element
+  * order), so swapping paths cannot change an argmax or an oracle hash.
+  */
+case class CentroidSims(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val flat = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    val nested = right.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _                                     => false
+    }
+    if (flat && nested) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"centroid_sims requires (ARRAY<FLOAT>, ARRAY<ARRAY<FLOAT>>), got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    val k = cs.numElements()
+    var nx = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      val xi = x.getFloat(i).toDouble
+      nx += xi * xi
+      i += 1
+    }
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val c = cs.getArray(j)
+      val n = math.min(x.numElements(), c.numElements())
+      var dot = 0.0
+      var nc = 0.0
+      i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val ci = c.getFloat(i).toDouble
+        dot += xi * ci; nc += ci * ci
+        i += 1
+      }
+      out(j) = dot / (math.sqrt(nx) * math.sqrt(nc))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, cs) => {
+      val k = ctx.freshName("k")
+      val nx = ctx.freshName("nx")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot")
+      val nc = ctx.freshName("nc")
+      val xi = ctx.freshName("xi")
+      val ci = ctx.freshName("ci")
+      s"""
+         |int $k = $cs.numElements();
+         |double $nx = 0.0;
+         |for (int $i = 0; $i < $x.numElements(); $i++) {
+         |  double $xi = (double) $x.getFloat($i);
+         |  $nx += $xi * $xi;
+         |}
+         |double[] $out = new double[$k];
+         |for (int $j = 0; $j < $k; $j++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $c = $cs.getArray($j);
+         |  int $n = java.lang.Math.min($x.numElements(), $c.numElements());
+         |  double $dot = 0.0; double $nc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $x.getFloat($i);
+         |    double $ci = (double) $c.getFloat($i);
+         |    $dot += $xi * $ci; $nc += $ci * $ci;
+         |  }
+         |  $out[$j] = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($nc));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** byte_frame_energy(payload, frameSize): per-frame unsigned-byte sums
   * over a binary column — the framing primitive for audio/video payload
   * analysis (silence detection, peak localization, scene-cut heuristics)
@@ -423,6 +522,9 @@ object VectorFunctions {
 
   def lnM(a: Column): Column = Bridge.column(LogM(Bridge.expression(a)))
 
+  def centroidSimsF(x: Column, centroids: Column): Column =
+    Bridge.column(CentroidSims(Bridge.expression(x), Bridge.expression(centroids)))
+
   def byteFrameEnergyF(a: Column, frameSize: Int): Column =
     Bridge.column(ByteFrameEnergy(Bridge.expression(a), frameSize))
 
@@ -436,6 +538,7 @@ object VectorFunctions {
     Bridge.registerFunction(spark, "cosine_f", args => CosineSimilarityF(args(0), args(1)))
     Bridge.registerFunction(spark, "sq_recon_cosine", args => SqReconCosine(args(0), args(1)))
     Bridge.registerFunction(spark, "ln_m", args => LogM(args(0)))
+    Bridge.registerFunction(spark, "centroid_sims", args => CentroidSims(args(0), args(1)))
     // pq_adc(x, codebook, q, numSub) — numSub must be an integer literal
     Bridge.registerFunction(spark, "pq_adc", args => PqAdcDistance(args(0), args(1), args(2),
       args(3) match {

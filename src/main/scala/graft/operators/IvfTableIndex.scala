@@ -62,14 +62,18 @@ object IvfTableIndex {
 
   /** Build with centroids = the table's first `numCells` vectors by vec_id
     * (deterministic, no RNG — the same discipline as the corpus-level IVF
-    * queries).
+    * queries). `numCells <= 0` (the default) derives the count from the
+    * table size via [[Similarity.cellsFor]], so the index keeps ~constant
+    * per-probe work as the corpus grows instead of a frozen pruning
+    * factor; pass an explicit count to pin a layout.
     */
-  def build(table: VectorTable, root: String, numCells: Int = 8): IvfTableIndex = {
+  def build(table: VectorTable, root: String, numCells: Int = -1): IvfTableIndex = {
     val m = table.manifest
-    require(m.length >= numCells, s"need at least $numCells vectors to seed centroids")
+    val cells = if (numCells > 0) numCells else Similarity.cellsFor(m.length)
+    require(m.length >= cells, s"need at least $cells vectors to seed centroids")
     Files.createDirectories(Paths.get(root))
     val cs = table.scan()
-      .orderBy("vec_id").limit(numCells)
+      .orderBy("vec_id").limit(cells)
       .select("vec_id", "embedding")
       .collect().map(_.getSeq[Float](1).toArray)
     val spark = table.spark
@@ -100,8 +104,9 @@ object IvfTableIndex {
 
   private def writeSpan(table: VectorTable, cs: Array[Array[Float]],
                         start: Long, count: Long, root: String): Unit = {
-    val sims = array(cs.indices.map(j =>
-      graft.functions.VectorFunctions.cosineF(col("embedding"), lit(cs(j)))): _*)
+    // kernel-or-inline per Similarity.inlineCellCap: constant-size codegen
+    // at high (cellsFor-scaled) cell counts, bit-identical either way
+    val sims = Similarity.centroidSimsColumn(cs)
     table.range(start, count)
       .select(col("vec_id"), col("embedding"))
       .withColumn("sims", sims)

@@ -883,13 +883,24 @@ object Relational {
       | list_sort(list(CAST(l_quantity AS BIGINT)))[-1] AS max_qty
       |FROM lineitem GROUP BY l_orderkey""".stripMargin
 
-  /** Approximate sketches — HLL++ distinct counts and t-digest-style
-    * quantiles. Constant memory per group at any scale (the exact versions
-    * shuffle every distinct value). Sketch internals are engine-specific,
-    * so this query has NO oracle SQL — the driver records the weaker
-    * rows-present check; exact counterparts are oracle-verified in
-    * [[distinctPartsPerFlag]].
+  /** Sketch-ONLY aggregation — HLL++ distinct counts and approx
+    * percentile with no exact counterparts in the plan: constant memory
+    * per group at any scale (the exact versions shuffle every distinct
+    * value), map-side-combinable partial state. This is the PERFORMANCE
+    * face of the sketches — the bench dimension that measures what a
+    * sketch costs; the accuracy INVARIANTS (which need the exact values
+    * and therefore pay the exact-distinct shuffle) live in the separate
+    * verify-gated [[approxSketches]]. Sketch estimates are
+    * engine-specific, so this query carries no oracle of its own.
     */
+  def approxSketchesOnly(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median"))
+
   /** Approximate sketches (HLL++ distinct counts, approx percentile),
     * made oracle-FALSIFIABLE the same way as the trained-quantizer
     * queries: sketch estimates are engine-specific (DuckDB cannot replay
@@ -900,7 +911,10 @@ object Relational {
     * is ~50× its rank-error guarantee. A sketch regression (bad merge,
     * wrong rsd plumbing, broken percentile state) flips a boolean and
     * fails the hash gate. Exact sides ride along as values so the row
-    * still carries oracle-checked data, not just flags.
+    * still carries oracle-checked data, not just flags. NOTE: the exact
+    * distincts exist FOR the invariant and cost a full distinct shuffle —
+    * [[approxSketchesOnly]] is the sketch-cost bench dimension; this is
+    * the correctness gate.
     */
   def approxSketches(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -1459,11 +1473,19 @@ object Relational {
 
   /** TPC-H Q9-shaped: profit by supplier nation × order year for a
     * part-name family. The selective part filter is applied BEFORE the
-    * join (broadcast the surviving part-KEY list — a post-filter key
-    * column, small at any SF), so lineitem rows for other parts never
-    * shuffle — the star-join pruning pattern Q9 exists to exercise.
-    * supplier grows with SF (~10M rows at sf1000) so its join is
-    * AQE-decided, not forced; nation (25 rows, fixed) stays broadcast.
+    * join, but the surviving key list carries NO broadcast hint: it is a
+    * post-filter slice of an SF-growing table (~8M keys at sf1000, ~800M at
+    * 100 TB — a driver OOM if forced onto the driver). Pruning of lineitem
+    * is instead left to machinery that never materializes the key list in
+    * the driver: AQE picks broadcast only when the filtered side is
+    * actually small at runtime, and the runtime bloom-filter rewrite
+    * (spark.sql.optimizer.runtime.bloomFilter.*, on in [[graft.core
+    * .GraftSession]]) builds a bounded-size bloom from the filtered part
+    * keys and applies it to lineitem BEFORE the join shuffle — so rows for
+    * other parts still never shuffle, at any SF (pinned by
+    * PlanInvariantsSpec's q9 bloom test). supplier grows with SF (~10M
+    * rows at sf1000) so its join is AQE-decided, not forced; nation
+    * (25 rows, fixed) stays broadcast.
     */
   def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
@@ -1471,7 +1493,7 @@ object Relational {
     val ord = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
     val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
     val nation = Tables.nation(s, d)
-    li.join(broadcast(parts), li("l_partkey") === parts("p_partkey"))
+    li.join(parts, li("l_partkey") === parts("p_partkey"))
       .join(supp, li("l_suppkey") === supp("s_suppkey"))
       .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
       .join(ord, li("l_orderkey") === ord("o_orderkey"))

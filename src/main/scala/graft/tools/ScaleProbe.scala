@@ -1,5 +1,6 @@
 package graft.tools
 
+import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -114,6 +115,43 @@ object ScaleProbe {
       run(1) // per-shape codegen warmup
       val t1 = time(run(1)); val t2 = time(run(2)); val t4 = time(run(4))
       println(f"$name%-14s $t1%7.2f $t2%7.2f $t4%7.2f  ${t4 / t1}%.2f×")
+    }
+
+    // --- trained-quantizer recall curve at replicated scales -------------
+    // The oracle gate measures trained-vs-anchor at sf0.1's 5K vectors,
+    // where the training sample IS the corpus. This probe materializes
+    // 4x/8x corpora of DISTINCT vectors (each replica's embeddings rotated
+    // by r positions — deterministic, norm-preserving, so replicas are
+    // genuinely new points, not duplicates) and replays the honest
+    // comparison OFF-sample: corpus-scaled cellsFor counts, hash-strided
+    // training sample < corpus, kernel-path assignment. trained >= anchor
+    // here is the evidence the serving fallback in ivfTrainedRecall is a
+    // safety net, not a crutch.
+    println()
+    println(f"${"trained_recall"}%-14s ${"n"}%7s ${"cells"}%6s ${"anchor"}%7s ${"trained"}%8s  t(s)")
+    val base = Files.createTempDirectory("scaleprobe-ivf").toString
+    for (k <- Seq(4, 8)) {
+      val n0 = emb.count()
+      val reps = (0 until k).map { r =>
+        val rot = r % 63 + 1 // 1..63: never the identity for r > 0... except r=0 below
+        val rotated = if (r == 0) emb
+          else emb.select(
+            (col("vec_id") + lit(r * n0)).as("vec_id"),
+            expr(s"concat(slice(embedding, ${rot + 1}, ${64 - rot}), slice(embedding, 1, $rot))")
+              .cast("array<float>").as("embedding"))
+        rotated.select("vec_id", "embedding")
+      }
+      val dir = s"$base/rep$k"
+      reps.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val t0 = System.nanoTime()
+      val (aHits, tHits) = graft.operators.Similarity.trainedVsAnchorHits(spark, dir)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val n = k * n0
+      val cells = graft.operators.Similarity.cellsFor(n)
+      val denom = (graft.operators.Similarity.ivfK * graft.operators.Similarity.panelSize).toDouble
+      val label = s"rep${k}x"
+      println(f"$label%-14s $n%7d $cells%6d ${aHits / denom}%7.3f ${tHits / denom}%8.3f  $dt%.1f" +
+        (if (tHits >= aHits) "  trained>=anchor OK" else "  TRAINED LOST (fallback would serve anchors)"))
     }
     spark.stop()
   }

@@ -79,13 +79,18 @@ class PlanInvariantsSpec extends SparkSpec {
   }
 
   test("star joins never force-broadcast an SF-growing table (q3/q5/q7/q9/q10 policy)") {
-    // customer (~150M rows at sf1000) and supplier (~10M) grow with scale:
-    // a broadcast() hint on them is a driver OOM on a real cluster. Only
-    // fixed-cardinality dims (nation: 25, region: 5), post-filter key
-    // lists (q9's red parts), and LIMIT-bounded subtrees (q10's top-20)
-    // may carry the hint; mid-size sides are AQE's call at runtime. This
-    // pin keeps the round-5 defect from returning.
+    // customer (~150M rows at sf1000), supplier (~10M), and part (~200M)
+    // grow with scale: a broadcast() hint on them — or on ANY post-filter
+    // slice of them, which still grows linearly with SF — is a driver OOM
+    // on a real cluster. Only fixed-cardinality dims (nation: 25, region:
+    // 5) and small-LIMIT-bounded subtrees (q10's top-20) may carry the
+    // hint; mid-size sides are AQE's call at runtime, and selective-filter
+    // pruning goes through the runtime bloom filter (bounded size,
+    // executor-built) instead. No other carve-outs: this pin keeps both
+    // the round-5 defect (forced supplier broadcast) and the round-7 one
+    // (q9's SF-growing key-list broadcast) from returning.
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, HintInfo, Join, LogicalPlan, BROADCAST}
+    import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
     for ((qname, df) <- Seq(
         "q3" -> Relational.q3ShippingPriority(spark, sf()),
         "q5" -> Relational.q5LocalSupplier(spark, sf()),
@@ -95,16 +100,43 @@ class PlanInvariantsSpec extends SparkSpec {
       val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
       def checkSide(side: LogicalPlan, hint: Option[HintInfo]): Unit =
         if (hint.exists(_.strategy.contains(BROADCAST))) {
-          // A LIMIT anywhere above the leaves bounds the broadcast size at
-          // any SF — the leaves below it are irrelevant to driver memory.
-          val limited = side.collectFirst { case l: GlobalLimit => l }.isDefined
+          // Only a SMALL literal LIMIT above the leaves bounds the
+          // broadcast at any SF — a large limit over an SF-growing table
+          // is still a driver-memory hazard, so it does not exempt.
+          val limited = side.collectFirst {
+            case GlobalLimit(IntegerLiteral(n), _) if n <= 1000 => n
+          }.isDefined
           val leaves = side.collectLeaves().map(_.toString.toLowerCase).mkString(" ")
           if (!limited)
-            for (grown <- Seq("customer", "supplier", "orders", "lineitem"))
+            for (grown <- Seq("customer", "supplier", "part", "orders", "lineitem"))
               assert(!leaves.contains(grown),
                 s"$qname force-broadcasts SF-growing table '$grown'")
         }
       joins.foreach { j => checkSide(j.left, j.hint.leftHint); checkSide(j.right, j.hint.rightHint) }
+    }
+  }
+
+  test("q9 prunes lineitem with a runtime bloom filter, not a key-list broadcast") {
+    // The filtered part-key list grows with SF, so q9 must not collect it
+    // to the driver; the scale path is Spark's runtime bloom-filter
+    // rewrite on the fact side. Thresholds are lowered here because at
+    // sf0.001 the scan is below the default application-side minimum —
+    // the pin is that the rewrite FIRES on this plan shape once the scan
+    // is big enough, which is exactly the 100 TB condition.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = Relational.q9ProductProfit(spark, sf()).queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter pruning lineitem in q9:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 

@@ -11,7 +11,8 @@ class TrainedQuantizerSpec extends SparkSpec {
 
   test("trained IVF centroids have the index's shape") {
     val cs = Similarity.trainedCentroids(spark, sf())
-    assert(cs.length == Similarity.numCells)
+    assert(cs.length == Similarity.cellsFor(
+      graft.core.Tables.embeddings(spark, sf()).count()))
     assert(cs.forall(_.length == Similarity.dim))
     // centroids are distinct points, not a collapsed fit
     assert(cs.map(_.toSeq).distinct.length == cs.length)
@@ -25,8 +26,15 @@ class TrainedQuantizerSpec extends SparkSpec {
     val anchor = row.getAs[Double]("anchor_recall")
     assert(anchor == hits.toDouble / (Similarity.ivfK * Similarity.panelSize))
     assert(anchor >= 0.0 && anchor <= 1.0)
-    assert(row.getAs[Boolean]("trained_ge_anchor"),
-      s"Lloyd-trained centroids must reach the anchor panel baseline (anchor=$anchor)")
+    assert(row.getAs[Boolean]("trained_ge_anchor"))
+    // the HONEST comparison, behind the query's anchor-fallback serving
+    // policy: on the gate corpora the trained set must genuinely win —
+    // a training regression fails HERE (debuggable), not in the hash gate
+    // (where a sample-unlucky corpus would be indistinguishable)
+    val (aHits, tHits) = Similarity.trainedVsAnchorHits(spark, sf())
+    assert(aHits == hits)
+    assert(tHits >= aHits,
+      s"Lloyd-trained centroids must reach the anchor panel baseline ($tHits < $aHits)")
   }
 
   test("trained PQ codebook has the composite shape and beats anchors on error") {
@@ -36,7 +44,11 @@ class TrainedQuantizerSpec extends SparkSpec {
     val row = Similarity.pqTrainedError(spark, sf()).head()
     assert(row.getAs[Long]("n_vectors") ==
       graft.core.Tables.embeddings(spark, sf()).count())
-    assert(row.getAs[Boolean]("trained_le_anchor"),
-      "k-means codebooks must not exceed anchor reconstruction error")
+    assert(row.getAs[Boolean]("trained_le_anchor"))
+    // honest comparison behind the fallback (see recall test above)
+    val (n, anchorErr, trainedErr) = Similarity.pqTrainedVsAnchorError(spark, sf())
+    assert(n == row.getAs[Long]("n_vectors"))
+    assert(trainedErr.compareTo(anchorErr) <= 0,
+      s"k-means codebooks must not exceed anchor reconstruction error ($trainedErr > $anchorErr)")
   }
 }
