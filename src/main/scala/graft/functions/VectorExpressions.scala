@@ -344,6 +344,108 @@ case class PqAdcDistance(first: Expression, second: Expression, third: Expressio
     copy(first = f, second = s, third = t)
 }
 
+/** pq_recon_err(x, codebook): PQ reconstruction error Σ_m min_a ‖x_m −
+  * c_{a,m}‖² — the quantity PQ training minimizes — in one fused codegen'd
+  * kernel. This is [[PqAdcDistance]]'s argmin half with the best distance
+  * itself accumulated: same subspace walk, same strict-`<` argmin, same
+  * m-ordered left-fold accumulation, so it is bit-identical to the
+  * declarative `aggregate(... array_min(transform(...)))` form
+  * (PqEquivalenceSpec) — which Spark evaluates as an INTERPRETED
+  * CodegenFallback lambda tree costing ~10× per row; a corpus-sized
+  * error scan (the trained-vs-anchor quality gate) needs the tight loop.
+  * `numSub` subspaces of `x.length / numSub` dims each.
+  */
+case class PqReconError(left: Expression, right: Expression, numSub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val flat = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    val nested = right.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _                                     => false
+    }
+    if (flat && nested && numSub > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_recon_err requires (ARRAY<FLOAT>, ARRAY<ARRAY<FLOAT>>, numSub>0), got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(xv: Any, cbv: Any): Any = {
+    val x = xv.asInstanceOf[ArrayData]
+    val cb = cbv.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val sub = dim / numSub
+    val k = cb.numElements()
+    if (k == 0 || cb.getArray(0).numElements() < dim)
+      throw new IllegalArgumentException(
+        s"pq_recon_err: requires a non-empty codebook of >=${dim}-dim entries")
+    var err = 0.0
+    var m = 0
+    while (m < numSub) {
+      var best = Double.PositiveInfinity
+      var a = 0
+      while (a < k) {
+        val c = cb.getArray(a)
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = x.getFloat(m * sub + i).toDouble - c.getFloat(m * sub + i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < best) best = d
+        a += 1
+      }
+      err += best
+      m += 1
+    }
+    err
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, cb) => {
+      val sub = ctx.freshName("sub")
+      val k = ctx.freshName("k")
+      val err = ctx.freshName("err")
+      val m = ctx.freshName("m")
+      val a = ctx.freshName("a")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $sub = $x.numElements() / $numSub;
+         |int $k = $cb.numElements();
+         |if ($k == 0 || $cb.getArray(0).numElements() < $x.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "pq_recon_err: requires a non-empty codebook of full-dim entries");
+         |}
+         |double $err = 0.0;
+         |for (int $m = 0; $m < $numSub; $m++) {
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  for (int $a = 0; $a < $k; $a++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $c = $cb.getArray($a);
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      double $diff = ((double) $x.getFloat($m * $sub + $i)) - ((double) $c.getFloat($m * $sub + $i));
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $best) { $best = $d; }
+         |  }
+         |  $err += $best;
+         |}
+         |${ev.value} = $err;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** centroid_sims(x, centroids): cosine(x, centroids[j]) for every j, as one
   * fused codegen'd loop returning ARRAY<DOUBLE> — the IVF assignment kernel
   * for corpus-scaled cell counts. The inline alternative (one
@@ -521,6 +623,9 @@ object VectorFunctions {
     Bridge.column(SqReconCosine(Bridge.expression(a), Bridge.expression(b)))
 
   def lnM(a: Column): Column = Bridge.column(LogM(Bridge.expression(a)))
+
+  def pqReconErrF(x: Column, cb: Column, numSub: Int): Column =
+    Bridge.column(PqReconError(Bridge.expression(x), Bridge.expression(cb), numSub))
 
   def centroidSimsF(x: Column, centroids: Column): Column =
     Bridge.column(CentroidSims(Bridge.expression(x), Bridge.expression(centroids)))

@@ -258,13 +258,16 @@ object Similarity {
 
   /** Above this many cells, assignment switches from one inline `cosine_f`
     * column per centroid to the fused [[graft.functions.CentroidSims]]
-    * kernel: the inline form's generated code grows O(cells) (fine at 8,
-    * a Janino code-size blowup at 4096); the kernel's is constant-size
-    * with the centroid matrix as a single ≤1 MB literal. Both produce
-    * bit-identical sims (IvfScaleSpec pins the parity), so the switch can
-    * never change an assignment or an oracle hash.
+    * kernel: the inline form's generated code grows O(cells) — its Janino
+    * compile alone measured ~1-2 s per distinct centroid set at 32 cells,
+    * paid again for every trained/anchor variant — while the kernel's is
+    * constant-size with the centroid matrix as a single ≤1 MB literal.
+    * Both produce bit-identical sims (IvfScaleSpec pins the parity), so
+    * the switch can never change an assignment or an oracle hash. The cap
+    * sits AT the oracle cell count: gate corpora keep the round-7-proven
+    * inline plan; everything larger takes the kernel.
     */
-  val inlineCellCap = 32
+  val inlineCellCap = oracleCells
 
   /** Cell assignment against an arbitrary centroid set — shared by the
     * deterministic-anchor path (oracle-checked) and the k-means-trained
@@ -351,7 +354,7 @@ object Similarity {
   /** Cells ranked by query-centroid cosine, ties to the lower cell id —
     * identical to the distributed assign's array_max/array_position pick.
     */
-  private def rankedCells(q: Array[Float], cs: Array[Array[Float]]): Seq[Int] =
+  private[operators] def rankedCells(q: Array[Float], cs: Array[Array[Float]]): Seq[Int] =
     cs.indices.map(j => (j, driverCosine(q, cs(j))))
       .sortBy { case (j, sim) => (-sim, j) }
       .map(_._1)
@@ -1136,9 +1139,13 @@ object Similarity {
 
   /** Per-vector PQ reconstruction error against a codebook: Σ_m (min over
     * the pqK entries of subspace-m squared-L2) — the quantity PQ training
-    * minimizes. m-ordered fold, map-only.
+    * minimizes. m-ordered fold, map-only. Declarative HOF form, kept as
+    * the readable specification; the hot path uses the bit-identical
+    * fused [[graft.functions.PqReconError]] kernel (PqEquivalenceSpec) —
+    * the HOF tree is CodegenFallback-interpreted and cost ~2 s/scan at
+    * sf0.1 where the kernel costs ~0.1 s.
     */
-  private def reconErrExpr(cbLit: Column, x: Column): Column =
+  private[operators] def reconErrExpr(cbLit: Column, x: Column): Column =
     aggregate(sequence(lit(0), lit(pqM - 1)), lit(0.0), (acc, m) =>
       acc + array_min(transform(sequence(lit(0), lit(pqK - 1)), a =>
         subDistCol(m, x, element_at(cbLit, a + lit(1))))))
@@ -1174,8 +1181,10 @@ object Similarity {
     val dt = org.apache.spark.sql.types.DecimalType(30, 10)
     val row = Tables.embeddings(s, d)
       .select(
-        reconErrExpr(typedLit(cb), col("embedding")).cast(dt).as("ae"),
-        reconErrExpr(typedLit(trained), col("embedding")).cast(dt).as("te"))
+        graft.functions.VectorFunctions.pqReconErrF(col("embedding"),
+          typedLit(cb), pqM).cast(dt).as("ae"),
+        graft.functions.VectorFunctions.pqReconErrF(col("embedding"),
+          typedLit(trained), pqM).cast(dt).as("te"))
       .agg(sum(col("ae")), sum(col("te")), count(lit(1)))
       .head()
     (row.getLong(2), row.getDecimal(0), row.getDecimal(1))

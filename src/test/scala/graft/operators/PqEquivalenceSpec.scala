@@ -47,6 +47,25 @@ class PqEquivalenceSpec extends SparkSpec {
     assert(kernel.toSeq == declarative.toSeq)
   }
 
+  test("fused recon-error kernel is bit-identical to the declarative HOF form, all rows") {
+    import graft.core.Tables
+    val (cb, _) = {
+      val emb = Tables.embeddings(spark, sf())
+      (emb.where(col("vec_id").between(1L, Similarity.pqK.toLong)).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq, ())
+    }
+    val kernel = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), graft.functions.VectorFunctions.pqReconErrF(
+        col("embedding"), typedLit(cb), Similarity.pqM).as("e"))
+      .collect().map(r => r.getLong(0) -> java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+    val declarative = Tables.embeddings(spark, sf())
+      .select(col("vec_id"),
+        Similarity.reconErrExpr(typedLit(cb), col("embedding")).as("e"))
+      .collect().map(r => r.getLong(0) -> java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+    assert(kernel.nonEmpty)
+    assert(kernel == declarative)
+  }
+
   test("declared PQ plans are shuffle-free (map + TakeOrdered only)") {
     Seq(Similarity.pqCodes(spark, sf()), Similarity.pqAdcSearch(spark, sf())).foreach { df =>
       val plan = df.queryExecution.sparkPlan.treeString
