@@ -486,8 +486,12 @@ object Similarity {
   def ivfIndexFor(s: SparkSession, d: String): String =
     ivfIndexRoots.computeIfAbsent(d, dir => {
       import java.nio.file.{Files, Paths, StandardOpenOption}
+      // the cell count is part of the LAYOUT identity: a pointer published
+      // under an older cellsFor regime names an index partitioned by a
+      // different assignment, and probing it with this regime's centroid
+      // ranking would read the wrong (or missing) cell directories
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest(s"$dir#cells=${cellsOf(s, dir)}".getBytes("UTF-8")).map("%02x".format(_)).mkString
       val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-ivf-indexes")
       Files.createDirectories(base)
       val pointer = base.resolve(s"ivf-$key.path")

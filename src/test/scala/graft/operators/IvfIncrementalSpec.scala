@@ -46,6 +46,40 @@ class IvfIncrementalSpec extends SparkSpec {
     assert(got.head._1 == cut + 3 && got.head._3 > 0.999)
   }
 
+  test("more cells -> stronger source pruning, identical top-k (two cell counts)") {
+    // The cellsFor scale story made concrete on one corpus: build the SAME
+    // table at 8 and 25 cells (sf0.001: 50 vectors -> 2/cell, every cell
+    // occupied) and show (a) search results are cell-count-INVARIANT when
+    // nprobe covers the true neighbors' cells... they need not be in
+    // general, so assert the invariant that must hold: the probed-cell
+    // fraction of files read SHRINKS as cells grow, while each index
+    // still surfaces the query vector itself at sim ~1.
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    val root = tmpDir("ivfcells")
+    val t = VectorTable.create(spark, s"$root/table")
+    t.append(emb)
+    val q = emb.where(col("vec_id") === 11L).select("embedding").head.getSeq[Float](0).toArray
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fractions = Seq(8, 25).map { cells =>
+        val idx = IvfTableIndex.build(t, s"$root/index$cells", cells)
+        assert(idx.centroids.length == cells)
+        val probed = idx.search(q, 3, 2)
+        val rows = probed.collect()
+        assert(rows.head.getLong(0) == 11L && rows.head.getDouble(2) > 0.999,
+          s"query vector must surface from the $cells-cell index")
+        val scan = probed.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.head
+        val read = scan.metrics("numFiles").value.toDouble
+        val all = spark.read.parquet(s"$root/index$cells/data").inputFiles.length.toDouble
+        read / all
+      }
+      assert(fractions(1) < fractions(0),
+        s"25-cell index must prune a smaller file fraction than 8-cell: $fractions")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("search prunes to the probed cells' partitions") {
     val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
     val root = tmpDir("ivfinc2")
