@@ -524,8 +524,11 @@ final class VectorTable(val spark: SparkSession, val root: String) {
       val newHits =
         if (m.batches.isEmpty) None
         else {
+          // no broadcast hint: the key set is Δ-sized (one upsert batch),
+          // which a caller can make arbitrarily large — AQE broadcasts a
+          // small batch's keys at runtime and shuffle-joins a bulk merge
           val keys = df.select(keyCols.map(col): _*).distinct()
-          val hits = liveScanOf(m).join(broadcast(keys), keyCols, "left_semi")
+          val hits = liveScanOf(m).join(keys, keyCols, "left_semi")
             .select(col(ROWID))
           val mask = (m.maskPath match {
             case "" => hits
@@ -564,8 +567,13 @@ final class VectorTable(val spark: SparkSession, val root: String) {
     val base =
       if (m.batches.isEmpty) emptyLike()
       else open(m.batches.map(b => s"$root/${b.relPath}"), m.mixedSchema)
+    // no broadcast hint on the mask: it accumulates every rowid ever
+    // superseded, so a high-churn table grows it without bound between
+    // compactions — AQE broadcasts the (typical) small mask at runtime
+    // and falls back to a shuffle anti-join when churn has grown it past
+    // the threshold, instead of a forced driver materialization
     if (m.maskPath.isEmpty) base
-    else base.join(broadcast(spark.read.parquet(s"$root/${m.maskPath}")),
+    else base.join(spark.read.parquet(s"$root/${m.maskPath}"),
       Seq(ROWID), "left_anti")
   }
 

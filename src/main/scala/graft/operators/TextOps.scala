@@ -445,10 +445,15 @@ object TextOps {
   /** TF-IDF top terms: term frequency per (doc, token), document frequency
     * per token, scored tf · N / df — the canonical two-shuffle text-mining
     * shape (tf agg on (doc,token), df agg on token, then a token-keyed
-    * join; at 100 TB the df side is vocabulary-sized and broadcastable).
-    * The score is two exact integers divided once in a fixed order, so both
-    * engines produce identical bits without any transcendental (ln-based
-    * idf is NOT cross-engine stable). Top 20 with a total order.
+    * join). The df side carries NO broadcast hint: it is vocabulary-sized,
+    * and a web-scale corpus's vocabulary (typos, URLs, hashes) grows
+    * without bound — the same driver-memory hazard as a force-broadcast
+    * key list. AQE broadcasts it when it is actually small at runtime and
+    * shuffle-joins otherwise (tf is already token-clustered from its own
+    * aggregate, so the fallback shuffle is cheap). The score is two exact
+    * integers divided once in a fixed order, so both engines produce
+    * identical bits without any transcendental (ln-based idf is NOT
+    * cross-engine stable). Top 20 with a total order.
     */
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -456,7 +461,7 @@ object TextOps {
     val tf = docs.select(col("doc_id"), explode(tokens("text")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "token")
+    tf.join(df, "token")
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
