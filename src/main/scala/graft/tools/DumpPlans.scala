@@ -22,7 +22,13 @@ object DumpPlans {
       "text_weighted_sample",
       "q4_priority_census", "q7_nation_volume", "q9_product_profit",
       "q10_returned_revenue", "mv_pricing_summary", "rolling_spend_30d",
-      "text_shingle_udtf", "dedup_jaccard_verified")
+      "text_shingle_udtf", "dedup_jaccard_verified",
+      "q2_min_cost_supplier", "q8_market_share", "q11_important_parts",
+      "q12_delay_census", "q13_customer_distribution", "q14_promo_revenue",
+      "q15_top_supplier", "q16_supplier_census", "q17_small_qty_revenue",
+      "q18_large_volume_customers", "q19_disjunctive_revenue",
+      "q20_volume_share_suppliers", "q21_waiting_suppliers",
+      "q22_dormant_customers")
     picks.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, d)
       val txt = df.queryExecution.explainString(

@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
 class QueryCorpusSpec extends SparkSpec {
 
   // Queries allowed to be empty at tiny scale (selective predicates).
+  // q11/q20: at sf0.001 the single-nation supplier slice behind both can
+  // be empty (~4 suppliers/nation); both return rows at the sf0.01 oracle
+  // gate (238 / 4 rows).
   private val mayBeEmpty = Set("customers_without_orders", "embedding_near_dups",
-    "dedup_lsh_candidates", "dedup_jaccard_verified")
+    "dedup_lsh_candidates", "dedup_jaccard_verified",
+    "q11_important_parts", "q20_volume_share_suppliers")
 
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name runs at sf0.001 with stable schema and sane rows") {
