@@ -673,6 +673,35 @@ object Relational {
       |FROM orders
       |WHERE EXTRACT(YEAR FROM o_orderdate) IN (1998, 1999)""".stripMargin
 
+  /** Time travel as a declared query (the oracle face of
+    * [[graft.core.VectorTable.scanAt]], previously spec-only): the
+    * date-clustered orders table AS OF `versions(3)` — the manifest
+    * committed by the 4th yearly append — contains exactly the 1995–1998
+    * orders, which the oracle states directly over the raw table. Reading
+    * a snapshot is pure manifest arithmetic (the version's batch list) —
+    * no data diffing, no copy-on-write: the scan plans only the 4 year
+    * batches, identical cost to reading a 4-batch table head. `_rowid` is
+    * aggregated away for the same reason [[changeFeedOrders]] drops it.
+    */
+  def snapshotOrdersAsof(s: SparkSession, d: String): DataFrame = {
+    val t = ordersZoneTable(s, d)
+    val vs = t.versions
+    require(vs.size == 7,
+      s"orders zone table at ${t.root} has ${vs.size} versions, expected 7 (one per order year); " +
+        "delete the stale /tmp/graft-rowid-tables pointer and rebuild")
+    t.scanAt(vs(3))
+      .groupBy(year(col("odate")).as("yr"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("totalprice"))).cast("double").as("total"))
+  }
+
+  val snapshotOrdersAsofSql: String =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE EXTRACT(YEAR FROM o_orderdate) <= 1998
+      |GROUP BY 1""".stripMargin
+
   /** O(1)-able count — reference `len()` (src/vector_engine.rs:29). */
   def tableLength(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).agg(count(lit(1)).as("len"))

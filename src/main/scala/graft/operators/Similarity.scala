@@ -430,8 +430,12 @@ object Similarity {
       .select("vec_id", "sim")
   }
 
-  val ivfSearchMultiprobeSql: String = {
-    // query-to-centroid cosine, same fold order as everywhere else
+  /** `cellsims` CTE body for an arbitrary query id: query-to-centroid
+    * cosine per cell, same three-fold order as everywhere else, so the
+    * probe-cell ranking is bit-identical to [[rankedCells]]. Shared by the
+    * exact multiprobe oracle and the IVF+PQ oracle.
+    */
+  private def cellSimsUnionSql(queryId: Long): String = {
     def qSim(j: Int): String =
       s"""(SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |     list_transform(range(1, $dim + 1), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), (acc, p) -> acc + p)
@@ -439,11 +443,15 @@ object Similarity {
          |       list_transform(range(1, $dim + 1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)), (acc, p) -> acc + p))
          |   * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |       list_transform(range(1, $dim + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), (acc, p) -> acc + p)))
-         | FROM (SELECT embedding FROM embeddings WHERE vec_id = $ivfQueryId) q,
+         | FROM (SELECT embedding FROM embeddings WHERE vec_id = $queryId) q,
          |      (SELECT embedding FROM embeddings WHERE vec_id = $j) c)""".stripMargin
-    val cellSims = (0 until oracleCells)
+    (0 until oracleCells)
       .map(j => s"SELECT $j AS cell, ${qSim(j)} AS sim")
       .mkString("\n  UNION ALL ")
+  }
+
+  val ivfSearchMultiprobeSql: String = {
+    val cellSims = cellSimsUnionSql(ivfQueryId)
     s"""WITH assign AS ($ivfAssignSql),
        | cellsims AS (
        |  $cellSims),
@@ -1069,6 +1077,59 @@ object Similarity {
        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qdist ORDER BY m)), (acc, p) -> acc + p) AS adc
        |FROM best WHERE vec_id <> $pqQueryId
        |GROUP BY vec_id ORDER BY adc, vec_id LIMIT $pqTopK""".stripMargin
+
+  // ------------------------------------------------ IVF+PQ combined search
+
+  /** IVF+PQ: the canonical billion-vector serving shape (coarse quantizer
+    * prunes cells, product quantizer ranks within them — the structure of
+    * FAISS's IndexIVFPQ and the reference's intended scale path for
+    * `get`-adjacent similarity serving; reference src/vector_engine.rs
+    * stores raw vectors only, so this is the 100 TB extension of its
+    * read path). Composition of two already-oracle-checked pieces:
+    *
+    *  1. PRUNE — rank cells by query↔centroid cosine driver-side (same
+    *     fold as [[rankedCells]]; centroids are a ≤1 MB cached literal)
+    *     and keep the `ivfNprobe` best; membership comes from the same
+    *     argmax assignment the IVF family uses, applied as a semi-join
+    *     (at scale: partition pruning on the [[ivfIndexRoot]] layout —
+    *     the scan never reads unprobed cells).
+    *  2. RANK — ADC distance via the fused [[graft.functions.PqAdc]]
+    *     kernel against the literal anchor codebook: the scan touches
+    *     only probed members, computes Σ_m ‖q_m − cb[m][code_m(x)]‖² in
+    *     one codegen'd pass, and TakeOrderedAndProject merges top-k.
+    *
+    * Cost at scale: nprobe/cells of the corpus scanned × O(M·K) per row,
+    * no join beyond the membership semi-join, no global sort. The oracle
+    * replays both stages exactly (probe CTE = [[cellSimsUnionSql]] cell
+    * ranking; ADC = m-ordered fold), so approximation error is pinned,
+    * not hand-waved.
+    */
+  def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    val (cb, q) = pqCodebook(s, d)
+    val probe = rankedCells(q.toArray, centroids(s, d)).take(ivfNprobe)
+    val members = ivfAssign(s, d).where(col("cell").isin(probe: _*)).select("vec_id")
+    Tables.embeddings(s, d)
+      .join(members, Seq("vec_id"), "left_semi")
+      .where(col("vec_id") =!= pqQueryId)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.pqAdcF(col("embedding"),
+          typedLit(cb), typedLit(q), pqM).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(pqTopK)
+  }
+
+  val ivfPqSearchSql: String =
+    s"""WITH assign AS ($ivfAssignSql),
+       | cellsims AS (
+       |  ${cellSimsUnionSql(pqQueryId)}),
+       | probe AS (SELECT cell FROM cellsims ORDER BY sim DESC, cell LIMIT $ivfNprobe),
+       | members AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cell),
+       | $pqBestSql
+       |SELECT b.vec_id,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qdist ORDER BY m)), (acc, p) -> acc + p) AS adc
+       |FROM best b JOIN members mm ON b.vec_id = mm.vec_id
+       |WHERE b.vec_id <> $pqQueryId
+       |GROUP BY b.vec_id ORDER BY adc, b.vec_id LIMIT $pqTopK""".stripMargin
 
   // ------------------------------------------------ trained PQ codebooks
 

@@ -506,6 +506,83 @@ object TextOps {
       | FROM (SELECT string_split(text, ' ') AS toks FROM documents))
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15""".stripMargin
 
+  /** Bigram language-model scoring (the KenLM-filtering shape every large
+    * pretraining pipeline runs: score each document's fluency under an
+    * n-gram LM trained on the corpus itself, drop the low tail). Add-one
+    * smoothing: logP(w2|w1) = ln((c(w1 w2) + 1) / (c(w1) + V)).
+    *
+    * Scale shape: unigram/bigram count tables are one hash-agg shuffle
+    * each and grow with VOCABULARY (sublinear in corpus size — Heaps'
+    * law), not with the corpus; per-position rows then join those counts
+    * on their natural keys (shuffle hash joins — at 100 TB the count
+    * tables are far smaller than the corpus and AQE picks broadcast for
+    * the unigram side when it fits); the single-row vocabulary total
+    * broadcasts. Nothing is quadratic, no driver materialization.
+    *
+    * Float determinism (the reason for the one re-aggregation shuffle):
+    * a doc's log-prob sum is a POSITION-ORDERED fold — collect the
+    * per-bigram logps, array_sort by position, left-fold — mirrored by
+    * the oracle's `list(logp ORDER BY pos)` fold, so the IEEE sum order
+    * is pinned on both engines ([[pqAdcSearchSql]]'s m-ordered-fold
+    * convention). The one transcendental uses [[graft.functions.LogM]]
+    * (libm-bit-parity `ln`, the [[weightedSample]] precedent).
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    lmScoreOf(Tables.documents(s, d))
+
+  /** [[lmScore]] over an arbitrary (doc_id, text) frame — split out so the
+    * spec can pin hand-computed scores on a crafted corpus.
+    */
+  private[operators] def lmScoreOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val pairs = toks.select(col("doc_id"),
+        posexplode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (x, y) -> struct(x, y))")))
+      .select(col("doc_id"), col("pos"),
+        col("col.x").as("w1"), col("col.y").as("w2"))
+    val uni = toks.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = uni.select(count(lit(1)).as("v"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    pairs
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", graft.functions.VectorFunctions.lnM(
+        (col("cb") + lit(1L)).cast("double") / (col("cu") + col("v")).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("aggregate(array_sort(collect_list(struct(pos, logp))), CAST(0 AS DOUBLE), (acc, x) -> acc + x.logp)")
+          .as("sum_logp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_logp") / col("n_bigrams").cast("double")).as("avg_logp"))
+  }
+
+  val lmScoreSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      | pairs AS (
+      |  SELECT doc_id,
+      |   unnest(range(1, len(toks))) AS pos,
+      |   unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+      |   unnest(list_slice(toks, 2, len(toks))) AS w2
+      |  FROM toks),
+      | uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu
+      |         FROM (SELECT unnest(toks) AS w1 FROM toks) GROUP BY w1),
+      | vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+      | big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM pairs GROUP BY w1, w2),
+      | scored AS (
+      |  SELECT p.doc_id, p.pos,
+      |   ln(CAST(b.cb + 1 AS DOUBLE) / CAST(u.cu + vocab.v AS DOUBLE)) AS logp
+      |  FROM pairs p
+      |  JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+      |  JOIN uni u ON p.w1 = u.w1
+      |  CROSS JOIN vocab)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      | list_reduce(list_prepend(CAST(0 AS DOUBLE), list(logp ORDER BY pos)), (acc, p) -> acc + p)
+      |   / CAST(count(*) AS DOUBLE) AS avg_logp
+      |FROM scored GROUP BY doc_id""".stripMargin
+
   /** UDTF surface (§2.7 Generator tier): top word-3-gram shingles via the
     * native `graft_shingles` table-generating function in SQL
     * (`LATERAL VIEW`), aggregated map-side like any explode. The oracle

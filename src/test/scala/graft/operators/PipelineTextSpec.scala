@@ -52,4 +52,28 @@ class PipelineTextSpec extends SparkSpec {
     assert(hit(0L)._1 == hit(0L)._2, "eval doc should be 100% contaminated")
     assert(hit(7L)._2 == 1L, "exactly the one shared 8-gram should hit")
   }
+
+  test("bigram LM score: hand-computed add-one smoothing on a crafted corpus, bit-exact") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a b c" → c(a)=3, c(b)=3, c(c)=1, V=3
+    // bigrams: (a b)=3, (b a)=1, (b c)=1
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextOps.lmScoreOf(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val pAB = math.log(4.0 / 6.0) // (3+1)/(c(a)+V)
+    val pBA = math.log(2.0 / 6.0)
+    val pBC = math.log(2.0 / 6.0)
+    // position-ordered fold, then one division — same op order as the query
+    val d1 = (0.0 + pAB + pBA + pAB) / 3.0
+    val d2 = (0.0 + pAB + pBC) / 2.0
+    assert(got(1L)._1 == 3L && got(2L)._1 == 2L)
+    assert(java.lang.Double.doubleToLongBits(got(1L)._2) == java.lang.Double.doubleToLongBits(d1))
+    assert(java.lang.Double.doubleToLongBits(got(2L)._2) == java.lang.Double.doubleToLongBits(d2))
+    // single-token docs contribute no bigrams and drop out on both engines
+    val single = TextOps.lmScoreOf(Seq((9L, "lonely")).toDF("doc_id", "text"))
+    assert(single.count() == 0L)
+    // plan: no cartesian anywhere; the vocab scalar is the only broadcast
+    val plan = TextOps.lmScoreOf(docs).queryExecution.sparkPlan.treeString
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
 }

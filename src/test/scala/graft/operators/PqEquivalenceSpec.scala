@@ -73,4 +73,39 @@ class PqEquivalenceSpec extends SparkSpec {
       assert(!plan.contains("Join"), s"expected no join:\n$plan")
     }
   }
+
+  test("IVF+PQ search: members come only from probed cells, ADC bits match the kernel") {
+    import graft.core.Tables
+    val combined = Similarity.ivfPqSearch(spark, sf())
+      .collect().map(r => r.getLong(0) -> java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    assert(combined.nonEmpty)
+    // Every hit sits in one of the nprobe cells nearest the PQ query —
+    // pruning really pruned (and didn't leak unprobed cells in).
+    val cellOf = Similarity.ivfAssign(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qCell = cellOf(Similarity.pqQueryId)
+    val hitCells = combined.map { case (id, _) => cellOf(id) }.toSet
+    assert(hitCells.contains(qCell), s"query's own cell $qCell absent from hits $hitCells")
+    assert(hitCells.size <= Similarity.ivfNprobe, s"hits span ${hitCells.size} cells > nprobe")
+    // ADC distances are the SAME bits the full (unpruned) kernel computes —
+    // pruning changes which rows are ranked, never a distance value.
+    val (cb, q) = {
+      val emb = Tables.embeddings(spark, sf())
+      (emb.where(col("vec_id").between(1L, Similarity.pqK.toLong)).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq,
+        emb.where(col("vec_id") === Similarity.pqQueryId)
+          .select("embedding").head().getSeq[Float](0).toSeq)
+    }
+    val ids = combined.map(_._1)
+    val direct = Tables.embeddings(spark, sf())
+      .where(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), graft.functions.VectorFunctions.pqAdcF(
+        col("embedding"), typedLit(cb), typedLit(q), Similarity.pqM).as("adc"))
+      .collect().map(r => r.getLong(0) -> java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+    combined.foreach { case (id, bits) => assert(direct(id) == bits, s"ADC drift for vec $id") }
+    // Plan sanity: pruning is a (broadcastable) semi-join, never a cartesian.
+    val plan = Similarity.ivfPqSearch(spark, sf()).queryExecution.sparkPlan.treeString
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    assert(plan.contains("LeftSemi"), s"expected semi-join pruning:\n$plan")
+  }
 }
