@@ -40,12 +40,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g default: the bench JVM runs the full 160+-dim corpus (heavy
+  // persists + broadcast churn) in one process — at 8g the old-gen
+  // occasionally collapsed into multi-second full-GC pauses on individual
+  // dims (measured: a 2.5 s dim spiking to 25 s). Host has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   // Pin the heap: growing/uncommitting it re-faults pages, which is
   // pathologically expensive on some virtualized hosts (measured ~3.4 µs
   // per 4 KB fault here — paying it once at startup beats paying it on
   // every GC cycle). THP (madvise mode) cuts the fault count ~500×.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 ) ++ (if (sys.env.get("GRAFT_PRETOUCH").contains("1")) Seq(
   "-XX:+AlwaysPreTouch",
   "-XX:+UseTransparentHugePages",

@@ -229,7 +229,7 @@ object Similarity {
     */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
-  private def centroids(s: SparkSession, d: String): Array[Array[Float]] =
+  private[operators] def centroids(s: SparkSession, d: String): Array[Array[Float]] =
     centroidCache.computeIfAbsent(d, _ =>
       Tables.embeddings(s, d)
         .where(col("vec_id") < cellsOf(s, d).toLong)
@@ -1077,6 +1077,99 @@ object Similarity {
        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qdist ORDER BY m)), (acc, p) -> acc + p) AS adc
        |FROM best WHERE vec_id <> $pqQueryId
        |GROUP BY vec_id ORDER BY adc, vec_id LIMIT $pqTopK""".stripMargin
+
+  // ------------------------------------------------ batch IVF search
+
+  /** Query-panel size and per-query k for the batch search (panel =
+    * vec_ids 0..4 — deterministic, present at every SF).
+    */
+  val batchPanel = 5L
+  val batchK = 3
+
+  /** Batched IVF search: top-k per query for a query TABLE — the batch-
+    * inference serving shape ([[ivfSearch]]/[[ivfSearchMultiprobe]] rank
+    * probe cells on the DRIVER for one literal query; that cannot scale to
+    * a million-query panel). Everything here is distributed and
+    * per-query-parallel:
+    *
+    *  1. probe ranking IN the plan: each query row computes its centroid
+    *     sims via the shared [[centroidSimsColumn]] (inline ≤ cap, fused
+    *     kernel above), sorts (−sim, cell) structs — the exact
+    *     [[rankedCells]] tie-break — and explodes its top-`ivfNprobe`
+    *     cells. No driver round-trip, so the query side can be a stream
+    *     or an SF-growing table.
+    *  2. candidate generation: the (qid, cell) probe set joins the cell
+    *     assignment ON CELL. The probe side is `panel × nprobe` rows and
+    *     hint-broadcast (bounded by the declared panel; an unbounded
+    *     panel would drop the hint and let AQE pick the build side —
+    *     the corpus side streams either way). With the persisted
+    *     [[ivfIndexRoot]] layout the same join becomes partition-pruned.
+    *  3. scoring + per-query top-k: exact cosine on surviving pairs, then
+    *     `row_number() OVER (PARTITION BY qid)` — a per-query heap, not a
+    *     global sort; queries never contend with each other.
+    *
+    * Scan cost at scale: candidates ≈ corpus × nprobe/cells regardless of
+    * panel size, scored once each; the window shuffles only candidate
+    * rows on qid. The oracle replays all three stages generically (no
+    * per-cell UNION ALL — ranking is a windowed subquery, exactly the
+    * distributed form).
+    */
+  def ivfBatchSearch(s: SparkSession, d: String): DataFrame = {
+    val cs = centroids(s, d)
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < batchPanel)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val probes = queries
+      .withColumn("sims", centroidSimsColumn(cs))
+      .withColumn("ranked", expr(
+        "transform(array_sort(transform(sims, (v, j) -> named_struct('nv', -v, 'cell', j))), x -> x.cell)"))
+      .select(col("qid"), col("embedding").as("qemb"),
+        explode(expr(s"slice(ranked, 1, $ivfNprobe)")).as("cell"))
+    val assigned = emb
+      .withColumn("sims", centroidSimsColumn(cs))
+      .withColumn("centroid_sim", array_max(col("sims")))
+      .withColumn("cell", (array_position(col("sims"), col("centroid_sim")) - 1).cast("int"))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("sim",
+        graft.functions.VectorFunctions.cosineF(col("embedding"), col("qemb")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= batchK)
+      .select("qid", "vec_id", "sim")
+  }
+
+  val ivfBatchSearchSql: String = {
+    // cosine(a, b) with the canonical fold order (dot, then a-norm × b-norm)
+    def cos(a: String, b: String): String =
+      s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |   list_transform(range(1, $dim + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, p) -> acc + p)
+         | / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, $dim + 1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (acc, p) -> acc + p))
+         |  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, $dim + 1), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (acc, p) -> acc + p))))""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $batchPanel),
+       | c AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+       |       FROM embeddings WHERE vec_id < $oracleCells),
+       | qsims AS (SELECT q.qid, c.cell, ${cos("q.qe", "c.ce")} AS sim FROM q, c),
+       | probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cell) AS rn
+       |    FROM qsims)
+       |  WHERE rn <= $ivfNprobe),
+       | assign AS ($ivfAssignSql),
+       | cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN assign a ON a.cell = p.cell),
+       | scored AS (
+       |  SELECT cd.qid, cd.vec_id, ${cos("e.embedding", "q.qe")} AS sim
+       |  FROM cand cd JOIN embeddings e ON cd.vec_id = e.vec_id JOIN q ON cd.qid = q.qid
+       |  WHERE cd.vec_id <> cd.qid)
+       |SELECT qid, vec_id, sim FROM (
+       |  SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $batchK""".stripMargin
+  }
 
   // ------------------------------------------------ IVF+PQ combined search
 

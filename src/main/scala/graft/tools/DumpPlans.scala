@@ -29,7 +29,8 @@ object DumpPlans {
       "q18_large_volume_customers", "q19_disjunctive_revenue",
       "q20_volume_share_suppliers", "q21_waiting_suppliers",
       "q22_dormant_customers",
-      "ann_ivfpq_search", "text_lm_score", "snapshot_orders_asof")
+      "ann_ivfpq_search", "text_lm_score", "snapshot_orders_asof",
+      "ann_ivf_batch_search")
     picks.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, d)
       val txt = df.queryExecution.explainString(

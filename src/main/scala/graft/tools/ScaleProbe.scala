@@ -107,6 +107,29 @@ object ScaleProbe {
               (s0, bin)
             }
           }.toDF("shard", "bin").groupBy("shard").agg(max("bin")).collect(); ()
+      },
+      "lm_bigram_join" -> { k =>
+        // text_lm_score's shape: pair stream joined to vocabulary-sized
+        // count tables, then one doc_id re-aggregation
+        val dd = replicate(docs, k).select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val pairs = dd.select(col("doc_id"), posexplode(expr(
+            "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (x, y) -> struct(x, y))")))
+          .select(col("doc_id"), col("pos"), col("col.x").as("w1"), col("col.y").as("w2"))
+        val uni = dd.select(explode(col("toks")).as("w1")).groupBy("w1").agg(count(lit(1)).as("cu"))
+        val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        pairs.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+          .groupBy("doc_id").agg(count(lit(1))).collect(); ()
+      },
+      "ivfpq_adc_topk" -> { k =>
+        // ann_ivfpq_search's shape: prune to ~1/4 of rows (the nprobe/cells
+        // fraction), fused ADC against a literal codebook, top-k merge
+        val cb = (1 to 16).map(i => Seq.fill(64)(i * 0.01f))
+        val q = Seq.fill(64)(0.1f)
+        replicate(emb, k)
+          .where(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+          .select(graft.functions.VectorFunctions.pqAdcF(
+            col("embedding"), typedLit(cb), typedLit(q), 8).as("adc"))
+          .orderBy(col("adc").asc).limit(10).collect(); ()
       }
     )
 
