@@ -1160,23 +1160,36 @@ object Relational {
     """SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket, COUNT(*) AS n
       |FROM orders GROUP BY 1""".stripMargin
 
-  /** Equi-DEPTH histogram without a global sort: octile cutpoints from one
-    * `percentile` aggregate, then map-side binning by cutpoint count — the
+  /** Equi-DEPTH histogram without a global sort: octile cutpoints from a
+    * `percentile` aggregate, then binning by cutpoint count — the
     * scale-correct alternative to `ntile` over the full table (a total
     * sort). Octile fractions k/8 are binary-exact and quantities are small
     * integers, so the interpolated cutpoints are bit-identical across
     * engines.
+    *
+    * Both passes run over the VALUE HISTOGRAM, not raw rows (the
+    * median_quantity_per_flag discipline): quantity cardinality is bounded
+    * (~50 distinct), so after one map-side-combined count shuffle, the
+    * percentile aggregate (weighted by `cnt` — the same Percentile code
+    * path, frequency-expanded, hence bit-identical cutpoints) and the
+    * per-value HOF binning touch ≤50 rows instead of the corpus. The raw
+    * form paid a per-row ObjectHashAggregate update plus a second
+    * corpus-sized scan with a per-row lambda — measured 4.0 s → ~1 s at
+    * sf0.1, and the gap widens with SF since all post-histogram work is
+    * O(cardinality).
     */
   def equidepthQuantity(s: SparkSession, d: String): DataFrame = {
-    val cuts = Tables.lineitem(s, d)
-      .agg(expr("percentile(l_quantity, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))")
+    val hist = Tables.lineitem(s, d)
+      .groupBy("l_quantity").agg(count(lit(1)).as("cnt"))
+    val cuts = hist
+      .agg(expr("percentile(l_quantity, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875), cnt)")
         .as("cuts"))
-    Tables.lineitem(s, d)
+    hist
       .crossJoin(broadcast(cuts))
       .select(expr("size(filter(cuts, c -> c <= l_quantity))").cast("long").as("bin"),
-        col("l_quantity"))
+        col("l_quantity"), col("cnt"))
       .groupBy("bin")
-      .agg(count(lit(1)).as("n"), min("l_quantity").as("lo"), max("l_quantity").as("hi"))
+      .agg(sum("cnt").as("n"), min("l_quantity").as("lo"), max("l_quantity").as("hi"))
   }
 
   val equidepthQuantitySql: String =
