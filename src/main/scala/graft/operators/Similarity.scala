@@ -1115,11 +1115,21 @@ object Similarity {
     * distributed form).
     */
   def ivfBatchSearch(s: SparkSession, d: String): DataFrame = {
+    val queries = Tables.embeddings(s, d).where(col("vec_id") < batchPanel)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    ivfBatchSearchOf(s, d, queries)
+  }
+
+  /** [[ivfBatchSearch]] against an arbitrary `(qid, embedding)` query frame
+    * — the serving entry point: the declared query feeds it a corpus panel;
+    * [[graft.streaming.AnnServe]] feeds it each micro-batch of a query
+    * STREAM (the plan contains no driver-side per-query work, so the same
+    * code path serves both).
+    */
+  private[graft] def ivfBatchSearchOf(s: SparkSession, d: String, queries: DataFrame): DataFrame = {
     val cs = centroids(s, d)
     val emb = Tables.embeddings(s, d)
-    val queries = emb.where(col("vec_id") < batchPanel)
-      .select(col("vec_id").as("qid"), col("embedding"))
-    val probes = queries
+    val probes = queries.select(col("qid"), col("embedding"))
       .withColumn("sims", centroidSimsColumn(cs))
       .withColumn("ranked", expr(
         "transform(array_sort(transform(sims, (v, j) -> named_struct('nv', -v, 'cell', j))), x -> x.cell)"))

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming ANN serving: an unbounded stream of query vectors answered
+  * against the static corpus — the online face of the batched IVF search
+  * (the reference serves point reads online through its cache stack,
+  * src/cache/readable_cache.rs:21-52; similarity queries get the same
+  * treatment here).
+  *
+  * Shape: `foreachBatch` runs [[graft.operators.Similarity.ivfBatchSearchOf]]
+  * on each micro-batch — the SAME plan the declared `ann_ivf_batch_search`
+  * query uses (probe-cell ranking in-plan per query row, candidates via the
+  * cell join, per-query windowed top-k), so batch/stream parity is
+  * structural, not re-implemented. Per micro-batch cost: candidates ≈
+  * corpus × nprobe/cells regardless of batch size; the centroid set is a
+  * cached ≤1 MB literal, re-broadcast per batch.
+  *
+  * foreachBatch rather than a stream-static join + window because windows
+  * over streams require watermark-bounded state in append mode — but a
+  * top-k per query needs no cross-batch state at all (each query is
+  * answered entirely within its arrival batch), so the batch plan inside
+  * foreachBatch is the tighter formulation: no state store, no watermark
+  * latency, exactly the serving semantics an inference endpoint wants.
+  */
+object AnnServe {
+
+  /** Start serving: `queries` is a streaming frame with (qid BIGINT,
+    * embedding ARRAY<FLOAT>); each micro-batch's top-k rows (qid, vec_id,
+    * sim) are handed to `sink` with the stream batch id.
+    */
+  def start(queries: DataFrame, corpusDir: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Similarity.ivfBatchSearchOf(
+          batch.sparkSession, corpusDir, batch), batchId)
+      }
+      .start()
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class AnnQuery(qid: Long, embedding: Seq[Float])
+
+/** Streaming ANN serving parity: every micro-batch of query vectors gets
+  * exactly the answer the batch search gives for the same queries — no
+  * cross-batch state, no drift between the online and offline paths.
+  */
+@graft.SlowTest
+class AnnServeSpec extends SparkSpec {
+
+  test("micro-batches are answered identically to the batch search, batch by batch") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sf())
+      .orderBy("vec_id").limit(12)
+      .collect().map(r => AnnQuery(r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[AnnQuery](spark)
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Long, Long)]]()
+    val q = AnnServe.start(input.toDF(), sf()) { (res, id) =>
+      got.synchronized {
+        got(id) = res.collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      }
+    }
+    try {
+      input.addData(emb.take(4))      // batch 0: panel queries 0..3
+      q.processAllAvailable()
+      input.addData(emb.slice(8, 12)) // batch 1: disjoint queries 8..11
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def batchAnswer(qs: Seq[AnnQuery]): Set[(Long, Long, Long)] =
+      graft.operators.Similarity.ivfBatchSearchOf(
+          spark, sf(), qs.toDF().select(col("qid"), col("embedding")))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L) == batchAnswer(emb.take(4).toSeq), "batch 0 diverged from offline answer")
+    assert(got(1L) == batchAnswer(emb.slice(8, 12).toSeq), "batch 1 diverged from offline answer")
+    // every served query got exactly batchK results
+    got.values.flatten.groupBy(_._1).foreach { case (qid, hits) =>
+      assert(hits.size == graft.operators.Similarity.batchK, s"query $qid: ${hits.size} hits")
+    }
+  }
+}
