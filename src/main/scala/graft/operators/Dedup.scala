@@ -390,6 +390,63 @@ object Dedup {
        |SELECT id AS doc_id, r AS rank FROM r3""".stripMargin
   }
 
+  /** Triangle census of the verified near-dup graph — the graph-analytic
+    * quality signal on top of pairwise dedup: a triangle-dense
+    * neighborhood is a coherent duplicate FAMILY (template spam, mirrored
+    * sites), a wedge that never closes is more likely an LSH coincidence.
+    * Emits triangle count, wedge (open 2-path) count and the global
+    * clustering coefficient 3·T/W.
+    *
+    * Scale shape — the textbook ordered-edge-join triangle count: edges
+    * are canonical (doc_a < doc_b, guaranteed by the in-bucket pair
+    * expansion), so e1(a,b) ⋈ e2(b,c) enumerates each candidate wedge with
+    * a < b < c exactly once and a LEFT SEMI against e3(a,c) closes it —
+    * every triangle counted once, no ±6 symmetry blowup, no corpus access
+    * at all (work is sized to the VERIFIED-PAIR graph, orders of magnitude
+    * smaller than the corpus; the joins shuffle on edge endpoints).
+    * Wedges come from the degree table (deg·(deg−1)/2 — exact: the
+    * product is even, values < 2^52). Integer stats are exact; the one
+    * float op is the final coefficient division, mirrored verbatim.
+    */
+  def triangleStatsNearDups(s: SparkSession, d: String): DataFrame =
+    triangleStatsOf(
+      jaccardVerifiedPairs(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint()) // three consumers; don't re-run the LSH chain per join
+
+  /** [[triangleStatsNearDups]] over an arbitrary canonical (a < b) edge
+    * frame — split out so the spec can pin the census on crafted graphs.
+    */
+  private[operators] def triangleStatsOf(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      sum(expr("CAST(deg * (deg - 1) / 2 AS BIGINT)")).as("n_wedges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e2.b").as("z"))
+      .join(e.as("e3"), col("x") === col("e3.a") && col("z") === col("e3.b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    tri.crossJoin(broadcast(wedges))
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") === 0L, lit(null).cast("double"))
+          .otherwise((lit(3L) * col("n_triangles")).cast("double") / col("n_wedges").cast("double"))
+          .as("clustering_coeff"))
+  }
+
+  val triangleStatsNearDupsSql: String =
+    s"""WITH e AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM (${jaccardVerifiedPairsSql.replace("\n", "\n  ")})),
+       | deg AS (SELECT v, COUNT(*) AS deg
+       |         FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+       | w AS (SELECT CAST(SUM(CAST(deg * (deg - 1) / 2 AS BIGINT)) AS BIGINT) AS n_wedges FROM deg),
+       | t AS (SELECT COUNT(*) AS n_triangles
+       |       FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+       |SELECT t.n_triangles, w.n_wedges,
+       |  CASE WHEN w.n_wedges = 0 THEN NULL
+       |       ELSE CAST(3 * t.n_triangles AS DOUBLE) / CAST(w.n_wedges AS DOUBLE) END AS clustering_coeff
+       |FROM t, w""".stripMargin
+
   val duplicateClustersSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b FROM (${jaccardVerifiedPairsSql.replace("\n", "\n  ")})

@@ -17,4 +17,21 @@ class ClusterPathsSpec extends SparkSpec {
     assert(fast.nonEmpty, "expected a non-empty candidate graph at sf0.001")
     assert(fast == dist)
   }
+
+  test("triangle census on crafted graphs: K4, open path, triangle + pendant") {
+    import spark.implicits._
+    def stats(edges: (Long, Long)*): (Long, Long, Option[Double]) = {
+      val r = Dedup.triangleStatsOf(edges.toSeq.toDF("a", "b")).head()
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    // K4: C(4,3)=4 triangles; every vertex deg 3 → 4·3 wedges; coeff 1.0
+    assert(stats((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ==
+      ((4L, 12L, Some(1.0))))
+    // open path 1-2-3: no triangle, one wedge, coefficient 0
+    assert(stats((1L, 2L), (2L, 3L)) == ((0L, 1L, Some(0.0))))
+    // triangle {1,2,3} with pendant 3-4: degs (2,2,3,1) → wedges 1+1+3 = 5
+    assert(stats((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)) == ((1L, 5L, Some(3.0 / 5.0))))
+    // matching (two disjoint edges): zero wedges → NULL coefficient
+    assert(stats((1L, 2L), (3L, 4L)) == ((0L, 0L, None)))
+  }
 }
