@@ -57,6 +57,48 @@ object Pipeline {
       .select(col("doc_id"), col("n_tokens"))
   }
 
+  /** Leakage-safe train/val/test split: the split key is the document's
+    * near-dup CLUSTER CANONICAL, not the document — two near-duplicate
+    * docs can never straddle train and eval (the train/test-contamination
+    * failure mode dedup exists to prevent; splitting by doc hash alone
+    * re-introduces it through surviving near-dup pairs). Singleton docs
+    * are their own canonical.
+    *
+    * Deterministic: the 90/5/5 assignment hashes md5(canonical ∥ 'split')
+    * — content-stable, seedless, the [[graft.operators.TextOps]] sampling
+    * convention. Scale shape: the cluster map is candidate-graph-sized
+    * (orders of magnitude under the corpus, AQE broadcasts it), the split
+    * tag is a map-side expression, and the final aggregate has 3 groups.
+    * The leakage guarantee is STRUCTURAL (split = f(canonical)), so the
+    * oracle needs no straddle check — it recomputes the same counts.
+    */
+  def leakageSafeSplits(s: SparkSession, d: String): DataFrame = {
+    val clusters = Dedup.duplicateClusters(s, d)
+    val canon = Tables.documents(s, d).select("doc_id")
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("canon"))
+    canon
+      .withColumn("h", expr(
+        "pmod(CAST(conv(substr(md5(concat(CAST(canon AS STRING), 'split')), 1, 13), 16, 10) AS BIGINT), 100)"))
+      .withColumn("split",
+        when(col("h") < 90, "train").when(col("h") < 95, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("canon")).as("n_clusters"))
+  }
+
+  val leakageSafeSplitsSql: String =
+    s"""WITH clusters AS (${Dedup.duplicateClustersSql.replace("\n", "\n  ")}),
+       | canon AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS canon
+       |  FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id),
+       | tagged AS (
+       |  SELECT doc_id, canon,
+       |   (('0x' || substr(md5(CAST(canon AS VARCHAR) || 'split'), 1, 13))::BIGINT) % 100 AS h
+       |  FROM canon)
+       |SELECT CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+       | COUNT(*) AS n_docs, CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_clusters
+       |FROM tagged GROUP BY 1""".stripMargin
+
   val cleanCorpusSql: String =
     s"""WITH scored AS (
        |  SELECT doc_id, text, len(toks) AS n_tokens,

@@ -76,4 +76,29 @@ class PipelineTextSpec extends SparkSpec {
     val plan = TextOps.lmScoreOf(docs).queryExecution.sparkPlan.treeString
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
+
+  test("leakage-safe split: no near-dup cluster straddles two splits; counts partition the corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf()).select("doc_id")
+    val clusters = Dedup.duplicateClusters(spark, sf())
+    val canon = docs.join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("canon"))
+      .withColumn("h", expr(
+        "pmod(CAST(conv(substr(md5(concat(CAST(canon AS STRING), 'split')), 1, 13), 16, 10) AS BIGINT), 100)"))
+      .withColumn("split",
+        when(col("h") < 90, "train").when(col("h") < 95, "val").otherwise("test"))
+    // the structural guarantee, checked empirically: one split per cluster
+    val straddlers = canon.groupBy("canon")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .where(col("n_splits") > 1).count()
+    assert(straddlers == 0L, s"$straddlers clusters straddle splits")
+    // the declared query's counts partition the corpus exactly
+    val declared = Pipeline.leakageSafeSplits(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(declared.values.map(_._1).sum == docs.count())
+    val multiDocClusters = clusters.groupBy("cluster_id").count().where(col("count") > 1).count()
+    assert(declared.values.map(_._2).sum <= docs.count())
+    assert(multiDocClusters == 0L || declared.values.exists { case (n, c) => n > c },
+      "expected at least one split to hold a multi-doc cluster when clusters exist")
+  }
 }
