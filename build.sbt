@@ -50,7 +50,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // per 4 KB fault here — paying it once at startup beats paying it on
   // every GC cycle). THP (madvise mode) cuts the fault count ~500×.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
-) ++ (if (sys.env.get("GRAFT_PRETOUCH").contains("1")) Seq(
+) ++ (if (!sys.env.get("GRAFT_PRETOUCH").contains("0")) Seq(
+  // Default ON (opt out with GRAFT_PRETOUCH=0): with the heap merely
+  // pinned but not touched, first-touch page faults land MID-RUN on
+  // whichever query first grows into a fresh GC region — measured as
+  // random 5-10× spikes on otherwise sub-second bench dims (a different
+  // dim each run) and a 130 s vs 84 s total at sf0.1. Pre-touching moves
+  // that cost to JVM startup, where no dimension is being timed.
   "-XX:+AlwaysPreTouch",
   "-XX:+UseTransparentHugePages",
 ) else Nil)
