@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines over the
@@ -243,6 +243,66 @@ object TextOps {
   val deterministicSampleSql: String =
     """SELECT doc_id, n_chars FROM documents
       |WHERE (('0x' || substr(md5(text), 1, 13))::BIGINT) % 100 < 10""".stripMargin
+
+  /** Per-source KL divergence from the corpus token distribution — the
+    * domain-shift diagnostic behind mixture decisions: KL(P_source ‖
+    * P_corpus) = Σ_w p_s(w)·ln(p_s(w)/p(w)), large when a source's
+    * vocabulary usage diverges from the blend it feeds. Every source
+    * token also appears in the corpus (source ⊆ corpus), so p(w) > 0 and
+    * the sum is finite by construction.
+    *
+    * Scale shape: both count tables are vocabulary-sized hash aggs; the
+    * (source, token) side joins the corpus side on token (one shuffle,
+    * AQE-broadcast when the corpus vocab fits); per-source totals ride a
+    * window over the source counts. Float determinism: each term is
+    * derived from exact BIGINT counts in a fixed expression order
+    * ((cs/ns) · ln_m((cs·n)/(ns·c)) — [[graft.functions.LogM]] for libm
+    * parity), and the per-source sum is a TOKEN-ORDERED fold, mirrored by
+    * the oracle's `list(term ORDER BY w)` fold.
+    */
+  def sourceKlDivergence(s: SparkSession, d: String): DataFrame =
+    sourceKlOf(Tables.documents(s, d))
+
+  /** [[sourceKlDivergence]] over an arbitrary (source, text) frame — split
+    * out so the spec can pin the information-theoretic properties on
+    * crafted corpora.
+    */
+  private[operators] def sourceKlOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val corpus = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = corpus.agg(sum(col("c")).as("n"))
+    val bySource = toks.groupBy("source", "w").agg(count(lit(1)).as("cs"))
+      .withColumn("ns", sum(col("cs")).over(Window.partitionBy("source")))
+    def dbl(c: Column): Column = c.cast("double")
+    bySource
+      .join(corpus, Seq("w"))
+      .crossJoin(broadcast(n))
+      .withColumn("term",
+        (dbl(col("cs")) / dbl(col("ns"))) * graft.functions.VectorFunctions.lnM(
+          (dbl(col("cs")) * dbl(col("n"))) / (dbl(col("ns")) * dbl(col("c")))))
+      .groupBy("source")
+      .agg(max(col("ns")).as("n_tokens"), count(lit(1)).as("n_vocab"),
+        expr("aggregate(array_sort(collect_list(struct(w, term))), CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)")
+          .as("kl"))
+  }
+
+  val sourceKlDivergenceSql: String =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      | corpus AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+      | n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM corpus),
+      | by_source AS (
+      |  SELECT source, w, cs, CAST(SUM(cs) OVER (PARTITION BY source) AS BIGINT) AS ns
+      |  FROM (SELECT source, w, CAST(count(*) AS BIGINT) AS cs FROM toks GROUP BY source, w)),
+      | terms AS (
+      |  SELECT b.source, b.w, b.ns,
+      |   (CAST(b.cs AS DOUBLE) / CAST(b.ns AS DOUBLE))
+      |     * ln((CAST(b.cs AS DOUBLE) * CAST(n.n AS DOUBLE)) / (CAST(b.ns AS DOUBLE) * CAST(c.c AS DOUBLE))) AS term
+      |  FROM by_source b JOIN corpus c ON b.w = c.w CROSS JOIN n)
+      |SELECT source, MAX(ns) AS n_tokens, COUNT(*) AS n_vocab,
+      | list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY w)), (acc, p) -> acc + p) AS kl
+      |FROM terms GROUP BY source""".stripMargin
 
   /** Mixture PLANNING: derive per-source sampling rates from a corpus-wide
     * token budget (30% of total chars, split evenly across sources) — the

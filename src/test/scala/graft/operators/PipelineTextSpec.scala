@@ -77,6 +77,22 @@ class PipelineTextSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
 
+  test("source KL divergence: zero for distribution-identical sources, positive for skew, never negative") {
+    import spark.implicits._
+    def kl(rows: (String, String)*): Map[String, Double] =
+      TextOps.sourceKlOf(rows.toSeq.toDF("source", "text"))
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // two sources with IDENTICAL token distributions: every term ln(1)=0 → KL exactly 0.0
+    val same = kl(("s1", "a a b"), ("s2", "a b a"))
+    assert(same("s1") == 0.0 && same("s2") == 0.0)
+    // skewed source diverges positively; Gibbs: KL >= 0 always
+    val skew = kl(("s1", "a a a a b"), ("s2", "b b b b a"))
+    assert(skew.values.forall(_ > 0.0), s"expected positive divergence: $skew")
+    // symmetric construction → symmetric divergences, bit-exact
+    assert(java.lang.Double.doubleToLongBits(skew("s1")) ==
+      java.lang.Double.doubleToLongBits(skew("s2")))
+  }
+
   test("leakage-safe split: no near-dup cluster straddles two splits; counts partition the corpus") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sf()).select("doc_id")
