@@ -266,6 +266,7 @@ object Bench {
     dim("sec_index_build")(graft.operators.Relational.prebuildCustkeyIndex(spark, sfDir))
     dim("upsert_table_build")(graft.operators.Relational.prebuildUpsertTable(spark, sfDir))
     dim("mv_view_build")(graft.operators.Relational.prebuildPricingSummaryView(spark, sfDir))
+    dim("bucketed_table_build")(graft.operators.Relational.prebuildBucketedTables(spark, sfDir))
 
     // --- the query corpus (cold, one-shot) ---
     // Headline queries run FIRST: under budget pressure the dims that get

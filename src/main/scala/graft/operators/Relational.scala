@@ -586,6 +586,68 @@ object Relational {
       .groupBy(col("o_orderstatus").as("status"))
       .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
 
+  /** Orders + lineitem rewritten bucketed-and-sorted on orderkey — the
+    * co-location layout that makes the dominant recurring fact join
+    * SHUFFLE-FREE (SURVEY.md "Partitioning & shuffle": pay one write-side
+    * sort, then every orderkey equi-join is a zip of pre-sorted buckets).
+    * The catalog is session-scoped, so each JVM (re)writes the bucketed
+    * tables once; the bench reports that as `bucketed_table_build`.
+    */
+  private val bucketedBuilt = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedOrderkeyTables(s: SparkSession, d: String): (String, String) =
+    bucketedBuilt.computeIfAbsent(System.identityHashCode(s) + ":" + d, _ => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val (ot, lt) = (s"b_orders_$key", s"b_lineitem_$key")
+      // idempotent rebuild: a prior JVM may have left the warehouse dirs
+      // behind without this JVM's catalog knowing the tables (saveAsTable
+      // refuses a fresh name over an existing location)
+      Seq(ot, lt).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = java.nio.file.Paths.get(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      graft.sources.Bucketed.write(
+        Tables.orders(s, d).select(col("o_orderkey").as("orderkey"), col("o_orderpriority")),
+        ot, "orderkey", 16)
+      graft.sources.Bucketed.write(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        lt, "orderkey", 16)
+      (ot, lt)
+    })
+
+  def prebuildBucketedTables(s: SparkSession, d: String): Unit =
+    bucketedOrderkeyTables(s, d)
+
+  /** Revenue by order priority over the CO-LOCATED layout: the lineitem ⋈
+    * orders equi-join runs as a sort-merge join with NO exchange on either
+    * side (both tables bucketed+sorted on orderkey, pinned by
+    * BucketedSpec's plan assertion) — at 100 TB this deletes the fact
+    * table's shuffle from every orderkey join that recurs on the layout.
+    * Results are layout-independent; the oracle states the same join over
+    * the raw tables.
+    */
+  def bucketedRevenueByPriority(s: SparkSession, d: String): DataFrame = {
+    val (ot, lt) = bucketedOrderkeyTables(s, d)
+    graft.sources.Bucketed.coLocatedJoin(s, lt, ot, "orderkey")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+  }
+
+  val bucketedRevenueByPrioritySql: String =
+    """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   val zorderRectangleSql: String =
     """SELECT o_orderstatus AS status, COUNT(*) AS n,
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

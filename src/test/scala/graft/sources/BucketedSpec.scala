@@ -56,4 +56,29 @@ class BucketedSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("declared bucketed query: join below the aggregate is exchange-free") {
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = graft.operators.Relational.bucketedRevenueByPriority(spark, sf())
+      val plan = df.queryExecution.executedPlan
+      // the only exchange allowed is the final groupBy's — none under the join
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joins.nonEmpty, s"expected SMJ:\n$plan")
+      joins.foreach { j =>
+        val under = j.toString
+        assert(!under.contains("Exchange hashpartitioning"),
+          s"join should zip pre-sorted buckets, not shuffle:\n$under")
+      }
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
