@@ -390,6 +390,93 @@ object Dedup {
        |SELECT id AS doc_id, r AS rank FROM r3""".stripMargin
   }
 
+  /** Exact-threshold Jaccard τ = 1/2 for the prefix-filtered self-join —
+    * the SAME measure and threshold as [[jaccardVerifiedPairs]], kept
+    * rational so every pruning bound and the final threshold stay in
+    * INTEGER arithmetic (`2·inter ≥ uni`, `ceil(n/2)` as `(n+1) div 2`):
+    * a float `0.5` would make the prefix length drift an element on some
+    * set sizes and silently miss pairs.
+    */
+  val exactTauNum = 1
+  val exactTauDen = 2
+
+  /** EXACT set-similarity self-join (hashed-shingle-set Jaccard ≥ τ) via
+    * prefix filtering — the PPJoin-family algorithm, and the exact
+    * counterpart to the MinHash/LSH path over the SAME similarity measure
+    * (52-bit hashed word-3-gram shingle sets, [[jaccardVerifiedPairs]]'s
+    * τ = 1/2): LSH trades recall for speed; this loses NOTHING, so the
+    * LSH pipeline's verified pairs are by construction a SUBSET of this
+    * result — the recall of the approximate path is measurable against it
+    * (ExactJoinSpec does exactly that).
+    *
+    * Prefix filter: under a global shingle order (rarest first), two sets
+    * with J ≥ τ share an element within their first `n − ceil(τ·n) + 1`
+    * — so candidates come from a bucket join on PREFIX shingles only,
+    * and rarest-first ordering keeps bucket occupancy minimal.
+    *
+    * Scale shape: shingle-frequency table (one agg) → per-doc sort by
+    * (freq, hash) → prefix explode (≈half the shingle stream) → one
+    * bucket shuffle + in-bucket ordered pair expansion (the
+    * [[pairsFromBands]] idiom — never a row self-join) → verification
+    * sized to candidates. Quadratic work is confined to prefix-bucket
+    * occupancy, never |docs|².
+    *
+    * The ORACLE is the brute-force O(n²) all-pairs join — tractable only
+    * at gate scale, which is exactly the point: the hash match proves the
+    * prefix filter is LOSSLESS (drops no qualifying pair and admits no
+    * extra), not approximately right.
+    */
+  def exactJaccardJoin(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+    val freq = docs.select(explode(col("sh")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+    val sorted = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(freq, Seq("g"))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(cnt, g))), x -> x.g)").as("sg"))
+    val prefixes = sorted
+      .withColumn("n", size(col("sg")))
+      .withColumn("plen", expr(
+        s"n - CAST((n * $exactTauNum + ${exactTauDen - 1}) DIV $exactTauDen AS INT) + 1"))
+      .select(col("doc_id"), explode(expr("slice(sg, 1, plen)")).as("g"))
+    val cands = prefixes
+      .groupBy("g").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin
+      )).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+      .where(col("inter") * exactTauDen >= col("uni") * exactTauNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+  }
+
+  val exactJaccardJoinSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform($shingleSqlExpr,
+       |      g -> ('0x' || substr(md5(g), 1, 13))::BIGINT)) AS hs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       | t2 AS (SELECT doc_id, hs FROM t WHERE len(hs) > 0),
+       | p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |   CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS BIGINT) AS inter,
+       |   CAST(len(a.hs) + len(b.hs)
+       |     - len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS BIGINT) AS uni
+       |  FROM t2 a JOIN t2 b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, inter, uni,
+       |  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+       |FROM p WHERE inter * $exactTauDen >= uni * $exactTauNum""".stripMargin
+
   /** Triangle census of the verified near-dup graph — the graph-analytic
     * quality signal on top of pairwise dedup: a triangle-dense
     * neighborhood is a coherent duplicate FAMILY (template spam, mirrored
