@@ -86,6 +86,45 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("canon")).as("n_clusters"))
   }
 
+  /** The refinery end-to-end: the CLEANED corpus (quality gate → exact
+    * dedup → near-dup canonical filter, i.e. [[cleanCorpus]]'s survivors)
+    * routed through the leakage-safe split, with per-split document and
+    * TOKEN budgets — the numbers a training run actually consumes
+    * ("how many tokens of train data survive cleaning?"). One oracle row
+    * set pins the full composition: every upstream stage's bug surfaces
+    * here too.
+    */
+  def splitBudgets(s: SparkSession, d: String): DataFrame = {
+    val cleaned = cleanCorpus(s, d) // (doc_id, n_tokens)
+    val clusters = Dedup.duplicateClusters(s, d)
+    cleaned
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canon"))
+      .withColumn("h", expr(
+        "pmod(CAST(conv(substr(md5(concat(CAST(canon AS STRING), 'split')), 1, 13), 16, 10) AS BIGINT), 100)"))
+      .withColumn("split",
+        when(col("h") < 90, "train").when(col("h") < 95, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+  }
+
+  // lazy: composes cleanCorpusSql, declared below (val init order)
+  lazy val splitBudgetsSql: String =
+    s"""WITH cleaned AS (${cleanCorpusSql.replace("\n", "\n  ")}),
+       | cl AS (${Dedup.duplicateClustersSql.replace("\n", "\n  ")}),
+       | canon AS (
+       |  SELECT c.doc_id, c.n_tokens, coalesce(cl.cluster_id, c.doc_id) AS canon
+       |  FROM cleaned c LEFT JOIN cl ON cl.id = c.doc_id),
+       | tagged AS (
+       |  SELECT doc_id, n_tokens, canon,
+       |   (('0x' || substr(md5(CAST(canon AS VARCHAR) || 'split'), 1, 13))::BIGINT) % 100 AS h
+       |  FROM canon)
+       |SELECT CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+       | COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM tagged GROUP BY 1""".stripMargin
+
   val leakageSafeSplitsSql: String =
     s"""WITH clusters AS (${Dedup.duplicateClustersSql.replace("\n", "\n  ")}),
        | canon AS (
