@@ -1126,10 +1126,12 @@ object Similarity {
     *     or an SF-growing table.
     *  2. candidate generation: the (qid, cell) probe set joins the cell
     *     assignment ON CELL. The probe side is `panel × nprobe` rows and
-    *     hint-broadcast (bounded by the declared panel; an unbounded
-    *     panel would drop the hint and let AQE pick the build side —
-    *     the corpus side streams either way). With the persisted
-    *     [[ivfIndexRoot]] layout the same join becomes partition-pruned.
+    *     carries NO broadcast hint — the planner/AQE broadcasts the small
+    *     case (it does for the declared 5-query panel), and an SF-growing
+    *     query table degrades gracefully to a shuffle join instead of a
+    *     driver OOM (this code path also serves [[graft.streaming.AnnServe]]
+    *     micro-batches). With the persisted [[ivfIndexRoot]] layout the
+    *     same join becomes partition-pruned.
     *  3. scoring + per-query top-k: exact cosine on surviving pairs, then
     *     `row_number() OVER (PARTITION BY qid)` — a per-query heap, not a
     *     global sort; queries never contend with each other.
@@ -1168,7 +1170,12 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("embedding"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    // NO broadcast hint: the probe side is panel × nprobe rows — tiny for
+    // the declared 5-query panel (AQE broadcasts it at runtime), but this
+    // same code path serves AnnServe's micro-batches and, in principle,
+    // SF-growing query tables, where a pinned hint would be the exact
+    // policy violation PlanInvariantsSpec exists to prevent.
+    assigned.join(probes, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("sim",
         graft.functions.VectorFunctions.cosineF(col("embedding"), col("qemb")))
