@@ -441,10 +441,17 @@ object Dedup {
     * prefix filter is LOSSLESS (drops no qualifying pair and admits no
     * extra), not approximately right.
     */
-  def exactJaccardJoin(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
-      .where(size(col("sh")) > 0)
+  def exactJaccardJoin(s: SparkSession, d: String): DataFrame =
+    exactJaccardJoinOf(
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
+        .where(size(col("sh")) > 0))
+
+  /** [[exactJaccardJoin]] over an arbitrary `(doc_id, sh: ARRAY<BIGINT>)`
+    * set frame (elements distinct per row) — split out so the property
+    * spec can sweep random corpora against an in-test brute force.
+    */
+  private[operators] def exactJaccardJoinOf(docs: DataFrame): DataFrame = {
     val freq = docs.select(explode(col("sh")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("cnt"))
     val sorted = docs.select(col("doc_id"), explode(col("sh")).as("g"))

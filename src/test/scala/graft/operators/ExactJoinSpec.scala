@@ -22,4 +22,29 @@ class ExactJoinSpec extends SparkSpec {
     info(f"LSH recall vs exact join: ${lsh.size}/${exact.size} = $recall%.3f")
     assert(recall > 0.5, s"LSH recall unexpectedly low: $recall")
   }
+
+  test("property: prefix filter is lossless on random corpora (vs in-test brute force)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    (1 to 5).foreach { round =>
+      // random set sizes and a small universe force heavy overlap — the
+      // adversarial regime where a broken prefix bound would drop pairs
+      val universe = 20 + rnd.nextInt(60)
+      val corpus = (0L until (20 + rnd.nextInt(30)).toLong).map { id =>
+        val n = 1 + rnd.nextInt(12)
+        (id, rnd.shuffle((1L to universe.toLong).toList).take(n).sorted.toArray)
+      }
+      val got = Dedup.exactJaccardJoinOf(corpus.toDF("doc_id", "sh"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+      val want = (for {
+        (a, sa) <- corpus; (b, sb) <- corpus if a < b
+        inter = sa.intersect(sb).length.toLong
+        uni = sa.length + sb.length - inter
+        if inter * Dedup.exactTauDen >= uni * Dedup.exactTauNum
+      } yield ((a, b), (inter, uni))).toMap
+      assert(got == want,
+        s"round $round (universe=$universe): engine=${got.size} pairs, brute=${want.size}; " +
+          s"missing=${(want.keySet -- got.keySet).take(5)}, extra=${(got.keySet -- want.keySet).take(5)}")
+    }
+  }
 }
