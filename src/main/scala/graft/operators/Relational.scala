@@ -396,7 +396,7 @@ object Relational {
     * manifest). The build runs once per (machine, sf dir) behind the same
     * crash-safe pointer protocol as the rowid table.
     */
-  private def ordersZoneTable(s: SparkSession, d: String): graft.core.VectorTable =
+  private[operators] def ordersZoneTable(s: SparkSession, d: String): graft.core.VectorTable =
     rowidTables.computeIfAbsent("zm:" + d, _ => {
       import java.nio.file.{Files, Paths, StandardOpenOption}
       val key = java.security.MessageDigest.getInstance("MD5")

@@ -153,4 +153,16 @@ class PlanInvariantsSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  test("snapshot query plans only the AS OF manifest's batches (time-travel source pruning)") {
+    val t = Relational.ordersZoneTable(spark, sf())
+    val headBatches = t.manifest.batches.size
+    assert(headBatches == 7, s"expected 7 yearly batches, got $headBatches")
+    val snapFiles = Relational.snapshotOrdersAsof(spark, sf()).inputFiles
+    // versions(3) references exactly the first 4 yearly batches; the other
+    // 3 years are never listed, let alone scanned
+    val batchDirs = snapFiles.map(f => f.replaceAll("/[^/]*$", "")).distinct
+    assert(batchDirs.length == 4,
+      s"snapshot should plan 4 of $headBatches batch dirs, planned ${batchDirs.length}:\n${batchDirs.mkString("\n")}")
+  }
 }
