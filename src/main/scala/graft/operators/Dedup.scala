@@ -272,12 +272,22 @@ object Dedup {
       jaccardVerifiedPairs(s, d).select("doc_a", "doc_b").localCheckpoint())
 
   private[operators] def duplicateClusters(s: SparkSession, d: String,
-                                           smallGraphLimit: Long): DataFrame = {
+                                           smallGraphLimit: Long): DataFrame =
     // Materialized pair graph (see verifiedPairsCached): both union
-    // branches below reference `pairs`, and without the checkpoint the
-    // whole MinHash→LSH→Jaccard chain executes twice inside one job
-    // (measured ~2× the chain cost at sf0.1).
-    val pairs = verifiedPairsCached(s, d)
+    // branches inside connectedComponentsOf reference `pairs`, and without
+    // the checkpoint the whole MinHash→LSH→Jaccard chain executes twice
+    // inside one job (measured ~2× the chain cost at sf0.1).
+    connectedComponentsOf(verifiedPairsCached(s, d), smallGraphLimit)
+
+  /** Connected components over an arbitrary (Long, Long) edge list.
+    * Exposed separately from [[duplicateClusters]] so the distributed
+    * path is testable on crafted graphs (long chains, forests) without a
+    * corpus behind them.
+    */
+  private[operators] def connectedComponentsOf(pairsIn: DataFrame,
+                                               smallGraphLimit: Long): DataFrame = {
+    val s = pairsIn.sparkSession
+    val pairs = pairsIn.toDF("doc_a", "doc_b")
     // undirected edge list, both directions; size the iteration's
     // parallelism to the edge count — the candidate graph is orders of
     // magnitude smaller than the corpus, and iterating at corpus
@@ -324,21 +334,44 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      // candidate label per node: min of own and all neighbors' labels
+    // Each round hooks (label ← min(own, neighbors' labels)) then
+    // pointer-jumps (label ← label's label). Hooking alone needs
+    // O(diameter) rounds — a >20-long chain of near-dups (template docs
+    // with drifting edits) would previously exhaust the cap and SILENTLY
+    // return a split component, which then poisons leakage-safe splits.
+    // With compression the min label's reach doubles per round, so
+    // convergence is O(log diameter): 64 rounds covers any graph whose
+    // node ids fit in a Long. If the loop still exhausts, that is a bug,
+    // not a big graph — throw rather than return wrong clusters.
+    val maxRounds = 64
+    while (changed > 0 && rounds < maxRounds) {
+      // hook: candidate label per node = min of own and all neighbors'
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "doc_b").withColumnRenamed("label", "nl"), "doc_b")
         .groupBy(col("doc_a").as("id"))
         .agg(min(col("nl")).as("nmin"))
-      val updated = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (col("nmin") < col("label")).as("chg"))
+      val hooked = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint() // eager: the compress self-join reads it twice
+      // compress: label ← label(label). Labels are always live node ids
+      // (they start as ids and only ever move to a smaller id in the same
+      // component), so the lookup side covers every label value; the left
+      // join + coalesce is belt-and-braces, not a semantic branch.
+      val jump = hooked.select(col("id").as("lid"), col("label").as("llabel"))
+      val compressed = hooked
+        .join(jump, col("label") === col("lid"), "left")
+        .select(col("id"), col("old"),
+          coalesce(col("llabel"), col("label")).as("label"))
         .localCheckpoint()
-      changed = updated.where(col("chg")).count()
-      labels = updated.select("id", "label")
+      changed = compressed.where(col("label") < col("old")).count()
+      labels = compressed.select("id", "label")
       rounds += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components failed to converge after $maxRounds hook+jump rounds " +
+          s"($changed labels still moving) — this indicates a bug, not graph size")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

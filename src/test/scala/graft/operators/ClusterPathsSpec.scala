@@ -18,6 +18,27 @@ class ClusterPathsSpec extends SparkSpec {
     assert(fast == dist)
   }
 
+  test("distributed path converges on a >20-diameter chain (pointer jumping)") {
+    import spark.implicits._
+    // 120-node chain: diameter 119. Plain min-label hooking needs 119
+    // rounds to carry label 0 to the far end — the round-8 code capped at
+    // 20 and silently returned a split component. Pointer jumping closes
+    // it in O(log 119) ≈ 7 rounds; this test drives the DISTRIBUTED path
+    // (smallGraphLimit = -1) and demands a single cluster labeled 0.
+    val chain = (0L until 119L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponentsOf(chain, smallGraphLimit = -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out == (0L until 120L).map(i => (i, 0L)))
+    // forest: the same chain plus a disjoint 25-node chain offset at 1000
+    // — labels must not bleed across components.
+    val forest = chain.union(
+      (1000L until 1024L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"))
+    val out2 = Dedup.connectedComponentsOf(forest, smallGraphLimit = -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out2 ==
+      (0L until 120L).map(i => (i, 0L)) ++ (1000L until 1025L).map(i => (i, 1000L)))
+  }
+
   test("triangle census on crafted graphs: K4, open path, triangle + pendant") {
     import spark.implicits._
     def stats(edges: (Long, Long)*): (Long, Long, Option[Double]) = {
