@@ -485,6 +485,30 @@ object Dedup {
     * spec can sweep random corpora against an in-test brute force.
     */
   private[operators] def exactJaccardJoinOf(docs: DataFrame): DataFrame = {
+    val cands = exactJaccardCandidatesOf(docs, lengthFilter = true)
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+      .where(col("inter") * exactTauDen >= col("uni") * exactTauNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+  }
+
+  /** Candidate pairs for [[exactJaccardJoinOf]]: rarest-first prefix
+    * explode → bucket pair expansion → (optionally) the PPJoin LENGTH
+    * filter. The length filter is the cheap half of PPJoin's pruning:
+    * J(a,b) = |∩|/|∪| ≤ min(n_a,n_b)/max(n_a,n_b), so any pair with
+    * `max·τnum > min·τden` cannot reach τ and is dropped with ONE integer
+    * comparison before paying `array_intersect` on full shingle sets —
+    * lossless by the same inequality, and it bounds the verification cost
+    * on size-skewed corpora where a short doc's rare prefix shingle lands
+    * in a long doc's bucket. Exposed with the filter switchable so
+    * ScaleProbe can report the measured candidate-count drop.
+    */
+  private[operators] def exactJaccardCandidatesOf(docs: DataFrame,
+                                                  lengthFilter: Boolean): DataFrame = {
     val freq = docs.select(explode(col("sh")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("cnt"))
     val sorted = docs.select(col("doc_id"), explode(col("sh")).as("g"))
@@ -495,25 +519,36 @@ object Dedup {
       .withColumn("n", size(col("sg")))
       .withColumn("plen", expr(
         s"n - CAST((n * $exactTauNum + ${exactTauDen - 1}) DIV $exactTauDen AS INT) + 1"))
-      .select(col("doc_id"), explode(expr("slice(sg, 1, plen)")).as("g"))
-    val cands = prefixes
-      .groupBy("g").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .select(col("doc_id"), col("n"), explode(expr("slice(sg, 1, plen)")).as("g"))
+    // struct sort is lexicographic on the leading field, so collecting
+    // (doc_id, n) structs preserves the canonical doc_a < doc_b expansion
+    // order while carrying each side's set size into the pair.
+    val pairs = prefixes
+      .groupBy("g").agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.n AS na, y.n AS nb))))""".stripMargin
       )).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
-    cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("uni", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
-      .where(col("inter") * exactTauDen >= col("uni") * exactTauNum)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
-        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"))
+    val pruned =
+      if (lengthFilter)
+        pairs.where(greatest(col("na"), col("nb")) * exactTauNum <=
+          least(col("na"), col("nb")) * exactTauDen)
+      else pairs
+    pruned.select(col("doc_a"), col("doc_b")).distinct()
   }
+
+  /** ScaleProbe entry: (unfiltered candidates, length-filtered candidates,
+    * qualifying pairs) over an arbitrary `(doc_id, sh)` set frame — the
+    * measured evidence that prefix-bucket occupancy (and the length
+    * filter's bite) grows near-linearly with corpus size.
+    */
+  def exactJoinProbe(docs: DataFrame): (Long, Long, Long) = (
+    exactJaccardCandidatesOf(docs, lengthFilter = false).count(),
+    exactJaccardCandidatesOf(docs, lengthFilter = true).count(),
+    exactJaccardJoinOf(docs).count())
 
   val exactJaccardJoinSql: String =
     s"""WITH t AS (

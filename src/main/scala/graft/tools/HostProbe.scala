@@ -6,19 +6,29 @@ import org.apache.spark.sql.SparkSession
   * range sum, parquet scan, shuffle agg, temp write) so a slow round can be
   * attributed to the machine vs the query plans.
   * sbt "runMain graft.tools.HostProbe <sfDir> [cpus]"
+  *
+  * The primitive set is shared with `graft.Bench`, which runs it in the
+  * SAME JVM as the benchmark and embeds the timings in BENCH_DETAIL.json —
+  * so every recorded bench run carries its own host-health evidence and a
+  * degraded-host episode is adjudicable from the round's artifact alone
+  * (round 8's official 104 s vs same-code 76.9 s needed a judge-session
+  * rerun to attribute; see PLANS.md "Host reference point").
   */
 object HostProbe {
-  def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val cpus = if (args.length > 1) args(1) else "8"
+
+  /** Time the primitive set against `d`'s lineitem table; returns
+    * (name, seconds) in execution order. No query-corpus code in the loop:
+    * range sum = codegen + CPU, count/agg = parquet scan, shuffle = the
+    * exchange machinery, write/read-back = temp-disk bandwidth.
+    */
+  def primitives(spark: SparkSession, d: String): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      out += name -> (System.nanoTime() - t0) / 1e9
       r
     }
-    val spark = timed("session_up")(graft.core.GraftSession.local("probe", cpus))
-    spark.sparkContext.setLogLevel("WARN")
     timed("range_sum_1e7")(spark.range(10000000).selectExpr("sum(id)").head())
     timed("range_sum_1e7_again")(spark.range(10000000).selectExpr("sum(id)").head())
     val li = spark.read.parquet(s"$d/lineitem.parquet")
@@ -30,6 +40,19 @@ object HostProbe {
     val tmp = java.nio.file.Files.createTempDirectory("probe").toString
     timed("write_parquet_1e6")(spark.range(1000000).selectExpr("id", "id*2 AS x").write.parquet(s"$tmp/t"))
     timed("read_back_count")(spark.read.parquet(s"$tmp/t").count())
+    out.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = if (args.length > 1) args(1) else "8"
+    val t0 = System.nanoTime()
+    val spark = graft.core.GraftSession.local("probe", cpus)
+    println(f"PROBE ${"session_up"}%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    spark.sparkContext.setLogLevel("WARN")
+    primitives(spark, d).foreach { case (name, s) =>
+      println(f"PROBE $name%-28s $s%8.3f s")
+    }
     spark.stop()
   }
 }

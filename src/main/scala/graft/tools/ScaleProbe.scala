@@ -140,6 +140,34 @@ object ScaleProbe {
       println(f"$name%-14s $t1%7.2f $t2%7.2f $t4%7.2f  ${t4 / t1}%.2f×")
     }
 
+    // --- exact set-similarity join at replicated scales ------------------
+    // Replicas get DISJOINT shingle universes (each replica's 52-bit hashes
+    // offset by r·2^53) so a k× corpus is k independent copies — no
+    // cross-replica duplicates inflating the pair count — and linear
+    // growth in candidates/time is the honest scale signal for
+    // prefix-bucket occupancy. Candidate counts are reported both sides of
+    // the PPJoin length filter so its bite is visible at every scale.
+    println()
+    println(f"${"exact_join"}%-14s ${"docs"}%7s ${"cand"}%8s ${"cand_lf"}%8s ${"pairs"}%7s  t(s)  growth")
+    val shingled = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+      .localCheckpoint()
+    val nDocs = shingled.count()
+    var t1exact = 0.0
+    for (k <- Seq(1, 2, 4)) {
+      val corpus = (0 until k).map { r =>
+        shingled.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          expr(s"transform(sh, x -> x + ${r}L * 9007199254740992L)").as("sh"))
+      }.reduce(_ unionAll _)
+      val t0 = System.nanoTime()
+      val (cand, candLf, pairs) = graft.operators.Dedup.exactJoinProbe(corpus)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (k == 1) t1exact = dt
+      val label = s"rep${k}x"
+      println(f"$label%-14s ${k * nDocs}%7d $cand%8d $candLf%8d $pairs%7d  $dt%.2f  ${dt / t1exact}%.2f×")
+    }
+
     // --- trained-quantizer recall curve at replicated scales -------------
     // The oracle gate measures trained-vs-anchor at sf0.1's 5K vectors,
     // where the training sample IS the corpus. This probe materializes

@@ -23,6 +23,25 @@ class ExactJoinSpec extends SparkSpec {
     assert(recall > 0.5, s"LSH recall unexpectedly low: $recall")
   }
 
+  test("PPJoin length filter prunes candidates without losing a qualifying pair") {
+    val docs = graft.core.Tables.documents(spark, sf())
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.TextFunctions.shingleHashes(
+          org.apache.spark.sql.functions.col("text")).as("sh"))
+      .where(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("sh")) > 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unfiltered = pairs(Dedup.exactJaccardCandidatesOf(docs, lengthFilter = false))
+    val filtered = pairs(Dedup.exactJaccardCandidatesOf(docs, lengthFilter = true))
+    val qualifying = pairs(Dedup.exactJaccardJoin(spark, sf()))
+    assert(filtered.subsetOf(unfiltered))
+    assert(qualifying.subsetOf(filtered),
+      s"length filter dropped qualifying pairs: ${(qualifying -- filtered).take(5)}")
+    info(s"candidates: ${unfiltered.size} unfiltered -> ${filtered.size} after length filter " +
+      s"(${qualifying.size} qualify)")
+  }
+
   test("property: prefix filter is lossless on random corpora (vs in-test brute force)") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
