@@ -280,6 +280,9 @@ object Bench {
     dim("zonemap_table_build")(graft.operators.Relational.prebuildZoneTable(spark, sfDir))
     dim("zorder_layout_build")(graft.operators.Relational.prebuildZOrderLayout(spark, sfDir))
     dim("lsh_index_build")(graft.operators.Dedup.prebuildLshIndex(spark, sfDir))
+    // the shared verified-pair graph build, reported as its own dim so
+    // dedup_clusters/pagerank/triangles never silently absorb it
+    dim("pair_graph_build")(graft.operators.Dedup.prebuildPairGraph(spark, sfDir))
     dim("ivf_index_build")(graft.operators.Similarity.ivfIndexFor(spark, sfDir))
     dim("sec_index_build")(graft.operators.Relational.prebuildCustkeyIndex(spark, sfDir))
     dim("upsert_table_build")(graft.operators.Relational.prebuildUpsertTable(spark, sfDir))

@@ -13,6 +13,17 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  // Session identity for cross-object memo keys (bucketed layouts, the
+  // dedup pair-graph cache): WeakHashMap — SparkSession has identity
+  // equals, so this is an identity map whose entries vanish with the
+  // session — plus a monotone counter. Unlike System.identityHashCode,
+  // two sessions can never collide, alive or dead.
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Long]())
+  private val sessionIdCounter = new java.util.concurrent.atomic.AtomicLong()
+  def sessionId(s: SparkSession): Long =
+    sessionIds.computeIfAbsent(s, _ => sessionIdCounter.incrementAndGet())
+
   /** Apply Graft's standard configs to a builder (used by Verify/Bench/tests
     * so every entry point agrees on semantics-relevant settings).
     */

@@ -267,9 +267,31 @@ object Dedup {
     */
   private val verifiedPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def verifiedPairsCached(s: SparkSession, d: String): DataFrame =
-    verifiedPairsCache.computeIfAbsent(System.identityHashCode(s) + ":" + d, _ =>
-      jaccardVerifiedPairs(s, d).select("doc_a", "doc_b").localCheckpoint())
+  private def verifiedPairsCached(s: SparkSession, d: String): DataFrame = {
+    // Keyed by GraftSession.sessionId (never recycled, unlike
+    // identityHashCode) so a later session can never be handed a
+    // checkpointed frame whose SparkContext has died; the listener evicts
+    // this session's entries when the context stops, so the map doesn't
+    // accumulate dead frames across sessions in one JVM.
+    val sid = graft.core.GraftSession.sessionId(s)
+    verifiedPairsCache.computeIfAbsent(sid + ":" + d, _ => {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          verifiedPairsCache.keySet.removeIf(_.startsWith(sid + ":"))
+      })
+      jaccardVerifiedPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
+    })
+  }
+
+  /** Bench entry: materialize the shared verified-pair graph as its own
+    * build dimension, so the graph analytics' per-query timings stay
+    * attribution-stable instead of whichever consumer runs first silently
+    * absorbing the one-time build.
+    */
+  def prebuildPairGraph(s: SparkSession, d: String): Unit = {
+    verifiedPairsCached(s, d); ()
+  }
 
   private[operators] def duplicateClusters(s: SparkSession, d: String,
                                            smallGraphLimit: Long): DataFrame =

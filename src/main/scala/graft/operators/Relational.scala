@@ -594,24 +594,22 @@ object Relational {
     * tables once; the bench reports that as `bucketed_table_build`.
     */
   private val bucketedBuilt = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def sessionId(s: SparkSession): Long = graft.core.GraftSession.sessionId(s)
+  // Per-JVM token in the table NAMES: two JVMs (or two sessions in one)
+  // sharing a warehouse dir each write their own uniquely-named tables, so
+  // no build ever DROPs or deletes another live session's layout and
+  // saveAsTable never collides with a dead JVM's leftover location —
+  // which also retires the fragile warehouse-path string surgery that
+  // used to delete stale dirs by stripPrefix("file:").
+  private val jvmToken =
+    java.lang.Long.toHexString(java.util.UUID.randomUUID().getMostSignificantBits).take(8)
   private def bucketedOrderkeyTables(s: SparkSession, d: String): (String, String) =
-    bucketedBuilt.computeIfAbsent(System.identityHashCode(s) + ":" + d, _ => {
+    bucketedBuilt.computeIfAbsent(sessionId(s) + ":" + d, _ => {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val (ot, lt) = (s"b_orders_$key", s"b_lineitem_$key")
-      // idempotent rebuild: a prior JVM may have left the warehouse dirs
-      // behind without this JVM's catalog knowing the tables (saveAsTable
-      // refuses a fresh name over an existing location)
-      Seq(ot, lt).foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = java.nio.file.Paths.get(
-          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-        if (java.nio.file.Files.exists(loc)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      }
+      val uniq = s"${key}_${jvmToken}_${sessionId(s)}"
+      val (ot, lt) = (s"b_orders_$uniq", s"b_lineitem_$uniq")
+      Seq(ot, lt).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       graft.sources.Bucketed.write(
         Tables.orders(s, d).select(col("o_orderkey").as("orderkey"), col("o_orderpriority")),
         ot, "orderkey", 16)
