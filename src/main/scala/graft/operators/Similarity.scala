@@ -1145,7 +1145,40 @@ object Similarity {
   def ivfBatchSearch(s: SparkSession, d: String): DataFrame = {
     val queries = Tables.embeddings(s, d).where(col("vec_id") < batchPanel)
       .select(col("vec_id").as("qid"), col("embedding"))
-    ivfBatchSearchOf(s, d, queries)
+    ivfBatchSearchOf(s, d, queries, excludeSelf = true)
+  }
+
+  /** The (qid, qemb, cell) probe frame + (vec_id, cell, embedding) cell
+    * assignment shared by the IVF and IVF+PQ batch faces: probe ranking
+    * happens IN the plan per query row (no driver round-trip), candidates
+    * come from one join ON CELL.
+    */
+  private def batchCandidates(s: SparkSession, d: String, queries: DataFrame,
+                              excludeSelf: Boolean): DataFrame = {
+    val cs = centroids(s, d)
+    val probes = queries.select(col("qid"), col("embedding"))
+      .withColumn("sims", centroidSimsColumn(cs))
+      .withColumn("ranked", expr(
+        "transform(array_sort(transform(sims, (v, j) -> named_struct('nv', -v, 'cell', j))), x -> x.cell)"))
+      .select(col("qid"), col("embedding").as("qemb"),
+        explode(expr(s"slice(ranked, 1, $ivfNprobe)")).as("cell"))
+    val assigned = Tables.embeddings(s, d)
+      .withColumn("sims", centroidSimsColumn(cs))
+      .withColumn("centroid_sim", array_max(col("sims")))
+      .withColumn("cell", (array_position(col("sims"), col("centroid_sim")) - 1).cast("int"))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    // NO broadcast hint: the probe side is panel × nprobe rows — tiny for
+    // the declared 5-query panel (AQE broadcasts it at runtime), but this
+    // same code path serves AnnServe's micro-batches and, in principle,
+    // SF-growing query tables, where a pinned hint would be the exact
+    // policy violation PlanInvariantsSpec exists to prevent.
+    val base = assigned.join(probes, Seq("cell"))
+    // Self-exclusion is the DECLARED entry points' semantics (their panel
+    // qids ARE corpus vec_ids); a serving stream's qid is a request id in
+    // its own namespace, so AnnServe passes excludeSelf = false — an
+    // external query whose qid happens to equal a corpus vec_id must not
+    // silently lose that vector as a neighbor.
+    if (excludeSelf) base.where(col("vec_id") =!= col("qid")) else base
   }
 
   /** [[ivfBatchSearch]] against an arbitrary `(qid, embedding)` query frame
@@ -1154,34 +1187,99 @@ object Similarity {
     * STREAM (the plan contains no driver-side per-query work, so the same
     * code path serves both).
     */
-  private[graft] def ivfBatchSearchOf(s: SparkSession, d: String, queries: DataFrame): DataFrame = {
-    val cs = centroids(s, d)
-    val emb = Tables.embeddings(s, d)
-    val probes = queries.select(col("qid"), col("embedding"))
-      .withColumn("sims", centroidSimsColumn(cs))
-      .withColumn("ranked", expr(
-        "transform(array_sort(transform(sims, (v, j) -> named_struct('nv', -v, 'cell', j))), x -> x.cell)"))
-      .select(col("qid"), col("embedding").as("qemb"),
-        explode(expr(s"slice(ranked, 1, $ivfNprobe)")).as("cell"))
-    val assigned = emb
-      .withColumn("sims", centroidSimsColumn(cs))
-      .withColumn("centroid_sim", array_max(col("sims")))
-      .withColumn("cell", (array_position(col("sims"), col("centroid_sim")) - 1).cast("int"))
-      .select(col("vec_id"), col("cell"), col("embedding"))
+  private[graft] def ivfBatchSearchOf(s: SparkSession, d: String, queries: DataFrame,
+                                      excludeSelf: Boolean): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    // NO broadcast hint: the probe side is panel × nprobe rows — tiny for
-    // the declared 5-query panel (AQE broadcasts it at runtime), but this
-    // same code path serves AnnServe's micro-batches and, in principle,
-    // SF-growing query tables, where a pinned hint would be the exact
-    // policy violation PlanInvariantsSpec exists to prevent.
-    assigned.join(probes, Seq("cell"))
-      .where(col("vec_id") =!= col("qid"))
+    batchCandidates(s, d, queries, excludeSelf)
       .withColumn("sim",
         graft.functions.VectorFunctions.cosineF(col("embedding"), col("qemb")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= batchK)
       .select("qid", "vec_id", "sim")
+  }
+
+  /** Batched IVF+PQ search: [[ivfBatchSearchOf]]'s probe/candidate plan
+    * with ADC ranking instead of exact cosine — the shape you actually
+    * serve at 100 TB, where the scan budget covers 4-byte PQ codes but not
+    * raw vectors for every candidate. Per candidate the fused
+    * [[graft.functions.PqAdcDistance]] kernel computes
+    * Σ_m ‖q_m − cb[m][code_m(x)]‖² against the literal codebook with the
+    * QUERY AS A COLUMN (same kernel the single-query face uses with a
+    * literal), so a million-query panel or a query stream pays one
+    * codegen'd pass over candidates — no per-query driver work, no
+    * per-query plan. Top-k per query is the same windowed per-query heap.
+    */
+  private[graft] def ivfPqBatchSearchOf(s: SparkSession, d: String, queries: DataFrame,
+                                        excludeSelf: Boolean): DataFrame = {
+    val (cb, _) = pqCodebook(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))
+    batchCandidates(s, d, queries, excludeSelf)
+      .withColumn("adc", graft.functions.VectorFunctions.pqAdcF(
+        col("embedding"), typedLit(cb), col("qemb"), pqM))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= batchK)
+      .select("qid", "vec_id", "adc")
+  }
+
+  /** Declared IVF+PQ batch query: the [[batchPanel]] corpus panel through
+    * [[ivfPqBatchSearchOf]]. The oracle replays probe ranking as a
+    * windowed subquery, membership via the assignment CTE, and ADC as the
+    * (dist, code)-argmin + m-ordered qdist fold — all three stages
+    * generically per query, no per-query UNION ALL.
+    */
+  def ivfPqBatchSearch(s: SparkSession, d: String): DataFrame = {
+    val queries = Tables.embeddings(s, d).where(col("vec_id") < batchPanel)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    ivfPqBatchSearchOf(s, d, queries, excludeSelf = true)
+  }
+
+  val ivfPqBatchSearchSql: String = {
+    def cos(a: String, b: String): String =
+      s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |   list_transform(range(1, $dim + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, p) -> acc + p)
+         | / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, $dim + 1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (acc, p) -> acc + p))
+         |  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, $dim + 1), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (acc, p) -> acc + p))))""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $batchPanel),
+       | c AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+       |       FROM embeddings WHERE vec_id < $oracleCells),
+       | qsims AS (SELECT q.qid, c.cell, ${cos("q.qe", "c.ce")} AS sim FROM q, c),
+       | probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cell) AS rn
+       |    FROM qsims)
+       |  WHERE rn <= $ivfNprobe),
+       | assign AS ($ivfAssignSql),
+       | cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN assign a ON a.cell = p.cell
+       |          WHERE a.vec_id <> p.qid),
+       | anchors AS (SELECT CAST(vec_id AS INTEGER) AS code, embedding AS ae
+       |             FROM embeddings WHERE vec_id BETWEEN 1 AND $pqK),
+       | ms AS (SELECT unnest(range(0, $pqM)) AS m),
+       | codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT e.vec_id, ms.m, a.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, ms.m
+       |        ORDER BY ${subDistSql("e.embedding", "a.ae")}, a.code) AS rn
+       |    FROM embeddings e CROSS JOIN ms CROSS JOIN anchors a)
+       |  WHERE rn = 1),
+       | qdists AS (
+       |  SELECT q.qid, ms.m, a.code, ${subDistSql("q.qe", "a.ae")} AS qdist
+       |  FROM q CROSS JOIN ms CROSS JOIN anchors a),
+       | scored AS (
+       |  SELECT cd.qid, cd.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qd.qdist ORDER BY cs.m)),
+       |      (acc, p) -> acc + p) AS adc
+       |  FROM cand cd
+       |  JOIN codes cs ON cs.vec_id = cd.vec_id
+       |  JOIN qdists qd ON qd.qid = cd.qid AND qd.m = cs.m AND qd.code = cs.code
+       |  GROUP BY cd.qid, cd.vec_id)
+       |SELECT qid, vec_id, adc FROM (
+       |  SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $batchK""".stripMargin
   }
 
   val ivfBatchSearchSql: String = {

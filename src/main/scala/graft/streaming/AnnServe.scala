@@ -28,14 +28,29 @@ object AnnServe {
 
   /** Start serving: `queries` is a streaming frame with (qid BIGINT,
     * embedding ARRAY<FLOAT>); each micro-batch's top-k rows (qid, vec_id,
-    * sim) are handed to `sink` with the stream batch id.
+    * sim|adc) are handed to `sink` with the stream batch id.
+    *
+    * `usePq = true` serves through [[graft.operators.Similarity.ivfPqBatchSearchOf]]
+    * — same probe/candidate plan, ADC ranking against the literal codebook
+    * instead of exact cosine: the configuration for corpora where raw
+    * vectors blow the per-batch scan budget (the kernel reads candidates
+    * once either way; ADC is the cheaper rank at equal candidates).
+    *
+    * Streaming qids are REQUEST ids, not corpus ids, so serving never
+    * self-excludes: a query whose qid coincides with a corpus vec_id still
+    * sees that vector as a neighbor (the declared batch queries, whose
+    * panel qids ARE corpus ids, pass excludeSelf = true instead).
     */
-  def start(queries: DataFrame, corpusDir: String)(
+  def start(queries: DataFrame, corpusDir: String, usePq: Boolean = false)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(graft.operators.Similarity.ivfBatchSearchOf(
-          batch.sparkSession, corpusDir, batch), batchId)
+        val answer =
+          if (usePq) graft.operators.Similarity.ivfPqBatchSearchOf(
+            batch.sparkSession, corpusDir, batch, excludeSelf = false)
+          else graft.operators.Similarity.ivfBatchSearchOf(
+            batch.sparkSession, corpusDir, batch, excludeSelf = false)
+        sink(answer, batchId)
       }
       .start()
 }

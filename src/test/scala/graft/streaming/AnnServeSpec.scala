@@ -34,9 +34,11 @@ class AnnServeSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
+    // serving parity target: the same entry point with the same serving
+    // semantics (no self-exclusion — streaming qids are request ids)
     def batchAnswer(qs: Seq[AnnQuery]): Set[(Long, Long, Long)] =
       graft.operators.Similarity.ivfBatchSearchOf(
-          spark, sf(), qs.toDF().select(col("qid"), col("embedding")))
+          spark, sf(), qs.toDF().select(col("qid"), col("embedding")), excludeSelf = false)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1),
           java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
@@ -48,5 +50,39 @@ class AnnServeSpec extends SparkSpec {
     got.values.flatten.groupBy(_._1).foreach { case (qid, hits) =>
       assert(hits.size == graft.operators.Similarity.batchK, s"query $qid: ${hits.size} hits")
     }
+    // no self-exclusion in serving: these queries ARE corpus vectors, so
+    // each one's own vec_id must appear as its (exact-match) top neighbor
+    got.values.flatten.groupBy(_._1).foreach { case (qid, hits) =>
+      assert(hits.exists(_._2 == qid),
+        s"query $qid: corpus vector with the same id missing from served neighbors")
+    }
+  }
+
+  test("PQ mode serves the IVF+PQ batch answer, batch by batch") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sf())
+      .orderBy("vec_id").limit(6)
+      .collect().map(r => AnnQuery(r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[AnnQuery](spark)
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Long, Long)]]()
+    val q = AnnServe.start(input.toDF(), sf(), usePq = true) { (res, id) =>
+      got.synchronized {
+        got(id) = res.collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      }
+    }
+    try {
+      input.addData(emb.take(6))
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.operators.Similarity.ivfPqBatchSearchOf(
+        spark, sf(), emb.take(6).toSeq.toDF().select(col("qid"), col("embedding")),
+        excludeSelf = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    assert(got.keySet == Set(0L))
+    assert(got(0L) == want, "PQ-mode stream diverged from the offline IVF+PQ batch answer")
   }
 }
