@@ -66,16 +66,43 @@ object IvfTableIndex {
     * table size via [[Similarity.cellsFor]], so the index keeps ~constant
     * per-probe work as the corpus grows instead of a frozen pruning
     * factor; pass an explicit count to pin a layout.
+    *
+    * `trained = true` runs [[Similarity.lloydTrain]] — anchor-initialized
+    * Lloyd on a hash-stratified bounded sample OF THIS TABLE, under the
+    * cosine-argmax serving metric — and fixes the TRAINED centroids in
+    * the index. Training is a build-time cost only: the persisted
+    * centroids are what [[refresh]] assigns appended spans against and
+    * what [[open]] serves, so the maintenance contract (centroids fixed
+    * at build; re-clustering is a rebuild) is unchanged.
     */
-  def build(table: VectorTable, root: String, numCells: Int = -1): IvfTableIndex = {
+  def build(table: VectorTable, root: String, numCells: Int = -1,
+            trained: Boolean = false): IvfTableIndex = {
     val m = table.manifest
     val cells = if (numCells > 0) numCells else Similarity.cellsFor(m.length)
     require(m.length >= cells, s"need at least $cells vectors to seed centroids")
-    Files.createDirectories(Paths.get(root))
-    val cs = table.scan()
+    val anchors = table.scan()
       .orderBy("vec_id").limit(cells)
       .select("vec_id", "embedding")
       .collect().map(_.getSeq[Float](1).toArray)
+    val cs =
+      if (trained)
+        Similarity.lloydTrain(
+          Similarity.trainingSampleOf(
+            table.scan().select(col("vec_id"), col("embedding")), m.length),
+          anchors)
+      else anchors
+    buildWith(table, root, cs)
+  }
+
+  /** Build against an EXPLICIT centroid set — the rebuild face of the
+    * maintenance contract (a rebuild that should be refresh-comparable
+    * must fix the same centroids the incremental index did; retraining on
+    * the grown table is a NEW index, not a rebuild).
+    */
+  def buildWith(table: VectorTable, root: String,
+                cs: Array[Array[Float]]): IvfTableIndex = {
+    val m = table.manifest
+    Files.createDirectories(Paths.get(root))
     val spark = table.spark
     import spark.implicits._
     cs.zipWithIndex.map { case (e, i) => (i, e.toSeq) }.toSeq.toDF("cell", "embedding")

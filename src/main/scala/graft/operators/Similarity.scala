@@ -715,9 +715,16 @@ object Similarity {
     */
   val trainSampleCap = 65536
 
-  private def trainingSample(s: SparkSession, d: String): Array[Array[Float]] = {
-    val stride = math.max(1L, embeddingCount(s, d) / trainSampleCap)
-    Tables.embeddings(s, d)
+  private def trainingSample(s: SparkSession, d: String): Array[Array[Float]] =
+    trainingSampleOf(Tables.embeddings(s, d), embeddingCount(s, d))
+
+  /** Hash-stratified bounded sample of an arbitrary `(vec_id, embedding)`
+    * frame — shared by the corpus-dir path above and the persisted
+    * [[IvfTableIndex]] trained build (which samples its own table).
+    */
+  private[operators] def trainingSampleOf(emb: DataFrame, n: Long): Array[Array[Float]] = {
+    val stride = math.max(1L, n / trainSampleCap)
+    emb
       .where(pmod(xxhash64(col("vec_id")), lit(stride)) === 0L)
       .orderBy("vec_id")
       .limit(trainSampleCap)
@@ -742,44 +749,51 @@ object Similarity {
   private val trainedCentroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
   def trainedCentroids(s: SparkSession, d: String): Array[Array[Float]] =
-    trainedCentroidCache.computeIfAbsent(d, _ => {
-      val sample = trainingSample(s, d)
-      var cs = centroids(s, d)
-      var iter = 0
-      var converged = false
-      while (iter < 20 && !converged) {
-        val sums = Array.fill(cs.length)(new Array[Double](dim))
-        val counts = new Array[Long](cs.length)
-        sample.foreach { v =>
-          // argmax with ties to the LOWER cell id — identical to the
-          // distributed assign's array_max/array_position first-occurrence
-          var best = 0
-          var bestSim = driverCosine(v, cs(0))
-          var j = 1
-          while (j < cs.length) {
-            val sim = driverCosine(v, cs(j))
-            if (sim > bestSim) { best = j; bestSim = sim }
-            j += 1
-          }
-          val acc = sums(best)
-          var i = 0
-          while (i < dim) { acc(i) += v(i); i += 1 }
-          counts(best) += 1
+    trainedCentroidCache.computeIfAbsent(d, _ =>
+      lloydTrain(trainingSample(s, d), centroids(s, d)))
+
+  /** The Lloyd iteration itself (anchor-initialized, cosine-argmax
+    * assignment, ties to the lower cell id, movement-epsilon stop) —
+    * shared by [[trainedCentroids]] and [[IvfTableIndex]]'s trained build.
+    */
+  private[operators] def lloydTrain(sample: Array[Array[Float]],
+                                    init: Array[Array[Float]]): Array[Array[Float]] = {
+    var cs = init
+    var iter = 0
+    var converged = false
+    while (iter < 20 && !converged) {
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Long](cs.length)
+      sample.foreach { v =>
+        // argmax with ties to the LOWER cell id — identical to the
+        // distributed assign's array_max/array_position first-occurrence
+        var best = 0
+        var bestSim = driverCosine(v, cs(0))
+        var j = 1
+        while (j < cs.length) {
+          val sim = driverCosine(v, cs(j))
+          if (sim > bestSim) { best = j; bestSim = sim }
+          j += 1
         }
-        val next = cs.indices.map { j =>
-          if (counts(j) == 0) cs(j).clone() // empty cells keep their centroid
-          else Array.tabulate(dim)(i => (sums(j)(i) / counts(j)).toFloat)
-        }.toArray
-        // movement-epsilon stop: once every centroid moves < 1e-6 per
-        // coordinate the assignment argmax is stable (exact float
-        // equality may never fire)
-        converged = next.indices.forall(j =>
-          next(j).indices.forall(i => math.abs(next(j)(i) - cs(j)(i)) <= 1e-6f))
-        cs = next
-        iter += 1
+        val acc = sums(best)
+        var i = 0
+        while (i < dim) { acc(i) += v(i); i += 1 }
+        counts(best) += 1
       }
-      cs
-    })
+      val next = cs.indices.map { j =>
+        if (counts(j) == 0) cs(j).clone() // empty cells keep their centroid
+        else Array.tabulate(dim)(i => (sums(j)(i) / counts(j)).toFloat)
+      }.toArray
+      // movement-epsilon stop: once every centroid moves < 1e-6 per
+      // coordinate the assignment argmax is stable (exact float
+      // equality may never fire)
+      converged = next.indices.forall(j =>
+        next(j).indices.forall(i => math.abs(next(j)(i) - cs(j)(i)) <= 1e-6f))
+      cs = next
+      iter += 1
+    }
+    cs
+  }
 
   /** Recall panel: mean recall@k over the first `panelSize` vectors as
     * queries, not one hand-picked query — a single query's recall is a

@@ -204,6 +204,42 @@ object ScaleProbe {
       println(f"$label%-14s $n%7d $cells%6d ${aHits / denom}%7.3f ${tHits / denom}%8.3f  $dt%.1f" +
         (if (tHits >= aHits) "  trained>=anchor OK" else "  TRAINED LOST (fallback would serve anchors)"))
     }
+
+    // --- persisted TRAINED index: recall through the cell-pruned layout --
+    // The in-memory comparison above measures centroid QUALITY; this
+    // measures the full serving path — Lloyd-trained centroids fixed in a
+    // persisted IvfTableIndex (built over the rep4x off-sample corpus,
+    // cellsFor-scaled cells), panel recall@k via the partition-pruned
+    // search against the brute-force truth over the same data.
+    println()
+    println(f"${"persisted_idx"}%-14s ${"n"}%7s ${"cells"}%6s ${"k"}%3s ${"recall"}%7s  t(s)")
+    locally {
+      val corpus = spark.read.parquet(s"$base/rep4/embeddings.parquet")
+      val t0 = System.nanoTime()
+      val vt = graft.core.VectorTable.create(spark, s"$base/idx-table")
+      vt.append(corpus.select("vec_id", "embedding"))
+      val idx = graft.operators.IvfTableIndex.build(vt, s"$base/idx", trained = true)
+      val k = graft.operators.Similarity.ivfK
+      val nprobe = graft.operators.Similarity.ivfNprobe
+      val panel = corpus.where(col("vec_id") < graft.operators.Similarity.panelSize.toLong)
+        .select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      var hits = 0L
+      panel.foreach { case (qid, q) =>
+        val exact = corpus.where(col("vec_id") =!= qid)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.cosineF(col("embedding"), lit(q)).as("s"))
+          .orderBy(col("s").desc, col("vec_id")).limit(k)
+          .collect().map(_.getLong(0)).toSet
+        val got = idx.search(q, k + 1, nprobe)
+          .collect().map(_.getLong(0)).filter(_ != qid).take(k).toSet
+        hits += exact.intersect(got).size
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val recall = hits.toDouble / (k.toDouble * panel.length)
+      val label = "rep4x"
+      println(f"$label%-14s ${vt.length}%7d ${idx.centroids.length}%6d $k%3d $recall%7.3f  $dt%.1f")
+    }
     spark.stop()
   }
 }
