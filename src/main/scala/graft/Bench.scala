@@ -45,8 +45,18 @@ object Bench {
     */
   final case class FixedRec(a: Long, b: Long, c: Double, d: Boolean)
 
+  /** Args (all optional, driver passes none): `[sfDir] [detailFile]
+    * [headline]` — the third arg restricts the run to the curated headline
+    * subset with store dims skipped. `graft.tools.ScaleCorpus` uses this
+    * to produce the per-round second scale point (BENCH_DETAIL_sf1.json
+    * over a 10×-replica corpus) with the SAME dim machinery and names as
+    * the official sf0.1 run.
+    */
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val detailFile = if (args.length > 1) args(1) else "BENCH_DETAIL.json"
+    val headlineOnly = args.length > 2 && args(2) == "headline"
     val budgetS = sys.env.getOrElse("GRAFT_BENCH_BUDGET_S", "2400").toDouble
     val benchT0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
@@ -83,7 +93,7 @@ object Bench {
         val dir = java.nio.file.Paths.get(".")
         val tmp = java.nio.file.Files.createTempFile(dir, ".bench-detail", ".tmp")
         java.nio.file.Files.writeString(tmp, detailJson + "\n")
-        java.nio.file.Files.move(tmp, dir.resolve("BENCH_DETAIL.json"),
+        java.nio.file.Files.move(tmp, dir.resolve(detailFile),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       } catch { case _: Throwable => () }
@@ -169,6 +179,7 @@ object Bench {
     // still record them. Each dim that depends on a prior dim's object
     // fails (-1.0) rather than crashing if that prior dim was skipped.
     import spark.implicits._
+    if (!headlineOnly) {
     var store: graft.core.VectorStore[BenchRec] = null
     var cached: graft.core.ReadCachedStore[BenchRec] = null
     val rnd = new scala.util.Random(42)
@@ -255,6 +266,7 @@ object Bench {
     dim(s"store_static_range_read_500k$tag1m", store = true) {
       assert(storeFix.pullx(n1m / 4, n1m / 2).size == n1m / 2)
     }
+    } // headlineOnly skips the store block (corpus-independent dims)
 
     // Curated headline subset: doubles as the query-corpus PRIORITY order
     // (below) and the stdout line's leading keys (bottom).
@@ -296,7 +308,9 @@ object Bench {
     // ann_*/dedup_* ran — exactly backwards.) The rest follow in
     // deterministic name order.
     val prioQueries = headline.filter(SparkEntry.queries.contains)
-    val restQueries = SparkEntry.queries.keys.toSeq.filterNot(prioQueries.contains).sorted
+    val restQueries =
+      if (headlineOnly) Seq.empty
+      else SparkEntry.queries.keys.toSeq.filterNot(prioQueries.contains).sorted
     (prioQueries ++ restQueries).foreach { name =>
       dim(name)(SparkEntry.queries(name)(spark, sfDir).count())
     }
@@ -305,8 +319,9 @@ object Bench {
     // engine-specific): the declared `approx_sketches` query pays an exact
     // distinct shuffle FOR its accuracy invariants, so it no longer
     // measures what a sketch costs; this dimension does.
-    dim("approx_sketches_sketch_only")(
-      graft.operators.Relational.approxSketchesOnly(spark, sfDir).count())
+    if (!headlineOnly)
+      dim("approx_sketches_sketch_only")(
+        graft.operators.Relational.approxSketchesOnly(spark, sfDir).count())
 
     val all = results.toSeq
     val allMap = results.toMap
@@ -336,7 +351,7 @@ object Bench {
       s"""{"metric":"total_query_sec","value":${fmt(total)},"unit":"sec","n_dims":${all.size},""" +
         s""""n_failed":${failedAll.size},"failed":${failed.mkString("[", ",", "]")},""" +
         s""""host_s":${fmt(hostBlock.map(_._2).sum)},""" +
-        s""""detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}"""
+        s""""detail":"$detailFile","queries":$qs,"sf":"$sfDir"}"""
     }
     var names = headline.filter(allMap.contains) ++ rest
     while (render(names).length > 1850 && names.nonEmpty) names = names.init

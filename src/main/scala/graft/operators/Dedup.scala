@@ -55,6 +55,58 @@ object Dedup {
     """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_members
       |FROM documents GROUP BY md5(text)""".stripMargin
 
+  /** Exact dedup on NORMALIZED content: lowercase, strip non-alphanumerics,
+    * collapse runs of spaces — the canonicalization pass that catches the
+    * near-trivial duplicates byte-exact dedup misses (case drift, punct
+    * variants, double spaces: the most common duplicate class in scraped
+    * corpora). Same one-shuffle shape as [[exactDedup]]; the regex chain
+    * is map-side and ASCII-safe in both engines.
+    */
+  def normalizedDedup(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, d)
+      .groupBy(md5(norm).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_members"))
+  }
+
+  val normalizedDedupSql: String =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+      | MIN(doc_id) AS keep_id, COUNT(*) AS n_members
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  /** Cross-document repeated n-gram spans: word-3-grams appearing in ≥
+    * `sharedNgramMinDocs` DISTINCT documents, ranked by document count —
+    * the memorization-risk audit (Rae et al.'s repeated-span analysis):
+    * a span shared across many training documents is the span a model
+    * will most readily regurgitate, and boilerplate/template spans
+    * surface here before they skew training. Scale shape: per-doc
+    * distinct shingle explode (≈ token stream) → one hash shuffle on the
+    * shingle → count; the ≥-threshold keeps the result set sized to the
+    * repeated tail, and TakeOrderedAndProject merges the top rows (string
+    * tie-break — byte-identical across engines on this ASCII corpus).
+    */
+  val sharedNgramMinDocs = 3
+  val sharedNgramTopK = 20
+
+  def sharedNgrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(s"array_distinct($shingleExpr)")).as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= sharedNgramMinDocs)
+      .orderBy(col("n_docs").desc, col("shingle"))
+      .limit(sharedNgramTopK)
+
+  val sharedNgramsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       | sh AS (SELECT doc_id, unnest(list_distinct($shingleSqlExpr)) AS shingle FROM t)
+       |SELECT shingle, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+       |FROM sh GROUP BY shingle HAVING COUNT(*) >= $sharedNgramMinDocs
+       |ORDER BY n_docs DESC, shingle LIMIT $sharedNgramTopK""".stripMargin
+
   /** Universal-hash family for MinHash: one 52-bit md5-derived base hash per
     * shingle, then k cheap linear mixes (base·A_j + B_j mod p). One
     * cryptographic hash instead of k — the standard MinHash construction,
@@ -240,6 +292,53 @@ object Dedup {
        |SELECT doc_a, doc_b, inter, uni,
        |  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
        |FROM j WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5""".stripMargin
+
+  /** Containment verification over the LSH candidate pairs: max-containment
+    * = |A∩B| / min(|A|,|B|) ≥ 3/4 — the ASYMMETRIC near-dup test Jaccard
+    * structurally misses: a short document quoted wholesale inside a long
+    * one has containment ≈ 1 but Jaccard ≈ |short|/|long| (arbitrarily
+    * small), and quote/subset duplication is its own leakage channel in
+    * training corpora. Same candidate generation and verification shape as
+    * [[jaccardVerifiedPairs]] (work sized to candidates, never |docs|²);
+    * the threshold stays in integer arithmetic (4·inter ≥ 3·min) so no
+    * float boundary can drop a pair differently across engines.
+    */
+  val containTauNum = 3
+  val containTauDen = 4
+
+  def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val pairs = lshCandidatePairs(s, d).localCheckpoint()
+    val candidateIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val docsWithShingles = Tables.documents(s, d)
+      .join(candidateIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
+      .localCheckpoint()
+    pairs
+      .join(docsWithShingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
+      .join(docsWithShingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")
+      .withColumn("inter", expr("size(array_intersect(sa, sb))").cast("long"))
+      .withColumn("n_min", least(size(col("sa")), size(col("sb"))).cast("long"))
+      .where(col("inter") * containTauDen >= col("n_min") * containTauNum && col("n_min") > 0)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_min"),
+        (col("inter").cast("double") / col("n_min").cast("double")).as("containment"))
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH pairs AS (${lshCandidatePairsSql}),
+       | sh AS (SELECT doc_id,
+       |          list_distinct(list_transform($shingleSqlExpr,
+       |            g -> ('0x' || substr(md5(g), 1, 13))::BIGINT)) AS hs
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       | j AS (SELECT p.doc_a, p.doc_b,
+       |         CAST(len(list_filter(sa.hs, g -> list_contains(sb.hs, g))) AS BIGINT) AS inter,
+       |         CAST(least(len(sa.hs), len(sb.hs)) AS BIGINT) AS n_min
+       |       FROM pairs p
+       |        JOIN sh sa ON sa.doc_id = p.doc_a
+       |        JOIN sh sb ON sb.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, inter, n_min,
+       |  CAST(inter AS DOUBLE) / CAST(n_min AS DOUBLE) AS containment
+       |FROM j WHERE inter * $containTauDen >= n_min * $containTauNum AND n_min > 0""".stripMargin
 
   /** Duplicate clusters: connected components over the verified near-dup
     * pairs via min-label propagation — the step that turns pairwise matches
