@@ -671,6 +671,12 @@ object Dedup {
     exactJaccardCandidatesOf(docs, lengthFilter = true).count(),
     exactJaccardJoinOf(docs).count())
 
+  /** The candidate pair frame itself, for probes asserting structural
+    * properties (ScaleCorpusSpec: no cross-replica pairs).
+    */
+  def exactJoinProbeCandidates(docs: DataFrame): DataFrame =
+    exactJaccardCandidatesOf(docs, lengthFilter = true)
+
   val exactJaccardJoinSql: String =
     s"""WITH t AS (
        |  SELECT doc_id,

@@ -30,7 +30,9 @@ object DumpPlans {
       "q20_volume_share_suppliers", "q21_waiting_suppliers",
       "q22_dormant_customers",
       "ann_ivfpq_search", "text_lm_score", "snapshot_orders_asof",
-      "ann_ivf_batch_search")
+      "ann_ivf_batch_search",
+      "ann_ivfpq_batch_search", "dedup_shared_ngrams",
+      "dedup_normalized_exact", "dedup_containment")
     picks.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, d)
       val txt = df.queryExecution.explainString(
