@@ -269,7 +269,10 @@ object Dedup {
     pairs
       .join(docsWithShingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
       .join(docsWithShingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")
-      .withColumn("inter", expr("size(array_intersect(sa, sb))"))
+      // fused merge-count over the sorted-distinct hash sets (≡
+      // size(array_intersect), no per-pair allocation)
+      .withColumn("inter", graft.functions.TextFunctions
+        .sortedIntersectCount(col("sa"), col("sb")))
       .withColumn("uni", expr("size(sa) + size(sb) - inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .where(col("jaccard") >= 0.5)
@@ -317,7 +320,8 @@ object Dedup {
     pairs
       .join(docsWithShingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
       .join(docsWithShingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")
-      .withColumn("inter", expr("size(array_intersect(sa, sb))").cast("long"))
+      .withColumn("inter", graft.functions.TextFunctions
+        .sortedIntersectCount(col("sa"), col("sb")).cast("long"))
       .withColumn("n_min", least(size(col("sa")), size(col("sb"))).cast("long"))
       .where(col("inter") * containTauDen >= col("n_min") * containTauNum && col("n_min") > 0)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("n_min"),
@@ -602,15 +606,22 @@ object Dedup {
         .where(size(col("sh")) > 0))
 
   /** [[exactJaccardJoin]] over an arbitrary `(doc_id, sh: ARRAY<BIGINT>)`
-    * set frame (elements distinct per row) — split out so the property
-    * spec can sweep random corpora against an in-test brute force.
+    * set frame (elements SORTED ASC and distinct per row — shingleHashes'
+    * canonical form; the fused merge-count verification relies on it) —
+    * split out so the property spec can sweep random corpora against an
+    * in-test brute force.
     */
   private[operators] def exactJaccardJoinOf(docs: DataFrame): DataFrame = {
     val cands = exactJaccardCandidatesOf(docs, lengthFilter = true)
+    // verification via the fused merge-count kernel: `sh` is shingleHashes'
+    // canonical sorted-distinct form, so sorted_intersect_count ≡
+    // size(array_intersect) with no per-pair hash-set allocation — the
+    // candidate stream is the hot path of the whole join
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("inter", graft.functions.TextFunctions
+        .sortedIntersectCount(col("sa"), col("sb")).cast("long"))
       .withColumn("uni", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
       .where(col("inter") * exactTauDen >= col("uni") * exactTauNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
