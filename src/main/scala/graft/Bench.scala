@@ -279,6 +279,8 @@ object Bench {
       "text_tfidf_top_terms", "text_bm25_ranking", "median_quantity_per_flag",
       "grouping_sets_quantity", "rowid_range", "zonemap_orders_daterange", "zorder_rectangle",
       "top_order_per_customer", "asof_last_purchase", "skew_salted_join", "mm_decode_features",
+      "ann_ivfpq_batch_search", "dedup_containment", "dedup_shared_ngrams",
+      "dedup_exact_jaccard_join",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
       "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
       "store_point_reads_1k_cached", "store_concurrent_10x100_reads",
