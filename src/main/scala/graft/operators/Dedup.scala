@@ -612,7 +612,7 @@ object Dedup {
     * in-test brute force.
     */
   private[operators] def exactJaccardJoinOf(docs: DataFrame): DataFrame = {
-    val cands = exactJaccardCandidatesOf(docs, lengthFilter = true)
+    val cands = exactJaccardCandidatesOf(docs, ppFilters = true)
     // verification via the fused merge-count kernel: `sh` is shingleHashes'
     // canonical sorted-distinct form, so sorted_intersect_count ≡
     // size(array_intersect) with no per-pair hash-set allocation — the
@@ -629,18 +629,27 @@ object Dedup {
   }
 
   /** Candidate pairs for [[exactJaccardJoinOf]]: rarest-first prefix
-    * explode → bucket pair expansion → (optionally) the PPJoin LENGTH
-    * filter. The length filter is the cheap half of PPJoin's pruning:
-    * J(a,b) = |∩|/|∪| ≤ min(n_a,n_b)/max(n_a,n_b), so any pair with
-    * `max·τnum > min·τden` cannot reach τ and is dropped with ONE integer
-    * comparison before paying `array_intersect` on full shingle sets —
-    * lossless by the same inequality, and it bounds the verification cost
-    * on size-skewed corpora where a short doc's rare prefix shingle lands
-    * in a long doc's bucket. Exposed with the filter switchable so
+    * explode → bucket pair expansion → (optionally) BOTH PPJoin pruning
+    * filters, each one integer comparison, each lossless:
+    *
+    *  - LENGTH: J ≤ min(n_a,n_b)/max(n_a,n_b), so `max·τnum > min·τden`
+    *    cannot reach τ — bounds verification on size-skewed corpora where
+    *    a short doc's rare prefix shingle lands in a long doc's bucket.
+    *  - POSITIONAL: a shared prefix element g at (sorted) positions
+    *    (p_a, p_b) bounds the overlap — shared elements ordered before g
+    *    number ≤ min(p_a−1, p_b−1) (each doc's list is sorted by the one
+    *    global rarest-first order), g itself is 1, and shared elements
+    *    after g number ≤ min(n_a−p_a, n_b−p_b). The bound holds for EVERY
+    *    shared prefix element, so pairs are pruned on min-over-buckets vs
+    *    the τ-threshold I ≥ τnum·(n_a+n_b)/(τnum+τden) (from
+    *    I/(n_a+n_b−I) ≥ τ), kept in cross-multiplied integers.
+    *
+    * The per-pair aggregation replaces the plain `.distinct()` — same
+    * shuffle, one extra min. Exposed with the filters switchable so
     * ScaleProbe can report the measured candidate-count drop.
     */
   private[operators] def exactJaccardCandidatesOf(docs: DataFrame,
-                                                  lengthFilter: Boolean): DataFrame = {
+                                                  ppFilters: Boolean): DataFrame = {
     val freq = docs.select(explode(col("sh")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("cnt"))
     val sorted = docs.select(col("doc_id"), explode(col("sh")).as("g"))
@@ -651,25 +660,35 @@ object Dedup {
       .withColumn("n", size(col("sg")))
       .withColumn("plen", expr(
         s"n - CAST((n * $exactTauNum + ${exactTauDen - 1}) DIV $exactTauDen AS INT) + 1"))
-      .select(col("doc_id"), col("n"), explode(expr("slice(sg, 1, plen)")).as("g"))
+      .select(col("doc_id"), col("n"),
+        posexplode(expr("slice(sg, 1, plen)")).as(Seq("p0", "g")))
+      .withColumn("pos", col("p0") + 1)
     // struct sort is lexicographic on the leading field, so collecting
-    // (doc_id, n) structs preserves the canonical doc_a < doc_b expansion
-    // order while carrying each side's set size into the pair.
+    // (doc_id, n, pos) structs preserves the canonical doc_a < doc_b
+    // expansion order while carrying each side's size and the element's
+    // sorted position into the pair.
     val pairs = prefixes
-      .groupBy("g").agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
+      .groupBy("g")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("n"), col("pos")))).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y ->
-          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.n AS na, y.n AS nb))))""".stripMargin
+          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.n AS na, y.n AS nb,
+          |           least(x.pos, y.pos) + least(x.n - x.pos, y.n - y.pos) AS ub))))""".stripMargin
       )).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"))
-    val pruned =
-      if (lengthFilter)
-        pairs.where(greatest(col("na"), col("nb")) * exactTauNum <=
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"), col("p.ub"))
+    if (!ppFilters)
+      pairs.select(col("doc_a"), col("doc_b")).distinct()
+    else
+      // min(pa−1,pb−1) + 1 = least(pa,pb) when both ≥ 1 — folded above
+      pairs.groupBy("doc_a", "doc_b")
+        .agg(min(col("ub")).as("ub"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+        .where(greatest(col("na"), col("nb")) * exactTauNum <=
           least(col("na"), col("nb")) * exactTauDen)
-      else pairs
-    pruned.select(col("doc_a"), col("doc_b")).distinct()
+        .where(col("ub") * (exactTauNum + exactTauDen) >=
+          (col("na") + col("nb")) * exactTauNum)
+        .select("doc_a", "doc_b")
   }
 
   /** ScaleProbe entry: (unfiltered candidates, length-filtered candidates,
@@ -678,15 +697,15 @@ object Dedup {
     * filter's bite) grows near-linearly with corpus size.
     */
   def exactJoinProbe(docs: DataFrame): (Long, Long, Long) = (
-    exactJaccardCandidatesOf(docs, lengthFilter = false).count(),
-    exactJaccardCandidatesOf(docs, lengthFilter = true).count(),
+    exactJaccardCandidatesOf(docs, ppFilters = false).count(),
+    exactJaccardCandidatesOf(docs, ppFilters = true).count(),
     exactJaccardJoinOf(docs).count())
 
   /** The candidate pair frame itself, for probes asserting structural
     * properties (ScaleCorpusSpec: no cross-replica pairs).
     */
   def exactJoinProbeCandidates(docs: DataFrame): DataFrame =
-    exactJaccardCandidatesOf(docs, lengthFilter = true)
+    exactJaccardCandidatesOf(docs, ppFilters = true)
 
   val exactJaccardJoinSql: String =
     s"""WITH t AS (

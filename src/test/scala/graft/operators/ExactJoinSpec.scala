@@ -23,7 +23,7 @@ class ExactJoinSpec extends SparkSpec {
     assert(recall > 0.5, s"LSH recall unexpectedly low: $recall")
   }
 
-  test("PPJoin length filter prunes candidates without losing a qualifying pair") {
+  test("PPJoin length+positional filters prune candidates without losing a qualifying pair") {
     val docs = graft.core.Tables.documents(spark, sf())
       .select(org.apache.spark.sql.functions.col("doc_id"),
         graft.functions.TextFunctions.shingleHashes(
@@ -32,14 +32,14 @@ class ExactJoinSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("sh")) > 0)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val unfiltered = pairs(Dedup.exactJaccardCandidatesOf(docs, lengthFilter = false))
-    val filtered = pairs(Dedup.exactJaccardCandidatesOf(docs, lengthFilter = true))
+    val unfiltered = pairs(Dedup.exactJaccardCandidatesOf(docs, ppFilters = false))
+    val filtered = pairs(Dedup.exactJaccardCandidatesOf(docs, ppFilters = true))
     val qualifying = pairs(Dedup.exactJaccardJoin(spark, sf()))
     assert(filtered.subsetOf(unfiltered))
     assert(qualifying.subsetOf(filtered),
-      s"length filter dropped qualifying pairs: ${(qualifying -- filtered).take(5)}")
-    info(s"candidates: ${unfiltered.size} unfiltered -> ${filtered.size} after length filter " +
-      s"(${qualifying.size} qualify)")
+      s"PPJoin filters dropped qualifying pairs: ${(qualifying -- filtered).take(5)}")
+    info(s"candidates: ${unfiltered.size} unfiltered -> ${filtered.size} after PPJoin " +
+      s"length+positional filters (${qualifying.size} qualify)")
   }
 
   test("property: prefix filter is lossless on random corpora (vs in-test brute force)") {
