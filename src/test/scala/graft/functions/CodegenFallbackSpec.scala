@@ -14,7 +14,11 @@ class CodegenFallbackSpec extends SparkSpec {
   private val kernelQueries = Seq(
     "ann_pq_codes", "ann_pq_adc_search", "ann_sq_search", "ann_sq_error_stats",
     "dedup_simhash", "dedup_minhash_signatures", "mm_frame_energy",
-    "text_fingerprints", "knn_brute_force", "embedding_near_dups")
+    "text_fingerprints", "knn_brute_force", "embedding_near_dups",
+    // sorted_intersect_count in all three dedup verification paths
+    "dedup_jaccard_verified", "dedup_containment", "dedup_exact_jaccard_join",
+    // pq_adc with the query as a COLUMN (the batch face)
+    "ann_ivfpq_batch_search")
 
   test("kernel queries compile under CODEGEN_ONLY (no interpreter fallback)") {
     val conf = spark.conf
