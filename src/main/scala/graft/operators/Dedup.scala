@@ -793,6 +793,37 @@ object Dedup {
        |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON e.doc_b = r.id)
        |SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id""".stripMargin
 
+  /** Dedup pipeline report: one (stage, n) row per funnel stage — corpus
+    * size → exact groups → normalized groups → LSH candidates → verified
+    * pairs → clusters → clustered docs. The ops dashboard a pipeline owner
+    * watches per corpus drop: a stage ratio drifting (candidates
+    * exploding, verification admitting everything) flags a data problem
+    * before the expensive downstream stages run. Each count is the
+    * already-declared operator's own plan; the union is seven small
+    * aggregates, nothing new to maintain.
+    */
+  def dedupReport(s: SparkSession, d: String): DataFrame = {
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    stage("1_docs", Tables.documents(s, d))
+      .unionAll(stage("2_exact_groups", exactDedup(s, d)))
+      .unionAll(stage("3_normalized_groups", normalizedDedup(s, d)))
+      .unionAll(stage("4_lsh_candidates", lshCandidatePairs(s, d)))
+      .unionAll(stage("5_verified_pairs", jaccardVerifiedPairs(s, d)))
+      .unionAll(stage("6_clusters",
+        duplicateClusters(s, d).select("cluster_id").distinct()))
+      .unionAll(stage("7_clustered_docs", duplicateClusters(s, d)))
+  }
+
+  val dedupReportSql: String =
+    s"""SELECT '1_docs' AS stage, COUNT(*) AS n FROM documents
+       |UNION ALL SELECT '2_exact_groups', COUNT(*) FROM (${exactDedupSql.replace("\n", "\n  ")})
+       |UNION ALL SELECT '3_normalized_groups', COUNT(*) FROM (${normalizedDedupSql.replace("\n", "\n  ")})
+       |UNION ALL SELECT '4_lsh_candidates', COUNT(*) FROM (${lshCandidatePairsSql.replace("\n", "\n  ")})
+       |UNION ALL SELECT '5_verified_pairs', COUNT(*) FROM (${jaccardVerifiedPairsSql.replace("\n", "\n  ")})
+       |UNION ALL SELECT '6_clusters', COUNT(DISTINCT cluster_id) FROM (${duplicateClustersSql.replace("\n", "\n  ")})
+       |UNION ALL SELECT '7_clustered_docs', COUNT(*) FROM (${duplicateClustersSql.replace("\n", "\n  ")})""".stripMargin
+
   val simhashBits = 16
 
   /** SimHash: 16-bit signature from token-hash bit voting — computed by the

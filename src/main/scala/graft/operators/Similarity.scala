@@ -571,6 +571,33 @@ object Similarity {
        |FROM scored WHERE dot / (sqrt(na2) * sqrt(nb2)) >= $nearDupThreshold""".stripMargin
   }
 
+  /** Semantic duplicate clusters: connected components over the
+    * embedding-cosine near-dup graph — the embedding-space counterpart of
+    * the text-shingle `dedup_clusters` (a paraphrased or re-encoded
+    * duplicate shares no shingles but sits at cosine ≈ 1), sharing the
+    * SAME pointer-jumping component machinery, so one convergence proof
+    * covers both modalities. Scale shape: pair generation is the
+    * LSH-bucketed join above (never all-pairs); the component pass is
+    * sized to the candidate graph.
+    */
+  def embeddingDupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponentsOf(
+      embeddingNearDups(s, d).select(col("id_a"), col("id_b")),
+      smallGraphLimit = 1000000L)
+
+  val embeddingDupClustersSql: String =
+    s"""WITH RECURSIVE p AS (
+       |  SELECT id_a, id_b FROM (${embeddingNearDupsSql.replace("\n", "\n  ")})
+       |),
+       |edges AS (
+       |  SELECT id_a, id_b FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach(id, label) AS (
+       |  SELECT id_a, id_a FROM edges
+       |  UNION
+       |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON e.id_b = r.id)
+       |SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
   // ---------------------------------------------------------------- int8 SQ
 
   /** Per-vector int8 scalar-quantization profile: min/max/scale plus the
