@@ -809,7 +809,10 @@ object Dedup {
       .unionAll(stage("2_exact_groups", exactDedup(s, d)))
       .unionAll(stage("3_normalized_groups", normalizedDedup(s, d)))
       .unionAll(stage("4_lsh_candidates", lshCandidatePairs(s, d)))
-      .unionAll(stage("5_verified_pairs", jaccardVerifiedPairs(s, d)))
+      // counted off the shared pair-graph materialization (same rows as
+      // jaccardVerifiedPairs — RowidPropertiesSpec-style equivalence by
+      // construction; clusters below reuse the same build)
+      .unionAll(stage("5_verified_pairs", verifiedPairsCached(s, d)))
       .unionAll(stage("6_clusters",
         duplicateClusters(s, d).select("cluster_id").distinct()))
       .unionAll(stage("7_clustered_docs", duplicateClusters(s, d)))
