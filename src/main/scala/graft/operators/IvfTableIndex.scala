@@ -85,12 +85,11 @@ object IvfTableIndex {
       .select("vec_id", "embedding")
       .collect().map(_.getSeq[Float](1).toArray)
     val cs =
-      if (trained)
-        Similarity.lloydTrain(
-          Similarity.trainingSampleOf(
-            table.scan().select(col("vec_id"), col("embedding")), m.length),
-          anchors)
-      else anchors
+      if (trained) {
+        val sample = Similarity.trainingSampleOf(
+          table.scan().select(col("vec_id"), col("embedding")), m.length)
+        Similarity.trainCentroids(sample, anchors)
+      } else anchors
     buildWith(table, root, cs)
   }
 

@@ -762,22 +762,110 @@ object Similarity {
 
   /** k-means-trained centroids — the QUALITY path the deterministic
     * first-`cellsFor(n)` anchors only approximate. Lloyd on the bounded
-    * [[trainingSample]], INITIALIZED FROM THE ANCHORS, assigning by the
-    * SAME cosine argmax (ties to the lower cell id) the index uses at
-    * query time — training under the serving metric; an L2 k-means would
-    * optimize a different partition than the one searches see. Anchor
-    * init keeps the build deterministic end-to-end (no RNG) and
-    * guarantees the quantization objective never regresses from the
-    * anchor baseline on the sample (Lloyd steps are monotone in it). The
-    * result is NOT derivable in plain SQL (iterative float means), so
-    * trained-path queries expose oracle-checkable INVARIANTS (see
-    * [[ivfTrainedRecall]]) rather than the centroid values themselves.
+    * [[trainingSample]], DUAL-INIT ([[trainCentroids]]: anchor init and
+    * deterministic farthest-first [[maxminSeeds]], best sample objective
+    * wins — round 9; anchor init alone collapsed on multi-modal
+    * corpora), assigning by the SAME cosine
+    * argmax (ties to the lower cell id) the index uses at query time —
+    * training under the serving metric; an L2 k-means would optimize a
+    * different partition than the one searches see. The whole build is
+    * deterministic end-to-end (no RNG), and the serving decision stays
+    * measured, not assumed: [[ivfTrainedRecall]]'s fallback serves
+    * whichever centroid set wins the panel. The result is NOT derivable
+    * in plain SQL (iterative float means), so trained-path queries expose
+    * oracle-checkable INVARIANTS rather than the centroid values
+    * themselves.
     */
   private val trainedCentroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
   def trainedCentroids(s: SparkSession, d: String): Array[Array[Float]] =
-    trainedCentroidCache.computeIfAbsent(d, _ =>
-      lloydTrain(trainingSample(s, d), centroids(s, d)))
+    trainedCentroidCache.computeIfAbsent(d, _ => {
+      val sample = trainingSample(s, d)
+      trainCentroids(sample, centroids(s, d))
+    })
+
+  /** Dual-init training: Lloyd from the anchor init AND from
+    * [[maxminSeeds]], keeping whichever scores better on the sample's
+    * serving objective (mean max-cosine to the centroid set) — ties to
+    * the anchor-init result. Anchor init wins on small/unimodal corpora
+    * (maxmin picks outliers there: 86 vs 95 panel hits at sf0.001);
+    * maxmin wins on multi-modal ones (anchor-init Lloyd collapses toward
+    * mixture means: 0.68 vs 0.94 recall on ScaleProbe's mixed-rotation
+    * corpora). Deterministic both sides, and on-sample the result
+    * provably never regresses the anchor-init baseline.
+    */
+  private[operators] def trainCentroids(sample: Array[Array[Float]],
+                                        anchors: Array[Array[Float]]): Array[Array[Float]] = {
+    val fromAnchors = lloydTrain(sample, anchors)
+    val fromMaxmin = lloydTrain(sample, maxminSeeds(sample, anchors.length))
+    if (sampleObjective(sample, fromMaxmin) > sampleObjective(sample, fromAnchors))
+      fromMaxmin
+    else fromAnchors
+  }
+
+  /** Serving objective of a centroid set on a sample: Σ max_j cos(v, c_j)
+    * in sample order — used only for comparisons, so the fold order just
+    * needs to be fixed, not engine-mirrored.
+    */
+  private def sampleObjective(sample: Array[Array[Float]],
+                              cs: Array[Array[Float]]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < sample.length) {
+      var best = -2.0
+      var j = 0
+      while (j < cs.length) {
+        val sim = driverCosine(sample(i), cs(j))
+        if (sim > best) best = sim
+        j += 1
+      }
+      acc += best
+      i += 1
+    }
+    acc
+  }
+
+  /** Deterministic farthest-first (maxmin) seeding under the serving
+    * cosine metric: seed 0 is the sample's first vector; each next seed is
+    * the sample vector LEAST covered by the chosen set (minimum max-cosine,
+    * ties to the lower index). No RNG — the deterministic cousin of
+    * k-means++. This replaced plain anchor init in round 9: on multi-modal
+    * corpora (ScaleProbe's mixed-rotation replicas) anchor-init Lloyd
+    * collapsed centroids toward mixture means and LOST the off-sample
+    * recall panel to the raw anchors (0.68 vs 0.94); maxmin seeds land one
+    * per mode before Lloyd refines within modes. Cost is O(k·|sample|·dim)
+    * driver-side — bounded by the same [[trainSampleCap]] as training
+    * itself.
+    */
+  private[operators] def maxminSeeds(sample: Array[Array[Float]],
+                                     k: Int): Array[Array[Float]] = {
+    require(sample.nonEmpty, "cannot seed from an empty sample")
+    val n = sample.length
+    val kk = math.min(k, n)
+    val chosen = new Array[Int](kk)
+    chosen(0) = 0
+    val bestSim = Array.fill(n)(-2.0)
+    var c = 0
+    while (c < kk - 1) {
+      val s0 = sample(chosen(c))
+      var i = 0
+      while (i < n) {
+        val sim = driverCosine(sample(i), s0)
+        if (sim > bestSim(i)) bestSim(i) = sim
+        i += 1
+      }
+      var best = 0
+      var bestV = Double.MaxValue
+      i = 0
+      while (i < n) {
+        if (bestSim(i) < bestV) { bestV = bestSim(i); best = i }
+        i += 1
+      }
+      c += 1
+      chosen(c) = best
+    }
+    chosen.map(sample(_).clone())
+  }
 
   /** The Lloyd iteration itself (anchor-initialized, cosine-argmax
     * assignment, ties to the lower cell id, movement-epsilon stop) —
