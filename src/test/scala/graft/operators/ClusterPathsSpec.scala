@@ -39,6 +39,25 @@ class ClusterPathsSpec extends SparkSpec {
       (0L until 120L).map(i => (i, 0L)) ++ (1000L until 1025L).map(i => (i, 1000L)))
   }
 
+  test("property: distributed path equals driver union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(991)
+    (1 to 6).foreach { round =>
+      // sparse random graphs over a sparse id space: multiple components,
+      // repeated edges, self-contained islands
+      val n = 30 + rnd.nextInt(60)
+      val edges = (0 until n).map { _ =>
+        (rnd.nextInt(40).toLong * 7L, rnd.nextInt(40).toLong * 7L + (if (rnd.nextBoolean()) 7L else 0L))
+      }.filter { case (a, b) => a != b }
+      val df = edges.toDF("doc_a", "doc_b")
+      def labels(limit: Long) =
+        Dedup.connectedComponentsOf(df, smallGraphLimit = limit)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(labels(-1L) == labels(Long.MaxValue),
+        s"round $round: distributed and union-find labels diverge on ${edges.take(8)}…")
+    }
+  }
+
   test("triangle census on crafted graphs: K4, open path, triangle + pendant") {
     import spark.implicits._
     def stats(edges: (Long, Long)*): (Long, Long, Option[Double]) = {

@@ -30,6 +30,28 @@ class IvfPqBatchSearchSpec extends SparkSpec {
       s"IVF+PQ batch rows for qid=${Similarity.pqQueryId} diverge from the single-query search")
   }
 
+  test("plan: broadcast probe join, rank-limit pushdown, no cartesian") {
+    val plan = Similarity.ivfPqBatchSearch(spark, sf()).queryExecution.sparkPlan.treeString
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe join:\n$plan")
+    assert(plan.contains("Window"), s"expected per-query window top-k:\n$plan")
+    // Spark's rank-limit pushdown: only <= batchK candidate rows per query
+    // survive each partition BEFORE the qid shuffle — the window state
+    // never holds the full candidate set
+    assert(plan.contains("WindowGroupLimit"), s"expected rank-limit pushdown:\n$plan")
+  }
+
+  test("maxmin seeds: deterministic shape (distinct, sized, first = sample head)") {
+    val rnd = new scala.util.Random(5)
+    val sample = Array.fill(40)(Array.fill(Similarity.dim)(rnd.nextFloat()))
+    val seeds = Similarity.maxminSeeds(sample, 8)
+    val seeds2 = Similarity.maxminSeeds(sample, 8)
+    assert(seeds.length == 8)
+    assert(seeds.map(_.toSeq).toSeq == seeds2.map(_.toSeq).toSeq, "seeding must be deterministic")
+    assert(seeds.head.toSeq == sample.head.toSeq, "seed 0 is the sample head")
+    assert(seeds.map(_.toSeq).distinct.length == 8, "seeds must be distinct sample points")
+  }
+
   test("hits stay inside each query's driver-ranked probe cells") {
     val emb = graft.core.Tables.embeddings(spark, sf())
     val cellOf = Similarity.ivfAssign(spark, sf())
