@@ -855,6 +855,58 @@ object Dedup {
     bits.select(col("doc_id"), combined.as("simhash"))
   }
 
+  /** SimHash near-dup PAIRS: documents whose 16-bit SimHash signatures
+    * differ in ≤ [[simhashHammingMax]] bits, generated by PIGEONHOLE
+    * bucketing — the signature splits into 3 pieces (6+5+5 bits); ≤2 bit
+    * errors leave at least one piece intact, so every qualifying pair
+    * shares a (piece, value) bucket (lossless for the threshold), and the
+    * quadratic expansion is confined to piece-bucket occupancy — the same
+    * discipline as the MinHash bands, with the Hamming verification one
+    * codegen'd `bit_count(a ^ b)`. At 100 TB the same shape runs on a
+    * 64-bit SimHash with 4×16-bit pieces (16-bit signatures saturate
+    * small buckets; this corpus keeps 16 bits because the oracle replays
+    * the whole signature bit-for-bit).
+    */
+  val simhashHammingMax = 2
+
+  def simhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = simhashSignatures(s, d)
+    val pieces = sig.select(col("doc_id"), explode(array(
+      struct(lit(0).as("pc"), expr("simhash & 63").as("pv")),
+      struct(lit(1).as("pc"), expr("shiftright(simhash, 6) & 31").as("pv")),
+      struct(lit(2).as("pc"), expr("shiftright(simhash, 11) & 31").as("pv")))).as("b"))
+      .select(col("doc_id"), col("b.pc"), col("b.pv"))
+    val cands = pieces
+      .groupBy("pc", "pv").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin
+      )).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    cands
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), Seq("doc_b"))
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .where(col("hamming") <= simhashHammingMax)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  lazy val simhashNearDupPairsSql: String =
+    s"""WITH s AS (${simhashSignaturesSql.replace("\n", "\n  ")}),
+       | pieces AS (
+       |  SELECT doc_id, 0 AS pc, simhash & 63 AS pv FROM s
+       |  UNION ALL SELECT doc_id, 1, (simhash >> 6) & 31 FROM s
+       |  UNION ALL SELECT doc_id, 2, (simhash >> 11) & 31 FROM s),
+       | cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pieces a JOIN pieces b ON a.pc = b.pc AND a.pv = b.pv AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+       |FROM cand c JOIN s sa ON sa.doc_id = c.doc_a JOIN s sb ON sb.doc_id = c.doc_b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $simhashHammingMax""".stripMargin
+
   val simhashSignaturesSql: String = {
     val sums = (0 until simhashBits)
       .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")

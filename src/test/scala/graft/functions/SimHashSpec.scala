@@ -28,6 +28,24 @@ class SimHashSpec extends SparkSpec {
     assert(kernel == declarative.toSeq)
   }
 
+  test("pigeonhole hamming pairs equal the brute-force all-pairs result") {
+    // the 3-piece pigeonhole is provably lossless for hamming <= 2; this
+    // pins the implementation to the proof with an in-test brute force
+    // over the collected signatures (gate corpus: trivial driver work)
+    val sig = graft.operators.Dedup.simhashSignatures(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, ha) <- sig; (b, hb) <- sig if a < b
+      h = java.lang.Long.bitCount(ha ^ hb)
+      if h <= graft.operators.Dedup.simhashHammingMax
+    } yield (a, b, h)).toSet
+    val got = graft.operators.Dedup.simhashNearDupPairs(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want,
+      s"pigeonhole diverged from brute force: missing=${(want -- got).take(5)}, extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty, "expected some hamming<=2 pairs at gate scale")
+  }
+
   test("the simhash query plan has no shuffle (map-only scan projection)") {
     val plan = graft.operators.Dedup.simhashSignatures(spark, sf())
       .queryExecution.executedPlan.toString
