@@ -281,6 +281,7 @@ object Bench {
       "top_order_per_customer", "asof_last_purchase", "skew_salted_join", "mm_decode_features",
       "ann_ivfpq_batch_search", "dedup_containment", "dedup_shared_ngrams",
       "dedup_exact_jaccard_join",
+      "dedup_simhash_pairs", "dedup_report", "embedding_dup_clusters", "dedup_normalized_exact",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
       "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
       "store_point_reads_1k_cached", "store_concurrent_10x100_reads",

@@ -154,6 +154,47 @@ object ShingleKernel {
     while (b < 16) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+
+  /** Full-width 64-bit token hash: md5(token + "|99") bytes 0..7 read
+    * big-endian. [[tokenHash99]] is this value's top 60 bits shifted down
+    * (15 nibbles); the wide SimHash needs all 64 so each signature bit has
+    * an independent vote source.
+    */
+  def tokenHash99Wide(token: String): Long = {
+    val md = digestTL.get()
+    md.reset()
+    val d = md.digest((token + "|99").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** 64-bit SimHash by token-hash bit voting — the corpus-scaled width for
+    * [[graft.operators.Dedup.simhashNearDupPairs]]: a 16-bit signature's
+    * pigeonhole pieces key at most 64/32/32 values, so bucket occupancy
+    * grows linearly with corpus size; 4×16-bit pieces key 65 536 values
+    * each and keep occupancy bounded at 100 TB. Same voting contract as
+    * [[simhash16]], votes drawn from [[tokenHash99Wide]].
+    */
+  def simhash64(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = tokenHash99Wide(toks(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
 }
 
 /** graft_shingles(text): table-generating function — the Generator rung of
@@ -270,6 +311,22 @@ case class SimHash16(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** simhash64(text): 64-bit SimHash — the corpus-scaled signature width for
+  * the near-dup pair join (see [[ShingleKernel.simhash64]]).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING argument")
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
   def minhashSig(text: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(text), k))
@@ -280,12 +337,16 @@ object TextFunctions {
   def simhash16(text: Column): Column =
     Bridge.column(SimHash16(Bridge.expression(text)))
 
+  def simhash64(text: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(text)))
+
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, "shingle_hashes", args => ShingleHashes(args.head))
     Bridge.registerFunction(spark, "simhash16", args => SimHash16(args.head))
+    Bridge.registerFunction(spark, "simhash64", args => SimHash64(args.head))
     Bridge.registerFunction(spark, "graft_shingles", args => ShingleGenerator(args.head))
     Bridge.registerFunction(spark, "sorted_intersect_count",
       args => SortedIntersectCount(args(0), args(1)))

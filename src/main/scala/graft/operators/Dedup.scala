@@ -855,28 +855,93 @@ object Dedup {
     bits.select(col("doc_id"), combined.as("simhash"))
   }
 
-  /** SimHash near-dup PAIRS: documents whose 16-bit SimHash signatures
-    * differ in ≤ [[simhashHammingMax]] bits, generated by PIGEONHOLE
-    * bucketing — the signature splits into 3 pieces (6+5+5 bits); ≤2 bit
-    * errors leave at least one piece intact, so every qualifying pair
-    * shares a (piece, value) bucket (lossless for the threshold), and the
-    * quadratic expansion is confined to piece-bucket occupancy — the same
-    * discipline as the MinHash bands, with the Hamming verification one
-    * codegen'd `bit_count(a ^ b)`. At 100 TB the same shape runs on a
-    * 64-bit SimHash with 4×16-bit pieces (16-bit signatures saturate
-    * small buckets; this corpus keeps 16 bits because the oracle replays
-    * the whole signature bit-for-bit).
+  /** SimHash near-dup PAIRS: documents whose SimHash signatures differ in
+    * ≤ [[simhashHammingMax]] bits, generated by PIGEONHOLE bucketing — the
+    * signature splits into pieces such that ≤2 bit errors leave at least
+    * one piece intact, so every qualifying pair shares a (piece, value)
+    * bucket (lossless for the threshold). Candidates come from a
+    * DISTRIBUTED self-join of the exploded pieces on (pc, pv): each
+    * candidate is its own row in a shuffled hash join, so a hot bucket
+    * costs join-task time, never a single `collect_set` row holding the
+    * whole bucket — the same per-pair-row discipline as the MinHash band
+    * join. Hamming verification is one codegen'd `bit_count(a ^ b)`.
+    *
+    * Signature WIDTH scales with the corpus ([[simhashBitsFor]], the
+    * `cellsFor` discipline): at or below [[simhashWideThreshold]] docs the
+    * signature is 16 bits in 3 pieces (6+5+5 — at most 64/32/32 bucket
+    * keys, fine when occupancy is small and required for the oracle, which
+    * replays the 16-bit signature bit-for-bit); above it, a 64-bit
+    * signature ([[graft.functions.SimHash64]]) in 4×16-bit pieces keys
+    * 65 536 values per piece, keeping bucket occupancy bounded as the
+    * corpus grows — with 16-bit signatures every corpus beyond ~10⁵ docs
+    * saturates all 128 buckets and candidate generation degenerates to
+    * all-pairs regardless of join form.
     */
   val simhashHammingMax = 2
 
-  def simhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = simhashSignatures(s, d)
-    val pieces = sig.select(col("doc_id"), explode(array(
-      struct(lit(0).as("pc"), expr("simhash & 63").as("pv")),
-      struct(lit(1).as("pc"), expr("shiftright(simhash, 6) & 31").as("pv")),
-      struct(lit(2).as("pc"), expr("shiftright(simhash, 11) & 31").as("pv")))).as("b"))
+  /** Corpus-size threshold above which the 64-bit signature is used. All
+    * oracle scale factors (500–5 000 docs) stay 16-bit; the 10×-replica
+    * scale corpus (50 000 docs) and anything larger go wide.
+    */
+  val simhashWideThreshold = 20000L
+
+  def simhashBitsFor(n: Long): Int = if (n <= simhashWideThreshold) 16 else 64
+
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def documentCount(s: SparkSession, d: String): Long =
+    docCountCache.computeIfAbsent(d, _ => Tables.documents(s, d).count())
+
+  /** 64-bit twin of [[simhashSignatures]] — same map-only kernel shape. */
+  private[graft] def simhashSignatures64(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
+
+  /** Pigeonhole pieces of a (doc_id, simhash) frame: 3 pieces (6+5+5 bits)
+    * at width 16, 4 pieces (16 bits each) at width 64. Both are lossless
+    * for hamming ≤ 2 (2 errors touch ≤ 2 pieces, leaving ≥ 1 intact).
+    */
+  private[graft] def simhashPieces(sig: DataFrame, bits: Int): DataFrame = {
+    val pieces =
+      if (bits == 16) array(
+        struct(lit(0).as("pc"), expr("simhash & 63").as("pv")),
+        struct(lit(1).as("pc"), expr("shiftright(simhash, 6) & 31").as("pv")),
+        struct(lit(2).as("pc"), expr("shiftright(simhash, 11) & 31").as("pv")))
+      else array((0 until 4).map(p =>
+        struct(lit(p).as("pc"), expr(s"shiftright(simhash, ${16 * p}) & 65535").as("pv"))): _*)
+    sig.select(col("doc_id"), explode(pieces).as("b"))
       .select(col("doc_id"), col("b.pc"), col("b.pv"))
-    val cands = pieces
+  }
+
+  private[graft] def simhashNearDupPairsWith(sig: DataFrame, bits: Int): DataFrame = {
+    val pieces = simhashPieces(sig, bits)
+    val cands = pieces.select(col("doc_id").as("doc_a"), col("pc"), col("pv"))
+      .join(pieces.select(col("doc_id").as("doc_b"), col("pc"), col("pv")), Seq("pc", "pv"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cands
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), Seq("doc_b"))
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .where(col("hamming") <= simhashHammingMax)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  def simhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val bits = simhashBitsFor(documentCount(s, d))
+    val sig = if (bits == 16) simhashSignatures(s, d) else simhashSignatures64(s, d)
+    simhashNearDupPairsWith(sig, bits)
+  }
+
+  /** The retired `collect_set`→flatten in-bucket expansion, kept ONLY for
+    * SimHashPairsSpec's pair-for-pair equivalence pin against the join
+    * form. Scale hazard: one row holds an entire bucket and the quadratic
+    * pair expansion runs in that row's single task.
+    */
+  private[graft] def simhashNearDupPairsGrouped(s: SparkSession, d: String): DataFrame = {
+    val sig = simhashSignatures(s, d)
+    val cands = simhashPieces(sig, 16)
       .groupBy("pc", "pv").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(expr(

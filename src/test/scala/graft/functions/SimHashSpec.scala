@@ -46,6 +46,60 @@ class SimHashSpec extends SparkSpec {
     assert(want.nonEmpty, "expected some hamming<=2 pairs at gate scale")
   }
 
+  test("distributed (pc,pv) self-join pairs equal the grouped collect_set form pair-for-pair") {
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val joined = collect(graft.operators.Dedup.simhashNearDupPairs(spark, sf()))
+    val grouped = collect(graft.operators.Dedup.simhashNearDupPairsGrouped(spark, sf()))
+    assert(joined == grouped,
+      s"join form diverged from grouped form: missing=${(grouped -- joined).take(5)}, extra=${(joined -- grouped).take(5)}")
+    assert(joined.nonEmpty)
+  }
+
+  test("64-bit kernel matches an independent driver-side md5 reference") {
+    val docs = Seq("the quick brown fox jumps", "", "one", "a a a b", "ünïcode tökens here")
+    def refHash(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((tok + "|99").getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((v, i) => (v << 8) | (d(i) & 0xffL))
+    }
+    def refSim(text: String): Long = {
+      val votes = new Array[Int](64)
+      text.split(" ", -1).foreach { t =>
+        val h = refHash(t)
+        (0 until 64).foreach(b => if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((o, b) => if (votes(b) > 0) o | (1L << b) else o)
+    }
+    import spark.implicits._
+    val viaExpr = docs.toDF("text")
+      .select(TextFunctions.simhash64(org.apache.spark.sql.functions.col("text")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaExpr == docs.map(refSim))
+    val viaInterp = docs.map(t =>
+      ShingleKernel.simhash64(org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    assert(viaInterp == docs.map(refSim), "interpreted eval diverged from codegen/reference")
+  }
+
+  test("64-bit pigeonhole pairs equal brute force, and the width rule scales with the corpus") {
+    import graft.operators.Dedup
+    assert(Dedup.simhashBitsFor(500) == 16)
+    assert(Dedup.simhashBitsFor(Dedup.simhashWideThreshold) == 16)
+    assert(Dedup.simhashBitsFor(Dedup.simhashWideThreshold + 1) == 64)
+    assert(Dedup.simhashBitsFor(100000000L) == 64)
+    val sig64 = Dedup.simhashSignatures64(spark, sf())
+    val rows = sig64.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      h = java.lang.Long.bitCount(ha ^ hb)
+      if h <= Dedup.simhashHammingMax
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashNearDupPairsWith(sig64, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want,
+      s"64-bit pigeonhole diverged from brute force: missing=${(want -- got).take(5)}, extra=${(got -- want).take(5)}")
+  }
+
   test("the simhash query plan has no shuffle (map-only scan projection)") {
     val plan = graft.operators.Dedup.simhashSignatures(spark, sf())
       .queryExecution.executedPlan.toString
