@@ -296,53 +296,112 @@ object Dedup {
        |  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
        |FROM j WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5""".stripMargin
 
-  /** Containment verification over the LSH candidate pairs: max-containment
+  /** EXACT containment join: ALL pairs with max-containment
     * = |A∩B| / min(|A|,|B|) ≥ 3/4 — the ASYMMETRIC near-dup test Jaccard
     * structurally misses: a short document quoted wholesale inside a long
     * one has containment ≈ 1 but Jaccard ≈ |short|/|long| (arbitrarily
     * small), and quote/subset duplication is its own leakage channel in
-    * training corpora. Same candidate generation and verification shape as
-    * [[jaccardVerifiedPairs]] (work sized to candidates, never |docs|²);
-    * the threshold stays in integer arithmetic (4·inter ≥ 3·min) so no
-    * float boundary can drop a pair differently across engines.
+    * training corpora.
+    *
+    * Candidate generation is containment-appropriate (NOT the Jaccard LSH
+    * bands, whose per-band collision probability J^r is structurally near
+    * zero for exactly the high-containment/low-Jaccard pairs this operator
+    * exists for): an asymmetric prefix filter on the SMALLER side. With
+    * both shingle lists sorted by one global rarest-first order, a pair
+    * with |A| ≤ |B| and inter ≥ req = ⌈τ·|A|⌉ must match one of A's first
+    * |A| − req + 1 elements somewhere in B (else inter ≤ |A| − plen <
+    * req) — so probing A's prefix against a full index of B's elements is
+    * LOSSLESS, and the positional bound min(p_a,p_b) + min(n_a−p_a,
+    * n_b−p_b) ≥ req prunes further (same PPJoin arithmetic as
+    * [[exactJaccardCandidatesOf]], with the asymmetric threshold).
+    * Rarest-first ordering keeps frequent shingles out of probe prefixes,
+    * so hot index buckets meet few probe rows; candidates stay
+    * occupancy-sized, never |docs|². Verification runs the fused
+    * [[graft.functions.SortedIntersectCount]] merge kernel on the
+    * canonical sorted lists; the threshold stays in integer arithmetic
+    * (4·inter ≥ 3·min) so no float boundary can drop a pair differently
+    * across engines. Because every pruning step is lossless, the oracle
+    * can verify the SAME result with a plain all-pairs join — recall is
+    * exact by construction, not relative to a shared candidate set.
     */
   val containTauNum = 3
   val containTauDen = 4
 
   def containmentPairs(s: SparkSession, d: String): DataFrame = {
-    val pairs = lshCandidatePairs(s, d).localCheckpoint()
-    val candidateIds = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val docsWithShingles = Tables.documents(s, d)
-      .join(candidateIds, Seq("doc_id"), "left_semi")
+    val docs = Tables.documents(s, d)
       .select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
       .localCheckpoint()
-    pairs
-      .join(docsWithShingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
-      .join(docsWithShingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")
+    containmentJoinOf(docs)
+  }
+
+  private[operators] def containmentJoinOf(docs: DataFrame): DataFrame = {
+    val cands = containmentCandidatesOf(docs)
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
       .withColumn("inter", graft.functions.TextFunctions
         .sortedIntersectCount(col("sa"), col("sb")).cast("long"))
       .withColumn("n_min", least(size(col("sa")), size(col("sb"))).cast("long"))
-      .where(col("inter") * containTauDen >= col("n_min") * containTauNum && col("n_min") > 0)
+      .where(col("inter") * containTauDen >= col("n_min") * containTauNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("n_min"),
         (col("inter").cast("double") / col("n_min").cast("double")).as("containment"))
   }
 
+  /** Asymmetric prefix-filter candidates for [[containmentJoinOf]]:
+    * probe = each doc's rarest-first prefix (plen = n − ⌈τ·n⌉ + 1),
+    * index = every element of every doc; join on the shingle, direction
+    * fixed to probe-side-smaller (ties by doc_id), positional bound
+    * aggregated min-over-buckets. Exposed separately so ScaleProbe can
+    * measure candidate growth.
+    */
+  private[operators] def containmentCandidatesOf(docs: DataFrame): DataFrame = {
+    val freq = docs.select(explode(col("sh")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+    val sorted = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(freq, Seq("g"))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(cnt, g))), x -> x.g)").as("sg"))
+      .withColumn("n", size(col("sg")))
+    val probe = sorted
+      .withColumn("req", expr(
+        s"CAST((n * $containTauNum + ${containTauDen - 1}) DIV $containTauDen AS INT)"))
+      .withColumn("plen", col("n") - col("req") + lit(1))
+      .select(col("doc_id").as("da"), col("n").as("na"), col("req"),
+        posexplode(expr("slice(sg, 1, plen)")).as(Seq("p0a", "g")))
+      .withColumn("pa", col("p0a") + 1).drop("p0a")
+    val index = sorted
+      .select(col("doc_id").as("db"), col("n").as("nb"),
+        posexplode(col("sg")).as(Seq("p0b", "g")))
+      .withColumn("pb", col("p0b") + 1).drop("p0b")
+    probe.join(index, Seq("g"))
+      .where(col("na") < col("nb") || (col("na") === col("nb") && col("da") < col("db")))
+      .withColumn("ub",
+        least(col("pa"), col("pb")) + least(col("na") - col("pa"), col("nb") - col("pb")))
+      .groupBy("da", "db")
+      .agg(min(col("ub")).as("ub"), first(col("req")).as("req"))
+      .where(col("ub") >= col("req"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+  }
+
+  /** Oracle: plain all-pairs verification — legitimate BECAUSE the Spark
+    * side's pruning is lossless (identical final rows), and tractable for
+    * DuckDB at gate scale.
+    */
   val containmentPairsSql: String =
-    s"""WITH pairs AS (${lshCandidatePairsSql}),
-       | sh AS (SELECT doc_id,
+    s"""WITH sh AS (SELECT doc_id,
        |          list_distinct(list_transform($shingleSqlExpr,
        |            g -> ('0x' || substr(md5(g), 1, 13))::BIGINT)) AS hs
        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-       | j AS (SELECT p.doc_a, p.doc_b,
-       |         CAST(len(list_filter(sa.hs, g -> list_contains(sb.hs, g))) AS BIGINT) AS inter,
-       |         CAST(least(len(sa.hs), len(sb.hs)) AS BIGINT) AS n_min
-       |       FROM pairs p
-       |        JOIN sh sa ON sa.doc_id = p.doc_a
-       |        JOIN sh sb ON sb.doc_id = p.doc_b)
+       | nz AS (SELECT * FROM sh WHERE len(hs) > 0),
+       | j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+       |         CAST(least(len(a.hs), len(b.hs)) AS BIGINT) AS n_min
+       |       FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, inter, n_min,
        |  CAST(inter AS DOUBLE) / CAST(n_min AS DOUBLE) AS containment
-       |FROM j WHERE inter * $containTauDen >= n_min * $containTauNum AND n_min > 0""".stripMargin
+       |FROM j WHERE inter * $containTauDen >= n_min * $containTauNum""".stripMargin
 
   /** Duplicate clusters: connected components over the verified near-dup
     * pairs via min-label propagation — the step that turns pairwise matches
