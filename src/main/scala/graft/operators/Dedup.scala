@@ -429,6 +429,12 @@ object Dedup {
     */
   private val verifiedPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // Sessions that already have an eviction listener: ONE listener per
+  // session covers every dataset key (it sweeps the whole sid prefix), so
+  // registering per (session, dataset) would only pile redundant
+  // listeners onto the SparkContext.
+  private val evictionListenerRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def verifiedPairsCached(s: SparkSession, d: String): DataFrame = {
     // Keyed by GraftSession.sessionId (never recycled, unlike
     // identityHashCode) so a later session can never be handed a
@@ -436,14 +442,17 @@ object Dedup {
     // this session's entries when the context stops, so the map doesn't
     // accumulate dead frames across sessions in one JVM.
     val sid = graft.core.GraftSession.sessionId(s)
-    verifiedPairsCache.computeIfAbsent(sid + ":" + d, _ => {
+    if (evictionListenerRegistered.add(sid.toString)) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           verifiedPairsCache.keySet.removeIf(_.startsWith(sid + ":"))
+          evictionListenerRegistered.remove(sid.toString)
+        }
       })
-      jaccardVerifiedPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
-    })
+    }
+    verifiedPairsCache.computeIfAbsent(sid + ":" + d, _ =>
+      jaccardVerifiedPairs(s, d).select("doc_a", "doc_b").localCheckpoint())
   }
 
   /** Bench entry: materialize the shared verified-pair graph as its own

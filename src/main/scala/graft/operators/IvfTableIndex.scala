@@ -67,10 +67,12 @@ object IvfTableIndex {
     * per-probe work as the corpus grows instead of a frozen pruning
     * factor; pass an explicit count to pin a layout.
     *
-    * `trained = true` runs [[Similarity.lloydTrain]] — anchor-initialized
-    * Lloyd on a hash-stratified bounded sample OF THIS TABLE, under the
-    * cosine-argmax serving metric — and fixes the TRAINED centroids in
-    * the index. Training is a build-time cost only: the persisted
+    * `trained = true` runs [[Similarity.trainCentroids]] — DUAL-INIT Lloyd
+    * on a hash-stratified bounded sample OF THIS TABLE under the
+    * cosine-argmax serving metric: one run seeded from the anchors, one
+    * from maxmin farthest-first seeds, the better sample objective wins
+    * (ties favor the anchors, so anchor-determinism is never regressed) —
+    * and fixes the TRAINED centroids in the index. Training is a build-time cost only: the persisted
     * centroids are what [[refresh]] assigns appended spans against and
     * what [[open]] serves, so the maintenance contract (centroids fixed
     * at build; re-clustering is a rebuild) is unchanged.

@@ -603,8 +603,42 @@ object Relational {
   // used to delete stale dirs by stripPrefix("file:").
   private val jvmToken =
     java.lang.Long.toHexString(java.util.UUID.randomUUID().getMostSignificantBits).take(8)
+
+  /** Best-effort sweep of DEAD JVMs' leftover bucketed-table dirs: unique
+    * names mean no live collision, but they also mean nobody ever dropped
+    * a dead JVM's layout, so a shared warehouse grew without bound. A dir
+    * is reclaimed only if its name is ours-shaped but not OUR token and it
+    * hasn't been touched for 6h — a live concurrent JVM's tables are
+    * always younger than that (they're written at session build). Any
+    * failure is swallowed: sweeping is hygiene, never correctness.
+    */
+  private def sweepStaleBucketedDirs(s: SparkSession): Unit =
+    try {
+      val raw = s.conf.get("spark.sql.warehouse.dir")
+      val wh =
+        if (raw.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(raw))
+        else java.nio.file.Paths.get(raw)
+      if (java.nio.file.Files.isDirectory(wh)) {
+        val cutoff = java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 6L * 3600 * 1000)
+        val listing = java.nio.file.Files.list(wh)
+        try listing.forEach { p =>
+          val n = p.getFileName.toString
+          if ((n.startsWith("b_orders_") || n.startsWith("b_lineitem_")) &&
+              !n.contains(jvmToken) &&
+              java.nio.file.Files.getLastModifiedTime(p).compareTo(cutoff) < 0) {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+            finally walk.close()
+          }
+        } finally listing.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   private def bucketedOrderkeyTables(s: SparkSession, d: String): (String, String) =
     bucketedBuilt.computeIfAbsent(sessionId(s) + ":" + d, _ => {
+      sweepStaleBucketedDirs(s)
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val uniq = s"${key}_${jvmToken}_${sessionId(s)}"
