@@ -478,7 +478,16 @@ object Dedup {
     * corpus behind them.
     */
   private[operators] def connectedComponentsOf(pairsIn: DataFrame,
-                                               smallGraphLimit: Long): DataFrame = {
+                                               smallGraphLimit: Long): DataFrame =
+    connectedComponentsWithRounds(pairsIn, smallGraphLimit)._1
+
+  /** Labels plus the number of hook+compress rounds the distributed path
+    * actually ran (0 on the union-find fast path) — exposed so the
+    * O(log diameter) convergence claim is a property the fast gate sweeps
+    * (ClusterPathsSpec), not a comment a refactor can silently break.
+    */
+  private[operators] def connectedComponentsWithRounds(pairsIn: DataFrame,
+                                                       smallGraphLimit: Long): (DataFrame, Int) = {
     val s = pairsIn.sparkSession
     val pairs = pairsIn.toDF("doc_a", "doc_b")
     // undirected edge list, both directions; size the iteration's
@@ -515,7 +524,7 @@ object Dedup {
       }
       val out = parent.keys.toSeq.map(id => (id, find(id))).sorted
       import s.implicits._
-      return out.toDF("id", "cluster_id")
+      return (out.toDF("id", "cluster_id"), 0)
     }
 
     val parts = math.max(1L, math.min(200L, nEdges / 100000L + 1L)).toInt
@@ -565,7 +574,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components failed to converge after $maxRounds hook+jump rounds " +
           s"($changed labels still moving) — this indicates a bug, not graph size")
-    labels.withColumnRenamed("label", "cluster_id")
+    (labels.withColumnRenamed("label", "cluster_id"), rounds)
   }
 
   /** PageRank (3 fixed iterations, damping 0.85) over the verified

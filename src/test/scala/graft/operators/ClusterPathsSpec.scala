@@ -58,6 +58,58 @@ class ClusterPathsSpec extends SparkSpec {
     }
   }
 
+  test("property: hook+compress converges in <= ceil(log2(diameter)) + 3 rounds") {
+    import spark.implicits._
+    // Deterministic worst cases: chains of known diameter. Pure hooking
+    // needs `diameter` rounds; the compression step is what buys the log —
+    // a refactor that breaks it fails HERE, in the fast gate, instead of
+    // via the 64-round throw on a production graph.
+    def bound(diameter: Int): Int =
+      math.ceil(math.log(diameter.toDouble) / math.log(2.0)).toInt + 3
+    for (len <- Seq(127, 1023, 4095)) {
+      val chain = (0L until len.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val (out, rounds) = Dedup.connectedComponentsWithRounds(chain, smallGraphLimit = -1L)
+      assert(out.where(org.apache.spark.sql.functions.col("cluster_id") =!= 0L).count() == 0L,
+        s"chain $len: expected one component labeled 0")
+      assert(rounds <= bound(len), s"chain $len (diameter $len): $rounds rounds > ${bound(len)}")
+      info(s"chain diameter $len: $rounds rounds (bound ${bound(len)})")
+    }
+    // Random forest ~10^4 nodes: three random-attachment trees. True
+    // diameter computed driver-side (double BFS per tree) so the bound is
+    // exact, not estimated.
+    val rnd = new scala.util.Random(7331)
+    val trees = Seq(0L, 100000L, 200000L).map { off =>
+      val n = 3000 + rnd.nextInt(500)
+      (off, (1 until n).map(i => (off + rnd.nextInt(i), off + i)))
+    }
+    def diameterOf(edges: Seq[(Long, Long)]): Int = {
+      val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+      edges.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+      def bfs(src: Long): (Long, Int) = {
+        val dist = scala.collection.mutable.Map(src -> 0)
+        var frontier = List(src); var far = (src, 0)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(u => adj(u).filter(!dist.contains(_)).map { v =>
+            dist(v) = dist(u) + 1; if (dist(v) > far._2) far = (v, dist(v)); v
+          })
+        }
+        far
+      }
+      bfs(bfs(edges.head._1)._1)._2
+    }
+    val diameter = trees.map(t => diameterOf(t._2)).max
+    val all = trees.flatMap(_._2).toDF("doc_a", "doc_b")
+    val (outF, roundsF) = Dedup.connectedComponentsWithRounds(all, smallGraphLimit = -1L)
+    val labels = outF.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    trees.foreach { case (off, edges) =>
+      val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      assert(ids.forall(labels(_) == off), s"tree at $off not labeled by its min id")
+    }
+    assert(roundsF <= bound(diameter),
+      s"forest (max diameter $diameter): $roundsF rounds > ${bound(diameter)}")
+    info(s"forest ~10^4 nodes, max diameter $diameter: $roundsF rounds (bound ${bound(diameter)})")
+  }
+
   test("triangle census on crafted graphs: K4, open path, triangle + pendant") {
     import spark.implicits._
     def stats(edges: (Long, Long)*): (Long, Long, Option[Double]) = {
