@@ -348,6 +348,7 @@ object Bench {
     // dedup_clusters/pagerank/triangles never silently absorb it
     dim("pair_graph_build")(graft.operators.Dedup.prebuildPairGraph(spark, sfDir))
     dim("ivf_index_build")(graft.operators.Similarity.ivfIndexFor(spark, sfDir))
+    dim("ivf_trained_index_build")(graft.operators.Similarity.trainedIvfIndexFor(spark, sfDir))
     dim("sec_index_build")(graft.operators.Relational.prebuildCustkeyIndex(spark, sfDir))
     dim("upsert_table_build")(graft.operators.Relational.prebuildUpsertTable(spark, sfDir))
     dim("mv_view_build")(graft.operators.Relational.prebuildPricingSummaryView(spark, sfDir))

@@ -36,20 +36,31 @@ object AnnServe {
     * vectors blow the per-batch scan budget (the kernel reads candidates
     * once either way; ADC is the cheaper rank at equal candidates).
     *
+    * `trainedIndex = Some(idx)` serves through a TRAINED persisted
+    * [[graft.operators.IvfTableIndex]]
+    * ([[graft.operators.Similarity.ivfIndexBatchSearchOf]]): probe ranking
+    * against the index's Lloyd-trained centroids, candidates from the
+    * persisted cell assignment — the quality configuration end-to-end
+    * online. Takes precedence over `usePq`.
+    *
     * Streaming qids are REQUEST ids, not corpus ids, so serving never
     * self-excludes: a query whose qid coincides with a corpus vec_id still
     * sees that vector as a neighbor (the declared batch queries, whose
     * panel qids ARE corpus ids, pass excludeSelf = true instead).
     */
-  def start(queries: DataFrame, corpusDir: String, usePq: Boolean = false)(
+  def start(queries: DataFrame, corpusDir: String, usePq: Boolean = false,
+            trainedIndex: Option[graft.operators.IvfTableIndex] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val answer =
-          if (usePq) graft.operators.Similarity.ivfPqBatchSearchOf(
+        val answer = trainedIndex match {
+          case Some(idx) => graft.operators.Similarity.ivfIndexBatchSearchOf(
+            idx, batch, excludeSelf = false)
+          case None if usePq => graft.operators.Similarity.ivfPqBatchSearchOf(
             batch.sparkSession, corpusDir, batch, excludeSelf = false)
-          else graft.operators.Similarity.ivfBatchSearchOf(
+          case None => graft.operators.Similarity.ivfBatchSearchOf(
             batch.sparkSession, corpusDir, batch, excludeSelf = false)
+        }
         sink(answer, batchId)
       }
       .start()

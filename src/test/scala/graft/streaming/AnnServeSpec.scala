@@ -85,4 +85,41 @@ class AnnServeSpec extends SparkSpec {
     assert(got.keySet == Set(0L))
     assert(got(0L) == want, "PQ-mode stream diverged from the offline IVF+PQ batch answer")
   }
+
+  test("trained-index mode serves the persisted trained index's batch answer") {
+    import spark.implicits._
+    val idx = graft.operators.Similarity.trainedIvfIndexFor(spark, sf())
+    val emb = graft.core.Tables.embeddings(spark, sf())
+      .orderBy("vec_id").limit(6)
+      .collect().map(r => AnnQuery(r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[AnnQuery](spark)
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Long, Long)]]()
+    val q = AnnServe.start(input.toDF(), sf(), trainedIndex = Some(idx)) { (res, id) =>
+      got.synchronized {
+        got(id) = res.collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      }
+    }
+    try {
+      input.addData(emb.take(6))
+      q.processAllAvailable()
+    } finally q.stop()
+    // parity target: the SAME persisted index's offline batch search — the
+    // serving path the declared ann_ivf_index_search_trained face gates
+    val want = graft.operators.Similarity.ivfIndexBatchSearchOf(
+        idx, emb.take(6).toSeq.toDF().select(col("qid"), col("embedding")),
+        excludeSelf = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    assert(got.keySet == Set(0L))
+    assert(got(0L) == want,
+      "trained-index stream diverged from the offline trained-index batch answer")
+    // and the declared face's own invariants hold here too
+    val face = graft.operators.Similarity.ivfTrainedIndexSearch(spark, sf()).head()
+    assert(face.getBoolean(3), "persisted trained index != in-memory trained serving")
+    assert(face.getLong(2) ==
+      graft.operators.Similarity.batchK.toLong * graft.operators.Similarity.batchPanel)
+  }
 }
