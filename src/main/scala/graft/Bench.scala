@@ -347,6 +347,7 @@ object Bench {
     // the shared verified-pair graph build, reported as its own dim so
     // dedup_clusters/pagerank/triangles never silently absorb it
     dim("pair_graph_build")(graft.operators.Dedup.prebuildPairGraph(spark, sfDir))
+    dim("streamed_docs_build")(graft.operators.Dedup.prebuildStreamedDocs(spark, sfDir))
     dim("ivf_index_build")(graft.operators.Similarity.ivfIndexFor(spark, sfDir))
     dim("ivf_trained_index_build")(graft.operators.Similarity.trainedIvfIndexFor(spark, sfDir))
     dim("sec_index_build")(graft.operators.Relational.prebuildCustkeyIndex(spark, sfDir))

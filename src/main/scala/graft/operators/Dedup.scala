@@ -47,7 +47,10 @@ object Dedup {
     * (the canonical survivor), count members. One shuffle on md5(text).
     */
   def exactDedup(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    exactDedupOf(Tables.documents(s, d))
+
+  private[graft] def exactDedupOf(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_members"))
 
@@ -62,10 +65,13 @@ object Dedup {
     * corpora). Same one-shuffle shape as [[exactDedup]]; the regex chain
     * is map-side and ASCII-safe in both engines.
     */
-  def normalizedDedup(s: SparkSession, d: String): DataFrame = {
+  def normalizedDedup(s: SparkSession, d: String): DataFrame =
+    normalizedDedupOf(Tables.documents(s, d))
+
+  private[graft] def normalizedDedupOf(docs: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    Tables.documents(s, d)
+    docs
       .groupBy(md5(norm).as("norm_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_members"))
   }
@@ -246,11 +252,14 @@ object Dedup {
     * only for LSH candidate pairs (the scalable pattern: candidates are
     * O(bucket), verification is O(candidates)).
     */
-  def jaccardVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+  def jaccardVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    jaccardVerifiedPairsOf(Tables.documents(s, d))
+
+  private[graft] def jaccardVerifiedPairsOf(docs: DataFrame): DataFrame = {
     // Materialized once: the candidate set feeds three consumers (the id
     // projection below + both verification joins); without the checkpoint
     // the signature→banding chain re-executes per consumer.
-    val pairs = lshCandidatePairs(s, d).localCheckpoint()
+    val pairs = pairsFromBands(bandsOf(signaturesOf(docs))).localCheckpoint()
     // Verification work is sized to the CANDIDATES, not the corpus: only
     // docs that appear in some LSH pair need their shingle set, so a
     // semi-join prunes the corpus before the (expensive) shingle-hash
@@ -262,7 +271,7 @@ object Dedup {
     // the same family the signatures use): set ops on bigint arrays instead
     // of 3-word strings — less shuffle weight, same verified pairs, and the
     // oracle recomputes identical hash sets in SQL.
-    val docsWithShingles = Tables.documents(s, d)
+    val docsWithShingles = docs
       .join(candidateIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
       .localCheckpoint()
@@ -893,6 +902,83 @@ object Dedup {
       .unionAll(stage("6_clusters",
         duplicateClusters(s, d).select("cluster_id").distinct()))
       .unionAll(stage("7_clustered_docs", duplicateClusters(s, d)))
+  }
+
+  /** The funnel over an ARBITRARY (doc_id, text) frame — no session cache,
+    * pair graph built fresh and checkpointed locally. This is the form the
+    * STREAMED face runs over the landed table; [[dedupReport]] keeps the
+    * session-cached graph for the declared batch face.
+    */
+  private[graft] def dedupReportOver(docs: DataFrame): DataFrame = {
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    val verified = jaccardVerifiedPairsOf(docs).select("doc_a", "doc_b").localCheckpoint()
+    val clusters = connectedComponentsOf(verified, smallGraphLimit = 1000000L)
+    stage("1_docs", docs)
+      .unionAll(stage("2_exact_groups", exactDedupOf(docs)))
+      .unionAll(stage("3_normalized_groups", normalizedDedupOf(docs)))
+      .unionAll(stage("4_lsh_candidates", pairsFromBands(bandsOf(signaturesOf(docs)))))
+      .unionAll(stage("5_verified_pairs", verified))
+      .unionAll(stage("6_clusters", clusters.select("cluster_id").distinct()))
+      .unionAll(stage("7_clustered_docs", clusters))
+  }
+
+  /** Documents corpus landed through the STREAMING ingest path — the
+    * composed pin of the reference's core promise (buffered writes are
+    * indistinguishable from durable ones, src/cache/writable_cache.rs:
+    * 248-298) at the ANALYTICS layer: the corpus is staged as multiple
+    * parquet files, streamed in with `maxFilesPerTrigger = 1` (one
+    * micro-batch per file) through [[graft.streaming.StreamIngest]] into a
+    * [[graft.core.VectorTable]], and the landed table is verified
+    * row-identical to the batch source at build time (throw on any
+    * divergence). Built once per machine behind the pointer protocol.
+    */
+  private val streamedDocsRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def streamedDocumentsRoot(s: SparkSession, d: String): String =
+    streamedDocsRoots.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d#streamed".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"docs-streamed-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"docs-streamed-$key-${java.util.UUID.randomUUID()}")
+        val source = Tables.documents(s, d)
+        source.repartition(5).write.parquet(s"$dir/staging")
+        val t = graft.core.VectorTable.create(s, s"$dir/table")
+        val stream = s.readStream.schema(source.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/staging")
+        val q = graft.streaming.StreamIngest.start(stream, t, s"$dir/ckpt",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        val landed = t.scan().select(source.columns.map(col): _*)
+        val missing = source.exceptAll(landed).count()
+        val extra = landed.exceptAll(source).count()
+        if (missing != 0 || extra != 0)
+          throw new IllegalStateException(
+            s"streamed ingest diverged from batch source: $missing missing, $extra extra rows")
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () } // racer won; adopt theirs
+      }
+      Files.readString(pointer)
+    })
+
+  /** Declared `dedup_report_streamed`: the SAME funnel as [[dedupReport]]
+    * over the stream-landed table — the oracle replays [[dedupReportSql]]
+    * over the batch source, so a green row IS the proof that N micro-batch
+    * appends and one batch load produce hash-identical analytics.
+    */
+  def dedupReportStreamed(s: SparkSession, d: String): DataFrame = {
+    val root = streamedDocumentsRoot(s, d)
+    val landed = graft.core.VectorTable.open(s, s"$root/table")
+      .scan().select(col("doc_id"), col("text"))
+    dedupReportOver(landed)
+  }
+
+  def prebuildStreamedDocs(s: SparkSession, d: String): Unit = {
+    streamedDocumentsRoot(s, d); ()
   }
 
   val dedupReportSql: String =
