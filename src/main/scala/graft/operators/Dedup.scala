@@ -777,6 +777,15 @@ object Dedup {
         .select("doc_a", "doc_b")
   }
 
+  /** ScaleProbe entry for the containment join: (candidates, qualifying
+    * pairs) over an arbitrary `(doc_id, sh)` set frame — the measured
+    * evidence that the asymmetric prefix filter's candidate set grows
+    * near-linearly with corpus size.
+    */
+  def containmentJoinProbe(docs: DataFrame): (Long, Long) = (
+    containmentCandidatesOf(docs).count(),
+    containmentJoinOf(docs).count())
+
   /** ScaleProbe entry: (unfiltered candidates, length-filtered candidates,
     * qualifying pairs) over an arbitrary `(doc_id, sh)` set frame — the
     * measured evidence that prefix-bucket occupancy (and the length

@@ -168,6 +168,26 @@ object ScaleProbe {
       println(f"$label%-14s ${k * nDocs}%7d $cand%8d $candLf%8d $pairs%7d  $dt%.2f  ${dt / t1exact}%.2f×")
     }
 
+    // --- containment join at replicated scales ---------------------------
+    // Same disjoint-universe replication: the asymmetric prefix filter
+    // must keep candidates linear in corpus size — the structural claim
+    // behind serving dedup_containment at 100 TB.
+    println()
+    println(f"${"contain_join"}%-14s ${"docs"}%7s ${"cand"}%8s ${"pairs"}%7s  t(s)  growth")
+    var t1contain = 0.0
+    for (k <- Seq(1, 2, 4)) {
+      val corpus = (0 until k).map { r =>
+        shingled.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          expr(s"transform(sh, x -> x + ${r}L * 9007199254740992L)").as("sh"))
+      }.reduce(_ unionAll _)
+      val t0 = System.nanoTime()
+      val (cand, pairs) = graft.operators.Dedup.containmentJoinProbe(corpus)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (k == 1) t1contain = dt
+      val label = s"rep${k}x"
+      println(f"$label%-14s ${k * nDocs}%7d $cand%8d $pairs%7d  $dt%.2f  ${dt / t1contain}%.2f×")
+    }
+
     // --- trained-quantizer recall curve at replicated scales -------------
     // The oracle gate measures trained-vs-anchor at sf0.1's 5K vectors,
     // where the training sample IS the corpus. This probe materializes
