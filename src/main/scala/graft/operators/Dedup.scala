@@ -1051,11 +1051,15 @@ object Dedup {
     */
   val simhashHammingMax = 2
 
-  /** Corpus-size threshold above which the 64-bit signature is used. All
-    * oracle scale factors (500–5 000 docs) stay 16-bit; the 10×-replica
-    * scale corpus (50 000 docs) and anything larger go wide.
+  /** Corpus-size threshold above which the 64-bit signature is used. The
+    * oracle gate corpora (500 docs at sf0.001/sf0.01) stay 16-bit — the
+    * DuckDB oracle replays that signature bit-for-bit; every larger corpus
+    * (sf0.1's 5 000 docs, the 10×-replica 50 000, production) goes wide:
+    * at 5 000 docs the 128 16-bit bucket keys already hold ~120 docs each
+    * and the pair join pays ~1.7M candidate rows for ~8k qualifying pairs,
+    * while 4×65 536 keys keep occupancy ~1.
     */
-  val simhashWideThreshold = 20000L
+  val simhashWideThreshold = 1000L
 
   def simhashBitsFor(n: Long): Int = if (n <= simhashWideThreshold) 16 else 64
 

@@ -32,7 +32,9 @@ object DumpPlans {
       "ann_ivfpq_search", "text_lm_score", "snapshot_orders_asof",
       "ann_ivf_batch_search",
       "ann_ivfpq_batch_search", "dedup_shared_ngrams",
-      "dedup_normalized_exact", "dedup_containment")
+      "dedup_normalized_exact", "dedup_containment",
+      "dedup_simhash_pairs", "ann_ivf_index_search_trained",
+      "dedup_report_streamed")
     picks.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, d)
       val txt = df.queryExecution.explainString(
