@@ -183,7 +183,10 @@ object Bench {
           // episode lands in `first`, while a genuine code regression
           // reproduces in the retry (run back-to-back, same JVM, same
           // warm caches as any second sample would see).
-          val ref = refQueries.getOrElse(name, -1.0)
+          // one-time build dims are excluded: their machine-wide memo makes
+          // any retry a pointer-lookup no-op, which would record ~0 and
+          // erase the build's real cost from the artifact
+          val ref = if (name.endsWith("_build")) -1.0 else refQueries.getOrElse(name, -1.0)
           if (ref > 0 && first > 3 * ref && first > 0.5 && elapsedS <= cap) {
             val retry = runOnce()
             retried(name) = (first, retry)
@@ -331,6 +334,7 @@ object Bench {
       "ann_ivfpq_batch_search", "dedup_containment", "dedup_shared_ngrams",
       "dedup_exact_jaccard_join",
       "dedup_simhash_pairs", "dedup_report", "embedding_dup_clusters", "dedup_normalized_exact",
+      "ann_ivf_index_search_trained", "dedup_report_streamed",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
       "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
       "store_point_reads_1k_cached", "store_concurrent_10x100_reads",

@@ -903,9 +903,10 @@ object Similarity {
     */
   private def sampleObjective(sample: Array[Array[Float]],
                               cs: Array[Array[Float]]): Double = {
-    var acc = 0.0
-    var i = 0
-    while (i < sample.length) {
+    // per-sample maxima in parallel (each slot written once — exact), the
+    // SUM in fixed sample order so the double fold is bit-stable
+    val bests = new Array[Double](sample.length)
+    java.util.stream.IntStream.range(0, sample.length).parallel().forEach { i =>
       var best = -2.0
       var j = 0
       while (j < cs.length) {
@@ -913,9 +914,11 @@ object Similarity {
         if (sim > best) best = sim
         j += 1
       }
-      acc += best
-      i += 1
+      bests(i) = best
     }
+    var acc = 0.0
+    var i = 0
+    while (i < sample.length) { acc += bests(i); i += 1 }
     acc
   }
 
@@ -942,15 +945,16 @@ object Similarity {
     var c = 0
     while (c < kk - 1) {
       val s0 = sample(chosen(c))
-      var i = 0
-      while (i < n) {
+      // coverage update is per-index independent (each slot written once)
+      // — parallel and exact; the min-scan stays sequential so the
+      // lower-index tie rule is preserved bit-for-bit
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
         val sim = driverCosine(sample(i), s0)
         if (sim > bestSim(i)) bestSim(i) = sim
-        i += 1
       }
       var best = 0
       var bestV = Double.MaxValue
-      i = 0
+      var i = 0
       while (i < n) {
         if (bestSim(i) < bestV) { bestV = bestSim(i); best = i }
         i += 1
@@ -973,21 +977,35 @@ object Similarity {
     while (iter < 20 && !converged) {
       val sums = Array.fill(cs.length)(new Array[Double](dim))
       val counts = new Array[Long](cs.length)
-      sample.foreach { v =>
+      // the k·|sample| argmax dominates training (782 cells × 50k samples
+      // at the 10×-replica scale ran ~64 s sequential): computed in
+      // parallel (per-slot writes, exact), while the mean ACCUMULATION
+      // stays in fixed sample order so the double folds — and therefore
+      // the persisted centroids — are bit-identical to the sequential form
+      val bestOf = new Array[Int](sample.length)
+      val csNow = cs
+      java.util.stream.IntStream.range(0, sample.length).parallel().forEach { si =>
+        val v = sample(si)
         // argmax with ties to the LOWER cell id — identical to the
         // distributed assign's array_max/array_position first-occurrence
         var best = 0
-        var bestSim = driverCosine(v, cs(0))
+        var bestSim = driverCosine(v, csNow(0))
         var j = 1
-        while (j < cs.length) {
-          val sim = driverCosine(v, cs(j))
+        while (j < csNow.length) {
+          val sim = driverCosine(v, csNow(j))
           if (sim > bestSim) { best = j; bestSim = sim }
           j += 1
         }
-        val acc = sums(best)
+        bestOf(si) = best
+      }
+      var si = 0
+      while (si < sample.length) {
+        val v = sample(si)
+        val acc = sums(bestOf(si))
         var i = 0
         while (i < dim) { acc(i) += v(i); i += 1 }
-        counts(best) += 1
+        counts(bestOf(si)) += 1
+        si += 1
       }
       val next = cs.indices.map { j =>
         if (counts(j) == 0) cs(j).clone() // empty cells keep their centroid
