@@ -1089,13 +1089,31 @@ object Dedup {
       .select(col("doc_id"), col("b.pc"), col("b.pv"))
   }
 
-  private[graft] def simhashNearDupPairsWith(sig: DataFrame, bits: Int): DataFrame = {
+  private[graft] def simhashCandidatesWith(sig: DataFrame, bits: Int): DataFrame = {
     val pieces = simhashPieces(sig, bits)
-    val cands = pieces.select(col("doc_id").as("doc_a"), col("pc"), col("pv"))
+    pieces.select(col("doc_id").as("doc_a"), col("pc"), col("pv"))
       .join(pieces.select(col("doc_id").as("doc_b"), col("pc"), col("pv")), Seq("pc", "pv"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+  }
+
+  /** ScaleProbe entry: (candidates, qualifying pairs) for the pigeonhole
+    * join over an arbitrary (doc_id, text) frame at an explicit signature
+    * width — the measured evidence that the 64-bit pieces keep candidate
+    * growth linear where 16-bit buckets saturate.
+    */
+  def simhashJoinProbe(docs: DataFrame, bits: Int): (Long, Long) = {
+    val sigCol =
+      if (bits == 16) graft.functions.TextFunctions.simhash16(col("text"))
+      else graft.functions.TextFunctions.simhash64(col("text"))
+    val sig = docs.select(col("doc_id"), sigCol.as("simhash")).localCheckpoint()
+    (simhashCandidatesWith(sig, bits).count(),
+      simhashNearDupPairsWith(sig, bits).count())
+  }
+
+  private[graft] def simhashNearDupPairsWith(sig: DataFrame, bits: Int): DataFrame = {
+    val cands = simhashCandidatesWith(sig, bits)
     cands
       .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
       .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), Seq("doc_b"))

@@ -168,6 +168,27 @@ object ScaleProbe {
       println(f"$label%-14s ${k * nDocs}%7d $cand%8d $candLf%8d $pairs%7d  $dt%.2f  ${dt / t1exact}%.2f×")
     }
 
+    // --- SimHash pigeonhole join at replicated scales --------------------
+    // Replicas get every TOKEN prefixed (distinct hash streams → distinct
+    // signatures → independent sub-corpora). Reported at BOTH widths: the
+    // 16-bit candidates saturate (every doc collides in the 128-key
+    // buckets — superlinear), the 64-bit path stays linear; the width
+    // rule (simhashBitsFor) picks 64 for every corpus this size.
+    println()
+    println(f"${"simhash_join"}%-14s ${"docs"}%7s ${"bits"}%5s ${"cand"}%9s ${"pairs"}%7s  t(s)")
+    val nAllDocs = docs.count()
+    for (bits <- Seq(16, 64); k <- Seq(1, 2, 4)) {
+      val corpus = (0 until k).map { r =>
+        docs.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          expr(s"array_join(transform(split(text, ' '), t -> concat('r$r', t)), ' ')").as("text"))
+      }.reduce(_ unionAll _)
+      val t0 = System.nanoTime()
+      val (cand, pairs) = graft.operators.Dedup.simhashJoinProbe(corpus, bits)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val label = s"rep${k}x"
+      println(f"$label%-13s ${k * nAllDocs}%7d $bits%5d $cand%9d $pairs%7d  $dt%.2f")
+    }
+
     // --- containment join at replicated scales ---------------------------
     // Same disjoint-universe replication: the asymmetric prefix filter
     // must keep candidates linear in corpus size — the structural claim
