@@ -195,6 +195,51 @@ object ShingleKernel {
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+
+  /** Largest prime below 2^53 — the rolling-hash modulus. acc < M and
+    * base 131 keep every intermediate product < 2^63 (exact int64 in both
+    * engines), and a ~9·10^15 key space makes birthday collisions
+    * negligible at corpus scale (~10^-4 expected at 10M grams).
+    */
+  val RollM = 9007199254740881L
+  val RollB = 131L
+
+  /** TRUE rolling (Rabin–Karp) hashes of every `stride`-th length-`k`
+    * char window: h(i) = Σ c_{i+t}·B^{k-1-t} mod M — O(1) per position
+    * (subtract the outgoing char's B^{k-1} term, shift, add the incoming
+    * char) instead of O(k), so a corpus-sized scan pays one multiply-add
+    * per CHARACTER. The declarative twin (per-window fold) and the DuckDB
+    * oracle (`list_reduce` over `ord(text[j]) % 128`) compute the same
+    * value in O(k) per window — bit-identical results, kernel-only speed.
+    * Char codes are masked to 7 bits: x < M < 2^53 times B=131 stays
+    * under 2^61 and c·B^{k-1} under 2^60, so every intermediate is exact
+    * int64 in BOTH engines with no wide-mul tricks (and the mask is the
+    * identity on this ASCII corpus — the same cross-engine contract as
+    * the md5 token hashing).
+    */
+  def rollingHashes(text: UTF8String, k: Int, stride: Int): GenericArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    // B^(k-1) mod M for the outgoing-char subtraction
+    var powK = 1L
+    var t = 0
+    while (t < k - 1) { powK = (powK * RollB) % RollM; t += 1 }
+    val out = new Array[Long]((n - k) / stride + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * RollB + (s.charAt(i) & 0x7f)) % RollM; i += 1 }
+    out(0) = h
+    var pos = 1
+    var oi = 1
+    while (pos + k <= n) {
+      val outgoing = ((s.charAt(pos - 1) & 0x7f).toLong * powK) % RollM
+      h = ((h - outgoing + RollM) % RollM * RollB + (s.charAt(pos + k - 1) & 0x7f)) % RollM
+      if (pos % stride == 0) { out(oi) = h; oi += 1 }
+      pos += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** graft_shingles(text): table-generating function — the Generator rung of
@@ -327,6 +372,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** rolling_hashes(text, k, stride): Rabin–Karp hashes of every stride-th
+  * k-char window — the exact-substring-dedup scan kernel (one multiply-add
+  * per character regardless of k; see [[ShingleKernel.rollingHashes]]).
+  */
+case class RollingHashes(child: Expression, k: Int, stride: Int) extends UnaryExpression {
+  require(k > 0 && stride > 0, "rolling_hashes requires k > 0 and stride > 0")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING argument")
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.rollingHashes(input.asInstanceOf[UTF8String], k, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.rollingHashes($c, $k, $stride)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
   def minhashSig(text: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(text), k))
@@ -339,6 +402,9 @@ object TextFunctions {
 
   def simhash64(text: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(text)))
+
+  def rollingHashes(text: Column, k: Int, stride: Int): Column =
+    Bridge.column(RollingHashes(Bridge.expression(text), k, stride))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))

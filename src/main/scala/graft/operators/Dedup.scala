@@ -113,6 +113,62 @@ object Dedup {
        |FROM sh GROUP BY shingle HAVING COUNT(*) >= $sharedNgramMinDocs
        |ORDER BY n_docs DESC, shingle LIMIT $sharedNgramTopK""".stripMargin
 
+  /** Cross-document repeated CHARACTER spans via a true rolling hash —
+    * the exact-substring dedup scan (the Rabin–Karp formulation of the
+    * "repeated ≥N-char span" pass from the deduplicating-training-data
+    * line of work): every [[repeatedSpanStride]]-th length-
+    * [[repeatedSpanWindow]] char window is hashed by the O(1)-per-
+    * character [[graft.functions.RollingHashes]] kernel, one shuffle
+    * groups windows by hash, and spans seen in ≥ [[repeatedSpanMinDocs]]
+    * DISTINCT documents surface, ranked. Character-level spans catch
+    * cross-token-boundary and sub-token repeats the word-3-gram audit
+    * ([[sharedNgrams]]) structurally cannot; the stride trades positions
+    * scanned for a detection floor of window + stride − 1 repeated chars.
+    * Scale shape: the scan is map-only (one multiply-add per character —
+    * the rolling property, not a per-window O(k) rehash), the single
+    * shuffle is corpus-character-sized / stride with map-side partial
+    * aggregation, and the result is TakeOrderedAndProject-merged. The
+    * oracle replays the identical polynomial fold per window in SQL
+    * (O(k) there — the oracle buys clarity, the kernel buys speed; the
+    * values are bit-equal in exact int64).
+    */
+  val repeatedSpanWindow = 40
+  val repeatedSpanStride = 4
+  val repeatedSpanMinDocs = 2
+  val repeatedSpanTopK = 20
+
+  def repeatedSubstrings(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(graft.functions.TextFunctions
+        .rollingHashes(col("text"), repeatedSpanWindow, repeatedSpanStride)).as("gram_hash"))
+      .groupBy("gram_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= repeatedSpanMinDocs)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram_hash"))
+      .limit(repeatedSpanTopK)
+
+  lazy val repeatedSubstringsSql: String = {
+    val M = graft.functions.ShingleKernel.RollM
+    val B = graft.functions.ShingleKernel.RollB
+    s"""WITH pos AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(1, len(text) - $repeatedSpanWindow + 2, $repeatedSpanStride)) AS i
+       |  FROM documents WHERE len(text) >= $repeatedSpanWindow),
+       | grams AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(i, i + $repeatedSpanWindow),
+       |                     j -> CAST(ord(text[j]) % 128 AS BIGINT))),
+       |      (acc, c) -> (acc * $B + c) % $M) AS gram_hash
+       |  FROM pos)
+       |SELECT gram_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
+       |  MIN(doc_id) AS first_doc
+       |FROM grams GROUP BY gram_hash HAVING COUNT(DISTINCT doc_id) >= $repeatedSpanMinDocs
+       |ORDER BY n_docs DESC, n_occurrences DESC, gram_hash LIMIT $repeatedSpanTopK""".stripMargin
+  }
+
   /** Universal-hash family for MinHash: one 52-bit md5-derived base hash per
     * shingle, then k cheap linear mixes (base·A_j + B_j mod p). One
     * cryptographic hash instead of k — the standard MinHash construction,
