@@ -198,6 +198,54 @@ object Dedup {
       .where(size(col("mins")) > 0)
       .select(col("doc_id") +: (0 until numHashes).map(j => col("mins")(j).as(s"mh$j")): _*)
 
+  /** LSH parameter-tuning report: for every (bands × rows) split of the
+    * k = [[numHashes]] MinHash signature, the MEASURED candidate-pair
+    * count on this corpus next to the ANALYTIC S-curve detection
+    * probability at the verification threshold (P(candidate | J=τ) =
+    * 1 − (1 − τ^r)^b, τ = 1/2) — the table a pipeline owner reads before
+    * choosing banding at scale: more/narrower bands buy recall with more
+    * candidates (verification cost), fewer/wider bands the reverse. The
+    * probability is a closed-form constant per config (emitted as the
+    * same precomputed literal by both engines); the candidate counts are
+    * data, measured by the same banding join the production path uses.
+    */
+  val lshTuningConfigs: Seq[(Int, Int)] = Seq((6, 1), (3, 2), (2, 3), (1, 6))
+
+  def pDetectX1e6(bands: Int, rowsPerBand: Int): Long =
+    math.round((1.0 - math.pow(1.0 - math.pow(0.5, rowsPerBand), bands)) * 1e6)
+
+  private def lshCandidateCountFor(sig: DataFrame, bands: Int, rowsPerBand: Int): Long = {
+    val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        array((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
+    }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.select(col("doc_id").as("da"), col("band"), col("key"))
+      .join(banded.select(col("doc_id").as("db"), col("band"), col("key")), Seq("band", "key"))
+      .where(col("da") < col("db"))
+      .select("da", "db").distinct().count()
+  }
+
+  def lshTuning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = signaturesOf(Tables.documents(s, d)).localCheckpoint()
+    lshTuningConfigs.map { case (b, r) =>
+      (b, r, lshCandidateCountFor(sig, b, r), pDetectX1e6(b, r))
+    }.toDF("bands", "rows_per_band", "n_candidates", "p_detect_x1e6")
+  }
+
+  lazy val lshTuningSql: String =
+    lshTuningConfigs.map { case (b, r) =>
+      val bandCond = (0 until b).map { band =>
+        (0 until r).map(j => s"a.mh${band * r + j} = b.mh${band * r + j}").mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT DISTINCT a.doc_id, b.doc_id FROM sig a JOIN sig b
+         |     ON a.doc_id < b.doc_id AND ($bandCond))) AS n_candidates,
+         |  CAST(${pDetectX1e6(b, r)} AS BIGINT) AS p_detect_x1e6""".stripMargin
+    }.mkString(s"WITH sig AS (${minhashSignaturesSql})\n", "\nUNION ALL ", "")
+
   /** Banding stage: k-row signature → (doc_id, band, h1, h2) bucket rows. */
   private[operators] def bandsOf(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"), explode(array(

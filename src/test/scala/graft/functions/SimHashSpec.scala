@@ -100,6 +100,27 @@ class SimHashSpec extends SparkSpec {
       s"64-bit pigeonhole diverged from brute force: missing=${(want -- got).take(5)}, extra=${(got -- want).take(5)}")
   }
 
+  test("property: pigeonhole pieces are lossless for hamming <= 2 at BOTH widths") {
+    // pure driver-side sweep of the mathematical claim the join relies on:
+    // flip <= 2 random bits of a random signature; the pair must share at
+    // least one (piece, value) under the width's piece split
+    val rnd = new scala.util.Random(2024)
+    def pieces16(h: Long) = Seq((0, h & 63), (1, (h >> 6) & 31), (2, (h >> 11) & 31))
+    def pieces64(h: Long) = (0 until 4).map(p => (p, (h >> (16 * p)) & 0xffff))
+    (1 to 2000).foreach { _ =>
+      val h16 = rnd.nextLong() & 0xffff
+      val h64 = rnd.nextLong()
+      def flip(h: Long, width: Int): Long =
+        (0 until rnd.nextInt(3)).foldLeft(h)((x, _) => x ^ (1L << rnd.nextInt(width)))
+      val g16 = flip(h16, 16)
+      val g64 = flip(h64, 64)
+      if (java.lang.Long.bitCount(h16 ^ g16) <= 2)
+        assert(pieces16(h16).intersect(pieces16(g16)).nonEmpty, s"16-bit miss: $h16 vs $g16")
+      if (java.lang.Long.bitCount(h64 ^ g64) <= 2)
+        assert(pieces64(h64).intersect(pieces64(g64)).nonEmpty, s"64-bit miss: $h64 vs $g64")
+    }
+  }
+
   test("the simhash query plan has no shuffle (map-only scan projection)") {
     val plan = graft.operators.Dedup.simhashSignatures(spark, sf())
       .queryExecution.executedPlan.toString

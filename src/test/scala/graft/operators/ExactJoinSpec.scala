@@ -67,3 +67,25 @@ class ExactJoinSpec extends SparkSpec {
     }
   }
 }
+
+/** The tuning report must agree with the production banding: its (3, 2)
+  * row IS the production LSH configuration, and the candidate counts must
+  * be monotone along the refinement chain (6,1) ⊇ (3,2) ⊇ (2,3) ⊇ (1,6)
+  * — sharing a wider band implies sharing every sub-band.
+  */
+class LshTuningSpec extends graft.SparkSpec {
+  test("(3,2) row equals the production candidate count; chain is monotone; S-curve sane") {
+    val rows = Dedup.lshTuning(spark, sf())
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Dedup.lshTuningConfigs.toSet)
+    val production = Dedup.lshCandidatePairs(spark, sf()).count()
+    assert(rows((3, 2))._1 == production,
+      s"(3,2) tuning row ${rows((3, 2))._1} != production banding $production")
+    val chain = Seq((6, 1), (3, 2), (2, 3), (1, 6)).map(rows(_)._1)
+    assert(chain == chain.sorted.reverse, s"candidate counts not monotone: $chain")
+    val probs = Seq((6, 1), (3, 2), (2, 3), (1, 6)).map(rows(_)._2)
+    assert(probs == probs.sorted.reverse, s"S-curve not monotone: $probs")
+    assert(probs.head == 984375L, // 1 - (1/2)^6 at (6,1)
+      s"analytic P(candidate | J=1/2) at (6,1) expected 984375, got ${probs.head}")
+  }
+}
