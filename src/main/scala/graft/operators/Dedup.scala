@@ -979,6 +979,35 @@ object Dedup {
        |       ELSE CAST(3 * t.n_triangles AS DOUBLE) / CAST(w.n_wedges AS DOUBLE) END AS clustering_coeff
        |FROM t, w""".stripMargin
 
+  /** Per-SOURCE duplication report: for each ingest source, total docs,
+    * docs sitting in a near-dup cluster, and the dup permille — the
+    * corpus-health view a pipeline owner reads to decide which source to
+    * re-crawl or down-weight (duplication concentrates by provenance, so
+    * per-source attribution is the actionable cut of the funnel). One
+    * left join of the corpus against the (small) cluster assignment and
+    * one grouped aggregate; the rate stays in integer permille so no
+    * float boundary differs across engines.
+    */
+  def dupRateBySource(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(duplicateClusters(s, d).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("cluster_id")).as("n_clustered"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .select(col("source"), col("n_docs"), col("n_clustered"), col("n_clusters"),
+        expr("CAST((n_clustered * 1000) DIV n_docs AS BIGINT)").as("dup_permille"))
+      .orderBy("source")
+
+  lazy val dupRateBySourceSql: String =
+    s"""WITH c AS (${duplicateClustersSql.replace("\n", "\n  ")})
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  COUNT(c.cluster_id) AS n_clustered,
+       |  COUNT(DISTINCT c.cluster_id) AS n_clusters,
+       |  CAST((COUNT(c.cluster_id) * 1000) // COUNT(*) AS BIGINT) AS dup_permille
+       |FROM documents d LEFT JOIN c ON c.id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val duplicateClustersSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b FROM (${jaccardVerifiedPairsSql.replace("\n", "\n  ")})
