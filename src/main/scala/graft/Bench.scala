@@ -101,6 +101,14 @@ object Bench {
     // artifact alone: retry ~ first = the code really costs that much;
     // retry ~ reference = the first sample was an environment episode.
     val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // GRAFT_BENCH_SAMPLES=2: EVERY dim (except one-time *_build memos,
+    // whose second run is a pointer no-op) runs twice back-to-back, both
+    // samples land in the artifact's "samples" block, and the OFFICIAL
+    // value is the per-dim MIN — the committed-record protocol the
+    // round-10 verdict asked for: ±30% single-sample host noise can't be
+    // told from code with one number, so regression tables key off minima.
+    val samplesWanted = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "1").toInt
+    val samples = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     // Store-dim names are excluded from the headline `value` total, which
     // (as in rounds 1-4) covers the query corpus + index builds only.
     val storeDims = scala.collection.mutable.Set[String]()
@@ -115,9 +123,11 @@ object Bench {
       val hs = hostBlock.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val rs = retried.map { case (k, (f, r)) =>
         "\"" + k + "\":{\"first\":" + f + ",\"retry\":" + r + "}" }.mkString("{", ",", "}")
+      val ss = samples.map { case (k, (a, b)) =>
+        "\"" + k + "\":{\"s1\":" + a + ",\"s2\":" + b + "}" }.mkString("{", ",", "}")
       val total = results.collect { case (k, v) if v >= 0 && !storeDims(k) => v }.sum
       val detailJson =
-        s"""{"metric":"total_query_sec","value":$total,"unit":"sec","elapsed_s":$elapsedS,"budget_s":$budgetS,"host":$hs,"retries":$rs,"queries":$qs,"sf":"$sfDir"}"""
+        s"""{"metric":"total_query_sec","value":$total,"unit":"sec","elapsed_s":$elapsedS,"budget_s":$budgetS,"n_samples":$samplesWanted,"host":$hs,"retries":$rs,"samples":$ss,"queries":$qs,"sf":"$sfDir"}"""
       // temp + ATOMIC_MOVE: a hard kill mid-rewrite must never leave a
       // truncated detail file (it is the only evidence a killed run has).
       try {
@@ -176,24 +186,35 @@ object Bench {
         if (elapsedS > cap) -2.0
         else {
           val first = runOnce()
-          // Spike telemetry: a dim >3x its reference record (and above
-          // half a second — sub-100ms dims flap on noise) gets ONE
-          // immediate isolated remeasure; both samples land in the
-          // artifact. The RETRY is the official value: any one-off host
-          // episode lands in `first`, while a genuine code regression
-          // reproduces in the retry (run back-to-back, same JVM, same
-          // warm caches as any second sample would see).
-          // one-time build dims are excluded: their machine-wide memo makes
-          // any retry a pointer-lookup no-op, which would record ~0 and
-          // erase the build's real cost from the artifact
-          val ref = if (name.endsWith("_build")) -1.0 else refQueries.getOrElse(name, -1.0)
-          if (ref > 0 && first > 3 * ref && first > 0.5 && elapsedS <= cap) {
-            val retry = runOnce()
-            retried(name) = (first, retry)
-            System.err.println(
-              f"[bench] $name spiked (${first}%.2fs vs ref ${ref}%.2fs): isolated retry ${retry}%.2fs")
-            if (retry >= 0) retry else first
-          } else first
+          // one-time build dims never remeasure: their machine-wide memo
+          // makes any second run a pointer-lookup no-op, which would
+          // record ~0 and erase the build's real cost from the artifact
+          val isBuild = name.endsWith("_build")
+          if (samplesWanted > 1 && !isBuild && first >= 0 && elapsedS <= cap) {
+            // committed-record mode: unconditional second sample, official
+            // value = MIN (the consistent policy — a warm second sample is
+            // never silently promoted only for spiked dims; every dim gets
+            // the same treatment and both numbers are in the artifact)
+            val second = runOnce()
+            samples(name) = (first, second)
+            if (second >= 0) math.min(first, second) else first
+          } else {
+            // Spike telemetry (single-sample mode): a dim >3x its reference
+            // record (and above half a second — sub-100ms dims flap on
+            // noise) gets ONE immediate isolated remeasure; both samples
+            // land in the artifact and the official value is their MIN —
+            // same min-of-samples policy as GRAFT_BENCH_SAMPLES=2, so
+            // retried dims are no longer systematically warmer than their
+            // committed reference (round-10 ADVICE).
+            val ref = if (isBuild) -1.0 else refQueries.getOrElse(name, -1.0)
+            if (ref > 0 && first > 3 * ref && first > 0.5 && elapsedS <= cap) {
+              val retry = runOnce()
+              retried(name) = (first, retry)
+              System.err.println(
+                f"[bench] $name spiked (${first}%.2fs vs ref ${ref}%.2fs): isolated retry ${retry}%.2fs")
+              if (retry >= 0) math.min(first, retry) else first
+            } else first
+          }
         }
       writeDetail()
     }
@@ -231,13 +252,30 @@ object Bench {
     // still record them. Each dim that depends on a prior dim's object
     // fails (-1.0) rather than crashing if that prior dim was skipped.
     import spark.implicits._
+    // Append dims can run TWICE (samples mode / spike retry); each run
+    // builds a fresh store, so the previous run's temp dir is deleted
+    // first — a remeasured append must not leak its first store to disk.
+    val dimRoots = scala.collection.mutable.Map[String, String]()
+    def freshRoot(dimName: String, prefix: String): String = {
+      dimRoots.remove(dimName).foreach { old =>
+        try {
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(old))
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally walk.close()
+        } catch { case _: Throwable => () }
+      }
+      val root = java.nio.file.Files.createTempDirectory(prefix).toString
+      dimRoots(dimName) = root
+      root
+    }
     if (!headlineOnly) {
     var store: graft.core.VectorStore[BenchRec] = null
     var cached: graft.core.ReadCachedStore[BenchRec] = null
     val rnd = new scala.util.Random(42)
     val coldIds = Vector.fill(50)(rnd.nextInt(100000).toLong)
     dim("store_bulk_append_100k", store = true) {
-      val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      val root = freshRoot("store_bulk_append_100k", "graft-bench")
       store = graft.core.VectorStore.create[BenchRec](spark, root)
       val rows = (0 until 100000).map(i => BenchRec(s"user${i % 97}", i.toLong, s"payload-$i-${"x" * 40}"))
       store.pushx(rows)
@@ -288,7 +326,7 @@ object Bench {
       System.err.println(s"[bench] degraded host (100k append ${probeS}s): 1M dims scaled to 100k")
     var store1m: graft.core.VectorStore[BenchRec] = null
     dim(s"store_bulk_append_1m$tag1m", store = true) {
-      val root1m = java.nio.file.Files.createTempDirectory("graft-bench-1m").toString
+      val root1m = freshRoot("store_bulk_append_1m", "graft-bench-1m")
       store1m = graft.core.VectorStore.create[BenchRec](spark, root1m)
       val rows1m = (0 until n1m).map(i => BenchRec(s"user${i % 97}", i.toLong, s"payload-$i-${"x" * 40}"))
       store1m.pushx(rows1m)
@@ -301,7 +339,7 @@ object Bench {
     // growing list field — vector_performance_test.rs:8,67-98)
     var storeArr: graft.core.VectorStore[ArrayRec] = null
     dim("store_array_rows_10k_append", store = true) {
-      val rootArr = java.nio.file.Files.createTempDirectory("graft-bench-arr").toString
+      val rootArr = freshRoot("store_array_rows_10k_append", "graft-bench-arr")
       storeArr = graft.core.VectorStore.create[ArrayRec](spark, rootArr)
       val arrRows = (0 until 10000).map(i => ArrayRec(i.toLong, (0L to (i % 100).toLong)))
       storeArr.pushx(arrRows)
@@ -310,7 +348,7 @@ object Bench {
     // static-layout 1M (reference static_vector_manage_service 1M bench)
     var storeFix: graft.core.VectorStore[FixedRec] = null
     dim(s"store_static_append_1m$tag1m", store = true) {
-      val rootFix = java.nio.file.Files.createTempDirectory("graft-bench-fix").toString
+      val rootFix = freshRoot("store_static_append_1m", "graft-bench-fix")
       storeFix = graft.core.VectorStore.create[FixedRec](spark, rootFix)
       val fixRows = (0 until n1m).map(i => FixedRec(i.toLong, i * 2L, i * 0.5, (i & 1) == 0))
       storeFix.pushx(fixRows)
@@ -335,6 +373,8 @@ object Bench {
       "dedup_exact_jaccard_join",
       "dedup_simhash_pairs", "dedup_report", "embedding_dup_clusters", "dedup_normalized_exact",
       "ann_ivf_index_search_trained", "dedup_report_streamed", "dedup_repeated_spans",
+      "dedup_lsh_tuning", "dedup_simhash_pairs_wide", "dedup_delta_candidates",
+      "dedup_lsh_candidates_k12", "dedup_cluster_stats_by_source", "dedup_rate_by_source",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
       "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
       "store_point_reads_1k_cached", "store_concurrent_10x100_reads",

@@ -189,62 +189,82 @@ object Dedup {
     * query-time pipeline and the persisted [[LshIndex]].
     */
   private[operators] def signaturesOf(docs: DataFrame): DataFrame =
+    signaturesOfK(docs, numHashes)
+
+  /** Signatures at an ARBITRARY k — the MinHash family is parameterized
+    * over (k, bands, rowsPerBand), not shape-locked to the k = 6
+    * production default: production-scale dedup runs k = 64-128, and the
+    * `dedup_lsh_candidates_k12` face + the tuning sweep exercise a second
+    * config end-to-end. The mix coefficients (37 + 101j) keep
+    * base·A_j < 2⁶³ for every j ≤ 19, so exact-int64 arithmetic holds at
+    * any supported k.
+    */
+  private[operators] def signaturesOfK(docs: DataFrame, k: Int): DataFrame =
     // Native codegen'd kernel (graft.functions.MinHashSig): one tight loop
     // per row for split → shingle → md5 → k mixed minima. The declarative
     // HOF pipeline computes the same values ~20× slower (interpreted lambda
     // evaluation per array element); semantics and oracle SQL unchanged.
     docs
-      .withColumn("mins", graft.functions.TextFunctions.minhashSig(col("text"), numHashes))
+      .withColumn("mins", graft.functions.TextFunctions.minhashSig(col("text"), k))
       .where(size(col("mins")) > 0)
-      .select(col("doc_id") +: (0 until numHashes).map(j => col("mins")(j).as(s"mh$j")): _*)
+      .select(col("doc_id") +: (0 until k).map(j => col("mins")(j).as(s"mh$j")): _*)
 
-  /** LSH parameter-tuning report: for every (bands × rows) split of the
-    * k = [[numHashes]] MinHash signature, the MEASURED candidate-pair
-    * count on this corpus next to the ANALYTIC S-curve detection
-    * probability at the verification threshold (P(candidate | J=τ) =
-    * 1 − (1 − τ^r)^b, τ = 1/2) — the table a pipeline owner reads before
-    * choosing banding at scale: more/narrower bands buy recall with more
-    * candidates (verification cost), fewer/wider bands the reverse. The
-    * probability is a closed-form constant per config (emitted as the
-    * same precomputed literal by both engines); the candidate counts are
-    * data, measured by the same banding join the production path uses.
+  /** Banding at arbitrary (bands, rowsPerBand) with r-wide ARRAY bucket
+    * keys — variable arity without touching the persisted [[LshIndex]]'s
+    * fixed (band, h1, h2) schema.
     */
-  val lshTuningConfigs: Seq[(Int, Int)] = Seq((6, 1), (3, 2), (2, 3), (1, 6))
+  private[operators] def bandsOfK(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        array((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("bkey"))
+    }: _*)).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+
+  /** LSH parameter-tuning report: for every (k, bands, rowsPerBand)
+    * config — the splits of the k = [[numHashes]] production signature
+    * PLUS a second signature width (k = 12, the proof the family is
+    * parameterized, not shape-locked to the gate default) — the MEASURED
+    * candidate-pair count on this corpus next to the ANALYTIC S-curve
+    * detection probability at the verification threshold
+    * (P(candidate | J=τ) = 1 − (1 − τ^r)^b, τ = 1/2) — the table a
+    * pipeline owner reads before choosing banding at scale: more/narrower
+    * bands buy recall with more candidates (verification cost),
+    * fewer/wider bands the reverse. The probability is a closed-form
+    * constant per config (emitted as the same precomputed literal by both
+    * engines); the candidate counts are data, measured through
+    * [[pairsFromBucketedRows]] — the SAME hybrid kernel the production
+    * path runs, so the report prices exactly what production would pay.
+    */
+  val lshTuningConfigs: Seq[(Int, Int, Int)] =
+    Seq((6, 6, 1), (6, 3, 2), (6, 2, 3), (6, 1, 6), (12, 4, 3))
 
   def pDetectX1e6(bands: Int, rowsPerBand: Int): Long =
     math.round((1.0 - math.pow(1.0 - math.pow(0.5, rowsPerBand), bands)) * 1e6)
 
-  private def lshCandidateCountFor(sig: DataFrame, bands: Int, rowsPerBand: Int): Long = {
-    val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        array((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
-    }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.select(col("doc_id").as("da"), col("band"), col("key"))
-      .join(banded.select(col("doc_id").as("db"), col("band"), col("key")), Seq("band", "key"))
-      .where(col("da") < col("db"))
-      .select("da", "db").distinct().count()
-  }
+  private def lshCandidateCountFor(sig: DataFrame, bands: Int, rowsPerBand: Int): Long =
+    pairsFromBucketedRows(bandsOfK(sig, bands, rowsPerBand),
+      Seq("band", "bkey"), bucketExpandCap).count()
 
   def lshTuning(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sig = signaturesOf(Tables.documents(s, d)).localCheckpoint()
-    lshTuningConfigs.map { case (b, r) =>
-      (b, r, lshCandidateCountFor(sig, b, r), pDetectX1e6(b, r))
-    }.toDF("bands", "rows_per_band", "n_candidates", "p_detect_x1e6")
+    val sigs = lshTuningConfigs.map(_._1).distinct
+      .map(k => k -> signaturesOfK(Tables.documents(s, d), k).localCheckpoint()).toMap
+    lshTuningConfigs.map { case (k, b, r) =>
+      (k, b, r, lshCandidateCountFor(sigs(k), b, r), pDetectX1e6(b, r))
+    }.toDF("k", "bands", "rows_per_band", "n_candidates", "p_detect_x1e6")
   }
 
   lazy val lshTuningSql: String =
-    lshTuningConfigs.map { case (b, r) =>
+    lshTuningConfigs.map { case (k, b, r) =>
       val bandCond = (0 until b).map { band =>
         (0 until r).map(j => s"a.mh${band * r + j} = b.mh${band * r + j}").mkString("(", " AND ", ")")
       }.mkString(" OR ")
-      s"""SELECT $b AS bands, $r AS rows_per_band,
+      s"""SELECT $k AS k, $b AS bands, $r AS rows_per_band,
          |  (SELECT COUNT(*) FROM (
-         |     SELECT DISTINCT a.doc_id, b.doc_id FROM sig a JOIN sig b
+         |     SELECT DISTINCT a.doc_id, b.doc_id
+         |     FROM (${minhashSignaturesSqlK(k)}) a JOIN (${minhashSignaturesSqlK(k)}) b
          |     ON a.doc_id < b.doc_id AND ($bandCond))) AS n_candidates,
          |  CAST(${pDetectX1e6(b, r)} AS BIGINT) AS p_detect_x1e6""".stripMargin
-    }.mkString(s"WITH sig AS (${minhashSignaturesSql})\n", "\nUNION ALL ", "")
+    }.mkString("", "\nUNION ALL ", "")
 
   /** Banding stage: k-row signature → (doc_id, band, h1, h2) bucket rows. */
   private[operators] def bandsOf(sig: DataFrame): DataFrame =
@@ -253,24 +273,62 @@ object Dedup {
         struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))): _*
     )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.h1"), col("bb.h2"))
 
-  /** Pair stage: ONE aggregation on the bucket key with in-bucket ordered
-    * pair expansion (see [[lshCandidatePairs]] for why not a self-join).
+  /** Bucket-occupancy cap for in-row pair expansion: buckets at or below
+    * it expand inside their aggregation row (the measured-4×-cheaper form
+    * for LSH-typical occupancies of a handful of docs); buckets ABOVE it
+    * are routed through a per-pair-row self-join, where a hot bucket costs
+    * streamed join-task time instead of materializing B²/2 pair structs in
+    * ONE row of ONE task. The cap bounds in-row work at cap²/2 ≈ 32k
+    * structs — far below any task-killing size — while a dup-heavy corpus
+    * (10⁵ copies of one boilerplate page, the classic web-crawl pathology)
+    * flows through the join form that survives it.
     */
-  private[operators] def pairsFromBands(bands: DataFrame): DataFrame =
-    bands
-      .groupBy("band", "h1", "h2")
+  val bucketExpandCap = 256
+
+  /** Occupancy-capped hybrid pair expansion over (keyCols..., doc_id)
+    * bucket rows — the shared kernel of the MinHash band join and the
+    * generalized (k, b, r) banding. ONE aggregation on the bucket key (the
+    * signature/banding chain upstream executes exactly once); the
+    * checkpoint materializes the SLIM bucket rows (≈ one array slot per
+    * band row — orders of magnitude smaller than the corpus) so the two
+    * occupancy branches read materialized rows instead of re-running the
+    * chain per branch.
+    */
+  private[operators] def pairsFromBucketedRows(rows: DataFrame, keyCols: Seq[String],
+                                               cap: Int): DataFrame = {
+    val key = keyCols.map(col)
+    val buckets = rows
+      .groupBy(key: _*)
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .where(size(col("ids")) > 1)
+      .localCheckpoint()
+    val coldPairs = buckets.where(size(col("ids")) <= cap)
       .select(explode(expr(
         // all ordered pairs (ids[i], ids[j]) with i < j from the sorted bucket
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin
       )).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    val hotRows = buckets.where(size(col("ids")) > cap)
+      .select(key :+ explode(col("ids")).as("doc_id"): _*)
+    val hotPairs = hotRows.withColumnRenamed("doc_id", "doc_a")
+      .join(hotRows.withColumnRenamed("doc_id", "doc_b"), keyCols)
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    coldPairs.unionAll(hotPairs).distinct()
+  }
 
-  val minhashSignaturesSql: String = {
-    val mins = (0 until numHashes)
+  /** Pair stage: the hybrid kernel on the (band, h1, h2) bucket key (see
+    * [[lshCandidatePairs]] for why not a plain row self-join).
+    */
+  private[operators] def pairsFromBands(bands: DataFrame): DataFrame =
+    pairsFromBands(bands, bucketExpandCap)
+
+  private[operators] def pairsFromBands(bands: DataFrame, cap: Int): DataFrame =
+    pairsFromBucketedRows(bands, Seq("band", "h1", "h2"), cap)
+
+  private def minhashSignaturesSqlK(k: Int): String = {
+    val mins = (0 until k)
       .map(j => s"list_min(list_transform(hs, h -> (h * ${mixA(j)} + ${mixB(j)}) % ${mixP})) AS mh$j")
       .mkString(",\n ")
     s"""SELECT doc_id,
@@ -282,15 +340,48 @@ object Dedup {
        |      WHERE len(shingles) > 0)""".stripMargin
   }
 
+  val minhashSignaturesSql: String = minhashSignaturesSqlK(numHashes)
+
+  /** Second-config LSH candidates (k = 12, 4 bands × 3 rows): the declared
+    * proof that signatures, banding, the hybrid pair kernel and the oracle
+    * generation all generalize over (k, b, r) — production MinHash dedup
+    * runs k = 64-128, and nothing here is wired to the k = 6 default
+    * beyond the one constant. Wider bands (r = 3) trade recall
+    * (P(cand|J=½) ≈ 41% vs 58% for (3,2)) for a sharper S-curve — fewer
+    * accidental candidates per true near-dup at scale.
+    */
+  val lshK12 = 12
+  val lshB12 = 4
+  val lshR12 = 3
+
+  def lshCandidatePairsK12(s: SparkSession, d: String): DataFrame =
+    pairsFromBucketedRows(
+      bandsOfK(signaturesOfK(Tables.documents(s, d), lshK12), lshB12, lshR12),
+      Seq("band", "bkey"), bucketExpandCap)
+
+  lazy val lshCandidatePairsK12Sql: String = {
+    val bandCond = (0 until lshB12).map { band =>
+      (0 until lshR12).map(j => s"a.mh${band * lshR12 + j} = b.mh${band * lshR12 + j}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH sig AS (${minhashSignaturesSqlK(lshK12)})
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM sig a JOIN sig b
+       |  ON a.doc_id < b.doc_id AND ($bandCond)""".stripMargin
+  }
+
   /** LSH candidate pairs: band the k-row signature into bands of 2 rows;
     * docs sharing any band bucket become a candidate pair.
     *
-    * Executed as ONE aggregation on the bucket key (band, h1, h2) with
-    * in-bucket pair expansion — not a self-join: a self-join would recompute
-    * the whole MinHash pipeline for both sides (2× the dominant cost at any
-    * scale) and shuffle the signature table twice. Here signatures are
-    * computed once, shuffled once, and the quadratic work is contained to
-    * bucket occupancy (the LSH guarantee). Measured 4× faster at sf0.1.
+    * Executed as ONE aggregation on the bucket key (band, h1, h2) — not a
+    * plain row self-join: a self-join on the un-aggregated band rows would
+    * recompute the whole MinHash pipeline for both sides (2× the dominant
+    * cost at any scale) and shuffle the signature table twice. Here
+    * signatures are computed once, shuffled once, and pair expansion is the
+    * occupancy-capped hybrid ([[pairsFromBucketedRows]]): in-row below
+    * [[bucketExpandCap]] (measured 4× faster than a self-join at sf0.1 on
+    * LSH-typical occupancy), per-pair-row join above it so a dup-heavy hot
+    * bucket can never blow up a single task.
     */
   def lshCandidatePairs(s: SparkSession, d: String): DataFrame =
     pairsFromBands(bandsOf(minhashSignatures(s, d)))
@@ -340,6 +431,49 @@ object Dedup {
   // lazy: lshCandidatePairsSql is declared later in this object, and a
   // strict val here would read it before initialization (null)
   lazy val lshIndexCandidatesSql: String = lshCandidatePairsSql
+
+  /** INCREMENTAL near-dup maintenance — the production delta query for
+    * continuous ingest: candidate pairs TOUCHING THE NEW BATCH only, via
+    * index-vs-delta banding. At 100 TB you never re-run the full pair join
+    * per corpus drop (the reference's entire write path is incremental
+    * append, src/cache/writable_cache.rs:78-95); per drop you join the
+    * delta's band rows against the full persisted index and verify only
+    * those pairs. Both sides here read STORED band rows from the
+    * [[LshIndex]] — the plan touches no document text at all (no
+    * re-shingling of anything, old or new; DeltaCandidatesSpec pins the
+    * scan set), and the delta side is the appended doc_id span of the
+    * two-stage build. delta×all covers delta-delta and delta-old pairs
+    * exactly once after least/greatest canonicalization; old-old pairs —
+    * the ones a full recompute would redundantly re-emit every drop —
+    * never form. Oracle: the FULL recompute from raw text, filtered to
+    * pairs with ≥ 1 delta doc — a green row is the proof the delta path
+    * loses nothing against rerunning everything.
+    */
+  def deltaCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val idx = documentsLshIndex(s, d)
+    val cutoff = deltaCutoff(s, d)
+    val all = idx.bands
+    val delta = all.where(col("doc_id") > cutoff)
+    delta.select(col("doc_id").as("da"), col("band"), col("h1"), col("h2"))
+      .join(all.select(col("doc_id").as("db"), col("band"), col("h1"), col("h2")),
+        Seq("band", "h1", "h2"))
+      .where(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .distinct()
+  }
+
+  /** The two-stage build's append boundary (max doc_id / 2 — the same rule
+    * [[documentsLshIndex]] splits on): docs above it are the "new batch".
+    */
+  private def deltaCutoff(s: SparkSession, d: String): Long =
+    Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0) / 2
+
+  lazy val deltaCandidatePairsSql: String =
+    s"""WITH full_pairs AS (${lshCandidatePairsSql.replace("\n", "\n  ")}),
+       | cut AS (SELECT MAX(doc_id) // 2 AS c FROM documents)
+       |SELECT doc_a, doc_b FROM full_pairs
+       |WHERE doc_a > (SELECT c FROM cut) OR doc_b > (SELECT c FROM cut)""".stripMargin
 
   val lshCandidatePairsSql: String = {
     val bandRows = (0 until numHashes / 2)
@@ -548,22 +682,30 @@ object Dedup {
   // listeners onto the SparkContext.
   private val evictionListenerRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def verifiedPairsCached(s: SparkSession, d: String): DataFrame = {
-    // Keyed by GraftSession.sessionId (never recycled, unlike
-    // identityHashCode) so a later session can never be handed a
-    // checkpointed frame whose SparkContext has died; the listener evicts
-    // this session's entries when the context stops, so the map doesn't
-    // accumulate dead frames across sessions in one JVM.
+  /** Keyed by GraftSession.sessionId (never recycled, unlike
+    * identityHashCode) so a later session can never be handed a
+    * checkpointed frame whose SparkContext has died; the listener evicts
+    * this session's entries (pair graphs AND doc counts) when the context
+    * stops, so the maps don't accumulate dead state across sessions in one
+    * JVM.
+    */
+  private def ensureEvictionListener(s: SparkSession): Long = {
     val sid = graft.core.GraftSession.sessionId(s)
     if (evictionListenerRegistered.add(sid.toString)) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           verifiedPairsCache.keySet.removeIf(_.startsWith(sid + ":"))
+          docCountCache.keySet.removeIf(_.startsWith(sid + ":"))
           evictionListenerRegistered.remove(sid.toString)
         }
       })
     }
+    sid
+  }
+
+  private def verifiedPairsCached(s: SparkSession, d: String): DataFrame = {
+    val sid = ensureEvictionListener(s)
     verifiedPairsCache.computeIfAbsent(sid + ":" + d, _ =>
       jaccardVerifiedPairs(s, d).select("doc_a", "doc_b").localCheckpoint())
   }
@@ -779,10 +921,12 @@ object Dedup {
     *
     * Scale shape: shingle-frequency table (one agg) → per-doc sort by
     * (freq, hash) → prefix explode (≈half the shingle stream) → one
-    * bucket shuffle + in-bucket ordered pair expansion (the
-    * [[pairsFromBands]] idiom — never a row self-join) → verification
-    * sized to candidates. Quadratic work is confined to prefix-bucket
-    * occupancy, never |docs|².
+    * bucket shuffle + the occupancy-capped hybrid pair expansion (the
+    * [[pairsFromBucketedRows]] idiom: in-row below [[bucketExpandCap]],
+    * per-pair-row join for dup-heavy hot buckets) → verification sized to
+    * candidates. Quadratic work is confined to prefix-bucket occupancy,
+    * never |docs|², and no single task ever materializes a hot bucket's
+    * full pair set.
     *
     * The ORACLE is the brute-force O(n²) all-pairs join — tractable only
     * at gate scale, which is exactly the point: the hash match proves the
@@ -839,7 +983,12 @@ object Dedup {
     * ScaleProbe can report the measured candidate-count drop.
     */
   private[operators] def exactJaccardCandidatesOf(docs: DataFrame,
-                                                  ppFilters: Boolean): DataFrame = {
+                                                  ppFilters: Boolean): DataFrame =
+    exactJaccardCandidatesOf(docs, ppFilters, bucketExpandCap)
+
+  private[operators] def exactJaccardCandidatesOf(docs: DataFrame,
+                                                  ppFilters: Boolean,
+                                                  cap: Int): DataFrame = {
     val freq = docs.select(explode(col("sh")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("cnt"))
     val sorted = docs.select(col("doc_id"), explode(col("sh")).as("g"))
@@ -856,11 +1005,18 @@ object Dedup {
     // struct sort is lexicographic on the leading field, so collecting
     // (doc_id, n, pos) structs preserves the canonical doc_a < doc_b
     // expansion order while carrying each side's size and the element's
-    // sorted position into the pair.
-    val pairs = prefixes
+    // sorted position into the pair. Same occupancy-capped hybrid as
+    // [[pairsFromBucketedRows]]: in-row expansion below `cap`, per-pair-row
+    // join above it (a dup-heavy corpus puts every copy's prefix in the
+    // same shingle buckets — the hot-bucket shape that must never build
+    // B²/2 structs in one row), with the checkpoint materializing the slim
+    // bucket rows once so neither branch re-runs the prefix chain.
+    val buckets = prefixes
       .groupBy("g")
       .agg(sort_array(collect_set(struct(col("doc_id"), col("n"), col("pos")))).as("ids"))
       .where(size(col("ids")) > 1)
+      .localCheckpoint()
+    val coldPairs = buckets.where(size(col("ids")) <= cap)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y ->
@@ -868,6 +1024,19 @@ object Dedup {
           |           least(x.pos, y.pos) + least(x.n - x.pos, y.n - y.pos) AS ub))))""".stripMargin
       )).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"), col("p.ub"))
+    val hotRows = buckets.where(size(col("ids")) > cap)
+      .select(col("g"), explode(col("ids")).as("x"))
+      .select(col("g"), col("x.doc_id").as("doc_id"), col("x.n").as("n"), col("x.pos").as("pos"))
+    val hotPairs = hotRows
+      .select(col("g"), col("doc_id").as("doc_a"), col("n").as("na"), col("pos").as("pa"))
+      .join(hotRows
+        .select(col("g"), col("doc_id").as("doc_b"), col("n").as("nb"), col("pos").as("pb")),
+        Seq("g"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        (least(col("pa"), col("pb")) +
+          least(col("na") - col("pa"), col("nb") - col("pb"))).as("ub"))
+    val pairs = coldPairs.unionAll(hotPairs)
     if (!ppFilters)
       pairs.select(col("doc_a"), col("doc_b")).distinct()
     else
@@ -899,6 +1068,19 @@ object Dedup {
     exactJaccardCandidatesOf(docs, ppFilters = false).count(),
     exactJaccardCandidatesOf(docs, ppFilters = true).count(),
     exactJaccardJoinOf(docs).count())
+
+  /** Dup-heavy hot-bucket probe entries (ScaleProbe `dup_heavy` section):
+    * the band-row stream over an arbitrary (doc_id, text) frame, and pair
+    * counts through the MinHash band / PPJoin prefix paths at an EXPLICIT
+    * occupancy cap — `Int.MaxValue` replays the unconditional in-row form
+    * so its degradation under copy-heavy skew is measurable against the
+    * hybrid default.
+    */
+  def bandRowsOf(docs: DataFrame): DataFrame = bandsOf(signaturesOf(docs))
+  def bandPairsCount(bands: DataFrame, cap: Int): Long =
+    pairsFromBands(bands, cap).count()
+  def ppjoinCandidatesCount(docs: DataFrame, cap: Int): Long =
+    exactJaccardCandidatesOf(docs, ppFilters = true, cap = cap).count()
 
   /** The candidate pair frame itself, for probes asserting structural
     * properties (ScaleCorpusSpec: no cross-replica pairs).
@@ -1007,6 +1189,39 @@ object Dedup {
        |  CAST((COUNT(c.cluster_id) * 1000) // COUNT(*) AS BIGINT) AS dup_permille
        |FROM documents d LEFT JOIN c ON c.id = d.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** Per-source CLUSTER-SIZE attribution — the boilerplate detector on top
+    * of [[dupRateBySource]]'s rate: for each source, the distribution of
+    * its per-cluster member counts (how many of this source's docs sit in
+    * each near-dup cluster). A source whose max/p99 dwarf its median is
+    * shipping one templated page thousands of times — re-crawl or
+    * down-weight THAT, not the whole source. One grouped count over the
+    * shared cluster assignment + one per-source aggregate; the p99 is an
+    * EXACT order statistic at integer rank ⌈0.99·n⌉ = (99·(n+1)) div 100
+    * (both engines index the same sorted list — no interpolation, no float
+    * boundary).
+    */
+  def clusterStatsBySource(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(duplicateClusters(s, d).withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .groupBy("source", "cluster_id")
+      .agg(count(lit(1)).as("m"))
+    m.groupBy("source")
+      .agg(count(lit(1)).as("n_clusters"),
+        max(col("m")).as("max_cluster_docs"),
+        expr("element_at(array_sort(collect_list(m)), " +
+          "CAST((count(*) * 99 + 99) DIV 100 AS INT))").as("p99_cluster_docs"))
+      .orderBy("source")
+  }
+
+  lazy val clusterStatsBySourceSql: String =
+    s"""WITH c AS (${duplicateClustersSql.replace("\n", "\n  ")}),
+       | m AS (SELECT d.source, c.cluster_id, COUNT(*) AS m
+       |       FROM documents d JOIN c ON c.id = d.doc_id
+       |       GROUP BY d.source, c.cluster_id)
+       |SELECT source, COUNT(*) AS n_clusters, MAX(m) AS max_cluster_docs,
+       |  list_sort(list(m))[CAST((COUNT(*) * 99 + 99) // 100 AS INT)] AS p99_cluster_docs
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
   val duplicateClustersSql: String =
     s"""WITH RECURSIVE pairs AS (
@@ -1168,8 +1383,11 @@ object Dedup {
     * DISTRIBUTED self-join of the exploded pieces on (pc, pv): each
     * candidate is its own row in a shuffled hash join, so a hot bucket
     * costs join-task time, never a single `collect_set` row holding the
-    * whole bucket — the same per-pair-row discipline as the MinHash band
-    * join. Hamming verification is one codegen'd `bit_count(a ^ b)`.
+    * whole bucket — the discipline [[pairsFromBucketedRows]] applies to
+    * the MinHash band join's over-cap buckets (here every bucket takes
+    * the join form: piece values are near-uniform, so there is no
+    * LSH-style tiny-bucket majority for the in-row fast path to win on).
+    * Hamming verification is one codegen'd `bit_count(a ^ b)`.
     *
     * Signature WIDTH scales with the corpus ([[simhashBitsFor]], the
     * `cellsFor` discipline): at or below [[simhashWideThreshold]] docs the
@@ -1196,10 +1414,16 @@ object Dedup {
 
   def simhashBitsFor(n: Long): Int = if (n <= simhashWideThreshold) 16 else 64
 
-  private val docCountCache =
+  // Keyed by (session, dataset dir) and evicted with verifiedPairsCache's
+  // application-end listener — the same lifecycle discipline as the other
+  // per-dataset memos, so a regenerated dataset read by a NEW session can
+  // never pick up a stale count (and with it a stale signature width).
+  private[operators] val docCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def documentCount(s: SparkSession, d: String): Long =
-    docCountCache.computeIfAbsent(d, _ => Tables.documents(s, d).count())
+  private def documentCount(s: SparkSession, d: String): Long = {
+    val sid = ensureEvictionListener(s)
+    docCountCache.computeIfAbsent(sid + ":" + d, _ => Tables.documents(s, d).count())
+  }
 
   /** 64-bit twin of [[simhashSignatures]] — same map-only kernel shape. */
   private[graft] def simhashSignatures64(s: SparkSession, d: String): DataFrame =
@@ -1261,6 +1485,15 @@ object Dedup {
     simhashNearDupPairsWith(sig, bits)
   }
 
+  /** Declared WIDE face: forces the 64-bit signature regardless of corpus
+    * size — the code path every production-scale corpus takes through
+    * [[simhashNearDupPairs]], here pinned by its own DuckDB oracle
+    * ([[simhashNearDupPairsWideSql]] replays the 64-bit signature exactly)
+    * instead of only by SimHashSpec's in-test brute force.
+    */
+  def simhashNearDupPairsWide(s: SparkSession, d: String): DataFrame =
+    simhashNearDupPairsWith(simhashSignatures64(s, d), 64)
+
   /** The retired `collect_set`→flatten in-bucket expansion, kept ONLY for
     * SimHashPairsSpec's pair-for-pair equivalence pin against the join
     * form. Scale hazard: one row holds an entire bucket and the quadratic
@@ -1313,4 +1546,71 @@ object Dedup {
        |  FROM h GROUP BY doc_id)
        |SELECT doc_id, CAST(${combine} AS BIGINT) AS simhash FROM bits""".stripMargin
   }
+
+  /** 64-bit signature SQL twin: votes drawn from md5(token||'|99')'s first
+    * 16 hex nibbles read as TWO exact-int64 halves — hi = nibbles 1-8 =
+    * signature bits 63..32, lo = nibbles 9-16 = bits 31..0, mirroring
+    * [[graft.functions.ShingleKernel.tokenHash99Wide]]'s big-endian byte
+    * read without ever parsing a 64-bit hex value a signed BIGINT can't
+    * hold. The bit-63 term (−2⁶³ when set) is added LAST so every partial
+    * sum of the combine stays inside signed-int64 range (positive terms
+    * bound at 2⁶³−1); the final value is the two's-complement
+    * reinterpretation the Scala kernel produces. Replays
+    * [[graft.functions.SimHash64]] bit-for-bit.
+    */
+  val simhashSignatures64Sql: String = {
+    val sums = (0 until 64).map { b =>
+      val src = if (b < 32) s"(lo >> $b)" else s"(hi >> ${b - 32})"
+      s"SUM(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n  ")
+    val combine = ((0 until 63).map(b =>
+      s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)") :+
+      "(CASE WHEN b63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       | h AS (SELECT doc_id,
+       |   ('0x' || substr(md5(t || '|99'), 1, 8))::BIGINT AS hi,
+       |   ('0x' || substr(md5(t || '|99'), 9, 8))::BIGINT AS lo
+       |  FROM tok),
+       | bits AS (SELECT doc_id,
+       |  ${sums}
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST(${combine} AS BIGINT) AS simhash FROM bits""".stripMargin
+  }
+
+  /** Oracle for [[simhashNearDupPairsWide]]: 4×16-bit pigeonhole pieces +
+    * hamming over the 64-bit signature. `>>` fill bits differ across
+    * engines on negative signatures but are masked off by `& 65535`
+    * (bits 16p..16p+15 of the original are all that survive); `bit_count`/
+    * `xor` operate on the two's-complement pattern in both engines.
+    */
+  lazy val simhashNearDupPairsWideSql: String =
+    s"""WITH s AS (${simhashSignatures64Sql.replace("\n", "\n  ")}),
+       | pieces AS (
+       |  SELECT doc_id, 0 AS pc, simhash & 65535 AS pv FROM s
+       |  UNION ALL SELECT doc_id, 1, (simhash >> 16) & 65535 FROM s
+       |  UNION ALL SELECT doc_id, 2, (simhash >> 32) & 65535 FROM s
+       |  UNION ALL SELECT doc_id, 3, (simhash >> 48) & 65535 FROM s),
+       | cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pieces a JOIN pieces b ON a.pc = b.pc AND a.pv = b.pv AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+       |FROM cand c JOIN s sa ON sa.doc_id = c.doc_a JOIN s sb ON sb.doc_id = c.doc_b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $simhashHammingMax""".stripMargin
+
+  /** Width-ADAPTIVE oracle for [[simhashNearDupPairs]]: applies the SAME
+    * `simhashBitsFor` rule as the engine — the oracle counts the corpus
+    * and replays the 16-bit pipeline at or below [[simhashWideThreshold]]
+    * docs, the 64-bit pipeline above it. A gate corpus of ANY size now
+    * hash-matches by construction; the width switch can never desynchronize
+    * the two engines.
+    */
+  lazy val simhashNearDupPairsAdaptiveSql: String =
+    s"""WITH nn AS (SELECT COUNT(*) AS c FROM documents)
+       |SELECT * FROM (${simhashNearDupPairsSql.replace("\n", "\n  ")})
+       |WHERE (SELECT c FROM nn) <= $simhashWideThreshold
+       |UNION ALL
+       |SELECT * FROM (${simhashNearDupPairsWideSql.replace("\n", "\n  ")})
+       |WHERE (SELECT c FROM nn) > $simhashWideThreshold""".stripMargin
 }

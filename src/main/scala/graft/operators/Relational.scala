@@ -608,19 +608,39 @@ object Relational {
     * names mean no live collision, but they also mean nobody ever dropped
     * a dead JVM's layout, so a shared warehouse grew without bound. A dir
     * is reclaimed only if its name is ours-shaped but not OUR token and it
-    * hasn't been touched for 6h — a live concurrent JVM's tables are
-    * always younger than that (they're written at session build). Any
-    * failure is swallowed: sweeping is hygiene, never correctness.
+    * hasn't been touched for 24h. Liveness is a HEARTBEAT, not a build
+    * stamp: [[touchBucketedDirs]] advances the dirs' mtime on every
+    * memoized lookup, so a concurrent JVM's in-use tables stay young no
+    * matter how long that session lives (mtime-at-build alone would let a
+    * >24h-uptime neighbor lose live tables). Any failure is swallowed:
+    * sweeping is hygiene, never correctness.
     */
+  private def warehousePath(s: SparkSession): java.nio.file.Path = {
+    val raw = s.conf.get("spark.sql.warehouse.dir")
+    if (raw.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(raw))
+    else java.nio.file.Paths.get(raw)
+  }
+
+  /** Heartbeat: mark this JVM's bucketed table dirs as in-use NOW, so no
+    * concurrent JVM's sweep can reclaim them mid-session.
+    */
+  private def touchBucketedDirs(s: SparkSession, names: (String, String)): Unit =
+    try {
+      val wh = warehousePath(s)
+      val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
+      Seq(names._1, names._2).foreach { t =>
+        val p = wh.resolve(t)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.setLastModifiedTime(p, now)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   private def sweepStaleBucketedDirs(s: SparkSession): Unit =
     try {
-      val raw = s.conf.get("spark.sql.warehouse.dir")
-      val wh =
-        if (raw.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(raw))
-        else java.nio.file.Paths.get(raw)
+      val wh = warehousePath(s)
       if (java.nio.file.Files.isDirectory(wh)) {
         val cutoff = java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 6L * 3600 * 1000)
+          System.currentTimeMillis() - 24L * 3600 * 1000)
         val listing = java.nio.file.Files.list(wh)
         try listing.forEach { p =>
           val n = p.getFileName.toString
@@ -636,7 +656,13 @@ object Relational {
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  private def bucketedOrderkeyTables(s: SparkSession, d: String): (String, String) =
+  private def bucketedOrderkeyTables(s: SparkSession, d: String): (String, String) = {
+    val names = bucketedBuiltTables(s, d)
+    touchBucketedDirs(s, names) // heartbeat on EVERY use, not just at build
+    names
+  }
+
+  private def bucketedBuiltTables(s: SparkSession, d: String): (String, String) =
     bucketedBuilt.computeIfAbsent(sessionId(s) + ":" + d, _ => {
       sweepStaleBucketedDirs(s)
       val key = java.security.MessageDigest.getInstance("MD5")

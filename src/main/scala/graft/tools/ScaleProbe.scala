@@ -16,6 +16,12 @@ object ScaleProbe {
     (1 until k).foldLeft(df)((acc, _) => acc.unionAll(df))
 
   def main(args: Array[String]): Unit = {
+    // optional arg = run only the named section (shapes, exact_join,
+    // simhash_join, dup_heavy, contain_join, trained_recall,
+    // persisted_idx) — the dup-heavy sweep is cheap to iterate alone
+    val only = args.headOption
+    def section(name: String)(body: => Unit): Unit =
+      if (only.isEmpty || only.contains(name)) body
     val spark = graft.core.GraftSession.local("scaleprobe", "32")
     import spark.implicits._
     val d = "/root/testdata/sf0.1"
@@ -133,11 +139,13 @@ object ScaleProbe {
       }
     )
 
+    section("shapes") {
     println(f"${"shape"}%-14s ${"t1x"}%7s ${"t2x"}%7s ${"t4x"}%7s  growth(4x/1x)")
     shapes.foreach { case (name, run) =>
       run(1) // per-shape codegen warmup
       val t1 = time(run(1)); val t2 = time(run(2)); val t4 = time(run(4))
       println(f"$name%-14s $t1%7.2f $t2%7.2f $t4%7.2f  ${t4 / t1}%.2f×")
+    }
     }
 
     // --- exact set-similarity join at replicated scales ------------------
@@ -147,13 +155,14 @@ object ScaleProbe {
     // growth in candidates/time is the honest scale signal for
     // prefix-bucket occupancy. Candidate counts are reported both sides of
     // the PPJoin length filter so its bite is visible at every scale.
-    println()
-    println(f"${"exact_join"}%-14s ${"docs"}%7s ${"cand"}%8s ${"cand_lf"}%8s ${"pairs"}%7s  t(s)  growth")
     val shingled = docs
       .select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
       .where(size(col("sh")) > 0)
       .localCheckpoint()
     val nDocs = shingled.count()
+    section("exact_join") {
+    println()
+    println(f"${"exact_join"}%-14s ${"docs"}%7s ${"cand"}%8s ${"cand_lf"}%8s ${"pairs"}%7s  t(s)  growth")
     var t1exact = 0.0
     for (k <- Seq(1, 2, 4)) {
       val corpus = (0 until k).map { r =>
@@ -167,6 +176,7 @@ object ScaleProbe {
       val label = s"rep${k}x"
       println(f"$label%-14s ${k * nDocs}%7d $cand%8d $candLf%8d $pairs%7d  $dt%.2f  ${dt / t1exact}%.2f×")
     }
+    }
 
     // --- SimHash pigeonhole join at replicated scales --------------------
     // Replicas get every TOKEN prefixed (distinct hash streams → distinct
@@ -174,6 +184,7 @@ object ScaleProbe {
     // 16-bit candidates saturate (every doc collides in the 128-key
     // buckets — superlinear), the 64-bit path stays linear; the width
     // rule (simhashBitsFor) picks 64 for every corpus this size.
+    section("simhash_join") {
     println()
     println(f"${"simhash_join"}%-14s ${"docs"}%7s ${"bits"}%5s ${"cand"}%9s ${"pairs"}%7s  t(s)")
     val nAllDocs = docs.count()
@@ -188,11 +199,55 @@ object ScaleProbe {
       val label = s"rep${k}x"
       println(f"$label%-13s ${k * nAllDocs}%7d $bits%5d $cand%9d $pairs%7d  $dt%.2f")
     }
+    }
+
+    // --- dup-heavy hot-bucket sweep --------------------------------------
+    // The web-crawl pathology: C copies of ONE boilerplate page among the
+    // 5k distinct docs. All copies share every MinHash band bucket and
+    // every PPJoin prefix bucket, so candidate generation must emit the
+    // C·(C−1)/2 copy-pairs — the question is WHERE that quadratic work
+    // runs. The unconditional in-row expansion (cap=∞, the pre-round-11
+    // form) builds all pairs as ONE array in ONE task; the occupancy-
+    // capped hybrid (default cap) streams them through a per-pair-row
+    // join. Hybrid time should stay bounded (≈ pair-count-proportional,
+    // distributed); the in-row form degrades superlinearly per row and is
+    // deliberately skipped at C=10⁴ (a ~50M-struct single-row array).
+    section("dup_heavy") {
+    println()
+    println(f"${"dup_heavy"}%-14s ${"copies"}%7s ${"form"}%8s ${"pairs"}%9s  t(s)")
+    val copyText = (1 to 30).map(i => s"boiler$i").mkString(" ")
+    for (c <- Seq(2500, 10000)) {
+      val corpus = docs.select(col("doc_id"), col("text")).unionAll(
+        spark.range(c).select((col("id") + 50000000L).as("doc_id"), lit(copyText).as("text")))
+      val bands = graft.operators.Dedup.bandRowsOf(corpus).localCheckpoint()
+      for ((form, cap) <- Seq(
+          ("hybrid", graft.operators.Dedup.bucketExpandCap),
+          ("in_row", Int.MaxValue)) if !(form == "in_row" && c > 2500)) {
+        val t0 = System.nanoTime()
+        val n = graft.operators.Dedup.bandPairsCount(bands, cap)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"minhash_bands  $c%7d $form%8s $n%9d  $dt%.2f")
+      }
+      val shingled = corpus
+        .select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
+        .where(size(col("sh")) > 0)
+        .localCheckpoint()
+      for ((form, cap) <- Seq(
+          ("hybrid", graft.operators.Dedup.bucketExpandCap),
+          ("in_row", Int.MaxValue)) if !(form == "in_row" && c > 2500)) {
+        val t0 = System.nanoTime()
+        val n = graft.operators.Dedup.ppjoinCandidatesCount(shingled, cap)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"ppjoin_prefix  $c%7d $form%8s $n%9d  $dt%.2f")
+      }
+    }
+    }
 
     // --- containment join at replicated scales ---------------------------
     // Same disjoint-universe replication: the asymmetric prefix filter
     // must keep candidates linear in corpus size — the structural claim
     // behind serving dedup_containment at 100 TB.
+    section("contain_join") {
     println()
     println(f"${"contain_join"}%-14s ${"docs"}%7s ${"cand"}%8s ${"pairs"}%7s  t(s)  growth")
     var t1contain = 0.0
@@ -208,6 +263,7 @@ object ScaleProbe {
       val label = s"rep${k}x"
       println(f"$label%-14s ${k * nDocs}%7d $cand%8d $pairs%7d  $dt%.2f  ${dt / t1contain}%.2f×")
     }
+    }
 
     // --- trained-quantizer recall curve at replicated scales -------------
     // The oracle gate measures trained-vs-anchor at sf0.1's 5K vectors,
@@ -219,9 +275,10 @@ object ScaleProbe {
     // training sample < corpus, kernel-path assignment. trained >= anchor
     // here is the evidence the serving fallback in ivfTrainedRecall is a
     // safety net, not a crutch.
+    val base = Files.createTempDirectory("scaleprobe-ivf").toString
+    section("trained_recall") {
     println()
     println(f"${"trained_recall"}%-14s ${"n"}%7s ${"cells"}%6s ${"anchor"}%7s ${"trained"}%8s  t(s)")
-    val base = Files.createTempDirectory("scaleprobe-ivf").toString
     for (k <- Seq(4, 8)) {
       val n0 = emb.count()
       val reps = (0 until k).map { r =>
@@ -245,6 +302,7 @@ object ScaleProbe {
       println(f"$label%-14s $n%7d $cells%6d ${aHits / denom}%7.3f ${tHits / denom}%8.3f  $dt%.1f" +
         (if (tHits >= aHits) "  trained>=anchor OK" else "  TRAINED LOST (fallback would serve anchors)"))
     }
+    }
 
     // --- persisted TRAINED index: recall through the cell-pruned layout --
     // The in-memory comparison above measures centroid QUALITY; this
@@ -252,6 +310,7 @@ object ScaleProbe {
     // persisted IvfTableIndex (built over the rep4x off-sample corpus,
     // cellsFor-scaled cells), panel recall@k via the partition-pruned
     // search against the brute-force truth over the same data.
+    section("persisted_idx") {
     println()
     println(f"${"persisted_idx"}%-14s ${"n"}%7s ${"cells"}%6s ${"k"}%3s ${"recall"}%7s  t(s)")
     locally {
@@ -280,6 +339,7 @@ object ScaleProbe {
       val recall = hits.toDouble / (k.toDouble * panel.length)
       val label = "rep4x"
       println(f"$label%-14s ${vt.length}%7d ${idx.centroids.length}%6d $k%3d $recall%7.3f  $dt%.1f")
+    }
     }
     spark.stop()
   }
