@@ -68,22 +68,28 @@ class ExactJoinSpec extends SparkSpec {
   }
 }
 
-/** The tuning report must agree with the production banding: its (3, 2)
-  * row IS the production LSH configuration, and the candidate counts must
-  * be monotone along the refinement chain (6,1) ⊇ (3,2) ⊇ (2,3) ⊇ (1,6)
+/** The tuning report must agree with the production bandings: its
+  * (6, 3, 2) row IS the production LSH configuration and its (12, 4, 3)
+  * row IS the declared k=12 face, and the candidate counts must be
+  * monotone along the k=6 refinement chain (6,1) ⊇ (3,2) ⊇ (2,3) ⊇ (1,6)
   * — sharing a wider band implies sharing every sub-band.
   */
 class LshTuningSpec extends graft.SparkSpec {
-  test("(3,2) row equals the production candidate count; chain is monotone; S-curve sane") {
+  test("production rows match; k=6 chain is monotone; S-curve sane") {
     val rows = Dedup.lshTuning(spark, sf())
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), (r.getLong(3), r.getLong(4))))
+      .toMap
     assert(rows.keySet == Dedup.lshTuningConfigs.toSet)
     val production = Dedup.lshCandidatePairs(spark, sf()).count()
-    assert(rows((3, 2))._1 == production,
-      s"(3,2) tuning row ${rows((3, 2))._1} != production banding $production")
-    val chain = Seq((6, 1), (3, 2), (2, 3), (1, 6)).map(rows(_)._1)
+    assert(rows((6, 3, 2))._1 == production,
+      s"(6,3,2) tuning row ${rows((6, 3, 2))._1} != production banding $production")
+    val productionK12 = Dedup.lshCandidatePairsK12(spark, sf()).count()
+    assert(rows((12, 4, 3))._1 == productionK12,
+      s"(12,4,3) tuning row ${rows((12, 4, 3))._1} != k12 banding $productionK12")
+    val chain = Seq((6, 6, 1), (6, 3, 2), (6, 2, 3), (6, 1, 6)).map(rows(_)._1)
     assert(chain == chain.sorted.reverse, s"candidate counts not monotone: $chain")
-    val probs = Seq((6, 1), (3, 2), (2, 3), (1, 6)).map(rows(_)._2)
+    val probs = Seq((6, 6, 1), (6, 3, 2), (6, 2, 3), (6, 1, 6)).map(rows(_)._2)
     assert(probs == probs.sorted.reverse, s"S-curve not monotone: $probs")
     assert(probs.head == 984375L, // 1 - (1/2)^6 at (6,1)
       s"analytic P(candidate | J=1/2) at (6,1) expected 984375, got ${probs.head}")
