@@ -375,6 +375,7 @@ object Bench {
       "ann_ivf_index_search_trained", "dedup_report_streamed", "dedup_repeated_spans",
       "dedup_lsh_tuning", "dedup_simhash_pairs_wide", "dedup_delta_candidates",
       "dedup_lsh_candidates_k12", "dedup_cluster_stats_by_source", "dedup_rate_by_source",
+      "dedup_lsh_recall", "dedup_delta_candidates_streamed", "ann_ivf_filtered_search",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
       "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
       "store_point_reads_1k_cached", "store_concurrent_10x100_reads",
@@ -392,6 +393,7 @@ object Bench {
     // dedup_clusters/pagerank/triangles never silently absorb it
     dim("pair_graph_build")(graft.operators.Dedup.prebuildPairGraph(spark, sfDir))
     dim("streamed_docs_build")(graft.operators.Dedup.prebuildStreamedDocs(spark, sfDir))
+    dim("streamed_lsh_index_build")(graft.operators.Dedup.prebuildStreamedLshIndex(spark, sfDir))
     dim("ivf_index_build")(graft.operators.Similarity.ivfIndexFor(spark, sfDir))
     dim("ivf_trained_index_build")(graft.operators.Similarity.trainedIvfIndexFor(spark, sfDir))
     dim("sec_index_build")(graft.operators.Relational.prebuildCustkeyIndex(spark, sfDir))

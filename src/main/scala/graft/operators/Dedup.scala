@@ -266,6 +266,74 @@ object Dedup {
          |  CAST(${pDetectX1e6(b, r)} AS BIGINT) AS p_detect_x1e6""".stripMargin
     }.mkString("", "\nUNION ALL ", "")
 
+  /** MEASURED LSH quality report — the empirical counterpart to
+    * [[lshTuning]]'s analytic S-curve: for the production banding and the
+    * k = 12 config, recall and precision of the banding candidates
+    * against EXACT ground truth (every pair with shingle-set Jaccard
+    * ≥ τ = [[exactTauNum]]/[[exactTauDen]], computed by the lossless
+    * [[exactJaccardJoinOf]] PPJoin — no shared-candidate circularity: the
+    * truth set does not come from LSH). The analytic P(candidate | J=τ)
+    * is a model; this row is what the corpus actually measured — the
+    * number a pipeline owner quotes when asked "how many near-dups does
+    * the approximate path miss?". Ratios are reported in integer permille
+    * (1000·found // denominator, exact int64 in both engines) so no float
+    * boundary can flip a digit across engines.
+    *
+    * Scale shape: truth = the exact join (linear candidates, proven in
+    * ScaleProbe); per config one banding chain + a candidate-sized
+    * left-semi against the truth pairs; counts are bounded scalars. At
+    * 100 TB run it on a stratified sample — the ratio, not the corpus,
+    * is the product.
+    */
+  val lshRecallConfigs: Seq[(Int, Int, Int)] =
+    Seq((6, 3, 2), (12, 4, 3))
+
+  def lshRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val truth = exactJaccardJoinOf(
+      docs.select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
+        .where(size(col("sh")) > 0))
+      .select("doc_a", "doc_b").localCheckpoint()
+    val nTrue = truth.count()
+    lshRecallConfigs.map { case (k, b, r) =>
+      val cands = pairsFromBucketedRows(bandsOfK(signaturesOfK(docs, k), b, r),
+        Seq("band", "bkey"), bucketExpandCap).localCheckpoint()
+      val nCand = cands.count()
+      val found = cands.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
+      (k, b, r, nTrue, nCand, found,
+        if (nTrue == 0L) 0L else 1000L * found / nTrue,
+        if (nCand == 0L) 0L else 1000L * found / nCand)
+    }.toDF("k", "bands", "rows_per_band", "true_pairs", "n_candidates",
+      "found", "recall_permille", "precision_permille")
+  }
+
+  lazy val lshRecallSql: String = {
+    val configRows = lshRecallConfigs.map { case (k, b, r) =>
+      val bandCond = (0 until b).map { band =>
+        (0 until r).map(j => s"a.mh${band * r + j} = b.mh${band * r + j}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      s"""SELECT $k AS k, $b AS bands, $r AS rows_per_band,
+         |  (SELECT COUNT(*) FROM truth) AS true_pairs,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT DISTINCT a.doc_id, b.doc_id
+         |     FROM (${minhashSignaturesSqlK(k)}) a JOIN (${minhashSignaturesSqlK(k)}) b
+         |     ON a.doc_id < b.doc_id AND ($bandCond))) AS n_candidates,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT DISTINCT a.doc_id AS ca, b.doc_id AS cb
+         |     FROM (${minhashSignaturesSqlK(k)}) a JOIN (${minhashSignaturesSqlK(k)}) b
+         |     ON a.doc_id < b.doc_id AND ($bandCond)) c
+         |   JOIN truth t ON c.ca = t.doc_a AND c.cb = t.doc_b) AS found""".stripMargin
+    }.mkString("(", ")\nUNION ALL (", ")")
+    s"""WITH truth AS (SELECT doc_a, doc_b FROM (${exactJaccardJoinSql.replace("\n", "\n  ")})),
+       | cfg AS ($configRows)
+       |SELECT k, bands, rows_per_band, true_pairs, n_candidates, found,
+       |  CASE WHEN true_pairs = 0 THEN 0 ELSE 1000 * found // true_pairs END AS recall_permille,
+       |  CASE WHEN n_candidates = 0 THEN 0 ELSE 1000 * found // n_candidates END AS precision_permille
+       |FROM cfg""".stripMargin
+  }
+
   /** Banding stage: k-row signature → (doc_id, band, h1, h2) bucket rows. */
   private[operators] def bandsOf(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"), explode(array(
@@ -309,12 +377,32 @@ object Dedup {
           |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin
       )).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
+    // Hot buckets: BLOCKED triangular self-join. A plain self-join on the
+    // bucket key funnels a B-doc bucket's B²/2 output pairs through the few
+    // tasks holding that key — at B = 10⁴ one task streams ~5·10⁷ pairs
+    // into its partial-aggregation hash map and the heap dies before the
+    // spill path helps (measured: the ppjoin dup-heavy probe OOM'd exactly
+    // there). Slicing each hot bucket into ns = ⌈B/cap⌉ hash slices and
+    // joining (slice_a ≤ slice_b) pairs bounds EVERY task at ~cap² output
+    // rows: quadratic work still happens — it must — but as ns²/2
+    // uniformly small tasks, which is precisely the shape that survives a
+    // 1000-executor cluster. Each unordered pair forms exactly once:
+    // across slices via the sa < sb replication, within a slice via
+    // da < db; least/greatest restores the canonical orientation.
     val hotRows = buckets.where(size(col("ids")) > cap)
-      .select(key :+ explode(col("ids")).as("doc_id"): _*)
-    val hotPairs = hotRows.withColumnRenamed("doc_id", "doc_a")
-      .join(hotRows.withColumnRenamed("doc_id", "doc_b"), keyCols)
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+      .withColumn("ns", ceil(size(col("ids")).cast("double") / cap).cast("int"))
+      .select(key ++ Seq(col("ns"), explode(col("ids")).as("doc_id")): _*)
+      .withColumn("sl", pmod(xxhash64(col("doc_id")), col("ns").cast("long")).cast("int"))
+    val hotLeft = hotRows
+      .withColumn("sb", explode(sequence(col("sl"), col("ns") - 1)))
+      .select(key ++ Seq(col("sl").as("sa"), col("sb"), col("doc_id").as("da")): _*)
+    val hotRight = hotRows
+      .select(key ++ Seq(col("sl").as("sb"), col("doc_id").as("db")): _*)
+    val hotPairs = hotLeft
+      .join(hotRight, keyCols :+ "sb")
+      .where(col("sa") < col("sb") || col("da") < col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
     coldPairs.unionAll(hotPairs).distinct()
   }
 
@@ -449,10 +537,15 @@ object Dedup {
     * pairs with ≥ 1 delta doc — a green row is the proof the delta path
     * loses nothing against rerunning everything.
     */
-  def deltaCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    val idx = documentsLshIndex(s, d)
-    val cutoff = deltaCutoff(s, d)
-    val all = idx.bands
+  def deltaCandidatePairs(s: SparkSession, d: String): DataFrame =
+    deltaCandidatesFromBands(documentsLshIndex(s, d).bands, deltaCutoff(s, d))
+
+  /** The delta-vs-index banding join itself, over any stored band-row frame
+    * — shared by the batch face above and the STREAMED-index face
+    * ([[deltaCandidatePairsStreamed]]), which differ only in how the index
+    * was maintained.
+    */
+  private[operators] def deltaCandidatesFromBands(all: DataFrame, cutoff: Long): DataFrame = {
     val delta = all.where(col("doc_id") > cutoff)
     delta.select(col("doc_id").as("da"), col("band"), col("h1"), col("h2"))
       .join(all.select(col("doc_id").as("db"), col("band"), col("h1"), col("h2")),
@@ -474,6 +567,82 @@ object Dedup {
        | cut AS (SELECT MAX(doc_id) // 2 AS c FROM documents)
        |SELECT doc_a, doc_b FROM full_pairs
        |WHERE doc_a > (SELECT c FROM cut) OR doc_b > (SELECT c FROM cut)""".stripMargin
+
+  /** CONTINUOUS-INGEST near-dup maintenance, composed end-to-end: the delta
+    * span arrives as a STREAM (staged files, one micro-batch per file,
+    * [[graft.streaming.StreamIngest]] exactly-once append), and the
+    * [[LshIndex]] is refreshed INSIDE the micro-batch loop (`onBatch`
+    * hook) — after every batch the index is current to the new head, which
+    * is the live production loop: corpus drop lands → index catches up →
+    * delta candidates are served from stored rows. The declared query
+    * reads the per-batch-maintained index; the oracle is the same full
+    * recompute filtered to delta-touching pairs as the batch face
+    * ([[deltaCandidatePairs]]) — a green row proves N incremental
+    * micro-batch refreshes lose nothing against re-hashing everything.
+    * Build-time verification additionally requires band-row set equality
+    * against a from-scratch recompute and ≥ 2 distinct refreshes (else the
+    * "incremental" claim was never exercised).
+    */
+  private val streamedLshRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def streamedLshIndexRoot(s: SparkSession, d: String): String =
+    streamedLshRoots.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d#lsh-streamed".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"docs-lsh-streamed-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"docs-lsh-streamed-$key-${java.util.UUID.randomUUID()}")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val cutoff = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+        val t = graft.core.VectorTable.create(s, s"$dir/table")
+        t.append(docs.where(col("doc_id") <= cutoff))
+        val idx = new java.util.concurrent.atomic.AtomicReference(
+          LshIndex.build(t, s"$dir/index"))
+        val refreshes = new java.util.concurrent.atomic.AtomicInteger(0)
+        docs.where(col("doc_id") > cutoff)
+          .repartition(4).write.parquet(s"$dir/staging")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/staging")
+        val q = graft.streaming.StreamIngest.start(stream, t, s"$dir/ckpt",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          onBatch = (tab, _) => {
+            val cur = idx.get()
+            val next = cur.refresh(tab)
+            if (next ne cur) { idx.set(next); refreshes.incrementAndGet(); () }
+          })
+        q.awaitTermination()
+        val expect = bandsOf(signaturesOf(docs))
+        val got = idx.get().bands
+        val missing = expect.exceptAll(got).count()
+        val extra = got.exceptAll(expect).count()
+        if (missing != 0 || extra != 0 || refreshes.get() < 2)
+          throw new IllegalStateException(
+            s"streamed LSH index diverged: $missing missing / $extra extra band rows, " +
+              s"${refreshes.get()} incremental refreshes")
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () } // racer won; adopt theirs
+      }
+      Files.readString(pointer)
+    })
+
+  def prebuildStreamedLshIndex(s: SparkSession, d: String): Unit = {
+    streamedLshIndexRoot(s, d); ()
+  }
+
+  /** Declared `dedup_delta_candidates_streamed`: delta-vs-index banding
+    * from the STREAM-maintained index — same stored-rows-only plan as the
+    * batch face, same oracle.
+    */
+  def deltaCandidatePairsStreamed(s: SparkSession, d: String): DataFrame = {
+    val root = streamedLshIndexRoot(s, d)
+    deltaCandidatesFromBands(
+      LshIndex.open(s, s"$root/index").bands, deltaCutoff(s, d))
+  }
+
+  lazy val deltaCandidatePairsStreamedSql: String = deltaCandidatePairsSql
 
   val lshCandidatePairsSql: String = {
     val bandRows = (0 until numHashes / 2)
@@ -1024,18 +1193,36 @@ object Dedup {
           |           least(x.pos, y.pos) + least(x.n - x.pos, y.n - y.pos) AS ub))))""".stripMargin
       )).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"), col("p.ub"))
+    // Same BLOCKED triangular self-join as [[pairsFromBucketedRows]]'s hot
+    // branch (see the rationale there): ns = ⌈B/cap⌉ hash slices bound
+    // every slice-pair task at ~cap² output rows, so a dup-heavy prefix
+    // bucket streams through uniformly small tasks instead of funneling
+    // B²/2 payload-carrying pairs into one task's partial-agg map (the
+    // measured OOM shape at 10⁴ copies). The ub bound is symmetric; the
+    // size payload swaps with the orientation.
     val hotRows = buckets.where(size(col("ids")) > cap)
-      .select(col("g"), explode(col("ids")).as("x"))
-      .select(col("g"), col("x.doc_id").as("doc_id"), col("x.n").as("n"), col("x.pos").as("pos"))
-    val hotPairs = hotRows
-      .select(col("g"), col("doc_id").as("doc_a"), col("n").as("na"), col("pos").as("pa"))
-      .join(hotRows
-        .select(col("g"), col("doc_id").as("doc_b"), col("n").as("nb"), col("pos").as("pb")),
-        Seq("g"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+      .withColumn("nslice", ceil(size(col("ids")).cast("double") / cap).cast("int"))
+      .select(col("g"), col("nslice"), explode(col("ids")).as("x"))
+      .select(col("g"), col("nslice"), col("x.doc_id").as("doc_id"),
+        col("x.n").as("n"), col("x.pos").as("pos"))
+      .withColumn("sl", pmod(xxhash64(col("doc_id")), col("nslice").cast("long")).cast("int"))
+    val hotLeft = hotRows
+      .withColumn("sb", explode(sequence(col("sl"), col("nslice") - 1)))
+      .select(col("g"), col("sl").as("sa"), col("sb"),
+        col("doc_id").as("da"), col("n").as("nra"), col("pos").as("pa"))
+    val hotRight = hotRows
+      .select(col("g"), col("sl").as("sb"),
+        col("doc_id").as("db"), col("n").as("nrb"), col("pos").as("pb"))
+    val hotPairs = hotLeft
+      .join(hotRight, Seq("g", "sb"))
+      .where(col("sa") < col("sb") || col("da") < col("db"))
+      .select(
+        least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("nra")).otherwise(col("nrb")).as("na"),
+        when(col("da") < col("db"), col("nrb")).otherwise(col("nra")).as("nb"),
         (least(col("pa"), col("pb")) +
-          least(col("na") - col("pa"), col("nb") - col("pb"))).as("ub"))
+          least(col("nra") - col("pa"), col("nrb") - col("pb"))).as("ub"))
     val pairs = coldPairs.unionAll(hotPairs)
     if (!ppFilters)
       pairs.select(col("doc_a"), col("doc_b")).distinct()

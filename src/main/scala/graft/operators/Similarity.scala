@@ -339,7 +339,7 @@ object Similarity {
     * the native expression and the oracle's `list_reduce`, so cell ranking
     * is bit-identical across all three computations.
     */
-  private def driverCosine(a: Array[Float], b: Array[Float]): Double = {
+  private[operators] def driverCosine(a: Array[Float], b: Array[Float]): Double = {
     def fold(f: Int => Double): Double = {
       var acc = 0.0
       var i = 0
@@ -468,6 +468,88 @@ object Similarity {
        |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (acc, p) -> acc + p) AS norm2
        |  FROM embeddings e JOIN members m ON e.vec_id = m.vec_id, q
        |  WHERE e.vec_id <> $ivfQueryId)
+       |SELECT vec_id, dot / (sqrt(norm2) * qn.qnorm) AS sim
+       |FROM scored, qn ORDER BY sim DESC, vec_id LIMIT $ivfK""".stripMargin
+  }
+
+  /** FILTERED vector search — top-k under a metadata predicate
+    * (`label = `[[filterLabel]]), the single most common production ANN
+    * request ("nearest neighbors among documents from source X / in
+    * language Y"): a plain IVF probe breaks under filters because a fixed
+    * nprobe may hold fewer than k QUALIFYING vectors, and post-filtering
+    * an unfiltered top-k silently under-returns. The production answer —
+    * and this face — is CARDINALITY-AWARE ADAPTIVE PROBING: rank all
+    * cells by query-centroid similarity, compute each cell's FILTERED
+    * member count (one small aggregate over the assignment — at scale a
+    * stats lookup, the same "counts by partition key" every planner
+    * keeps), and probe the SHORTEST ranked prefix whose cumulative
+    * filtered count reaches k; a predicate too selective for the whole
+    * index degrades gracefully to scanning every cell's qualifying
+    * members (still filter-first — never an unfiltered corpus scan). The
+    * prefix length is an exact integer decision over exact counts, so the
+    * oracle replays it verbatim (window-cumsum + MIN(rk)); scoring uses
+    * the same fold-ordered cosine as every other ANN face.
+    */
+  val filterLabel = 3
+
+  def ivfFilteredSearch(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === ivfQueryId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val ranked = rankedCells(q, centroids(s, d))
+    val assign = ivfAssign(s, d)
+    // per-cell filtered cardinality: ≤ cells rows (bounded by maxCells)
+    val counts = assign
+      .join(emb.where(col("label") === filterLabel && col("vec_id") =!= ivfQueryId)
+        .select("vec_id"), Seq("vec_id"), "left_semi")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .select(col("cell").cast("int"), col("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    var need = ranked.length
+    var i = 0
+    while (i < ranked.length && need == ranked.length) {
+      cum += counts.getOrElse(ranked(i), 0L)
+      if (cum >= ivfK) need = i + 1
+      i += 1
+    }
+    val probe = ranked.take(need)
+    val members = assign.where(col("cell").isin(probe: _*)).select("vec_id")
+    emb.join(members, Seq("vec_id"), "left_semi")
+      .where(col("vec_id") =!= ivfQueryId && col("label") === filterLabel)
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("embedding"), lit(q)))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(ivfK)
+      .select("vec_id", "sim")
+  }
+
+  val ivfFilteredSearchSql: String = {
+    val cellSims = cellSimsUnionSql(ivfQueryId)
+    s"""WITH assign AS ($ivfAssignSql),
+       | cellsims AS (
+       |  $cellSims),
+       | ranked AS (SELECT cell, ROW_NUMBER() OVER (ORDER BY sim DESC, cell) AS rk FROM cellsims),
+       | fcnt AS (SELECT a.cell, COUNT(*) AS n
+       |          FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+       |          WHERE e.label = $filterLabel AND e.vec_id <> $ivfQueryId
+       |          GROUP BY a.cell),
+       | cum AS (SELECT r.cell, r.rk, SUM(COALESCE(f.n, 0)) OVER (ORDER BY r.rk) AS cn
+       |         FROM ranked r LEFT JOIN fcnt f ON f.cell = r.cell),
+       | needed AS (SELECT COALESCE(MIN(rk), $oracleCells) AS kr FROM cum WHERE cn >= $ivfK),
+       | probe AS (SELECT cell FROM cum, needed WHERE cum.rk <= needed.kr),
+       | members AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cell
+       |             JOIN embeddings e ON e.vec_id = a.vec_id
+       |             WHERE e.label = $filterLabel AND e.vec_id <> $ivfQueryId),
+       | q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $ivfQueryId),
+       | qn AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, $dim + 1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)), (acc, p) -> acc + p)) AS qnorm FROM q),
+       | scored AS (
+       |  SELECT e.vec_id,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), (acc, p) -> acc + p) AS dot,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (acc, p) -> acc + p) AS norm2
+       |  FROM embeddings e JOIN members m ON e.vec_id = m.vec_id, q)
        |SELECT vec_id, dot / (sqrt(norm2) * qn.qnorm) AS sim
        |FROM scored, qn ORDER BY sim DESC, vec_id LIMIT $ivfK""".stripMargin
   }

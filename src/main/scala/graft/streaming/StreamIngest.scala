@@ -40,13 +40,22 @@ object StreamIngest {
     * Compaction commits don't advance the recorded stream batch id, so
     * replay idempotency is unaffected.
     */
+  /** `onBatch` runs at the END of every micro-batch, after the append,
+    * optional compaction and view refreshes — the hook for maintaining
+    * derived state that lives OUTSIDE the table (e.g. an incremental
+    * [[graft.operators.LshIndex]] brought up to the new head per batch).
+    * Like view refreshes it must be idempotent against replays (a
+    * span-based index refresh is: a replayed batch leaves the head
+    * unchanged, so the refresh is a no-op).
+    */
   def start(
       stream: DataFrame,
       table: VectorTable,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       compactEvery: Int = 0,
-      maintainViews: Seq[graft.core.MaterializedAggView] = Nil
+      maintainViews: Seq[graft.core.MaterializedAggView] = Nil,
+      onBatch: (VectorTable, Long) => Unit = (_, _) => ()
   ): StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -62,6 +71,7 @@ object StreamIngest {
         // views inherit the ingest's effective exactly-once semantics;
         // each refresh costs O(batch + |view|), never a base rescan.
         maintainViews.foreach(_.refresh())
+        onBatch(table, batchId)
       }
       .start()
 }

@@ -216,13 +216,20 @@ object ScaleProbe {
     println()
     println(f"${"dup_heavy"}%-14s ${"copies"}%7s ${"form"}%8s ${"pairs"}%9s  t(s)")
     val copyText = (1 to 30).map(i => s"boiler$i").mkString(" ")
-    for (c <- Seq(2500, 10000)) {
+    // second arg = copies list override (e.g. "10000" to rerun just one
+    // size); GRAFT_DUPHEAVY_INROW=1 forces the in_row form at EVERY size —
+    // the demonstration that the pre-round-11 unconditional in-row
+    // expansion degrades/dies where the hybrid streams through
+    val copiesList = args.lift(1).map(_.split(",").toSeq.map(_.toInt))
+      .getOrElse(Seq(2500, 10000))
+    val inRowAll = sys.env.contains("GRAFT_DUPHEAVY_INROW")
+    for (c <- copiesList) {
       val corpus = docs.select(col("doc_id"), col("text")).unionAll(
         spark.range(c).select((col("id") + 50000000L).as("doc_id"), lit(copyText).as("text")))
       val bands = graft.operators.Dedup.bandRowsOf(corpus).localCheckpoint()
       for ((form, cap) <- Seq(
           ("hybrid", graft.operators.Dedup.bucketExpandCap),
-          ("in_row", Int.MaxValue)) if !(form == "in_row" && c > 2500)) {
+          ("in_row", Int.MaxValue)) if !(form == "in_row" && c > 2500 && !inRowAll)) {
         val t0 = System.nanoTime()
         val n = graft.operators.Dedup.bandPairsCount(bands, cap)
         val dt = (System.nanoTime() - t0) / 1e9
@@ -234,7 +241,7 @@ object ScaleProbe {
         .localCheckpoint()
       for ((form, cap) <- Seq(
           ("hybrid", graft.operators.Dedup.bucketExpandCap),
-          ("in_row", Int.MaxValue)) if !(form == "in_row" && c > 2500)) {
+          ("in_row", Int.MaxValue)) if !(form == "in_row" && c > 2500 && !inRowAll)) {
         val t0 = System.nanoTime()
         val n = graft.operators.Dedup.ppjoinCandidatesCount(shingled, cap)
         val dt = (System.nanoTime() - t0) / 1e9
