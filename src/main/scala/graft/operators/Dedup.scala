@@ -403,7 +403,26 @@ object Dedup {
       .where(col("sa") < col("sb") || col("da") < col("db"))
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"))
-    coldPairs.unionAll(hotPairs).distinct()
+    pairDistinct(coldPairs.unionAll(hotPairs))
+  }
+
+  /** SORT-based pair dedup — `.distinct()` without the hash maps. A plain
+    * distinct runs map-side partial hash aggregation, whose per-task map
+    * grows with every distinct pair the task sees; on a dup-heavy corpus
+    * (10⁴-copy clique ⇒ 5·10⁷ real pairs) those maps are ~10⁷ mostly-
+    * unique entries per task and combine almost nothing (a pair's
+    * duplicates land in DIFFERENT bucket tasks), so they are pure memory
+    * pressure — the measured heap-death shape at cap-bounded join output.
+    * The window form exchanges raw pair rows and SORTS each reduce
+    * partition (ExternalSorter, spills to disk by design), keeping peak
+    * memory O(partition sort buffer) no matter how many pairs flow.
+    */
+  private def pairDistinct(pairs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b").orderBy("doc_a")
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
   }
 
   /** Pair stage: the hybrid kernel on the (band, h1, h2) bucket key (see
@@ -544,16 +563,38 @@ object Dedup {
     * — shared by the batch face above and the STREAMED-index face
     * ([[deltaCandidatePairsStreamed]]), which differ only in how the index
     * was maintained.
+    *
+    * Blocked like every other pair path (see [[containmentCandidatesOf]]):
+    * a boilerplate clique arriving in a drop puts every copy in the same
+    * band bucket on BOTH sides, so the bipartite delta×index join is
+    * sliced per bucket at ⌈occupancy/cap⌉ on each side and joined on
+    * (bucket, sa, sd) — per-task output bounded at ~cap², no replication
+    * at all for buckets at or below cap occupancy.
     */
   private[operators] def deltaCandidatesFromBands(all: DataFrame, cutoff: Long): DataFrame = {
+    val key = Seq("band", "h1", "h2")
+    val kc = key.map(col)
     val delta = all.where(col("doc_id") > cutoff)
-    delta.select(col("doc_id").as("da"), col("band"), col("h1"), col("h2"))
-      .join(all.select(col("doc_id").as("db"), col("band"), col("h1"), col("h2")),
-        Seq("band", "h1", "h2"))
-      .where(col("da") =!= col("db"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"))
-      .distinct()
+    val slices = all.groupBy(kc: _*).agg(count(lit(1)).as("ca"))
+      .join(delta.groupBy(kc: _*).agg(count(lit(1)).as("cd")), key)
+      .select(kc ++ Seq(
+        ceil(col("ca").cast("double") / bucketExpandCap).cast("int").as("nsa"),
+        ceil(col("cd").cast("double") / bucketExpandCap).cast("int").as("nsd")): _*)
+    val deltaS = delta.select(kc :+ col("doc_id").as("da"): _*)
+      .join(slices, key)
+      .withColumn("sd", pmod(xxhash64(col("da")), col("nsd").cast("long")).cast("int"))
+      .withColumn("sa", explode(sequence(lit(0), col("nsa") - 1)))
+      .drop("nsa", "nsd")
+    val allS = all.select(kc :+ col("doc_id").as("db"): _*)
+      .join(slices, key)
+      .withColumn("sa", pmod(xxhash64(col("db")), col("nsa").cast("long")).cast("int"))
+      .withColumn("sd", explode(sequence(lit(0), col("nsd") - 1)))
+      .drop("nsa", "nsd")
+    pairDistinct(
+      deltaS.join(allS, key ++ Seq("sa", "sd"))
+        .where(col("da") =!= col("db"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b")))
   }
 
   /** The two-stage build's append boundary (max doc_id / 2 — the same rule
@@ -774,11 +815,15 @@ object Dedup {
   private[operators] def containmentCandidatesOf(docs: DataFrame): DataFrame = {
     val freq = docs.select(explode(col("sh")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("cnt"))
+    // checkpointed: probe, index AND the probe-side occupancy count all
+    // derive from it — without this the freq-join-sort chain re-executes
+    // per consumer
     val sorted = docs.select(col("doc_id"), explode(col("sh")).as("g"))
       .join(freq, Seq("g"))
       .groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(cnt, g))), x -> x.g)").as("sg"))
       .withColumn("n", size(col("sg")))
+      .localCheckpoint()
     val probe = sorted
       .withColumn("req", expr(
         s"CAST((n * $containTauNum + ${containTauDen - 1}) DIV $containTauDen AS INT)"))
@@ -790,12 +835,42 @@ object Dedup {
       .select(col("doc_id").as("db"), col("n").as("nb"),
         posexplode(col("sg")).as(Seq("p0b", "g")))
       .withColumn("pb", col("p0b") + 1).drop("p0b")
-    probe.join(index, Seq("g"))
+    // BLOCKED bipartite probe×index join (the [[pairsFromBucketedRows]]
+    // discipline for a two-sided join): per element g, slice the index
+    // side into nsi = ⌈|index rows|/cap⌉ hash slices and the probe side
+    // into nsp = ⌈|probe rows|/cap⌉, replicate each row across the OTHER
+    // side's slice ids, and join on (g, sa, sb) — every task's output is
+    // ~cap² pair rows, so a 10⁴-copy boilerplate clique (every copy's
+    // rare prefix element in the same bucket) streams through uniformly
+    // small tasks instead of funneling B² payload rows into the few tasks
+    // owning one g (the measured partial-agg OOM shape). Replication cost
+    // is output/cap per side — strictly cheaper than the join output.
+    // Cold elements (occupancy ≤ cap) have one slice on both sides: no
+    // replication, the plan the round-10 verdict audited.
+    val pcnt = probe.groupBy("g").agg(count(lit(1)).as("np"))
+    val slices = freq
+      .select(col("g"), ceil(col("cnt").cast("double") / bucketExpandCap).cast("int").as("nsi"))
+      .join(pcnt.select(col("g"),
+        ceil(col("np").cast("double") / bucketExpandCap).cast("int").as("nsp")), Seq("g"))
+    val probeS = probe.join(slices, Seq("g"))
+      .withColumn("sa", pmod(xxhash64(col("da")), col("nsp").cast("long")).cast("int"))
+      .withColumn("sb", explode(sequence(lit(0), col("nsi") - 1)))
+      .drop("nsp", "nsi")
+    val indexS = index.join(slices, Seq("g"))
+      .withColumn("sb", pmod(xxhash64(col("db")), col("nsi").cast("long")).cast("int"))
+      .withColumn("sa", explode(sequence(lit(0), col("nsp") - 1)))
+      .drop("nsp", "nsi")
+    // pair reduction via the sorted window (min-over-shared-elements as
+    // "order by ub, keep row 1") — same spill-safe shape as
+    // [[exactJaccardCandidatesOf]]'s reduction, see [[pairDistinct]]
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("da", "db").orderBy("ub")
+    probeS.join(indexS, Seq("g", "sa", "sb"))
       .where(col("na") < col("nb") || (col("na") === col("nb") && col("da") < col("db")))
       .withColumn("ub",
         least(col("pa"), col("pb")) + least(col("na") - col("pa"), col("nb") - col("pb")))
-      .groupBy("da", "db")
-      .agg(min(col("ub")).as("ub"), first(col("req")).as("req"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
       .where(col("ub") >= col("req"))
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"))
@@ -1225,16 +1300,27 @@ object Dedup {
           least(col("nra") - col("pa"), col("nrb") - col("pb"))).as("ub"))
     val pairs = coldPairs.unionAll(hotPairs)
     if (!ppFilters)
-      pairs.select(col("doc_a"), col("doc_b")).distinct()
-    else
-      // min(pa−1,pb−1) + 1 = least(pa,pb) when both ≥ 1 — folded above
-      pairs.groupBy("doc_a", "doc_b")
-        .agg(min(col("ub")).as("ub"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      pairDistinct(pairs.select(col("doc_a"), col("doc_b")))
+    else {
+      // min(pa−1,pb−1) + 1 = least(pa,pb) when both ≥ 1 — folded above.
+      // Pair reduction as a SORTED window rather than groupBy().agg(min):
+      // ordering each pair's rows by ub and keeping row 1 IS min-over-
+      // buckets, and the sort-based exchange spills where the hash-agg's
+      // per-task partial maps (one entry per distinct pair seen — ~10⁷ on
+      // a dup-heavy corpus, combining nothing) died on the heap. The
+      // LENGTH filter is pair-static, so it prunes the row stream BEFORE
+      // the exchange.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_a", "doc_b").orderBy("ub")
+      pairs
         .where(greatest(col("na"), col("nb")) * exactTauNum <=
           least(col("na"), col("nb")) * exactTauDen)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
         .where(col("ub") * (exactTauNum + exactTauDen) >=
           (col("na") + col("nb")) * exactTauNum)
         .select("doc_a", "doc_b")
+    }
   }
 
   /** ScaleProbe entry for the containment join: (candidates, qualifying
@@ -1268,6 +1354,17 @@ object Dedup {
     pairsFromBands(bands, cap).count()
   def ppjoinCandidatesCount(docs: DataFrame, cap: Int): Long =
     exactJaccardCandidatesOf(docs, ppFilters = true, cap = cap).count()
+  def simhashPairsCount(docs: DataFrame, bits: Int, cap: Int): Long = {
+    val sigCol =
+      if (bits == 16) graft.functions.TextFunctions.simhash16(col("text"))
+      else graft.functions.TextFunctions.simhash64(col("text"))
+    val sig = docs.select(col("doc_id"), sigCol.as("simhash"))
+    pairsFromBucketedRows(simhashPieces(sig, bits), Seq("pc", "pv"), cap).count()
+  }
+  def deltaFromBandsCount(bands: DataFrame, cutoff: Long): Long =
+    deltaCandidatesFromBands(bands, cutoff).count()
+  def containmentCandidatesCount(docs: DataFrame): Long =
+    containmentCandidatesOf(docs).count()
 
   /** The candidate pair frame itself, for probes asserting structural
     * properties (ScaleCorpusSpec: no cross-replica pairs).
@@ -1566,14 +1663,11 @@ object Dedup {
     * ≤ [[simhashHammingMax]] bits, generated by PIGEONHOLE bucketing — the
     * signature splits into pieces such that ≤2 bit errors leave at least
     * one piece intact, so every qualifying pair shares a (piece, value)
-    * bucket (lossless for the threshold). Candidates come from a
-    * DISTRIBUTED self-join of the exploded pieces on (pc, pv): each
-    * candidate is its own row in a shuffled hash join, so a hot bucket
-    * costs join-task time, never a single `collect_set` row holding the
-    * whole bucket — the discipline [[pairsFromBucketedRows]] applies to
-    * the MinHash band join's over-cap buckets (here every bucket takes
-    * the join form: piece values are near-uniform, so there is no
-    * LSH-style tiny-bucket majority for the in-row fast path to win on).
+    * bucket (lossless for the threshold). Candidates come from the SAME
+    * occupancy-capped hybrid kernel as the MinHash band join
+    * ([[pairsFromBucketedRows]] on the (pc, pv) bucket key): near-uniform
+    * piece values keep buckets tiny (in-row expansion), and a copy-clique
+    * bucket takes the blocked triangular join with ~cap²-bounded tasks.
     * Hamming verification is one codegen'd `bit_count(a ^ b)`.
     *
     * Signature WIDTH scales with the corpus ([[simhashBitsFor]], the
@@ -1633,14 +1727,18 @@ object Dedup {
       .select(col("doc_id"), col("b.pc"), col("b.pv"))
   }
 
-  private[graft] def simhashCandidatesWith(sig: DataFrame, bits: Int): DataFrame = {
-    val pieces = simhashPieces(sig, bits)
-    pieces.select(col("doc_id").as("doc_a"), col("pc"), col("pv"))
-      .join(pieces.select(col("doc_id").as("doc_b"), col("pc"), col("pv")), Seq("pc", "pv"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-  }
+  /** Candidate pairs from the pigeonhole pieces via the SAME occupancy-
+    * capped hybrid kernel as the MinHash band join: near-uniform piece
+    * values keep buckets tiny (the in-row fast path), while a copy-clique
+    * corpus — 10⁴+ identical docs sharing every (pc, pv) bucket — takes
+    * the blocked triangular join, whose per-task output is bounded at
+    * ~cap². The previous plain (pc, pv) self-join funneled a clique
+    * bucket's B²/2 pairs through the few tasks owning that key — the same
+    * partial-agg OOM shape the dup-heavy probe measured for the PPJoin
+    * prefix stage.
+    */
+  private[graft] def simhashCandidatesWith(sig: DataFrame, bits: Int): DataFrame =
+    pairsFromBucketedRows(simhashPieces(sig, bits), Seq("pc", "pv"), bucketExpandCap)
 
   /** ScaleProbe entry: (candidates, qualifying pairs) for the pigeonhole
     * join over an arbitrary (doc_id, text) frame at an explicit signature

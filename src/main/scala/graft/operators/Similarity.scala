@@ -1532,6 +1532,130 @@ object Similarity {
       .select("qid", "vec_id", "sim")
   }
 
+  /** Probe-width cap for the BATCHED filtered search: the adaptive prefix
+    * never explores more than this many ranked cells per query, bounding
+    * the in-plan (query × cell) frame at queries × 64 rows even at
+    * [[maxCells]] — the lever that keeps per-query adaptivity affordable
+    * for a million-query batch. Gate corpora have [[oracleCells]] = 8
+    * cells, so the cap never binds where the oracle replays it.
+    */
+  val maxFilteredProbe = 64
+
+  /** BATCHED metadata-filtered vector search — [[ivfFilteredSearch]]'s
+    * cardinality-aware adaptive probing made IN-PLAN per query row, the
+    * form that serves a query TABLE or an [[graft.streaming.AnnServe]]
+    * micro-batch with no driver-side per-query work:
+    *
+    *  1. each query ranks all cells in-plan (same sort/tie-break as the
+    *     unfiltered batch face) and explodes its first
+    *     [[maxFilteredProbe]] (rank-indexed);
+    *  2. per-cell FILTERED counts join in, minus a per-query
+    *     self-adjustment (a panel query's own qualifying vector can never
+    *     be returned, so it must not fund the budget);
+    *  3. a windowed cumulative sum per query picks the shortest prefix
+    *     whose available count reaches k — `min(rk | cum ≥ k)` — falling
+    *     back to every explored cell when the predicate is too selective;
+    *  4. qualifying members of the probed cells score exact cosine and a
+    *     per-query window keeps top-k.
+    *
+    * Every decision is exact integer arithmetic over exact counts, so the
+    * oracle replays the whole pipeline generically (windowed cumsum +
+    * MIN over a CASE) — no approximation is hand-waved.
+    */
+  def ivfFilteredBatchSearch(s: SparkSession, d: String): DataFrame = {
+    val queries = Tables.embeddings(s, d).where(col("vec_id") < batchPanel)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    ivfFilteredBatchSearchOf(s, d, queries, excludeSelf = true)
+  }
+
+  private[graft] def ivfFilteredBatchSearchOf(s: SparkSession, d: String,
+                                              queries: DataFrame,
+                                              excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cs = centroids(s, d)
+    val filtered = Tables.embeddings(s, d)
+      .withColumn("sims", centroidSimsColumn(cs))
+      .withColumn("centroid_sim", array_max(col("sims")))
+      .withColumn("cell", (array_position(col("sims"), col("centroid_sim")) - 1).cast("int"))
+      .where(col("label") === filterLabel)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val fcnt = filtered.groupBy("cell").agg(count(lit(1)).as("fn"))
+    val ranked = queries
+      .withColumn("sims", centroidSimsColumn(cs))
+      .withColumn("ranked", expr(
+        "transform(array_sort(transform(sims, (v, j) -> named_struct('nv', -v, 'cell', j))), x -> x.cell)"))
+      .select(col("qid"), col("embedding").as("qemb"),
+        posexplode(expr(s"slice(ranked, 1, $maxFilteredProbe)")).as(Seq("rk0", "cell")))
+      .withColumn("rk", (col("rk0") + 1).cast("int")).drop("rk0")
+    val selfCell = filtered.select(col("vec_id").as("qid"), col("cell").as("self_cell"))
+    val wCum = Window.partitionBy("qid").orderBy("rk")
+    val wAll = Window.partitionBy("qid")
+    val withSelf =
+      if (excludeSelf) ranked.join(selfCell, Seq("qid"), "left")
+      else ranked.withColumn("self_cell", lit(null).cast("int"))
+    val probes = withSelf
+      .join(fcnt, Seq("cell"), "left")
+      .withColumn("avail", coalesce(col("fn"), lit(0L)) -
+        when(col("cell") === col("self_cell"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("cum", sum(col("avail")).over(wCum))
+      .withColumn("needed", min(when(col("cum") >= batchK, col("rk"))).over(wAll))
+      .where(col("rk") <= coalesce(col("needed"), lit(maxFilteredProbe)))
+      .select("qid", "qemb", "cell")
+    val base = filtered.join(probes, Seq("cell"))
+    val cands = if (excludeSelf) base.where(col("vec_id") =!= col("qid")) else base
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    cands
+      .withColumn("sim",
+        graft.functions.VectorFunctions.cosineF(col("embedding"), col("qemb")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= batchK)
+      .select("qid", "vec_id", "sim")
+  }
+
+  val ivfFilteredBatchSearchSql: String = {
+    def cos(a: String, b: String): String =
+      s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |   list_transform(range(1, $dim + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, p) -> acc + p)
+         | / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, $dim + 1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (acc, p) -> acc + p))
+         |  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, $dim + 1), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (acc, p) -> acc + p))))""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $batchPanel),
+       | c AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+       |       FROM embeddings WHERE vec_id < $oracleCells),
+       | qsims AS (SELECT q.qid, c.cell, ${cos("q.qe", "c.ce")} AS sim FROM q, c),
+       | ranked AS (
+       |  SELECT qid, cell, rk FROM (
+       |    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cell) AS rk
+       |    FROM qsims)
+       |  WHERE rk <= $maxFilteredProbe),
+       | assign AS ($ivfAssignSql),
+       | filt AS (SELECT a.vec_id, a.cell FROM assign a
+       |          JOIN embeddings e ON e.vec_id = a.vec_id WHERE e.label = $filterLabel),
+       | fcnt AS (SELECT cell, COUNT(*) AS fn FROM filt GROUP BY cell),
+       | selfc AS (SELECT vec_id AS qid, cell AS self_cell FROM filt),
+       | avail AS (
+       |  SELECT r.qid, r.rk, r.cell,
+       |    COALESCE(f.fn, 0) - CASE WHEN r.cell = s.self_cell THEN 1 ELSE 0 END AS avail
+       |  FROM ranked r LEFT JOIN fcnt f ON f.cell = r.cell
+       |   LEFT JOIN selfc s ON s.qid = r.qid),
+       | cum AS (SELECT qid, rk, cell,
+       |           SUM(avail) OVER (PARTITION BY qid ORDER BY rk) AS cum FROM avail),
+       | needed AS (SELECT qid, MIN(CASE WHEN cum >= $batchK THEN rk END) AS kr
+       |            FROM cum GROUP BY qid),
+       | probe AS (SELECT cm.qid, cm.cell FROM cum cm JOIN needed n ON n.qid = cm.qid
+       |           WHERE cm.rk <= COALESCE(n.kr, $maxFilteredProbe)),
+       | cand AS (SELECT p.qid, ft.vec_id FROM probe p JOIN filt ft ON ft.cell = p.cell
+       |          WHERE ft.vec_id <> p.qid),
+       | scored AS (
+       |  SELECT cd.qid, cd.vec_id, ${cos("e.embedding", "q.qe")} AS sim
+       |  FROM cand cd JOIN embeddings e ON cd.vec_id = e.vec_id JOIN q ON cd.qid = q.qid)
+       |SELECT qid, vec_id, sim FROM (
+       |  SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $batchK""".stripMargin
+  }
+
   /** Batched IVF+PQ search: [[ivfBatchSearchOf]]'s probe/candidate plan
     * with ADC ranking instead of exact cosine — the shape you actually
     * serve at 100 TB, where the scan budget covers 4-byte PQ codes but not

@@ -43,19 +43,28 @@ object AnnServe {
     * persisted cell assignment — the quality configuration end-to-end
     * online. Takes precedence over `usePq`.
     *
+    * `filtered = true` serves each micro-batch through the metadata-
+    * FILTERED batch search ([[graft.operators.Similarity.ivfFilteredBatchSearchOf]]):
+    * per-query adaptive probing against the filtered cell cardinalities,
+    * entirely in-plan — the online form of "nearest neighbors matching a
+    * predicate". Takes precedence over `usePq`; `trainedIndex` still wins.
+    *
     * Streaming qids are REQUEST ids, not corpus ids, so serving never
     * self-excludes: a query whose qid coincides with a corpus vec_id still
     * sees that vector as a neighbor (the declared batch queries, whose
     * panel qids ARE corpus ids, pass excludeSelf = true instead).
     */
   def start(queries: DataFrame, corpusDir: String, usePq: Boolean = false,
-            trainedIndex: Option[graft.operators.IvfTableIndex] = None)(
+            trainedIndex: Option[graft.operators.IvfTableIndex] = None,
+            filtered: Boolean = false)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val answer = trainedIndex match {
           case Some(idx) => graft.operators.Similarity.ivfIndexBatchSearchOf(
             idx, batch, excludeSelf = false)
+          case None if filtered => graft.operators.Similarity.ivfFilteredBatchSearchOf(
+            batch.sparkSession, corpusDir, batch, excludeSelf = false)
           case None if usePq => graft.operators.Similarity.ivfPqBatchSearchOf(
             batch.sparkSession, corpusDir, batch, excludeSelf = false)
           case None => graft.operators.Similarity.ivfBatchSearchOf(

@@ -247,6 +247,31 @@ object ScaleProbe {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"ppjoin_prefix  $c%7d $form%8s $n%9d  $dt%.2f")
       }
+      // the remaining pair paths through the same clique: simhash pieces
+      // (hybrid kernel, cap-toggleable), delta banding and the containment
+      // probe×index join (both symmetric blocked bipartite joins — no
+      // unconditional form exists to toggle, the bounded completion IS the
+      // evidence)
+      for ((form, cap) <- Seq(
+          ("hybrid", graft.operators.Dedup.bucketExpandCap),
+          ("in_row", Int.MaxValue)) if !(form == "in_row" && c > 2500 && !inRowAll)) {
+        val t0 = System.nanoTime()
+        val n = graft.operators.Dedup.simhashPairsCount(corpus, 64, cap)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"simhash_pieces $c%7d $form%8s $n%9d  $dt%.2f")
+      }
+      locally {
+        val t0 = System.nanoTime()
+        val n = graft.operators.Dedup.deltaFromBandsCount(bands, 50000000L + c / 2)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"delta_banding  $c%7d ${"blocked"}%8s $n%9d  $dt%.2f")
+      }
+      locally {
+        val t0 = System.nanoTime()
+        val n = graft.operators.Dedup.containmentCandidatesCount(shingled)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"contain_probe  $c%7d ${"blocked"}%8s $n%9d  $dt%.2f")
+      }
     }
     }
 

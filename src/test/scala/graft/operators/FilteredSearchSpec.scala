@@ -70,4 +70,26 @@ class FilteredSearchSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == want,
       s"filtered top-k diverges from brute force over probed cells")
   }
+
+  test("batched filtered search: k qualifying rows per panel query, predicate pure") {
+    val d = sf()
+    val emb = graft.core.Tables.embeddings(spark, d)
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.ivfFilteredBatchSearch(spark, d).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until Similarity.batchPanel).toSet,
+      s"expected one result group per panel query, got ${byQ.keySet}")
+    rows.foreach { r =>
+      assert(labelOf(r.getLong(1)) == Similarity.filterLabel,
+        s"query ${r.getLong(0)} returned neighbor ${r.getLong(1)} outside the predicate")
+      assert(r.getLong(1) != r.getLong(0), "declared face must self-exclude")
+    }
+    val totalQualifying = labelOf.values.count(_ == Similarity.filterLabel)
+    byQ.foreach { case (qid, hits) =>
+      val selfQualifies = if (labelOf(qid) == Similarity.filterLabel) 1 else 0
+      val expect = math.min(Similarity.batchK, totalQualifying - selfQualifies)
+      assert(hits.length == expect, s"query $qid: ${hits.length} hits, expected $expect")
+    }
+  }
 }

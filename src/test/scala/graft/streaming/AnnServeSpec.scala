@@ -86,6 +86,41 @@ class AnnServeSpec extends SparkSpec {
     assert(got(0L) == want, "PQ-mode stream diverged from the offline IVF+PQ batch answer")
   }
 
+  test("filtered mode serves the filtered batch answer; every hit satisfies the predicate") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sf())
+      .orderBy("vec_id").limit(6)
+      .collect().map(r => AnnQuery(r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[AnnQuery](spark)
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Long, Long)]]()
+    val q = AnnServe.start(input.toDF(), sf(), filtered = true) { (res, id) =>
+      got.synchronized {
+        got(id) = res.collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      }
+    }
+    try {
+      input.addData(emb.take(6))
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.operators.Similarity.ivfFilteredBatchSearchOf(
+        spark, sf(), emb.take(6).toSeq.toDF().select(col("qid"), col("embedding")),
+        excludeSelf = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    assert(got.keySet == Set(0L))
+    assert(got(0L) == want, "filtered-mode stream diverged from the offline filtered batch answer")
+    // predicate purity: every served neighbor carries the filter label
+    val labelOf = graft.core.Tables.embeddings(spark, sf())
+      .select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.values.flatten.foreach { case (qid, vid, _) =>
+      assert(labelOf(vid) == graft.operators.Similarity.filterLabel,
+        s"query $qid served neighbor $vid outside the predicate")
+    }
+  }
+
   test("trained-index mode serves the persisted trained index's batch answer") {
     import spark.implicits._
     val idx = graft.operators.Similarity.trainedIvfIndexFor(spark, sf())
