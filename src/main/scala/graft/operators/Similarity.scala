@@ -497,7 +497,10 @@ object Similarity {
     val q = emb.where(col("vec_id") === ivfQueryId)
       .select("embedding").head().getSeq[Float](0).toArray
     val ranked = rankedCells(q, centroids(s, d))
-    val assign = ivfAssign(s, d)
+    // materialized once: the assignment feeds both the cardinality count
+    // and the member semi-join, and the O(n·cells) assignment kernel is
+    // the dominant cost — without the checkpoint it runs per consumer
+    val assign = ivfAssign(s, d).localCheckpoint()
     // per-cell filtered cardinality: ≤ cells rows (bounded by maxCells)
     val counts = assign
       .join(emb.where(col("label") === filterLabel && col("vec_id") =!= ivfQueryId)
@@ -1573,12 +1576,16 @@ object Similarity {
                                               excludeSelf: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cs = centroids(s, d)
+    // materialized once: three consumers (cardinality counts, the
+    // per-query self adjustment, the member join) would otherwise each
+    // re-run the O(n·cells) assignment kernel
     val filtered = Tables.embeddings(s, d)
       .withColumn("sims", centroidSimsColumn(cs))
       .withColumn("centroid_sim", array_max(col("sims")))
       .withColumn("cell", (array_position(col("sims"), col("centroid_sim")) - 1).cast("int"))
       .where(col("label") === filterLabel)
       .select(col("vec_id"), col("cell"), col("embedding"))
+      .localCheckpoint()
     val fcnt = filtered.groupBy("cell").agg(count(lit(1)).as("fn"))
     val ranked = queries
       .withColumn("sims", centroidSimsColumn(cs))

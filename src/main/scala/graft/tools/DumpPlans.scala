@@ -34,7 +34,11 @@ object DumpPlans {
       "ann_ivfpq_batch_search", "dedup_shared_ngrams",
       "dedup_normalized_exact", "dedup_containment",
       "dedup_simhash_pairs", "ann_ivf_index_search_trained",
-      "dedup_report_streamed")
+      "dedup_report_streamed",
+      "dedup_exact_jaccard_join", "dedup_delta_candidates",
+      "dedup_delta_candidates_streamed", "dedup_lsh_candidates_k12",
+      "ann_ivf_filtered_search", "ann_ivf_filtered_batch_search",
+      "dedup_simhash_pairs_wide")
     picks.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, d)
       val txt = df.queryExecution.explainString(
