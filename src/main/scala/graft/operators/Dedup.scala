@@ -363,7 +363,16 @@ object Dedup {
     * chain per branch.
     */
   private[operators] def pairsFromBucketedRows(rows: DataFrame, keyCols: Seq[String],
-                                               cap: Int): DataFrame = {
+                                               cap: Int): DataFrame =
+    pairDistinct(pairsFromBucketedRowsRaw(rows, keyCols, cap))
+
+  /** The expansion WITHOUT the cross-bucket dedup — for callers whose
+    * bucket key holds each pair at most once (e.g. the exact-set groups,
+    * where every pair lives in exactly one group), for whom the dedup
+    * exchange would be pure overhead on an already-unique stream.
+    */
+  private[operators] def pairsFromBucketedRowsRaw(rows: DataFrame, keyCols: Seq[String],
+                                                  cap: Int): DataFrame = {
     val key = keyCols.map(col)
     val buckets = rows
       .groupBy(key: _*)
@@ -403,7 +412,7 @@ object Dedup {
       .where(col("sa") < col("sb") || col("da") < col("db"))
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"))
-    pairDistinct(coldPairs.unionAll(hotPairs))
+    coldPairs.unionAll(hotPairs)
   }
 
   /** SORT-based pair dedup — `.distinct()` without the hash maps. A plain
@@ -1183,13 +1192,106 @@ object Dedup {
         .select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
         .where(size(col("sh")) > 0))
 
+  /** Declared `dedup_exact_jaccard_join_collapsed`: the exact-set
+    * collapse FORCED on the gate corpus (which sits below the adaptive
+    * threshold and would otherwise take the flat join), so the collapse
+    * path — grouping, rep join, intra and cross expansion — is
+    * oracle-gated cross-engine, not only spec-pinned. Same all-pairs
+    * oracle: the collapse emits identical rows by construction.
+    */
+  def exactJaccardJoinCollapsedFace(s: SparkSession, d: String): DataFrame =
+    exactJaccardJoinCollapsed(
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
+        .where(size(col("sh")) > 0)
+        .localCheckpoint())
+
+  lazy val exactJaccardJoinCollapsedSql: String = exactJaccardJoinSql
+
   /** [[exactJaccardJoin]] over an arbitrary `(doc_id, sh: ARRAY<BIGINT>)`
     * set frame (elements SORTED ASC and distinct per row — shingleHashes'
     * canonical form; the fused merge-count verification relies on it) —
     * split out so the property spec can sweep random corpora against an
     * in-test brute force.
     */
+  // ----- EXACT-SET COLLAPSE (adaptive) ---------------------------------
+  /** Duplicate-mass threshold for the adaptive collapse
+    * ([[exactJaccardJoinCollapsed]], the production mitigation for
+    * dup-heavy corpora — exact dedup ahead of near-dup): group documents
+    * by IDENTICAL hashed shingle set, run the full prefix-filtered join
+    * on one REPRESENTATIVE per distinct set, then reconstruct the
+    * doc-level answer:
+    *
+    *  - intra-group pairs (identical sets ⇒ J = 1 ≥ τ always) expand
+    *    directly through the blocked kernel keyed on the group id — each
+    *    pair lives in exactly ONE group, so the stream is unique by
+    *    construction and skips the dedup exchange entirely (pure
+    *    streaming: a 10⁴-copy clique's C(10⁴,2) pairs never touch an
+    *    aggregation);
+    *  - cross-group rep pairs carry set-level (inter, uni, jaccard) that
+    *    every member pair shares verbatim; two streaming explodes expand
+    *    them (never an |A|·|B| array in one row).
+    *
+    * Prefix/candidate/reduction work now scales with DISTINCT sets, not
+    * documents — on a boilerplate-heavy crawl that is orders of
+    * magnitude — while the emitted rows are exactly the uncollapsed
+    * join's (ExactJoinSpec pins equality against brute force, and the
+    * oracle's all-pairs SQL is unchanged).
+    *
+    * The collapse fires when dup docs exceed 1/[[collapseDupFractionDen]]
+    * (≈1.6%) of the corpus. Below it (the gate and bench corpora:
+    * 0-0.16% exact dups) the collapse's groupBy + expansion joins cost
+    * more than they save and the flat join runs directly; above it (a
+    * boilerplate-heavy crawl — the dup_heavy probe corpus is 67% copies)
+    * reduction work collapses to distinct-set scale. Either branch emits
+    * IDENTICAL rows (ExactJoinSpec pins both against brute force;
+    * `dedup_exact_jaccard_join_collapsed` pins the forced-collapse path
+    * against the unchanged all-pairs oracle), so the branch is a pure
+    * plan choice, like AQE's.
+    */
+  val collapseDupFractionDen = 64L
+
   private[operators] def exactJaccardJoinOf(docs: DataFrame): DataFrame = {
+    val d = docs.localCheckpoint()
+    val stats = d.agg(count(lit(1)).as("n"), countDistinct(col("sh")).as("ds")).head()
+    val dups = stats.getLong(0) - stats.getLong(1)
+    if (dups * collapseDupFractionDen > stats.getLong(0)) exactJaccardJoinCollapsed(d)
+    else exactJaccardJoinFlat(d)
+  }
+
+  private[graft] def exactJaccardJoinCollapsed(docs: DataFrame): DataFrame = {
+    val grouped = docs
+      .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .withColumn("gid", col("members")(0))
+      .localCheckpoint()
+    val repPairs = exactJaccardJoinFlat(
+      grouped.select(col("gid").as("doc_id"), col("sh")))
+    val intraPairs = pairsFromBucketedRowsRaw(
+      grouped.where(size(col("members")) > 1)
+        .select(col("gid"), explode(col("members")).as("doc_id")),
+      Seq("gid"), bucketExpandCap)
+      .join(docs.select(col("doc_id").as("doc_a"), size(col("sh")).cast("long").as("n")),
+        Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("n").as("inter"), col("n").as("uni"),
+        lit(1.0).as("jaccard"))
+    val crossPairs = repPairs
+      .join(grouped.select(col("gid").as("doc_a"), col("members").as("ma")), Seq("doc_a"))
+      .join(grouped.select(col("gid").as("doc_b"), col("members").as("mb")), Seq("doc_b"))
+      .select(col("inter"), col("uni"), col("jaccard"),
+        explode(col("ma")).as("da"), col("mb"))
+      .select(col("inter"), col("uni"), col("jaccard"),
+        col("da"), explode(col("mb")).as("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("inter"), col("uni"), col("jaccard"))
+    intraPairs.unionAll(crossPairs)
+  }
+
+  /** The flat (doc-level) prefix-filtered join — the body the adaptive
+    * entry runs directly below the collapse threshold, and the collapse
+    * runs over set representatives above it.
+    */
+  private def exactJaccardJoinFlat(docs: DataFrame): DataFrame = {
     val cands = exactJaccardCandidatesOf(docs, ppFilters = true)
     // verification via the fused merge-count kernel: `sh` is shingleHashes'
     // canonical sorted-distinct form, so sorted_intersect_count ≡
@@ -1365,6 +1467,8 @@ object Dedup {
     deltaCandidatesFromBands(bands, cutoff).count()
   def containmentCandidatesCount(docs: DataFrame): Long =
     containmentCandidatesOf(docs).count()
+  def exactJaccardJoinCount(docs: DataFrame): Long =
+    exactJaccardJoinOf(docs).count()
 
   /** The candidate pair frame itself, for probes asserting structural
     * properties (ScaleCorpusSpec: no cross-replica pairs).

@@ -272,6 +272,15 @@ object ScaleProbe {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"contain_probe  $c%7d ${"blocked"}%8s $n%9d  $dt%.2f")
       }
+      // the FULL exact join through the exact-set collapse: prefix and
+      // reduction work runs on distinct sets (5 679 + 1 here), the clique
+      // answer streams through the dedup-free intra expansion
+      locally {
+        val t0 = System.nanoTime()
+        val n = graft.operators.Dedup.exactJaccardJoinCount(shingled)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"ppjoin_join    $c%7d ${"collapse"}%8s $n%9d  $dt%.2f")
+      }
     }
     }
 

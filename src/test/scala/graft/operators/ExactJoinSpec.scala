@@ -66,6 +66,38 @@ class ExactJoinSpec extends SparkSpec {
           s"missing=${(want.keySet -- got.keySet).take(5)}, extra=${(got.keySet -- want.keySet).take(5)}")
     }
   }
+
+  test("exact-set collapse: dup-heavy corpus (copy cliques + near-dup groups) ≡ brute force") {
+    import spark.implicits._
+    // three exact-copy groups (sizes 40, 25, 3), two of which are near-dups
+    // of EACH OTHER (J = 9/11 ≥ τ — the cross-group expansion must emit
+    // every member pair), plus distinct background docs
+    val setA = (1L to 10L).toArray
+    val setB = (1L to 10L).toArray.filterNot(_ == 10L) :+ 11L // |A∩B|=9, uni=11
+    val setC = Array(100L, 101L, 102L)
+    val rnd = new scala.util.Random(7)
+    val corpus =
+      (0L until 40L).map(i => (i, setA)) ++
+        (100L until 125L).map(i => (i, setB.sorted)) ++
+        (200L until 203L).map(i => (i, setC)) ++
+        (300L until 320L).map { i =>
+          (i, rnd.shuffle((1000L to 1100L).toList).take(5 + rnd.nextInt(6)).sorted.toArray)
+        }
+    val got = Dedup.exactJaccardJoinOf(corpus.toDF("doc_id", "sh"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val want = (for {
+      (a, sa) <- corpus; (b, sb) <- corpus if a < b
+      inter = sa.intersect(sb).length.toLong
+      uni = sa.length + sb.length - inter
+      if inter * Dedup.exactTauDen >= uni * Dedup.exactTauNum
+    } yield ((a, b), (inter, uni))).toMap
+    // sanity on the fixture itself: intra-clique + cross-clique pairs exist
+    assert(want.size >= 40 * 39 / 2 + 25 * 24 / 2 + 3 + 40 * 25,
+      s"fixture lost its structure: ${want.size} brute-force pairs")
+    assert(got == want,
+      s"collapse diverges: engine=${got.size}, brute=${want.size}; " +
+        s"missing=${(want.keySet -- got.keySet).take(5)}, extra=${(got.keySet -- want.keySet).take(5)}")
+  }
 }
 
 /** The tuning report must agree with the production bandings: its
