@@ -1215,12 +1215,11 @@ object Dedup {
     * in-test brute force.
     */
   // ----- EXACT-SET COLLAPSE (adaptive) ---------------------------------
-  /** Duplicate-mass threshold for the adaptive collapse
-    * ([[exactJaccardJoinCollapsed]], the production mitigation for
-    * dup-heavy corpora — exact dedup ahead of near-dup): group documents
-    * by IDENTICAL hashed shingle set, run the full prefix-filtered join
-    * on one REPRESENTATIVE per distinct set, then reconstruct the
-    * doc-level answer:
+  /** Adaptive exact-set collapse ([[exactJaccardJoinCollapsed]], the
+    * production mitigation for dup-heavy corpora — exact dedup ahead of
+    * near-dup): group documents by IDENTICAL hashed shingle set, run the
+    * full prefix-filtered join on one REPRESENTATIVE per distinct set,
+    * then reconstruct the doc-level answer:
     *
     *  - intra-group pairs (identical sets ⇒ J = 1 ≥ τ always) expand
     *    directly through the blocked kernel keyed on the group id — each
@@ -1229,58 +1228,91 @@ object Dedup {
     *    streaming: a 10⁴-copy clique's C(10⁴,2) pairs never touch an
     *    aggregation);
     *  - cross-group rep pairs carry set-level (inter, uni, jaccard) that
-    *    every member pair shares verbatim; two streaming explodes expand
-    *    them (never an |A|·|B| array in one row).
+    *    every member pair shares verbatim; two streaming membership joins
+    *    expand them (never an |A|·|B| array in one row).
     *
-    * Prefix/candidate/reduction work now scales with DISTINCT sets, not
+    * Group state is row-shaped throughout: metadata is one `(sh, gid =
+    * min doc_id, gsize)` row per DISTINCT set and membership is one
+    * `(gid, doc_id)` row per document — no row ever holds a whole group,
+    * so a 10⁸-copy boilerplate page costs 10⁸ skinny rows, not one
+    * 10⁸-element array in a single task (the hazard class the blocked
+    * kernels exist to avoid).
+    *
+    * Prefix/candidate/reduction work scales with DISTINCT sets, not
     * documents — on a boilerplate-heavy crawl that is orders of
     * magnitude — while the emitted rows are exactly the uncollapsed
-    * join's (ExactJoinSpec pins equality against brute force, and the
+    * join's (ExactJoinSpec pins the collapse against brute force, and the
     * oracle's all-pairs SQL is unchanged).
     *
-    * The collapse fires when dup docs exceed 1/[[collapseDupFractionDen]]
-    * (≈1.6%) of the corpus. Below it (the gate and bench corpora:
-    * 0-0.16% exact dups) the collapse's groupBy + expansion joins cost
-    * more than they save and the flat join runs directly; above it (a
-    * boilerplate-heavy crawl — the dup_heavy probe corpus is 67% copies)
-    * reduction work collapses to distinct-set scale. Either branch emits
-    * IDENTICAL rows (ExactJoinSpec pins both against brute force;
-    * `dedup_exact_jaccard_join_collapsed` pins the forced-collapse path
-    * against the unchanged all-pairs oracle), so the branch is a pure
-    * plan choice, like AQE's.
+    * [[shouldCollapse]] decides the branch from the same group stats
+    * pass, on the statistic that actually predicts the win — duplication
+    * SHAPE, not duplicate mass:
+    *
+    *  - `maxGroup > bucketExpandCap`: one clique no longer fits a single
+    *    blocked slice, so the flat kernel would spend ⌈g/cap⌉² slices on
+    *    one page (the dup_heavy probe's 10⁴-copy clique: flat candidate
+    *    stage 772 s, collapsed join 26.5 s — PLANS.md round-11);
+    *  - `intraPairs > collapsePairBudgetPerDoc·n`: exact-dup pair mass
+    *    the flat join would individually verify, per document of linear
+    *    work. The sf1 replica corpus (90% dup MASS but only 4.5 intra
+    *    pairs/doc in 10-member groups) measured flat 5.8 s vs collapsed
+    *    10.5 s — dup mass alone is the wrong signal; the budget keeps
+    *    shallow replication on the flat path and fires only when
+    *    verification work on exact-dup cliques dwarfs corpus-linear cost.
+    *
+    * Either branch emits IDENTICAL rows (ExactJoinSpec pins both against
+    * brute force; `dedup_exact_jaccard_join_collapsed` pins the
+    * forced-collapse path against the unchanged all-pairs oracle), so the
+    * branch is a pure plan choice, like AQE's.
     */
-  val collapseDupFractionDen = 64L
+  val collapsePairBudgetPerDoc = 32L
+
+  private[operators] def shouldCollapse(n: Long, maxGroup: Long, intraPairs: Long): Boolean =
+    maxGroup > bucketExpandCap || intraPairs > collapsePairBudgetPerDoc * n
 
   private[operators] def exactJaccardJoinOf(docs: DataFrame): DataFrame = {
     val d = docs.localCheckpoint()
-    val stats = d.agg(count(lit(1)).as("n"), countDistinct(col("sh")).as("ds")).head()
-    val dups = stats.getLong(0) - stats.getLong(1)
-    if (dups * collapseDupFractionDen > stats.getLong(0)) exactJaccardJoinCollapsed(d)
+    // the stats agg streams through the groupBy without materializing the
+    // distinct-set frame — only the (rare) collapse branch pays to
+    // checkpoint it; gsize·(gsize−1) is even, so the halving is exact
+    val groupsPlan = d.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gsize"))
+    val stats = groupsPlan.agg(
+      sum(col("gsize")).as("n"), max(col("gsize")).as("maxg"),
+      sum(col("gsize") * (col("gsize") - lit(1L))).as("intra2")).head()
+    if (shouldCollapse(stats.getLong(0), stats.getLong(1), stats.getLong(2) / 2L))
+      exactJaccardJoinCollapsedWith(d, groupsPlan.localCheckpoint())
     else exactJaccardJoinFlat(d)
   }
 
   private[graft] def exactJaccardJoinCollapsed(docs: DataFrame): DataFrame = {
-    val grouped = docs
-      .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("members"))
-      .withColumn("gid", col("members")(0))
+    val d = docs.localCheckpoint()
+    exactJaccardJoinCollapsedWith(d,
+      d.groupBy(col("sh"))
+        .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gsize"))
+        .localCheckpoint())
+  }
+
+  /** The collapse body over a prebuilt `(sh, gid, gsize)` group frame
+    * (one row per distinct set — [[exactJaccardJoinOf]] reuses the frame
+    * its stats pass already materialized).
+    */
+  private def exactJaccardJoinCollapsedWith(docs: DataFrame, groups: DataFrame): DataFrame = {
+    val membership = docs.join(groups, Seq("sh"))
+      .select(col("gid"), col("doc_id"), col("gsize"))
       .localCheckpoint()
     val repPairs = exactJaccardJoinFlat(
-      grouped.select(col("gid").as("doc_id"), col("sh")))
+      groups.select(col("gid").as("doc_id"), col("sh")))
     val intraPairs = pairsFromBucketedRowsRaw(
-      grouped.where(size(col("members")) > 1)
-        .select(col("gid"), explode(col("members")).as("doc_id")),
+      membership.where(col("gsize") > 1).select(col("gid"), col("doc_id")),
       Seq("gid"), bucketExpandCap)
       .join(docs.select(col("doc_id").as("doc_a"), size(col("sh")).cast("long").as("n")),
         Seq("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("n").as("inter"), col("n").as("uni"),
         lit(1.0).as("jaccard"))
     val crossPairs = repPairs
-      .join(grouped.select(col("gid").as("doc_a"), col("members").as("ma")), Seq("doc_a"))
-      .join(grouped.select(col("gid").as("doc_b"), col("members").as("mb")), Seq("doc_b"))
-      .select(col("inter"), col("uni"), col("jaccard"),
-        explode(col("ma")).as("da"), col("mb"))
-      .select(col("inter"), col("uni"), col("jaccard"),
-        col("da"), explode(col("mb")).as("db"))
+      .join(membership.select(col("gid").as("doc_a"), col("doc_id").as("da")), Seq("doc_a"))
+      .join(membership.select(col("gid").as("doc_b"), col("doc_id").as("db")), Seq("doc_b"))
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"),
         col("inter"), col("uni"), col("jaccard"))

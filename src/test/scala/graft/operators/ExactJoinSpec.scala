@@ -83,7 +83,13 @@ class ExactJoinSpec extends SparkSpec {
         (300L until 320L).map { i =>
           (i, rnd.shuffle((1000L to 1100L).toList).take(5 + rnd.nextInt(6)).sorted.toArray)
         }
-    val got = Dedup.exactJaccardJoinOf(corpus.toDF("doc_id", "sh"))
+    // forced collapse: the fixture's max group (40) sits below
+    // bucketExpandCap and its intra-pair budget (≈12.3/doc) below the
+    // collapsePairBudgetPerDoc, so the adaptive entry would take the flat
+    // branch — calling the collapse body directly keeps the equivalence
+    // proof on the path the decision rule reserves for clique-shaped
+    // corpora
+    val got = Dedup.exactJaccardJoinCollapsed(corpus.toDF("doc_id", "sh"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
     val want = (for {
       (a, sa) <- corpus; (b, sb) <- corpus if a < b
@@ -97,6 +103,23 @@ class ExactJoinSpec extends SparkSpec {
     assert(got == want,
       s"collapse diverges: engine=${got.size}, brute=${want.size}; " +
         s"missing=${(want.keySet -- got.keySet).take(5)}, extra=${(got.keySet -- want.keySet).take(5)}")
+    // and the adaptive entry (flat branch on this fixture) agrees too
+    val adaptive = Dedup.exactJaccardJoinOf(corpus.toDF("doc_id", "sh"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(adaptive == want, s"adaptive (flat) diverges: ${adaptive.size} vs ${want.size}")
+  }
+
+  test("collapse decision keys on duplication SHAPE, not duplicate mass") {
+    // clique past the blocked-slice cap: collapse regardless of mass
+    assert(Dedup.shouldCollapse(n = 15000L, maxGroup = 10000L, intraPairs = 49995000L))
+    // the sf1 replica corpus shape: 90% dup mass, 10-member groups,
+    // 4.5 intra pairs/doc — measured flat 5.8 s vs collapsed 10.5 s
+    assert(!Dedup.shouldCollapse(n = 61220L, maxGroup = 10L, intraPairs = 275490L))
+    // deep but sub-cap groups whose pair mass dwarfs linear work: a
+    // corpus of 100-member boilerplate groups (49.5 intra pairs/doc)
+    assert(Dedup.shouldCollapse(n = 100000L, maxGroup = 100L, intraPairs = 4950000L))
+    // clean corpora: nothing to collapse
+    assert(!Dedup.shouldCollapse(n = 5000L, maxGroup = 2L, intraPairs = 8L))
   }
 }
 
