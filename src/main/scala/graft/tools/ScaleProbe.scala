@@ -223,25 +223,31 @@ object ScaleProbe {
     val copiesList = args.lift(1).map(_.split(",").toSeq.map(_.toInt))
       .getOrElse(Seq(2500, 10000))
     val inRowAll = sys.env.contains("GRAFT_DUPHEAVY_INROW")
+    // GRAFT_DUPHEAVY_ONLY=<label> reruns a single pair path (e.g.
+    // ppjoin_join) without paying for the other four at c=10⁴
+    val onlyPath = sys.env.get("GRAFT_DUPHEAVY_ONLY")
+    def pathOn(label: String): Boolean = onlyPath.forall(_ == label)
     for (c <- copiesList) {
       val corpus = docs.select(col("doc_id"), col("text")).unionAll(
         spark.range(c).select((col("id") + 50000000L).as("doc_id"), lit(copyText).as("text")))
-      val bands = graft.operators.Dedup.bandRowsOf(corpus).localCheckpoint()
+      lazy val bands = graft.operators.Dedup.bandRowsOf(corpus).localCheckpoint()
       for ((form, cap) <- Seq(
           ("hybrid", graft.operators.Dedup.bucketExpandCap),
-          ("in_row", Int.MaxValue)) if !(form == "in_row" && c > 2500 && !inRowAll)) {
+          ("in_row", Int.MaxValue))
+          if pathOn("minhash_bands") && !(form == "in_row" && c > 2500 && !inRowAll)) {
         val t0 = System.nanoTime()
         val n = graft.operators.Dedup.bandPairsCount(bands, cap)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"minhash_bands  $c%7d $form%8s $n%9d  $dt%.2f")
       }
-      val shingled = corpus
+      lazy val shingled = corpus
         .select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
         .where(size(col("sh")) > 0)
         .localCheckpoint()
       for ((form, cap) <- Seq(
           ("hybrid", graft.operators.Dedup.bucketExpandCap),
-          ("in_row", Int.MaxValue)) if !(form == "in_row" && c > 2500 && !inRowAll)) {
+          ("in_row", Int.MaxValue))
+          if pathOn("ppjoin_prefix") && !(form == "in_row" && c > 2500 && !inRowAll)) {
         val t0 = System.nanoTime()
         val n = graft.operators.Dedup.ppjoinCandidatesCount(shingled, cap)
         val dt = (System.nanoTime() - t0) / 1e9
@@ -254,19 +260,20 @@ object ScaleProbe {
       // evidence)
       for ((form, cap) <- Seq(
           ("hybrid", graft.operators.Dedup.bucketExpandCap),
-          ("in_row", Int.MaxValue)) if !(form == "in_row" && c > 2500 && !inRowAll)) {
+          ("in_row", Int.MaxValue))
+          if pathOn("simhash_pieces") && !(form == "in_row" && c > 2500 && !inRowAll)) {
         val t0 = System.nanoTime()
         val n = graft.operators.Dedup.simhashPairsCount(corpus, 64, cap)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"simhash_pieces $c%7d $form%8s $n%9d  $dt%.2f")
       }
-      locally {
+      if (pathOn("delta_banding")) {
         val t0 = System.nanoTime()
         val n = graft.operators.Dedup.deltaFromBandsCount(bands, 50000000L + c / 2)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"delta_banding  $c%7d ${"blocked"}%8s $n%9d  $dt%.2f")
       }
-      locally {
+      if (pathOn("contain_probe")) {
         val t0 = System.nanoTime()
         val n = graft.operators.Dedup.containmentCandidatesCount(shingled)
         val dt = (System.nanoTime() - t0) / 1e9
@@ -275,7 +282,7 @@ object ScaleProbe {
       // the FULL exact join through the exact-set collapse: prefix and
       // reduction work runs on distinct sets (5 679 + 1 here), the clique
       // answer streams through the dedup-free intra expansion
-      locally {
+      if (pathOn("ppjoin_join")) {
         val t0 = System.nanoTime()
         val n = graft.operators.Dedup.exactJaccardJoinCount(shingled)
         val dt = (System.nanoTime() - t0) / 1e9
