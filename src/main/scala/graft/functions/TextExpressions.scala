@@ -21,7 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (= `conv(substr(md5(g),1,13),16,10)`), read directly from the digest
   *    bytes — no hex-string round trip;
   *  - minhash_j = min over shingles of (base·(37+101j) + 1009j) mod 1e9+7,
-  *    exact int64 arithmetic (base < 2^52 keeps products < 2^63).
+  *    computed as ((base mod p)·(37+101j) + 1009j) mod p — identical values
+  *    (modular arithmetic), but the reduced base < 2^30 keeps products in
+  *    exact int64 at ANY signature width, not just j ≤ 19.
   *
   * Why native: the declarative pipeline (split → transform/concat_ws →
   * md5 → conv → aggregate fold) runs in interpreted higher-order-function
@@ -67,15 +69,25 @@ object ShingleKernel {
     }
   }
 
-  /** k MinHash values; empty array when the doc has no shingles. */
+  /** k MinHash values; empty array when the doc has no shingles.
+    *
+    * The base hash is reduced mod P BEFORE mixing: (h·A_j + B_j) mod P ≡
+    * ((h mod P)·A_j + B_j) mod P exactly (so every value produced at the
+    * historical k ≤ 20 is bit-unchanged), and with h mod P < 2³⁰ the
+    * product stays in exact int64 for ANY supported j — the raw 52-bit
+    * base overflowed 2⁶³ from j = 20 (A_j ≥ 2057), silently wrapping in
+    * the JVM while DuckDB raised, which is why production widths
+    * (k = 64-128) were previously out of reach.
+    */
   def minhash(text: UTF8String, k: Int): GenericArrayData = {
     val mins = Array.fill(k)(MixP)
     var any = false
     shingleLoop(text) { h =>
       any = true
+      val hm = h % MixP
       var j = 0
       while (j < k) {
-        val v = (h * mixA(j) + mixB(j)) % MixP
+        val v = (hm * mixA(j) + mixB(j)) % MixP
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -292,6 +304,10 @@ abstract class ShingleExpression extends UnaryExpression {
 
 /** minhash_sig(text, k): k-element MinHash signature over word 3-grams. */
 case class MinHashSig(child: Expression, k: Int) extends ShingleExpression {
+  // mixA(1023) ≈ 2^16.7 against a 2^30-reduced base keeps every product
+  // < 2^47; the cap is a sanity bound far above production widths (64-128),
+  // enforced here rather than only documented (round-11 ADVICE).
+  require(k >= 1 && k <= 1024, s"minhash_sig supports 1 <= k <= 1024, got $k")
   override def nullSafeEval(input: Any): Any =
     ShingleKernel.minhash(input.asInstanceOf[UTF8String], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -172,8 +172,11 @@ object Dedup {
   /** Universal-hash family for MinHash: one 52-bit md5-derived base hash per
     * shingle, then k cheap linear mixes (base·A_j + B_j mod p). One
     * cryptographic hash instead of k — the standard MinHash construction,
-    * and ~k× less hashing work per shingle at scale. Coefficients keep
-    * base·A_j < 2^63 so both engines stay in exact int64 arithmetic.
+    * and ~k× less hashing work per shingle at scale. The base is reduced
+    * mod p BEFORE mixing (identical values by modular arithmetic, and both
+    * engines' kernels state it the same way), so every product stays in
+    * exact int64 at ANY signature width — production MinHash runs
+    * k = 64-128, and the unreduced 52-bit base overflowed 2⁶³ from j = 20.
     */
   private val mixP = 1000000007L
   private def mixA(j: Int): Long = 37L + 101L * j
@@ -194,10 +197,11 @@ object Dedup {
   /** Signatures at an ARBITRARY k — the MinHash family is parameterized
     * over (k, bands, rowsPerBand), not shape-locked to the k = 6
     * production default: production-scale dedup runs k = 64-128, and the
-    * `dedup_lsh_candidates_k12` face + the tuning sweep exercise a second
-    * config end-to-end. The mix coefficients (37 + 101j) keep
-    * base·A_j < 2⁶³ for every j ≤ 19, so exact-int64 arithmetic holds at
-    * any supported k.
+    * `dedup_lsh_candidates_k12` + `dedup_lsh_candidates_k64` faces + the
+    * tuning sweep exercise further configs end-to-end. The base hash is
+    * reduced mod p before the (37 + 101j) mixes — identical values, but
+    * exact int64 at ANY width (see [[graft.functions.ShingleKernel.minhash]]);
+    * the kernel's require enforces the documented bound.
     */
   private[operators] def signaturesOfK(docs: DataFrame, k: Int): DataFrame =
     // Native codegen'd kernel (graft.functions.MinHashSig): one tight loop
@@ -444,8 +448,10 @@ object Dedup {
     pairsFromBucketedRows(bands, Seq("band", "h1", "h2"), cap)
 
   private def minhashSignaturesSqlK(k: Int): String = {
+    // base reduced mod p before the mix — same values as the unreduced
+    // form (modular arithmetic), exact int64 at any k in BOTH engines
     val mins = (0 until k)
-      .map(j => s"list_min(list_transform(hs, h -> (h * ${mixA(j)} + ${mixB(j)}) % ${mixP})) AS mh$j")
+      .map(j => s"list_min(list_transform(hs, h -> ((h % ${mixP}) * ${mixA(j)} + ${mixB(j)}) % ${mixP})) AS mh$j")
       .mkString(",\n ")
     s"""SELECT doc_id,
        | $mins
@@ -509,6 +515,19 @@ object Dedup {
     * oracle (which recomputes from raw text) proves incremental
     * maintenance is lossless.
     */
+  /** Best-effort recursive delete for a pointer-protocol race LOSER's
+    * fully-built directory (round-11 ADVICE: the loser adopted the winner's
+    * pointer but left its own table/index/staging/ckpt orphaned in tmpdir).
+    * Failures are swallowed — cleanup is hygiene, never correctness.
+    */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    try {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   private val lshIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, LshIndex]()
   private def documentsLshIndex(s: SparkSession, d: String): LshIndex =
@@ -529,7 +548,8 @@ object Dedup {
         t.append(docs.where(col("doc_id") > cutoff))
         idx.refresh(t)
         try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          deleteRecursively(dir) } // racer won; adopt theirs, drop our build
       }
       LshIndex.open(s, s"${Files.readString(pointer)}/index")
     })
@@ -673,7 +693,8 @@ object Dedup {
             s"streamed LSH index diverged: $missing missing / $extra extra band rows, " +
               s"${refreshes.get()} incremental refreshes")
         try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () } // racer won; adopt theirs
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          deleteRecursively(dir) } // racer won; adopt theirs, drop our build
       }
       Files.readString(pointer)
     })
@@ -1277,9 +1298,12 @@ object Dedup {
     // checkpoint it; gsize·(gsize−1) is even, so the halving is exact
     val groupsPlan = d.groupBy(col("sh"))
       .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gsize"))
+    // coalesce: on an EMPTY frame the sum/max aggregates are NULL — the
+    // guard returns the flat join's (empty) result instead of throwing
     val stats = groupsPlan.agg(
-      sum(col("gsize")).as("n"), max(col("gsize")).as("maxg"),
-      sum(col("gsize") * (col("gsize") - lit(1L))).as("intra2")).head()
+      coalesce(sum(col("gsize")), lit(0L)).as("n"),
+      coalesce(max(col("gsize")), lit(0L)).as("maxg"),
+      coalesce(sum(col("gsize") * (col("gsize") - lit(1L))), lit(0L)).as("intra2")).head()
     if (shouldCollapse(stats.getLong(0), stats.getLong(1), stats.getLong(2) / 2L))
       exactJaccardJoinCollapsedWith(d, groupsPlan.localCheckpoint())
     else exactJaccardJoinFlat(d)
@@ -1737,7 +1761,8 @@ object Dedup {
           throw new IllegalStateException(
             s"streamed ingest diverged from batch source: $missing missing, $extra extra rows")
         try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () } // racer won; adopt theirs
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          deleteRecursively(dir) } // racer won; adopt theirs, drop our build
       }
       Files.readString(pointer)
     })

@@ -630,10 +630,36 @@ object Relational {
       val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
       Seq(names._1, names._2).foreach { t =>
         val p = wh.resolve(t)
-        if (java.nio.file.Files.isDirectory(p))
+        if (java.nio.file.Files.isDirectory(p)) {
           java.nio.file.Files.setLastModifiedTime(p, now)
+          liveBucketedDirs.add(p)
+        }
       }
+      startBucketedToucher()
     } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Background heartbeat (round-11 ADVICE): the per-lookup touch above
+    * keeps ACTIVE tables young, but a session idle on these tables for
+    * > 24h between uses could still lose its live dirs to a neighbor
+    * JVM's sweep. One daemon timer per JVM re-touches every dir this JVM
+    * has ever built/used, hourly — 24 touches of margin per sweep window.
+    */
+  private val liveBucketedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private val toucherStarted = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def startBucketedToucher(): Unit =
+    if (toucherStarted.compareAndSet(false, true)) {
+      val t = new java.util.Timer("graft-bucketed-toucher", true)
+      t.scheduleAtFixedRate(new java.util.TimerTask {
+        override def run(): Unit = try {
+          val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
+          liveBucketedDirs.forEach { p =>
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.setLastModifiedTime(p, now)
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }, 3600L * 1000, 3600L * 1000)
+    }
 
   private def sweepStaleBucketedDirs(s: SparkSession): Unit =
     try {
