@@ -245,8 +245,10 @@ object Dedup {
     math.round((1.0 - math.pow(1.0 - math.pow(0.5, rowsPerBand), bands)) * 1e6)
 
   private def lshCandidateCountFor(sig: DataFrame, bands: Int, rowsPerBand: Int): Long =
-    pairsFromBucketedRows(bandsOfK(sig, bands, rowsPerBand),
-      Seq("band", "bkey"), bucketExpandCap).count()
+    // through the PRODUCTION path (adaptive collapse included) — the
+    // report prices exactly what production would pay (round-10 wrong #3)
+    bandedPairsAdaptive(sig, bandsOfK(_, bands, rowsPerBand),
+      Seq("band", "bkey")).count()
 
   def lshTuning(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -301,8 +303,8 @@ object Dedup {
       .select("doc_a", "doc_b").localCheckpoint()
     val nTrue = truth.count()
     lshRecallConfigs.map { case (k, b, r) =>
-      val cands = pairsFromBucketedRows(bandsOfK(signaturesOfK(docs, k), b, r),
-        Seq("band", "bkey"), bucketExpandCap).localCheckpoint()
+      val cands = bandedPairsAdaptive(signaturesOfK(docs, k),
+        bandsOfK(_, b, r), Seq("band", "bkey")).localCheckpoint()
       val nCand = cands.count()
       val found = cands.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
       (k, b, r, nTrue, nCand, found,
@@ -447,6 +449,135 @@ object Dedup {
   private[operators] def pairsFromBands(bands: DataFrame, cap: Int): DataFrame =
     pairsFromBucketedRows(bands, Seq("band", "h1", "h2"), cap)
 
+  // ----- EXACT-SET COLLAPSE, generalized (round-12) --------------------
+  /** Cheap duplication PRE-GATE: ONE aggregate pass over the collapse
+    * group key — map-side HLL++ (deterministic) + a count, exchanged as
+    * sketches, never rows. est_distinct/n at or above 95% means duplicate
+    * mass sits below the gate's resolution, so the adaptive entries skip
+    * the exact group-stats exchange entirely and stay flat. The gate picks
+    * a PLAN, never a row — both branches emit identical pairs.
+    *
+    * Documented limitation: a clique that is a vanishing fraction of a
+    * huge corpus hides below HLL resolution and keeps the flat plan. That
+    * is the regime where the clique's blocked-slice work is noise against
+    * corpus-linear cost anyway — the collapse's 29× win (PLANS.md
+    * round-11) needs duplication MASS, which is exactly what HLL sees.
+    */
+  private val lowDupGatePermille = 950L
+
+  private[operators] def lowDupPreGate(keyed: DataFrame, key: Column): Boolean = {
+    val r = keyed.agg(count(lit(1)).as("n"),
+      approx_count_distinct(key, 0.02).as("nd")).head()
+    val n = r.getLong(0)
+    n == 0L || 1000L * r.getLong(1) >= lowDupGatePermille * n
+  }
+
+  /** One (gid = min doc_id, gsize) row per distinct group key — the
+    * row-shaped group metadata every collapse body shares (no row ever
+    * holds a member list).
+    */
+  private def groupFrame(keyed: DataFrame, keyCols: Seq[String]): DataFrame =
+    keyed.groupBy(keyCols.map(col): _*)
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gsize"))
+
+  /** (n, maxGroup, intraPairs) for [[shouldCollapse]] — coalesced so an
+    * empty frame decides "flat" instead of throwing.
+    */
+  private def groupShapeStats(groups: DataFrame): (Long, Long, Long) = {
+    val r = groups.agg(
+      coalesce(sum(col("gsize")), lit(0L)),
+      coalesce(max(col("gsize")), lit(0L)),
+      coalesce(sum(col("gsize") * (col("gsize") - lit(1L))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2) / 2L)
+  }
+
+  /** Doc-level candidate pairs from rep-level pairs + intra-group cliques
+    * — the shared collapse expansion for candidate faces (no payload
+    * columns): intra pairs stream through the blocked kernel keyed on the
+    * group id (each pair lives in exactly ONE group — unique by
+    * construction, no dedup exchange), cross pairs through two streaming
+    * membership joins (never an |A|·|B| array in one row). The two
+    * streams are disjoint (same-group vs cross-group), so the union needs
+    * no reduction.
+    */
+  private def expandCandidateRepPairs(repPairs: DataFrame, membership: DataFrame): DataFrame = {
+    val intra = pairsFromBucketedRowsRaw(
+      membership.where(col("gsize") > 1).select(col("gid"), col("doc_id")),
+      Seq("gid"), bucketExpandCap)
+    val cross = repPairs
+      .join(membership.select(col("gid").as("doc_a"), col("doc_id").as("da")), Seq("doc_a"))
+      .join(membership.select(col("gid").as("doc_b"), col("doc_id").as("db")), Seq("doc_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+    intra.unionAll(cross)
+  }
+
+  /** ADAPTIVE EXACT-SET COLLAPSE for the MinHash banding family — the
+    * round-11 exact-Jaccard collapse extended to candidate generation
+    * (round-11 verdict #1): identical documents have identical signatures,
+    * hence identical band buckets, hence identical candidate
+    * relationships, so banding runs on ONE REPRESENTATIVE per distinct
+    * signature and doc-level pairs are reconstructed by the membership
+    * joins — prefix/bucket/reduction work scales with DISTINCT signatures
+    * while a boilerplate clique's C(g,2) answer streams through the
+    * dedup-free intra expansion (the dup-heavy probe priced the flat
+    * candidate stage at 338 s vs 10.1 s collapsed for the full join).
+    *
+    * Group identity is the signature VECTOR, fingerprinted to two
+    * independent 64-bit xxhashes (128 bits: collision probability ~10⁻¹⁹
+    * at 10¹⁰ docs) so the group/membership exchanges carry 16-byte keys
+    * regardless of k. Candidate-ness is a function of the signature alone,
+    * so collapsed ≡ flat PAIR-FOR-PAIR (CollapseEquivalenceSpec pins it);
+    * the branch is a pure plan choice — [[lowDupPreGate]] (one cheap agg)
+    * then [[shouldCollapse]] on the same shape stats as the exact join.
+    *
+    * The signature frame is localCheckpoint'd first: the gate, stats,
+    * banding and membership consumers all read the slim materialized
+    * (doc_id, mh*) rows — the shingle/md5 kernel executes exactly once no
+    * matter the branch.
+    */
+  private[operators] def bandedPairsAdaptive(sigIn: DataFrame,
+                                             toBuckets: DataFrame => DataFrame,
+                                             keyCols: Seq[String]): DataFrame = {
+    val sig = sigIn.localCheckpoint()
+    val mh = sig.columns.filter(_ != "doc_id")
+    val fp1 = xxhash64(mh.map(col): _*)
+    def flat = pairsFromBucketedRows(toBuckets(sig), keyCols, bucketExpandCap)
+    if (lowDupPreGate(sig, fp1)) flat
+    else {
+      val keyed = sig.select(fp1.as("f1"),
+        xxhash64(lit(1L) +: mh.map(col): _*).as("f2"), col("doc_id"))
+      val groups = groupFrame(keyed, Seq("f1", "f2"))
+      val (n, maxg, intra) = groupShapeStats(groups)
+      if (!shouldCollapse(n, maxg, intra)) flat
+      else bandedPairsCollapsedBody(sig, keyed, toBuckets, keyCols)
+    }
+  }
+
+  /** The forced collapse body (split out so the equivalence spec can pin
+    * it against the flat kernel on fixtures below the adaptive threshold).
+    */
+  private[operators] def bandedPairsCollapsedBody(sigIn: DataFrame,
+                                                  toBuckets: DataFrame => DataFrame,
+                                                  keyCols: Seq[String]): DataFrame = {
+    val sig = sigIn.localCheckpoint()
+    val mh = sig.columns.filter(_ != "doc_id")
+    val keyed = sig.select(xxhash64(mh.map(col): _*).as("f1"),
+      xxhash64(lit(1L) +: mh.map(col): _*).as("f2"), col("doc_id"))
+    bandedPairsCollapsedBody(sig, keyed, toBuckets, keyCols)
+  }
+
+  private def bandedPairsCollapsedBody(sig: DataFrame, keyed: DataFrame,
+                                       toBuckets: DataFrame => DataFrame,
+                                       keyCols: Seq[String]): DataFrame = {
+    val g = groupFrame(keyed, Seq("f1", "f2")).localCheckpoint()
+    val membership = keyed.join(g, Seq("f1", "f2"))
+      .select(col("gid"), col("doc_id"), col("gsize")).localCheckpoint()
+    val reps = sig.join(g.select(col("gid").as("doc_id")), Seq("doc_id"), "left_semi")
+    val repPairs = pairsFromBucketedRows(toBuckets(reps), keyCols, bucketExpandCap)
+    expandCandidateRepPairs(repPairs, membership)
+  }
+
   private def minhashSignaturesSqlK(k: Int): String = {
     // base reduced mod p before the mix — same values as the unreduced
     // form (modular arithmetic), exact int64 at any k in BOTH engines
@@ -477,9 +608,8 @@ object Dedup {
   val lshR12 = 3
 
   def lshCandidatePairsK12(s: SparkSession, d: String): DataFrame =
-    pairsFromBucketedRows(
-      bandsOfK(signaturesOfK(Tables.documents(s, d), lshK12), lshB12, lshR12),
-      Seq("band", "bkey"), bucketExpandCap)
+    bandedPairsAdaptive(signaturesOfK(Tables.documents(s, d), lshK12),
+      bandsOfK(_, lshB12, lshR12), Seq("band", "bkey"))
 
   lazy val lshCandidatePairsK12Sql: String = {
     val bandCond = (0 until lshB12).map { band =>
@@ -503,10 +633,13 @@ object Dedup {
     * occupancy-capped hybrid ([[pairsFromBucketedRows]]): in-row below
     * [[bucketExpandCap]] (measured 4× faster than a self-join at sf0.1 on
     * LSH-typical occupancy), per-pair-row join above it so a dup-heavy hot
-    * bucket can never blow up a single task.
+    * bucket can never blow up a single task. Clique-shaped duplication
+    * additionally takes the exact-set collapse ([[bandedPairsAdaptive]]):
+    * banding runs on one representative per distinct signature.
     */
   def lshCandidatePairs(s: SparkSession, d: String): DataFrame =
-    pairsFromBands(bandsOf(minhashSignatures(s, d)))
+    bandedPairsAdaptive(signaturesOf(Tables.documents(s, d)),
+      bandsOf, Seq("band", "h1", "h2"))
 
   /** Documents ingested into a VectorTable in two stages with an
     * [[LshIndex]] built on the first and INCREMENTALLY refreshed for the
@@ -736,8 +869,10 @@ object Dedup {
   private[graft] def jaccardVerifiedPairsOf(docs: DataFrame): DataFrame = {
     // Materialized once: the candidate set feeds three consumers (the id
     // projection below + both verification joins); without the checkpoint
-    // the signature→banding chain re-executes per consumer.
-    val pairs = pairsFromBands(bandsOf(signaturesOf(docs))).localCheckpoint()
+    // the signature→banding chain re-executes per consumer. Candidates go
+    // through the adaptive collapse — identical pair set, clique-safe plan.
+    val pairs = bandedPairsAdaptive(signaturesOf(docs),
+      bandsOf, Seq("band", "h1", "h2")).localCheckpoint()
     // Verification work is sized to the CANDIDATES, not the corpus: only
     // docs that appear in some LSH pair need their shingle set, so a
     // semi-join prunes the corpus before the (expensive) shingle-hash
@@ -1718,7 +1853,8 @@ object Dedup {
     stage("1_docs", docs)
       .unionAll(stage("2_exact_groups", exactDedupOf(docs)))
       .unionAll(stage("3_normalized_groups", normalizedDedupOf(docs)))
-      .unionAll(stage("4_lsh_candidates", pairsFromBands(bandsOf(signaturesOf(docs)))))
+      .unionAll(stage("4_lsh_candidates",
+        bandedPairsAdaptive(signaturesOf(docs), bandsOf, Seq("band", "h1", "h2"))))
       .unionAll(stage("5_verified_pairs", verified))
       .unionAll(stage("6_clusters", clusters.select("cluster_id").distinct()))
       .unionAll(stage("7_clustered_docs", clusters))
@@ -1915,7 +2051,56 @@ object Dedup {
       simhashNearDupPairsWith(sig, bits).count())
   }
 
-  private[graft] def simhashNearDupPairsWith(sig: DataFrame, bits: Int): DataFrame = {
+  /** Adaptive entry: identical documents have identical signatures, so a
+    * boilerplate clique (every copy in the same (pc, pv) buckets, every
+    * pair at hamming 0) takes the EXACT-SET COLLAPSE keyed on the
+    * signature VALUE itself — one 8-byte long, the cheapest group key in
+    * the family: the pigeonhole join runs on one representative per
+    * distinct signature, intra-group pairs stream dedup-free with
+    * hamming = 0, cross pairs lift the rep pair's hamming verbatim
+    * (hamming(a, b) is a function of the two signatures alone, so
+    * collapsed ≡ flat PAIR-FOR-PAIR — CollapseEquivalenceSpec pins it).
+    * The branch rule is the shared [[lowDupPreGate]] → [[shouldCollapse]]
+    * pair; the signature frame is localCheckpoint'd so the map-only
+    * kernel executes once for the gate and all downstream consumers.
+    */
+  private[graft] def simhashNearDupPairsWith(sigIn: DataFrame, bits: Int): DataFrame = {
+    val sig = sigIn.localCheckpoint()
+    if (lowDupPreGate(sig, col("simhash"))) simhashNearDupPairsFlat(sig, bits)
+    else {
+      val groups = groupFrame(sig.select(col("simhash"), col("doc_id")), Seq("simhash"))
+      val (n, maxg, intra) = groupShapeStats(groups)
+      if (!shouldCollapse(n, maxg, intra)) simhashNearDupPairsFlat(sig, bits)
+      else simhashPairsCollapsedBody(sig, groups, bits)
+    }
+  }
+
+  /** Forced collapse body (spec-pinnable below the adaptive threshold). */
+  private[operators] def simhashPairsCollapsed(sigIn: DataFrame, bits: Int): DataFrame = {
+    val sig = sigIn.localCheckpoint()
+    simhashPairsCollapsedBody(sig,
+      groupFrame(sig.select(col("simhash"), col("doc_id")), Seq("simhash")), bits)
+  }
+
+  private def simhashPairsCollapsedBody(sig: DataFrame, groups: DataFrame,
+                                        bits: Int): DataFrame = {
+    val g = groups.localCheckpoint()
+    val membership = sig.join(g, Seq("simhash"))
+      .select(col("gid"), col("doc_id"), col("gsize")).localCheckpoint()
+    val repPairs = simhashNearDupPairsFlat(g.select(col("gid").as("doc_id"), col("simhash")), bits)
+    val intraPairs = pairsFromBucketedRowsRaw(
+      membership.where(col("gsize") > 1).select(col("gid"), col("doc_id")),
+      Seq("gid"), bucketExpandCap)
+      .select(col("doc_a"), col("doc_b"), lit(0).as("hamming"))
+    val cross = repPairs
+      .join(membership.select(col("gid").as("doc_a"), col("doc_id").as("da")), Seq("doc_a"))
+      .join(membership.select(col("gid").as("doc_b"), col("doc_id").as("db")), Seq("doc_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    intraPairs.unionAll(cross)
+  }
+
+  private[operators] def simhashNearDupPairsFlat(sig: DataFrame, bits: Int): DataFrame = {
     val cands = simhashCandidatesWith(sig, bits)
     cands
       .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
