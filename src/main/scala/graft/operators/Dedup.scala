@@ -734,9 +734,69 @@ object Dedup {
     * at all for buckets at or below cap occupancy.
     */
   private[operators] def deltaCandidatesFromBands(all: DataFrame, cutoff: Long): DataFrame = {
+    // Pre-gate ON STORED ROWS ONLY: HLL duplication of the band-0 bucket
+    // key. A boilerplate clique puts every copy in the same band-0 bucket,
+    // dropping the distinct/total ratio below the gate; genuinely-near-dup
+    // collisions can also trip it, which only costs the (cheap) exact
+    // stats pass — the conservative direction.
+    val b0 = all.where(col("band") === 0)
+    if (lowDupPreGate(b0, xxhash64(col("h1"), col("h2"))))
+      deltaCandidatesFromBandsFlat(all, cutoff)
+    else {
+      // group docs by their FULL stored band-row set (≡ the signature:
+      // identical content ⇒ identical rows) — assembled per doc from
+      // stored rows (k/2 structs per row, bounded), fingerprinted to the
+      // shared 128-bit keys. The plan still touches ONLY index parquet.
+      val keyed = all.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("band"), col("h1"), col("h2")))).as("sig"))
+        .select(xxhash64(col("sig")).as("f1"), xxhash64(lit(1L), col("sig")).as("f2"),
+          col("doc_id"))
+        .localCheckpoint()
+      val groups = groupFrame(keyed, Seq("f1", "f2"))
+      val (n, maxg, intra) = groupShapeStats(groups)
+      if (!shouldCollapse(n, maxg, intra)) deltaCandidatesFromBandsFlat(all, cutoff)
+      else {
+        val g = groups.localCheckpoint()
+        val membership = keyed.join(g, Seq("f1", "f2"))
+          .select(col("gid"), col("doc_id"), col("gsize")).localCheckpoint()
+        // only groups holding >= 1 delta member can source delta-touching
+        // pairs; banding runs delta-group reps x all reps, blocked
+        val deltaG = membership.where(col("doc_id") > cutoff)
+          .select(col("gid")).distinct().localCheckpoint()
+        val repBands = all.join(g.select(col("gid").as("doc_id")), Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        val deltaRepBands = repBands.join(deltaG.withColumnRenamed("gid", "doc_id"),
+          Seq("doc_id"), "left_semi")
+        val repPairs = deltaBandsBlocked(repBands, deltaRepBands)
+        // doc-level reconstruction, filtered to pairs touching the delta
+        // (the flat path's contract): intra streams dedup-free from
+        // delta-touching groups; cross lifts rep pairs through membership
+        val intraPairs = pairsFromBucketedRowsRaw(
+          membership.join(deltaG, Seq("gid"), "left_semi")
+            .where(col("gsize") > 1).select(col("gid"), col("doc_id")),
+          Seq("gid"), bucketExpandCap)
+          .where(col("doc_a") > cutoff || col("doc_b") > cutoff)
+        val crossPairs = repPairs
+          .join(membership.select(col("gid").as("doc_a"), col("doc_id").as("da")), Seq("doc_a"))
+          .join(membership.select(col("gid").as("doc_b"), col("doc_id").as("db")), Seq("doc_b"))
+          .where(col("da") > cutoff || col("db") > cutoff)
+          .select(least(col("da"), col("db")).as("doc_a"),
+            greatest(col("da"), col("db")).as("doc_b"))
+        intraPairs.unionAll(crossPairs)
+      }
+    }
+  }
+
+  private[operators] def deltaCandidatesFromBandsFlat(all: DataFrame, cutoff: Long): DataFrame =
+    deltaBandsBlocked(all, all.where(col("doc_id") > cutoff))
+
+  /** The blocked bipartite delta×all banding join over explicit frames —
+    * shared by the flat path (delta = the appended doc_id span) and the
+    * collapse path (delta = delta-group representatives).
+    */
+  private def deltaBandsBlocked(all: DataFrame, delta: DataFrame): DataFrame = {
     val key = Seq("band", "h1", "h2")
     val kc = key.map(col)
-    val delta = all.where(col("doc_id") > cutoff)
     val slices = all.groupBy(kc: _*).agg(count(lit(1)).as("ca"))
       .join(delta.groupBy(kc: _*).agg(count(lit(1)).as("cd")), key)
       .select(kc ++ Seq(
@@ -957,7 +1017,62 @@ object Dedup {
     containmentJoinOf(docs)
   }
 
-  private[operators] def containmentJoinOf(docs: DataFrame): DataFrame = {
+  /** Adaptive entry: the containment join takes the same EXACT-SET
+    * COLLAPSE as the Jaccard join on clique-shaped duplication — the final
+    * result is a function of the shingle sets alone (every pruning step is
+    * lossless under ANY consistent frequency order, including the
+    * rep-frame's own), so the prefix machinery runs on one representative
+    * per distinct set: intra-group pairs are containment 1 by definition
+    * (inter = n_min = n), cross pairs lift the rep pair's (inter, n_min,
+    * containment) verbatim. Same fingerprint keys, pre-gate and shape rule
+    * as [[exactJaccardJoinOf]]; ContainmentJoinSpec pins collapsed ≡ flat.
+    * Precondition (callers enforce): rows have size(sh) > 0 — identical
+    * EMPTY sets must not form intra pairs, matching the flat join, which
+    * structurally emits nothing for them.
+    */
+  private[operators] def containmentJoinOf(docs: DataFrame): DataFrame =
+    if (lowDupPreGate(docs, xxhash64(col("sh")))) containmentJoinFlat(docs)
+    else {
+      val keyed = docs.select(xxhash64(col("sh")).as("f1"),
+        xxhash64(lit(1L), col("sh")).as("f2"), col("doc_id"))
+      val groups = groupFrame(keyed, Seq("f1", "f2"))
+      val (n, maxg, intra) = groupShapeStats(groups)
+      if (!shouldCollapse(n, maxg, intra)) containmentJoinFlat(docs)
+      else containmentJoinCollapsedWith(docs, keyed, groups.localCheckpoint())
+    }
+
+  /** Forced collapse body (spec-pinnable below the adaptive threshold). */
+  private[operators] def containmentJoinCollapsed(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(xxhash64(col("sh")).as("f1"),
+      xxhash64(lit(1L), col("sh")).as("f2"), col("doc_id"))
+    containmentJoinCollapsedWith(docs, keyed,
+      groupFrame(keyed, Seq("f1", "f2")).localCheckpoint())
+  }
+
+  private def containmentJoinCollapsedWith(docs: DataFrame, keyed: DataFrame,
+                                           groups: DataFrame): DataFrame = {
+    val membership = keyed.join(groups, Seq("f1", "f2"))
+      .select(col("gid"), col("doc_id"), col("gsize"))
+      .localCheckpoint()
+    val repPairs = containmentJoinFlat(
+      docs.join(groups.select(col("gid").as("doc_id")), Seq("doc_id"), "left_semi"))
+    val intraPairs = pairsFromBucketedRowsRaw(
+      membership.where(col("gsize") > 1).select(col("gid"), col("doc_id")),
+      Seq("gid"), bucketExpandCap)
+      .join(docs.select(col("doc_id").as("doc_a"), size(col("sh")).cast("long").as("n")),
+        Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("n").as("inter"), col("n").as("n_min"),
+        lit(1.0).as("containment"))
+    val crossPairs = repPairs
+      .join(membership.select(col("gid").as("doc_a"), col("doc_id").as("da")), Seq("doc_a"))
+      .join(membership.select(col("gid").as("doc_b"), col("doc_id").as("db")), Seq("doc_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("inter"), col("n_min"), col("containment"))
+    intraPairs.unionAll(crossPairs)
+  }
+
+  private[operators] def containmentJoinFlat(docs: DataFrame): DataFrame = {
     val cands = containmentCandidatesOf(docs)
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
@@ -1387,12 +1502,17 @@ object Dedup {
     *    every member pair shares verbatim; two streaming membership joins
     *    expand them (never an |A|·|B| array in one row).
     *
-    * Group state is row-shaped throughout: metadata is one `(sh, gid =
-    * min doc_id, gsize)` row per DISTINCT set and membership is one
-    * `(gid, doc_id)` row per document — no row ever holds a whole group,
-    * so a 10⁸-copy boilerplate page costs 10⁸ skinny rows, not one
-    * 10⁸-element array in a single task (the hazard class the blocked
-    * kernels exist to avoid).
+    * Group state is row-shaped throughout: metadata is one `(f1, f2,
+    * gid = min doc_id, gsize)` row per DISTINCT set — the group key is a
+    * 128-bit xxhash FINGERPRINT of the canonical sorted sh array (round-11
+    * wrong #1: grouping on the raw array shuffled the corpus's full
+    * shingle mass as the key; now the group/membership exchanges carry
+    * 16 bytes and sh lives only on the representative rows the rep join
+    * reads; collision probability ~10⁻¹⁹ at 10¹⁰ documents) — and
+    * membership is one `(gid, doc_id)` row per document: no row ever
+    * holds a whole group, so a 10⁸-copy boilerplate page costs 10⁸ skinny
+    * rows, not one 10⁸-element array in a single task (the hazard class
+    * the blocked kernels exist to avoid).
     *
     * Prefix/candidate/reduction work scales with DISTINCT sets, not
     * documents — on a boilerplate-heavy crawl that is orders of
@@ -1400,9 +1520,11 @@ object Dedup {
     * join's (ExactJoinSpec pins the collapse against brute force, and the
     * oracle's all-pairs SQL is unchanged).
     *
-    * [[shouldCollapse]] decides the branch from the same group stats
-    * pass, on the statistic that actually predicts the win — duplication
-    * SHAPE, not duplicate mass:
+    * [[lowDupPreGate]] (one cheap HLL aggregate — round-11 wrong #2)
+    * skips the group-stats exchange entirely on low-duplication corpora;
+    * past the gate, [[shouldCollapse]] decides the branch from the
+    * fingerprint-keyed group stats, on the statistic that actually
+    * predicts the win — duplication SHAPE, not duplicate mass:
     *
     *  - `maxGroup > bucketExpandCap`: one clique no longer fits a single
     *    blocked slice, so the flat kernel would spend ⌈g/cap⌉² slices on
@@ -1428,40 +1550,46 @@ object Dedup {
 
   private[operators] def exactJaccardJoinOf(docs: DataFrame): DataFrame = {
     val d = docs.localCheckpoint()
-    // the stats agg streams through the groupBy without materializing the
-    // distinct-set frame — only the (rare) collapse branch pays to
-    // checkpoint it; gsize·(gsize−1) is even, so the halving is exact
-    val groupsPlan = d.groupBy(col("sh"))
-      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gsize"))
-    // coalesce: on an EMPTY frame the sum/max aggregates are NULL — the
-    // guard returns the flat join's (empty) result instead of throwing
-    val stats = groupsPlan.agg(
-      coalesce(sum(col("gsize")), lit(0L)).as("n"),
-      coalesce(max(col("gsize")), lit(0L)).as("maxg"),
-      coalesce(sum(col("gsize") * (col("gsize") - lit(1L))), lit(0L)).as("intra2")).head()
-    if (shouldCollapse(stats.getLong(0), stats.getLong(1), stats.getLong(2) / 2L))
-      exactJaccardJoinCollapsedWith(d, groupsPlan.localCheckpoint())
-    else exactJaccardJoinFlat(d)
+    // ONE cheap aggregate decides whether the exact group-stats exchange
+    // is worth running at all (round-11 wrong #2): on a low-duplication
+    // corpus the flat join starts immediately — no groupBy on any key
+    if (lowDupPreGate(d, xxhash64(col("sh")))) exactJaccardJoinFlat(d)
+    else {
+      // FINGERPRINT group key (round-11 wrong #1): grouping and membership
+      // exchange 16-byte (f1, f2) keys — two independent 64-bit xxhashes of
+      // the canonical sorted sh array (collision ~10⁻¹⁹ at 10¹⁰ docs) — so
+      // the corpus's full shingle mass never travels as a shuffle key; sh
+      // stays only on the representative rows the rep join reads
+      val keyed = d.select(xxhash64(col("sh")).as("f1"),
+        xxhash64(lit(1L), col("sh")).as("f2"), col("doc_id"))
+      val groups = groupFrame(keyed, Seq("f1", "f2"))
+      val (n, maxg, intra) = groupShapeStats(groups)
+      if (!shouldCollapse(n, maxg, intra)) exactJaccardJoinFlat(d)
+      else exactJaccardJoinCollapsedWith(d, keyed, groups.localCheckpoint())
+    }
   }
 
   private[graft] def exactJaccardJoinCollapsed(docs: DataFrame): DataFrame = {
     val d = docs.localCheckpoint()
-    exactJaccardJoinCollapsedWith(d,
-      d.groupBy(col("sh"))
-        .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gsize"))
-        .localCheckpoint())
+    val keyed = d.select(xxhash64(col("sh")).as("f1"),
+      xxhash64(lit(1L), col("sh")).as("f2"), col("doc_id"))
+    exactJaccardJoinCollapsedWith(d, keyed,
+      groupFrame(keyed, Seq("f1", "f2")).localCheckpoint())
   }
 
-  /** The collapse body over a prebuilt `(sh, gid, gsize)` group frame
-    * (one row per distinct set — [[exactJaccardJoinOf]] reuses the frame
-    * its stats pass already materialized).
+  /** The collapse body over a prebuilt fingerprint-keyed `(f1, f2, gid,
+    * gsize)` group frame — [[exactJaccardJoinOf]] reuses the frame its
+    * stats pass already materialized. Representatives recover their sh by
+    * a doc_id semi-join (gid IS a doc_id), so the only exchanges carrying
+    * shingle arrays are rep-sized.
     */
-  private def exactJaccardJoinCollapsedWith(docs: DataFrame, groups: DataFrame): DataFrame = {
-    val membership = docs.join(groups, Seq("sh"))
+  private def exactJaccardJoinCollapsedWith(docs: DataFrame, keyed: DataFrame,
+                                            groups: DataFrame): DataFrame = {
+    val membership = keyed.join(groups, Seq("f1", "f2"))
       .select(col("gid"), col("doc_id"), col("gsize"))
       .localCheckpoint()
     val repPairs = exactJaccardJoinFlat(
-      groups.select(col("gid").as("doc_id"), col("sh")))
+      docs.join(groups.select(col("gid").as("doc_id")), Seq("doc_id"), "left_semi"))
     val intraPairs = pairsFromBucketedRowsRaw(
       membership.where(col("gsize") > 1).select(col("gid"), col("doc_id")),
       Seq("gid"), bucketExpandCap)

@@ -100,6 +100,62 @@ class CollapseEquivalenceSpec extends SparkSpec {
       pairMap(Dedup.simhashNearDupPairsFlat(sig, 64)))
   }
 
+  private def shFrame(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
+    .where(org.apache.spark.sql.functions.size(col("sh")) > 0)
+    .localCheckpoint()
+
+  private def contMap(df: DataFrame): Map[(Long, Long), (Long, Long)] =
+    df.select("doc_a", "doc_b", "inter", "n_min").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+
+  test("containment join: adaptive (collapse branch on the clique fixture) ≡ flat") {
+    val docs = shFrame(cliqueDocs)
+    val flat = contMap(Dedup.containmentJoinFlat(docs))
+    val adaptive = contMap(Dedup.containmentJoinOf(docs))
+    assert(flat.count(_._2 match { case (i, m) => i == m }) >= 300 * 299 / 2,
+      "fixture lost its containment-1 clique")
+    assert(adaptive == flat,
+      s"containment collapse diverges: extra=${(adaptive.keySet -- flat.keySet).take(5)} " +
+        s"missing=${(flat.keySet -- adaptive.keySet).take(5)}")
+  }
+
+  test("containment join: forced collapse body ≡ flat on a below-threshold fixture") {
+    val docs = shFrame(cleanDocs)
+    assert(contMap(Dedup.containmentJoinCollapsed(docs)) ==
+      contMap(Dedup.containmentJoinFlat(docs)))
+  }
+
+  test("delta banding: adaptive (collapse branch) ≡ flat, delta-touching contract kept") {
+    val bands = Dedup.bandRowsOf(cliqueDocs).localCheckpoint()
+    val cutoff = 250L // splits the 300-clique: 250 old copies, 50 new + the near group
+    val flat = pairSet(Dedup.deltaCandidatesFromBandsFlat(bands, cutoff))
+    val adaptive = pairSet(Dedup.deltaCandidatesFromBands(bands, cutoff))
+    assert(flat.nonEmpty && flat.forall { case (a, b) => a > cutoff || b > cutoff })
+    // the old-old clique half must NOT appear (delta discipline): 250 old
+    // copies pair with the 50 new ones but never with each other
+    assert(!flat.exists { case (a, b) => a <= cutoff && b <= cutoff })
+    assert(adaptive == flat,
+      s"delta collapse diverges: extra=${(adaptive -- flat).take(5)} " +
+        s"missing=${(flat -- adaptive).take(5)}")
+  }
+
+  test("exact Jaccard join: fingerprint-keyed adaptive entry ≡ flat on the clique fixture") {
+    val docs = shFrame(cliqueDocs)
+    val flatPairs = Dedup.exactJoinProbeCandidates(docs) // candidates, then compare joins
+    assert(flatPairs.count() > 0)
+    val adaptive = contMapJ(Dedup.exactJaccardJoinOf(docs))
+    val forced = contMapJ(Dedup.exactJaccardJoinCollapsed(docs))
+    assert(adaptive == forced,
+      s"adaptive (collapse fires on this fixture) != forced collapse: " +
+        s"${(adaptive.keySet -- forced.keySet).take(5)} / ${(forced.keySet -- adaptive.keySet).take(5)}")
+    assert(adaptive.count(_._2 == 1.0) >= 300 * 299 / 2, "clique pairs missing")
+  }
+
+  private def contMapJ(df: DataFrame): Map[(Long, Long), Double] =
+    df.select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
   test("pre-gate: clean corpus skips stats (flat), dup-heavy corpus does not") {
     import org.apache.spark.sql.functions.xxhash64
     val cleanSig = Dedup.signaturesOf(cleanDocs).localCheckpoint()
