@@ -374,7 +374,8 @@ object Bench {
       "dedup_simhash_pairs", "dedup_report", "embedding_dup_clusters", "dedup_normalized_exact",
       "ann_ivf_index_search_trained", "dedup_report_streamed", "dedup_repeated_spans",
       "dedup_lsh_tuning", "dedup_simhash_pairs_wide", "dedup_delta_candidates",
-      "dedup_lsh_candidates_k12", "dedup_cluster_stats_by_source", "dedup_rate_by_source",
+      "dedup_lsh_candidates_k12", "dedup_lsh_candidates_k64",
+      "dedup_cluster_stats_by_source", "dedup_rate_by_source",
       "dedup_lsh_recall", "dedup_delta_candidates_streamed", "ann_ivf_filtered_search",
       "ann_ivf_filtered_batch_search", "dedup_exact_jaccard_join_collapsed",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",

@@ -239,7 +239,7 @@ object Dedup {
     * path runs, so the report prices exactly what production would pay.
     */
   val lshTuningConfigs: Seq[(Int, Int, Int)] =
-    Seq((6, 6, 1), (6, 3, 2), (6, 2, 3), (6, 1, 6), (12, 4, 3))
+    Seq((6, 6, 1), (6, 3, 2), (6, 2, 3), (6, 1, 6), (12, 4, 3), (64, 16, 4))
 
   def pDetectX1e6(bands: Int, rowsPerBand: Int): Long =
     math.round((1.0 - math.pow(1.0 - math.pow(0.5, rowsPerBand), bands)) * 1e6)
@@ -292,7 +292,7 @@ object Dedup {
     * is the product.
     */
   val lshRecallConfigs: Seq[(Int, Int, Int)] =
-    Seq((6, 3, 2), (12, 4, 3))
+    Seq((6, 3, 2), (12, 4, 3), (64, 16, 4))
 
   def lshRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -611,16 +611,44 @@ object Dedup {
     bandedPairsAdaptive(signaturesOfK(Tables.documents(s, d), lshK12),
       bandsOfK(_, lshB12, lshR12), Seq("band", "bkey"))
 
-  lazy val lshCandidatePairsK12Sql: String = {
-    val bandCond = (0 until lshB12).map { band =>
-      (0 until lshR12).map(j => s"a.mh${band * lshR12 + j} = b.mh${band * lshR12 + j}")
+  /** Generated oracle at arbitrary (k, b, r) — the k12 and k64 faces share
+    * it, and any future config gets its oracle for free.
+    */
+  private def lshCandidatePairsSqlK(k: Int, b: Int, r: Int): String = {
+    val bandCond = (0 until b).map { band =>
+      (0 until r).map(j => s"a.mh${band * r + j} = b.mh${band * r + j}")
         .mkString("(", " AND ", ")")
     }.mkString(" OR ")
-    s"""WITH sig AS (${minhashSignaturesSqlK(lshK12)})
+    s"""WITH sig AS (${minhashSignaturesSqlK(k)})
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM sig a JOIN sig b
        |  ON a.doc_id < b.doc_id AND ($bandCond)""".stripMargin
   }
+
+  lazy val lshCandidatePairsK12Sql: String =
+    lshCandidatePairsSqlK(lshK12, lshB12, lshR12)
+
+  /** PRODUCTION-WIDTH face: k = 64 in 16 bands × 4 rows — the signature
+    * width real large-scale MinHash dedup runs (64-128 hashes; round-11
+    * verdict #3). (16, 4) trades a much sharper S-curve than the gate
+    * default (P(cand | J=½) ≈ 64% with near-zero accidental-candidate
+    * mass below J ≈ 0.3) for 16 band buckets per doc. The declared face +
+    * its tuning and recall rows prove the kernel, the banding, the
+    * adaptive collapse and the oracle GENERATION all hold at the width
+    * production would configure — nothing is wired to k = 6 beyond the
+    * default constant. Exact-int64 arithmetic at this width comes from
+    * the mod-reduced mix (see [[signaturesOfK]]).
+    */
+  val lshK64 = 64
+  val lshB64 = 16
+  val lshR64 = 4
+
+  def lshCandidatePairsK64(s: SparkSession, d: String): DataFrame =
+    bandedPairsAdaptive(signaturesOfK(Tables.documents(s, d), lshK64),
+      bandsOfK(_, lshB64, lshR64), Seq("band", "bkey"))
+
+  lazy val lshCandidatePairsK64Sql: String =
+    lshCandidatePairsSqlK(lshK64, lshB64, lshR64)
 
   /** LSH candidate pairs: band the k-row signature into bands of 2 rows;
     * docs sharing any band bucket become a candidate pair.

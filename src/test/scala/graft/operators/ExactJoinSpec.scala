@@ -142,6 +142,9 @@ class LshTuningSpec extends graft.SparkSpec {
     val productionK12 = Dedup.lshCandidatePairsK12(spark, sf()).count()
     assert(rows((12, 4, 3))._1 == productionK12,
       s"(12,4,3) tuning row ${rows((12, 4, 3))._1} != k12 banding $productionK12")
+    val productionK64 = Dedup.lshCandidatePairsK64(spark, sf()).count()
+    assert(rows((64, 16, 4))._1 == productionK64,
+      s"(64,16,4) tuning row ${rows((64, 16, 4))._1} != k64 banding $productionK64")
     val chain = Seq((6, 6, 1), (6, 3, 2), (6, 2, 3), (6, 1, 6)).map(rows(_)._1)
     assert(chain == chain.sorted.reverse, s"candidate counts not monotone: $chain")
     val probs = Seq((6, 6, 1), (6, 3, 2), (6, 2, 3), (6, 1, 6)).map(rows(_)._2)
