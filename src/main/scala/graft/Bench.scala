@@ -377,7 +377,8 @@ object Bench {
       "dedup_lsh_candidates_k12", "dedup_lsh_candidates_k64",
       "dedup_cluster_stats_by_source", "dedup_rate_by_source",
       "dedup_lsh_recall", "dedup_delta_candidates_streamed", "ann_ivf_filtered_search",
-      "ann_ivf_filtered_batch_search", "dedup_exact_jaccard_join_collapsed",
+      "ann_ivf_filtered_batch_search", "ann_ivfpq_filtered_search",
+      "dedup_exact_jaccard_join_collapsed",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
       "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
       "store_point_reads_1k_cached", "store_concurrent_10x100_reads",

@@ -1829,6 +1829,79 @@ object Similarity {
        |WHERE b.vec_id <> $pqQueryId
        |GROUP BY b.vec_id ORDER BY adc, b.vec_id LIMIT $pqTopK""".stripMargin
 
+  /** FILTERED IVF+PQ search (round-11 verdict #5): the cardinality-aware
+    * adaptive probing of [[ivfFilteredSearch]] composed with the fused ADC
+    * kernel of [[ivfPqSearch]] — production filtered ANN at 100 TB serves
+    * from compressed codes, not raw vectors, so the filtered face must
+    * exist on the PQ path too. Stage 1 ranks all cells by query↔centroid
+    * cosine, counts each cell's FILTERED members (≤ cells rows collected —
+    * the same bounded driver decision as the exact-cosine face, with the
+    * fully in-plan batch twin shape available via
+    * [[ivfFilteredBatchSearchOf]]), and probes the shortest ranked prefix
+    * whose cumulative filtered count reaches [[pqTopK]] (graceful
+    * degradation: a predicate too selective for the whole index scans
+    * every cell's QUALIFYING members — never an unfiltered corpus scan).
+    * Stage 2 ranks the qualifying probed members by
+    * Σ_m ‖q_m − cb[m][code_m(x)]‖² in one codegen'd pass against the
+    * literal codebook and merges top-k. The oracle replays the probing
+    * decision (window cumsum + MIN(rk)) and the ADC fold verbatim.
+    */
+  def ivfPqFilteredSearch(s: SparkSession, d: String): DataFrame = {
+    val (cb, q) = pqCodebook(s, d)
+    val ranked = rankedCells(q.toArray, centroids(s, d))
+    val emb = Tables.embeddings(s, d)
+    // materialized once: the filtered-cardinality count and the member
+    // semi-join both read the O(n·cells) assignment
+    val assign = ivfAssign(s, d).localCheckpoint()
+    val counts = assign
+      .join(emb.where(col("label") === filterLabel && col("vec_id") =!= pqQueryId)
+        .select("vec_id"), Seq("vec_id"), "left_semi")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .select(col("cell").cast("int"), col("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    var need = ranked.length
+    var i = 0
+    while (i < ranked.length && need == ranked.length) {
+      cum += counts.getOrElse(ranked(i), 0L)
+      if (cum >= pqTopK) need = i + 1
+      i += 1
+    }
+    val probe = ranked.take(need)
+    val members = assign.where(col("cell").isin(probe: _*)).select("vec_id")
+    emb.join(members, Seq("vec_id"), "left_semi")
+      .where(col("vec_id") =!= pqQueryId && col("label") === filterLabel)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.pqAdcF(col("embedding"),
+          typedLit(cb), typedLit(q), pqM).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(pqTopK)
+  }
+
+  val ivfPqFilteredSearchSql: String = {
+    val cellSims = cellSimsUnionSql(pqQueryId)
+    s"""WITH assign AS ($ivfAssignSql),
+       | cellsims AS (
+       |  $cellSims),
+       | ranked AS (SELECT cell, ROW_NUMBER() OVER (ORDER BY sim DESC, cell) AS rk FROM cellsims),
+       | fcnt AS (SELECT a.cell, COUNT(*) AS n
+       |          FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+       |          WHERE e.label = $filterLabel AND e.vec_id <> $pqQueryId
+       |          GROUP BY a.cell),
+       | cum AS (SELECT r.cell, r.rk, SUM(COALESCE(f.n, 0)) OVER (ORDER BY r.rk) AS cn
+       |         FROM ranked r LEFT JOIN fcnt f ON f.cell = r.cell),
+       | needed AS (SELECT COALESCE(MIN(rk), $oracleCells) AS kr FROM cum WHERE cn >= $pqTopK),
+       | probe AS (SELECT cell FROM cum, needed WHERE cum.rk <= needed.kr),
+       | members AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cell
+       |             JOIN embeddings e ON e.vec_id = a.vec_id
+       |             WHERE e.label = $filterLabel AND e.vec_id <> $pqQueryId),
+       | $pqBestSql
+       |SELECT b.vec_id,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qdist ORDER BY m)), (acc, p) -> acc + p) AS adc
+       |FROM best b JOIN members mm ON b.vec_id = mm.vec_id
+       |GROUP BY b.vec_id ORDER BY adc, b.vec_id LIMIT $pqTopK""".stripMargin
+  }
+
   // ------------------------------------------------ trained PQ codebooks
 
   /** Per-subspace k-means-trained PQ codebooks, assembled into the same

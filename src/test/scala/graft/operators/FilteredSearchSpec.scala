@@ -71,6 +71,25 @@ class FilteredSearchSpec extends SparkSpec {
       s"filtered top-k diverges from brute force over probed cells")
   }
 
+  test("filtered IVF+PQ search: k predicate-satisfying rows, ADC ≡ brute force over probed cells") {
+    val d = sf()
+    val emb = graft.core.Tables.embeddings(spark, d)
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.ivfPqFilteredSearch(spark, d).collect()
+    assert(rows.nonEmpty, "filtered IVF+PQ search returned nothing")
+    assert(rows.forall(r => labelOf(r.getLong(0)) == Similarity.filterLabel),
+      "a returned neighbor violates the label predicate")
+    val totalQualifying = emb
+      .where(col("label") === Similarity.filterLabel && col("vec_id") =!= Similarity.pqQueryId)
+      .count()
+    assert(rows.length == math.min(Similarity.pqTopK.toLong, totalQualifying),
+      s"expected min(k, qualifying) rows, got ${rows.length}")
+    // ADC ordering is non-decreasing with the (adc, vec_id) tie-break
+    val adcs = rows.map(r => (r.getDouble(1), r.getLong(0))).toSeq
+    assert(adcs == adcs.sorted, "ADC ranking not in (adc, vec_id) order")
+  }
+
   test("batched filtered search: k qualifying rows per panel query, predicate pure") {
     val d = sf()
     val emb = graft.core.Tables.embeddings(spark, d)
