@@ -376,7 +376,8 @@ object Bench {
       "dedup_lsh_tuning", "dedup_simhash_pairs_wide", "dedup_delta_candidates",
       "dedup_lsh_candidates_k12", "dedup_lsh_candidates_k64",
       "dedup_cluster_stats_by_source", "dedup_rate_by_source",
-      "dedup_lsh_recall", "dedup_delta_candidates_streamed", "ann_ivf_filtered_search",
+      "dedup_lsh_recall", "dedup_delta_candidates_streamed",
+      "dedup_delta_simhash", "dedup_delta_containment", "ann_ivf_filtered_search",
       "ann_ivf_filtered_batch_search", "ann_ivfpq_filtered_search",
       "dedup_exact_jaccard_join_collapsed",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
@@ -397,6 +398,8 @@ object Bench {
     dim("pair_graph_build")(graft.operators.Dedup.prebuildPairGraph(spark, sfDir))
     dim("streamed_docs_build")(graft.operators.Dedup.prebuildStreamedDocs(spark, sfDir))
     dim("streamed_lsh_index_build")(graft.operators.Dedup.prebuildStreamedLshIndex(spark, sfDir))
+    dim("simhash_index_build")(graft.operators.Dedup.prebuildSimhashIndex(spark, sfDir))
+    dim("containment_index_build")(graft.operators.Dedup.prebuildContainmentIndex(spark, sfDir))
     dim("ivf_index_build")(graft.operators.Similarity.ivfIndexFor(spark, sfDir))
     dim("ivf_trained_index_build")(graft.operators.Similarity.trainedIvfIndexFor(spark, sfDir))
     dim("sec_index_build")(graft.operators.Relational.prebuildCustkeyIndex(spark, sfDir))

@@ -822,8 +822,14 @@ object Dedup {
     * shared by the flat path (delta = the appended doc_id span) and the
     * collapse path (delta = delta-group representatives).
     */
-  private def deltaBandsBlocked(all: DataFrame, delta: DataFrame): DataFrame = {
-    val key = Seq("band", "h1", "h2")
+  private def deltaBandsBlocked(all: DataFrame, delta: DataFrame): DataFrame =
+    deltaPairsBlocked(all, delta, Seq("band", "h1", "h2"))
+
+  /** Generalized over the bucket key — the SimHash delta face runs the
+    * same join on (pc, pv) pigeonhole buckets.
+    */
+  private[operators] def deltaPairsBlocked(all: DataFrame, delta: DataFrame,
+                                           key: Seq[String]): DataFrame = {
     val kc = key.map(col)
     val slices = all.groupBy(kc: _*).agg(count(lit(1)).as("ca"))
       .join(delta.groupBy(kc: _*).agg(count(lit(1)).as("cd")), key)
@@ -935,6 +941,189 @@ object Dedup {
   }
 
   lazy val deltaCandidatePairsStreamedSql: String = deltaCandidatePairsSql
+
+  // ----- delta faces for SimHash and containment (round-12) ------------
+  /** Two-stage [[SimHashIndex]] build (build on the first doc_id half,
+    * incremental refresh with the second — the same split rule as
+    * [[documentsLshIndex]]), memoized per (machine, sf dir) behind the
+    * pointer protocol.
+    */
+  private val simhashIndexRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def simhashIndexRoot(s: SparkSession, d: String): String =
+    simhashIndexRoots.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d#simhash".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"docs-simhash-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"docs-simhash-$key-${java.util.UUID.randomUUID()}")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val cutoff = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+        val t = graft.core.VectorTable.create(s, s"$dir/table")
+        t.append(docs.where(col("doc_id") <= cutoff))
+        val idx = SimHashIndex.build(t, s"$dir/index")
+        t.append(docs.where(col("doc_id") > cutoff))
+        idx.refresh(t)
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          deleteRecursively(dir) } // racer won; adopt theirs, drop our build
+      }
+      Files.readString(pointer)
+    })
+
+  def prebuildSimhashIndex(s: SparkSession, d: String): Unit = {
+    simhashIndexRoot(s, d); ()
+  }
+
+  /** Delta-vs-index SimHash candidates over STORED (doc_id, simhash) rows
+    * — [[deltaCandidatesFromBands]]'s discipline for the pigeonhole path:
+    * blocked bipartite delta×all on the (pc, pv) piece buckets, with the
+    * signature-keyed EXACT-SET COLLAPSE when duplication is clique-shaped
+    * (identical signatures ⇒ identical pieces ⇒ identical candidate
+    * relationships, so reps stand in and membership joins reconstruct,
+    * filtered to delta-touching pairs — the flat path's exact contract).
+    */
+  private[operators] def deltaSimhashCandidates(sig: DataFrame, cutoff: Long): DataFrame = {
+    def flat = deltaPairsBlocked(simhashPieces(sig, 64),
+      simhashPieces(sig.where(col("doc_id") > cutoff), 64), Seq("pc", "pv"))
+    if (lowDupPreGate(sig, col("simhash"))) flat
+    else {
+      val groups = groupFrame(sig.select(col("simhash"), col("doc_id")), Seq("simhash"))
+      val (n, maxg, intra) = groupShapeStats(groups)
+      if (!shouldCollapse(n, maxg, intra)) flat
+      else {
+        val g = groups.localCheckpoint()
+        val membership = sig.join(g, Seq("simhash"))
+          .select(col("gid"), col("doc_id"), col("gsize")).localCheckpoint()
+        val deltaG = membership.where(col("doc_id") > cutoff)
+          .select(col("gid")).distinct().localCheckpoint()
+        val repSig = g.select(col("gid").as("doc_id"), col("simhash"))
+        val repDelta = repSig.join(deltaG.withColumnRenamed("gid", "doc_id"),
+          Seq("doc_id"), "left_semi")
+        val repPairs = deltaPairsBlocked(simhashPieces(repSig, 64),
+          simhashPieces(repDelta, 64), Seq("pc", "pv"))
+        val intraP = pairsFromBucketedRowsRaw(
+          membership.join(deltaG, Seq("gid"), "left_semi")
+            .where(col("gsize") > 1).select(col("gid"), col("doc_id")),
+          Seq("gid"), bucketExpandCap)
+          .where(col("doc_a") > cutoff || col("doc_b") > cutoff)
+        val cross = repPairs
+          .join(membership.select(col("gid").as("doc_a"), col("doc_id").as("da")), Seq("doc_a"))
+          .join(membership.select(col("gid").as("doc_b"), col("doc_id").as("db")), Seq("doc_b"))
+          .where(col("da") > cutoff || col("db") > cutoff)
+          .select(least(col("da"), col("db")).as("doc_a"),
+            greatest(col("da"), col("db")).as("doc_b"))
+        intraP.unionAll(cross)
+      }
+    }
+  }
+
+  /** Declared `dedup_delta_simhash`: per corpus drop, SimHash near-dup
+    * pairs TOUCHING THE DELTA from the persisted index — candidates join
+    * stored piece buckets, hamming verifies from stored signatures; the
+    * plan touches no document text (DeltaIndexSpec pins the scan set).
+    * Oracle: the full 64-bit recompute from raw text filtered to
+    * delta-touching pairs — a green row proves the incremental index and
+    * the delta join lose nothing against re-hashing everything.
+    */
+  def deltaSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val root = simhashIndexRoot(s, d)
+    // no checkpoint: the stored slim rows ARE the materialization — every
+    // consumer re-reads the index parquet, and the plan pin (DeltaIndexSpec)
+    // relies on those scans being visible relations
+    val sig = SimHashIndex.open(s, s"$root/index").signatures
+    val cands = deltaSimhashCandidates(sig, deltaCutoff(s, d))
+    cands
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), Seq("doc_b"))
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .where(col("hamming") <= simhashHammingMax)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  lazy val deltaSimhashPairsSql: String =
+    s"""WITH p AS (${simhashNearDupPairsWideSql.replace("\n", "\n  ")}),
+       | cut AS (SELECT MAX(doc_id) // 2 AS c FROM documents)
+       |SELECT doc_a, doc_b, hamming FROM p
+       |WHERE doc_a > (SELECT c FROM cut) OR doc_b > (SELECT c FROM cut)""".stripMargin
+
+  /** Two-stage [[ContainmentIndex]] build, memoized like the others. The
+    * second-half refresh sorts under the FIRST half's frozen frequency
+    * order — exactly the drift the lossless-under-any-consistent-order
+    * argument covers, and exactly what the oracle's order-free all-pairs
+    * SQL verifies end-to-end.
+    */
+  private val containmentIndexRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def containmentIndexRoot(s: SparkSession, d: String): String =
+    containmentIndexRoots.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d#containment".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"docs-contain-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"docs-contain-$key-${java.util.UUID.randomUUID()}")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val cutoff = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+        val t = graft.core.VectorTable.create(s, s"$dir/table")
+        t.append(docs.where(col("doc_id") <= cutoff))
+        val idx = ContainmentIndex.build(t, s"$dir/index")
+        t.append(docs.where(col("doc_id") > cutoff))
+        idx.refresh(t)
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          deleteRecursively(dir) } // racer won; adopt theirs, drop our build
+      }
+      Files.readString(pointer)
+    })
+
+  def prebuildContainmentIndex(s: SparkSession, d: String): Unit = {
+    containmentIndexRoot(s, d); ()
+  }
+
+  /** Declared `dedup_delta_containment`: per corpus drop, EXACT containment
+    * pairs TOUCHING THE DELTA from the persisted prefix index. Two blocked
+    * bipartite arms cover both probe directions without overlap (probe side
+    * is always the strictly smaller set, ties by doc_id): delta prefixes ×
+    * all elements catches pairs whose SMALLER side is new, old prefixes ×
+    * delta elements catches pairs whose smaller side is old — so no pair
+    * dedup exchange is needed across arms. All lists come pre-sorted under
+    * the index's frozen order (both sides of every comparison — the
+    * losslessness requirement); verification merges the stored ASC sets.
+    * Oracle: the order-free all-pairs containment SQL filtered to
+    * delta-touching pairs.
+    */
+  def deltaContainmentPairs(s: SparkSession, d: String): DataFrame = {
+    val root = containmentIndexRoot(s, d)
+    // no checkpoint: stored rows are the materialization (see
+    // deltaSimhashPairs) and the plan pin needs visible parquet scans
+    val entries = ContainmentIndex.open(s, s"$root/index").entries
+    val cutoff = deltaCutoff(s, d)
+    val sorted = entries.select("doc_id", "sg", "n")
+    val cands = containmentCandidatesBetween(sorted.where(col("doc_id") > cutoff), sorted)
+      .unionAll(containmentCandidatesBetween(
+        sorted.where(col("doc_id") <= cutoff), sorted.where(col("doc_id") > cutoff)))
+    cands
+      .join(entries.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(entries.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .withColumn("inter", graft.functions.TextFunctions
+        .sortedIntersectCount(col("sa"), col("sb")).cast("long"))
+      .withColumn("n_min", least(size(col("sa")), size(col("sb"))).cast("long"))
+      .where(col("inter") * containTauDen >= col("n_min") * containTauNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_min"),
+        (col("inter").cast("double") / col("n_min").cast("double")).as("containment"))
+  }
+
+  lazy val deltaContainmentPairsSql: String =
+    s"""WITH p AS (${containmentPairsSql.replace("\n", "\n  ")}),
+       | cut AS (SELECT MAX(doc_id) // 2 AS c FROM documents)
+       |SELECT doc_a, doc_b, inter, n_min, containment FROM p
+       |WHERE doc_a > (SELECT c FROM cut) OR doc_b > (SELECT c FROM cut)""".stripMargin
 
   val lshCandidatePairsSql: String = {
     val bandRows = (0 until numHashes / 2)
@@ -1121,28 +1310,48 @@ object Dedup {
     * measure candidate growth.
     */
   private[operators] def containmentCandidatesOf(docs: DataFrame): DataFrame = {
+    // checkpointed: probe, index AND the occupancy counts all derive from
+    // it — without this the freq-join-sort chain re-executes per consumer
+    val sorted = sortedByRarity(docs).localCheckpoint()
+    containmentCandidatesBetween(sorted, sorted)
+  }
+
+  /** Per-doc element lists in rarest-first order over the given frame's
+    * own frequencies — the self-join form; the DELTA face instead reads
+    * lists pre-sorted under the [[ContainmentIndex]]'s frozen order.
+    */
+  private[operators] def sortedByRarity(docs: DataFrame): DataFrame = {
     val freq = docs.select(explode(col("sh")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("cnt"))
-    // checkpointed: probe, index AND the probe-side occupancy count all
-    // derive from it — without this the freq-join-sort chain re-executes
-    // per consumer
-    val sorted = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    docs.select(col("doc_id"), explode(col("sh")).as("g"))
       .join(freq, Seq("g"))
       .groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(cnt, g))), x -> x.g)").as("sg"))
       .withColumn("n", size(col("sg")))
-      .localCheckpoint()
-    val probe = sorted
+  }
+
+  /** The prefix-probe × element-index join over EXPLICIT (doc_id, sg, n)
+    * frames, both sorted under one shared total order: probe side explodes
+    * rarest-first prefixes, index side full element lists, direction fixed
+    * to probe-side-smaller. The self case passes the same frame twice; the
+    * delta face passes (delta, all) and (old, delta) arms. Occupancy for
+    * the blocked slicing is computed per side from the frames themselves
+    * (a subset index side must slice on ITS counts, not corpus frequency).
+    */
+  private[operators] def containmentCandidatesBetween(probeSorted: DataFrame,
+                                                      indexSorted: DataFrame): DataFrame = {
+    val probe = probeSorted
       .withColumn("req", expr(
         s"CAST((n * $containTauNum + ${containTauDen - 1}) DIV $containTauDen AS INT)"))
       .withColumn("plen", col("n") - col("req") + lit(1))
       .select(col("doc_id").as("da"), col("n").as("na"), col("req"),
         posexplode(expr("slice(sg, 1, plen)")).as(Seq("p0a", "g")))
       .withColumn("pa", col("p0a") + 1).drop("p0a")
-    val index = sorted
+    val index = indexSorted
       .select(col("doc_id").as("db"), col("n").as("nb"),
         posexplode(col("sg")).as(Seq("p0b", "g")))
       .withColumn("pb", col("p0b") + 1).drop("p0b")
+    val freq = index.groupBy("g").agg(count(lit(1)).as("cnt"))
     // BLOCKED bipartite probe×index join (the [[pairsFromBucketedRows]]
     // discipline for a two-sided join): per element g, slice the index
     // side into nsi = ⌈|index rows|/cap⌉ hash slices and the probe side

@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.core.VectorTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Persisted 64-bit SimHash index over a documents [[VectorTable]] with
+  * INCREMENTAL maintenance — the [[LshIndex]] discipline for the pigeonhole
+  * near-dup path: signatures are computed once at ingest, stored as slim
+  * (doc_id, simhash) rows, and a refresh signature-hashes ONLY the appended
+  * rowid span (the indexed prefix is immutable and never re-scanned). The
+  * per-drop delta query then joins stored piece buckets, touching no
+  * document text at all (DeltaIndexSpec pins the scan set).
+  *
+  * Width is fixed at the 64-bit PRODUCTION signature
+  * ([[graft.functions.ShingleKernel.simhash64]]) — an index exists for
+  * corpora large enough that 16-bit piece buckets saturate; the oracle
+  * replays the 64-bit pipeline exactly (Dedup.simhashSignatures64Sql).
+  * Reference analog: the engine's incremental append write path,
+  * src/cache/writable_cache.rs:78-95.
+  */
+final class SimHashIndex private (
+    val spark: SparkSession,
+    val root: String,
+    val builtFromVersion: Long,
+    val indexedLength: Long) {
+
+  /** The stored (doc_id, simhash) signature rows. */
+  def signatures: DataFrame = spark.read.parquet(s"$root/data")
+
+  def isStale(table: VectorTable): Boolean =
+    table.manifest.version > builtFromVersion
+
+  def refresh(table: VectorTable): SimHashIndex = {
+    val m = table.manifest
+    if (m.length <= indexedLength) return this
+    SimHashIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
+    SimHashIndex.writeMeta(root, m.version, m.length)
+    new SimHashIndex(spark, root, m.version, m.length)
+  }
+}
+
+object SimHashIndex {
+
+  def build(table: VectorTable, root: String): SimHashIndex = {
+    val m = table.manifest
+    Files.createDirectories(Paths.get(root))
+    if (m.length > 0) writeSpan(table, 0L, m.length, root)
+    writeMeta(root, m.version, m.length)
+    new SimHashIndex(table.spark, root, m.version, m.length)
+  }
+
+  def open(spark: SparkSession, root: String): SimHashIndex = {
+    val Array(v, len) = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
+    new SimHashIndex(spark, root, v.toLong, len.toLong)
+  }
+
+  private def writeSpan(table: VectorTable, start: Long, count: Long, root: String): Unit =
+    table.range(start, count)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
+      .write.mode("append").parquet(s"$root/data")
+
+  private def writeMeta(root: String, version: Long, length: Long): Unit = {
+    val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, s"$version,$length".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, Paths.get(root, "meta.txt"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+/** Persisted containment-prefix index over a documents [[VectorTable]]:
+  * per doc the canonical element list in a FROZEN rarest-first order
+  * (`sg`), the ASC-sorted distinct hash set for merge-count verification
+  * (`sh`), and the set size — plus the build-time element-frequency table
+  * that DEFINES the order.
+  *
+  * The frozen order is the point: PPJoin-style prefix/positional pruning
+  * is lossless under ANY total order on elements as long as BOTH sides of
+  * a comparison sort by the SAME one — rarity only buys pruning
+  * efficiency, never correctness. So a refresh sorts the appended span by
+  * the STORED frequency table (elements unseen at build time order by
+  * (0, g): rarest-first, deterministic, and impossible for an indexed doc
+  * to contain — if an old doc held g, g would be in the table), and the
+  * whole index stays mutually consistent without ever re-sorting the
+  * indexed prefix. Frequency drift degrades prefix selectivity gradually;
+  * a periodic full rebuild (re-freeze) is an offline compaction decision,
+  * not a correctness event — the oracle's order-free all-pairs SQL is the
+  * proof.
+  */
+final class ContainmentIndex private (
+    val spark: SparkSession,
+    val root: String,
+    val builtFromVersion: Long,
+    val indexedLength: Long) {
+
+  /** Stored (doc_id, sg frozen-rarity-order, sh ASC, n) rows. */
+  def entries: DataFrame = spark.read.parquet(s"$root/data")
+
+  /** The frozen build-time (g, cnt) frequency table. */
+  def freq: DataFrame = spark.read.parquet(s"$root/freq")
+
+  def isStale(table: VectorTable): Boolean =
+    table.manifest.version > builtFromVersion
+
+  def refresh(table: VectorTable): ContainmentIndex = {
+    val m = table.manifest
+    if (m.length <= indexedLength) return this
+    ContainmentIndex.writeSpan(table, indexedLength, m.length - indexedLength, root, freq)
+    ContainmentIndex.writeMeta(root, m.version, m.length)
+    new ContainmentIndex(spark, root, m.version, m.length)
+  }
+}
+
+object ContainmentIndex {
+
+  def build(table: VectorTable, root: String): ContainmentIndex = {
+    val m = table.manifest
+    Files.createDirectories(Paths.get(root))
+    val sh = shOf(table, 0L, m.length)
+    val freq = sh.select(explode(col("sh")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+    freq.write.mode("overwrite").parquet(s"$root/freq")
+    val frozen = table.spark.read.parquet(s"$root/freq")
+    writeEntries(sh, frozen, root)
+    writeMeta(root, m.version, m.length)
+    new ContainmentIndex(table.spark, root, m.version, m.length)
+  }
+
+  def open(spark: SparkSession, root: String): ContainmentIndex = {
+    val Array(v, len) = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
+    new ContainmentIndex(spark, root, v.toLong, len.toLong)
+  }
+
+  private def shOf(table: VectorTable, start: Long, count: Long): DataFrame =
+    table.range(start, count)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+
+  private def writeSpan(table: VectorTable, start: Long, count: Long,
+                        root: String, frozenFreq: DataFrame): Unit =
+    writeEntries(shOf(table, start, count), frozenFreq, root)
+
+  /** Sort each doc's elements by the (frozen) frequency order — unseen
+    * elements coalesce to cnt 0 — and append (doc_id, sg, sh, n) rows.
+    * The rarity sort runs on exploded (doc_id, g) rows and joins the ASC
+    * set back by doc_id, so the sh array never replicates per element.
+    */
+  private def writeEntries(shIn: DataFrame, frozenFreq: DataFrame, root: String): Unit = {
+    val sh = shIn.localCheckpoint()
+    val sg = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(frozenFreq, Seq("g"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(cnt, g))), x -> x.g)").as("sg"))
+    sg.join(sh, Seq("doc_id"))
+      .withColumn("n", size(col("sg")))
+      .select("doc_id", "sg", "sh", "n")
+      .write.mode("append").parquet(s"$root/data")
+  }
+
+  private def writeMeta(root: String, version: Long, length: Long): Unit = {
+    val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, s"$version,$length".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, Paths.get(root, "meta.txt"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}
