@@ -2025,6 +2025,21 @@ object Dedup {
     containmentCandidatesOf(docs).count()
   def exactJaccardJoinCount(docs: DataFrame): Long =
     exactJaccardJoinOf(docs).count()
+  // round-12 adaptive-path probe entries: the production faces the
+  // collapse now routes, measured at the clique next to the raw kernels
+  def lshAdaptiveCount(docs: DataFrame): Long =
+    bandedPairsAdaptive(signaturesOf(docs), bandsOf, Seq("band", "h1", "h2")).count()
+  def simhashAdaptiveCount(docs: DataFrame): Long =
+    simhashNearDupPairsWith(
+      docs.select(col("doc_id"),
+        graft.functions.TextFunctions.simhash64(col("text")).as("simhash")), 64).count()
+  def containmentJoinCount(docs: DataFrame): Long =
+    containmentJoinOf(docs).count()
+  def deltaSimhashCandidatesCount(docs: DataFrame, cutoff: Long): Long =
+    deltaSimhashCandidates(
+      docs.select(col("doc_id"),
+        graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
+        .localCheckpoint(), cutoff).count()
 
   /** The candidate pair frame itself, for probes asserting structural
     * properties (ScaleCorpusSpec: no cross-replica pairs).

@@ -288,6 +288,35 @@ object ScaleProbe {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"ppjoin_join    $c%7d ${"collapse"}%8s $n%9d  $dt%.2f")
       }
+      // round-12: the ADAPTIVE production faces next to the raw kernels —
+      // the collapse now routes every one of these paths, so the clique
+      // legs should drop from bounded-quadratic kernel time to
+      // distinct-sets time (delta_banding above is already adaptive; its
+      // number IS the collapsed one)
+      if (pathOn("minhash_adapt")) {
+        val t0 = System.nanoTime()
+        val n = graft.operators.Dedup.lshAdaptiveCount(corpus)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"minhash_adapt  $c%7d ${"collapse"}%8s $n%9d  $dt%.2f")
+      }
+      if (pathOn("simhash_adapt")) {
+        val t0 = System.nanoTime()
+        val n = graft.operators.Dedup.simhashAdaptiveCount(corpus)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"simhash_adapt  $c%7d ${"collapse"}%8s $n%9d  $dt%.2f")
+      }
+      if (pathOn("contain_join")) {
+        val t0 = System.nanoTime()
+        val n = graft.operators.Dedup.containmentJoinCount(shingled)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"contain_join   $c%7d ${"collapse"}%8s $n%9d  $dt%.2f")
+      }
+      if (pathOn("delta_simhash")) {
+        val t0 = System.nanoTime()
+        val n = graft.operators.Dedup.deltaSimhashCandidatesCount(corpus, 50000000L + c / 2)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"delta_simhash  $c%7d ${"collapse"}%8s $n%9d  $dt%.2f")
+      }
     }
     }
 
