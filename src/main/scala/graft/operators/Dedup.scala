@@ -472,6 +472,27 @@ object Dedup {
     n == 0L || 1000L * r.getLong(1) >= lowDupGatePermille * n
   }
 
+  /** The shared 128-bit collapse-group fingerprint: `f1` = xxhash64 of the
+    * canonical value, `f2` = the LOW 64 bits of its md5, taken over the
+    * value's canonical JSON serialization. The two halves come from
+    * STRUCTURALLY UNRELATED hash families over DIFFERENT serializations
+    * (xxhash64 walks Spark's internal binary row format; md5 digests JSON
+    * text), so a both-halves collision requires simultaneously defeating a
+    * speed hash and a cryptographic digest on independent byte streams —
+    * unlike the previous `(xxhash64(x), xxhash64(1L, x))` pair, whose
+    * halves shared one non-cryptographic mixing core (round-12 ADVICE: a
+    * structured input could plausibly collide both). md5's known collision
+    * constructions need crafted binary blocks that are not valid JSON
+    * int64-array text, and any such pair would still have to collide
+    * xxhash64 over the separate binary form. Key width stays 16 bytes
+    * (long + 8-byte binary), so the exchange-payload win the fingerprint
+    * exists for (round-11 wrong #1) is unchanged.
+    */
+  private[operators] def fpKeyed(df: DataFrame, canon: Column): DataFrame =
+    df.select(xxhash64(canon).as("f1"),
+      unhex(substring(md5(to_json(canon)), 17, 16)).as("f2"),
+      col("doc_id"))
+
   /** One (gid = min doc_id, gsize) row per distinct group key — the
     * row-shaped group metadata every collapse body shares (no row ever
     * holds a member list).
@@ -523,10 +544,9 @@ object Dedup {
     * dedup-free intra expansion (the dup-heavy probe priced the flat
     * candidate stage at 338 s vs 10.1 s collapsed for the full join).
     *
-    * Group identity is the signature VECTOR, fingerprinted to two
-    * independent 64-bit xxhashes (128 bits: collision probability ~10⁻¹⁹
-    * at 10¹⁰ docs) so the group/membership exchanges carry 16-byte keys
-    * regardless of k. Candidate-ness is a function of the signature alone,
+    * Group identity is the signature VECTOR, fingerprinted to the shared
+    * 128-bit two-family key ([[fpKeyed]]) so the group/membership
+    * exchanges carry 16-byte keys regardless of k. Candidate-ness is a function of the signature alone,
     * so collapsed ≡ flat PAIR-FOR-PAIR (CollapseEquivalenceSpec pins it);
     * the branch is a pure plan choice — [[lowDupPreGate]] (one cheap agg)
     * then [[shouldCollapse]] on the same shape stats as the exact join.
@@ -545,8 +565,7 @@ object Dedup {
     def flat = pairsFromBucketedRows(toBuckets(sig), keyCols, bucketExpandCap)
     if (lowDupPreGate(sig, fp1)) flat
     else {
-      val keyed = sig.select(fp1.as("f1"),
-        xxhash64(lit(1L) +: mh.map(col): _*).as("f2"), col("doc_id"))
+      val keyed = fpKeyed(sig, array(mh.map(col): _*))
       val groups = groupFrame(keyed, Seq("f1", "f2"))
       val (n, maxg, intra) = groupShapeStats(groups)
       if (!shouldCollapse(n, maxg, intra)) flat
@@ -562,8 +581,7 @@ object Dedup {
                                                   keyCols: Seq[String]): DataFrame = {
     val sig = sigIn.localCheckpoint()
     val mh = sig.columns.filter(_ != "doc_id")
-    val keyed = sig.select(xxhash64(mh.map(col): _*).as("f1"),
-      xxhash64(lit(1L) +: mh.map(col): _*).as("f2"), col("doc_id"))
+    val keyed = fpKeyed(sig, array(mh.map(col): _*))
     bandedPairsCollapsedBody(sig, keyed, toBuckets, keyCols)
   }
 
@@ -775,10 +793,10 @@ object Dedup {
       // identical content ⇒ identical rows) — assembled per doc from
       // stored rows (k/2 structs per row, bounded), fingerprinted to the
       // shared 128-bit keys. The plan still touches ONLY index parquet.
-      val keyed = all.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("band"), col("h1"), col("h2")))).as("sig"))
-        .select(xxhash64(col("sig")).as("f1"), xxhash64(lit(1L), col("sig")).as("f2"),
-          col("doc_id"))
+      val keyed = fpKeyed(
+        all.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("band"), col("h1"), col("h2")))).as("sig")),
+        col("sig"))
         .localCheckpoint()
       val groups = groupFrame(keyed, Seq("f1", "f2"))
       val (n, maxg, intra) = groupShapeStats(groups)
@@ -1250,8 +1268,7 @@ object Dedup {
   private[operators] def containmentJoinOf(docs: DataFrame): DataFrame =
     if (lowDupPreGate(docs, xxhash64(col("sh")))) containmentJoinFlat(docs)
     else {
-      val keyed = docs.select(xxhash64(col("sh")).as("f1"),
-        xxhash64(lit(1L), col("sh")).as("f2"), col("doc_id"))
+      val keyed = fpKeyed(docs, col("sh"))
       val groups = groupFrame(keyed, Seq("f1", "f2"))
       val (n, maxg, intra) = groupShapeStats(groups)
       if (!shouldCollapse(n, maxg, intra)) containmentJoinFlat(docs)
@@ -1260,8 +1277,7 @@ object Dedup {
 
   /** Forced collapse body (spec-pinnable below the adaptive threshold). */
   private[operators] def containmentJoinCollapsed(docs: DataFrame): DataFrame = {
-    val keyed = docs.select(xxhash64(col("sh")).as("f1"),
-      xxhash64(lit(1L), col("sh")).as("f2"), col("doc_id"))
+    val keyed = fpKeyed(docs, col("sh"))
     containmentJoinCollapsedWith(docs, keyed,
       groupFrame(keyed, Seq("f1", "f2")).localCheckpoint())
   }
@@ -1793,12 +1809,11 @@ object Dedup {
     if (lowDupPreGate(d, xxhash64(col("sh")))) exactJaccardJoinFlat(d)
     else {
       // FINGERPRINT group key (round-11 wrong #1): grouping and membership
-      // exchange 16-byte (f1, f2) keys — two independent 64-bit xxhashes of
-      // the canonical sorted sh array (collision ~10⁻¹⁹ at 10¹⁰ docs) — so
-      // the corpus's full shingle mass never travels as a shuffle key; sh
-      // stays only on the representative rows the rep join reads
-      val keyed = d.select(xxhash64(col("sh")).as("f1"),
-        xxhash64(lit(1L), col("sh")).as("f2"), col("doc_id"))
+      // exchange 16-byte (f1, f2) keys — see [[fpKeyed]] for the two-family
+      // construction — so the corpus's full shingle mass never travels as a
+      // shuffle key; sh stays only on the representative rows the rep join
+      // reads
+      val keyed = fpKeyed(d, col("sh"))
       val groups = groupFrame(keyed, Seq("f1", "f2"))
       val (n, maxg, intra) = groupShapeStats(groups)
       if (!shouldCollapse(n, maxg, intra)) exactJaccardJoinFlat(d)
@@ -1808,8 +1823,7 @@ object Dedup {
 
   private[graft] def exactJaccardJoinCollapsed(docs: DataFrame): DataFrame = {
     val d = docs.localCheckpoint()
-    val keyed = d.select(xxhash64(col("sh")).as("f1"),
-      xxhash64(lit(1L), col("sh")).as("f2"), col("doc_id"))
+    val keyed = fpKeyed(d, col("sh"))
     exactJaccardJoinCollapsedWith(d, keyed,
       groupFrame(keyed, Seq("f1", "f2")).localCheckpoint())
   }

@@ -47,6 +47,15 @@ object SimHashIndex {
     val m = table.manifest
     Files.createDirectories(Paths.get(root))
     if (m.length > 0) writeSpan(table, 0L, m.length, root)
+    else {
+      // an EMPTY index must still be readable (round-12 ADVICE): write the
+      // (doc_id, simhash) schema frame so `signatures` never throws
+      // path-not-found before the first refresh — same contract as
+      // ContainmentIndex.build, whose freq/entry frames always exist
+      import table.spark.implicits._
+      Seq.empty[(Long, Long)].toDF("doc_id", "simhash")
+        .write.mode("append").parquet(s"$root/data")
+    }
     writeMeta(root, m.version, m.length)
     new SimHashIndex(table.spark, root, m.version, m.length)
   }

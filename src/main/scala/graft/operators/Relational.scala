@@ -656,6 +656,12 @@ object Relational {
           liveBucketedDirs.forEach { p =>
             if (java.nio.file.Files.isDirectory(p))
               java.nio.file.Files.setLastModifiedTime(p, now)
+            else
+              // bound the set (round-12 ADVICE): a dir deleted out from
+              // under us (dropped table, cleaned warehouse) must not be
+              // kept alive in the heartbeat forever — remove it so the
+              // set tracks only dirs that still exist; a re-lookup re-adds
+              liveBucketedDirs.remove(p)
           }
         } catch { case scala.util.control.NonFatal(_) => () }
       }, 3600L * 1000, 3600L * 1000)

@@ -72,6 +72,19 @@ class DeltaIndexSpec extends SparkSpec {
     assert(!cols.contains("text"), s"delta containment plan reads document text: $cols")
   }
 
+  test("an EMPTY SimHashIndex is readable and refresh populates it (round-12 ADVICE)") {
+    import spark.implicits._
+    val table = graft.core.VectorTable.create(spark, tmpDir("simhash-empty") + "/t")
+    val idx = SimHashIndex.build(table, tmpDir("simhash-empty") + "/idx")
+    // before the fix, `signatures` threw path-not-found on an empty build
+    assert(idx.signatures.count() == 0L)
+    assert(idx.signatures.columns.toSeq == Seq("doc_id", "simhash"))
+    table.append(Seq((0L, "alpha beta gamma"), (1L, "delta epsilon zeta"))
+      .toDF("doc_id", "text"))
+    val fresh = idx.refresh(table)
+    assert(fresh.signatures.count() == 2L)
+  }
+
   test("delta SimHash collapse body ≡ flat blocked join on a clique fixture") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
