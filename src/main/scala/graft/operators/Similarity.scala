@@ -777,6 +777,108 @@ object Similarity {
        |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON e.id_b = r.id)
        |SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id""".stripMargin
 
+  /** SEMANTIC DEDUP, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):
+    * a KEEP/DROP decision per vector — the actual pruning op a training
+    * pipeline executes — from connected components of the cosine near-dup
+    * graph scoped to IVF CELLS. The cell scope is the scale contract: the
+    * quadratic pair stage is bounded per k-means cell (cells scale with
+    * the corpus via [[ivfAssign]]/`cellsOf`, so per-cell occupancy stays
+    * roughly constant at 100 TB), and pathological cells are additionally
+    * sliced by the shared blocked pair kernel
+    * ([[Dedup.pairsFromBucketedRowsRaw]], ~cap²/task) — no all-pairs join
+    * exists at any scale. Components cannot span cells BY CONSTRUCTION
+    * (SemDeDup's recall bound, SemanticDedupSpec pins it); the
+    * representative each component keeps is the MIN vec_id — the paper
+    * keeps a centroid-distance extremum, but min-id is deterministic
+    * across engines, and which member survives is a policy choice, not a
+    * semantics one (the component structure is identical).
+    *
+    * Differs from [[embeddingDupClusters]] in scope (k-means cells vs LSH
+    * hyperplane buckets — SemDeDup's semantic partition vs sketch
+    * collision) and in OUTPUT: every vector gets a row with its verdict,
+    * singletons included, so `WHERE keep` is the cleaned corpus.
+    *
+    * Reference analog: the engine's corpus model is append-only vectors
+    * (src/vector_engine.rs:10-54); semantic pruning is the first thing a
+    * 100 TB owner runs over it.
+    */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val assign = ivfAssign(s, d).select(col("vec_id"), col("cell")).localCheckpoint()
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cand = Dedup.pairsFromBucketedRowsRaw(
+      assign.select(col("cell"), col("vec_id").as("doc_id")),
+      Seq("cell"), Dedup.bucketExpandCap)
+    val edges = cand
+      .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
+      .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
+      .where(graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")) >= nearDupThreshold)
+      .select("doc_a", "doc_b")
+    val cc = Dedup.connectedComponentsOf(edges, smallGraphLimit = 1000000L)
+    assign.join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("vec_id"))
+  }
+
+  /** The shared oracle body: cell assignment (the `ann_ivf_assign` SQL),
+    * within-cell pair scoring with the SAME left-fold cosine as
+    * [[embeddingNearDupsSql]], recursive-CTE components, min-label keep.
+    */
+  private def semanticDedupSqlBody: String = {
+    def fold(e: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i -> $e)), (acc, x) -> acc + x)"
+    s"""assign AS (${ivfAssignSql.replace("\n", "\n  ")}),
+       | b AS (
+       |  SELECT a.vec_id, a.cell, list_transform(e.embedding, x -> x::DOUBLE) AS ed
+       |  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id),
+       | p AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.ed AS ea, y.ed AS eb
+       |  FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+       | sc2 AS (
+       |  SELECT id_a, id_b,
+       |   ${fold("ea[i] * eb[i]")} AS dot,
+       |   ${fold("ea[i] * ea[i]")} AS na2,
+       |   ${fold("eb[i] * eb[i]")} AS nb2
+       |  FROM p),
+       | e2 AS (
+       |  SELECT id_a, id_b FROM sc2
+       |  WHERE dot / (sqrt(na2) * sqrt(nb2)) >= $nearDupThreshold),
+       | edges AS (
+       |  SELECT id_a, id_b FROM e2
+       |  UNION SELECT id_b, id_a FROM e2),
+       | reach(id, label) AS (
+       |  SELECT id_a, id_a FROM edges
+       |  UNION
+       |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON e.id_b = r.id),
+       | cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+       | verdicts AS (
+       |  SELECT a.vec_id, a.cell,
+       |    COALESCE(cc.cluster_id, a.vec_id) AS cluster_id,
+       |    COALESCE(cc.cluster_id, a.vec_id) = a.vec_id AS keep
+       |  FROM assign a LEFT JOIN cc ON a.vec_id = cc.id)""".stripMargin
+  }
+
+  lazy val semanticDedupSql: String =
+    s"""WITH RECURSIVE ${semanticDedupSqlBody}
+       |SELECT vec_id, cell, cluster_id, keep FROM verdicts""".stripMargin
+
+  /** Per-cell semantic-dedup funnel: corpus size, surviving representatives
+    * and kept count per cell — the report a pipeline owner reads before
+    * committing the prune (n_kept ≡ n_clusters is the min-id invariant;
+    * both are emitted so the oracle checks it rather than assumes it).
+    */
+  def semanticDedupStats(s: SparkSession, d: String): DataFrame =
+    semanticDedup(s, d).groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        count(when(col("keep"), lit(1))).as("n_kept"))
+
+  lazy val semanticDedupStatsSql: String =
+    s"""WITH RECURSIVE ${semanticDedupSqlBody}
+       |SELECT cell, COUNT(*) AS n, COUNT(DISTINCT cluster_id) AS n_clusters,
+       |  COUNT(CASE WHEN keep THEN 1 END) AS n_kept
+       |FROM verdicts GROUP BY cell""".stripMargin
+
   // ---------------------------------------------------------------- int8 SQ
 
   /** Per-vector int8 scalar-quantization profile: min/max/scale plus the

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]): the
+  * keep/drop verdict frame is pinned against an in-test brute force —
+  * pairwise cosine inside each IVF cell (the same index-order double fold
+  * as the `cosine_f` kernel), driver union-find with min-label, keep ⇔
+  * vec_id is its component's min. Plus the two structural invariants the
+  * scaladoc claims: components never span cells (SemDeDup's recall bound
+  * is also its scale bound), and exactly one member per cluster is kept.
+  */
+class SemanticDedupSpec extends SparkSpec {
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("verdicts ≡ brute-force within-cell components (min-id keep) at sf0.001") {
+    val d = sf()
+    val emb = graft.core.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cellOf = Similarity.ivfAssign(spark, d)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // brute force: every within-cell pair, no blocking, no candidates
+    val parent = scala.collection.mutable.Map.empty[Long, Long] ++
+      emb.keys.map(k => k -> k)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    val ids = emb.keys.toSeq.sorted
+    for (a <- ids; b <- ids if a < b && cellOf(a) == cellOf(b)
+         if cos(emb(a), emb(b)) >= Similarity.nearDupThreshold) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = ids.map(i => (i, cellOf(i), find(i), find(i) == i)).toSet
+
+    val got = Similarity.semanticDedup(spark, d)
+      .select("vec_id", "cell", "cluster_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(want.exists(!_._4), "fixture has no semantic dups — test is vacuous")
+    assert(got == want,
+      s"semantic verdicts diverge: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+  }
+
+  test("components never span cells, and exactly one member per cluster is kept") {
+    val rows = Similarity.semanticDedup(spark, sf())
+      .select("vec_id", "cell", "cluster_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val cellsPerCluster = rows.groupBy(_._3).view.mapValues(_.map(_._2).distinct.size)
+    assert(cellsPerCluster.values.forall(_ == 1),
+      s"a semantic cluster spans cells: ${cellsPerCluster.filter(_._2 > 1).take(3)}")
+    rows.groupBy(_._3).foreach { case (cid, members) =>
+      assert(members.count(_._4) == 1, s"cluster $cid keeps ${members.count(_._4)} members")
+      assert(members.filter(_._4).head._1 == members.map(_._1).min,
+        s"cluster $cid keeps a non-min representative")
+    }
+  }
+}
