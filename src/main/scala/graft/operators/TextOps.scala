@@ -244,6 +244,79 @@ object TextOps {
     """SELECT doc_id, n_chars FROM documents
       |WHERE (('0x' || substr(md5(text), 1, 13))::BIGINT) % 100 < 10""".stripMargin
 
+  /** Seed for the deterministic global shuffle — changing it produces an
+    * independent permutation (re-shuffle between epochs) while any fixed
+    * value is reproducible across engines, runs and partitionings.
+    */
+  val shuffleSeed = "graft-epoch-0"
+  val nShuffleShards = 16
+
+  /** DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the write-out plan every
+    * training export runs: each doc gets a pseudo-random shard and an
+    * intra-shard position from a seeded content-independent key
+    * (md5(seed:doc_id)), so the "random" order is a pure function of
+    * (seed, doc_id) — reproducible across engines and immune to input
+    * partitioning, unlike `ORDER BY rand()`. Spark's RNG-based shuffles
+    * (`rand()`, `repartition` hashing alone) are not replayable; this is.
+    *
+    * Scale shape: ONE exchange hash-partitioned on shard + a per-shard
+    * sort — exactly the physical plan of writing N shard files; `pos` is
+    * a window row_number per shard, never a global sort. At 100 TB the
+    * plan is `repartition(shard)` + `sortWithinPartitions(skey)` feeding
+    * the writer; the face emits the (doc_id, shard, pos) manifest that
+    * write would produce.
+    */
+  def globalShuffle(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit(shuffleSeed + ":"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("shard",
+        pmod(expr("CAST(conv(substr(skey, 1, 8), 16, 10) AS BIGINT)"),
+          lit(nShuffleShards.toLong)).cast("int"))
+    keyed
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("skey"), col("doc_id"))))
+      .select("doc_id", "shard", "pos")
+  }
+
+  val globalShuffleSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR)) AS skey
+       |  FROM documents),
+       | sh AS (
+       |  SELECT doc_id, skey,
+       |    CAST((('0x' || substr(skey, 1, 8))::BIGINT) % $nShuffleShards AS INTEGER) AS shard
+       |  FROM k)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INTEGER) AS pos
+       |FROM sh""".stripMargin
+
+  /** Per-shard balance report for the shuffle above — the check an export
+    * owner reads before launching 16 (or 16k) writer tasks: doc and token
+    * mass per shard. Hash sharding balances in expectation; this measures
+    * the actual spread so a skewed seed/corpus is caught before the write,
+    * not after one straggler writer runs 3× longer than the rest.
+    */
+  def shardBalance(s: SparkSession, d: String): DataFrame =
+    globalShuffle(s, d)
+      .join(Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens("text")).as("n_tokens")), Seq("doc_id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("shard_tokens"))
+
+  val shardBalanceSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    CAST((('0x' || substr(md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+       |      % $nShuffleShards AS INTEGER) AS shard
+       |  FROM documents)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS shard_tokens
+       |FROM sh JOIN documents USING (doc_id)
+       |GROUP BY shard""".stripMargin
+
   /** Per-source KL divergence from the corpus token distribution — the
     * domain-shift diagnostic behind mixture decisions: KL(P_source ‖
     * P_corpus) = Σ_w p_s(w)·ln(p_s(w)/p(w)), large when a source's

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The deterministic global shuffle ([[TextOps.globalShuffle]]): the
+  * manifest is a permutation (dense 1..n positions per shard, every doc
+  * exactly once), is a pure function of (seed, doc_id) — identical no
+  * matter how the input arrives partitioned — and its physical plan sorts
+  * per shard, never globally (the property that makes it a 100 TB write
+  * plan rather than an ORDER BY).
+  */
+class GlobalShuffleSpec extends SparkSpec {
+
+  test("positions are dense per shard and every doc appears exactly once") {
+    val rows = TextOps.globalShuffle(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val n = graft.core.Tables.documents(spark, sf()).count()
+    assert(rows.length == n && rows.map(_._1).distinct.length == n)
+    rows.groupBy(_._2).foreach { case (shard, ms) =>
+      assert(ms.map(_._3).sorted.toSeq == (1 to ms.length),
+        s"shard $shard positions are not dense 1..${ms.length}")
+    }
+  }
+
+  test("the manifest is partitioning-independent (pure function of seed and doc_id)") {
+    val base = TextOps.globalShuffle(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // same computation over an adversarially re-partitioned, re-ordered input
+    val docs = graft.core.Tables.documents(spark, sf())
+      .repartition(17, col("source")).sortWithinPartitions(desc("doc_id"))
+    val keyed = docs
+      .select(col("doc_id"),
+        md5(concat(lit(TextOps.shuffleSeed + ":"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("shard",
+        pmod(expr("CAST(conv(substr(skey, 1, 8), 16, 10) AS BIGINT)"),
+          lit(TextOps.nShuffleShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("skey"), col("doc_id"))))
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(keyed == base, "shuffle manifest depends on input partitioning")
+  }
+
+  test("physical plan sorts within shard partitions — no global Sort") {
+    val plan = TextOps.globalShuffle(spark, sf())
+      .queryExecution.executedPlan.toString
+    val globalSorts = "(?m)^\\s*\\*?\\(?\\d*\\)?\\s*Sort .*global=true".r
+      .findAllIn(plan).length
+    assert(globalSorts == 0, s"global sort in the shuffle plan:\n$plan")
+  }
+}
