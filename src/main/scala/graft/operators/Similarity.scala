@@ -879,6 +879,61 @@ object Similarity {
        |  COUNT(CASE WHEN keep THEN 1 END) AS n_kept
        |FROM verdicts GROUP BY cell""".stripMargin
 
+  /** DELTA SEMANTIC DEDUP — the text family's delta-vs-index discipline
+    * ([[Dedup.deltaCandidatePairs]]) carried to the embedding modality:
+    * "which stored vectors does this drop semantically duplicate?",
+    * answered ENTIRELY from the persisted cell-partitioned IVF index's
+    * (vec_id, embedding, cell) rows ([[ivfIndexFor]]) — assignment was
+    * paid when the index was laid down (on a live ingest the same rows
+    * come from [[IvfTableIndex.refresh]], which assigns only appended
+    * spans against fixed centroids), so the per-drop query re-assigns
+    * nothing and reads no source table (SemanticDedupSpec pins the scan
+    * set). The bipartite delta×cell join
+    * is blocked by the shared kernel ([[Dedup.deltaPairsBlocked]],
+    * ~cap²/task even for a boilerplate drop landing in one cell); scored
+    * pairs are the same left-fold cosine as every embedding face.
+    *
+    * Lossless by the oracle's own statement: the full within-cell
+    * recompute from raw embeddings, restricted to pairs with ≥ 1 delta
+    * member, must hash-match this plan's output exactly.
+    */
+  def semanticDeltaPairs(s: SparkSession, d: String): DataFrame = {
+    val data = s.read.parquet(ivfIndexFor(s, d))
+    val slim = data.select(col("cell"), col("vec_id").as("doc_id"))
+    val cutoff = data.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val cand = Dedup.deltaPairsBlocked(slim, slim.where(col("doc_id") > cutoff), Seq("cell"))
+    val e = data.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
+      .join(e.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
+      .where(col("sim") >= nearDupThreshold)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("sim"))
+  }
+
+  lazy val semanticDeltaPairsSql: String = {
+    def fold(e: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i -> $e)), (acc, x) -> acc + x)"
+    s"""WITH assign AS (${ivfAssignSql.replace("\n", "\n  ")}),
+       | b AS (
+       |  SELECT a.vec_id, a.cell, list_transform(e.embedding, x -> x::DOUBLE) AS ed
+       |  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id),
+       | p AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.ed AS ea, y.ed AS eb
+       |  FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+       | sc2 AS (
+       |  SELECT id_a, id_b,
+       |   ${fold("ea[i] * eb[i]")} AS dot,
+       |   ${fold("ea[i] * ea[i]")} AS na2,
+       |   ${fold("eb[i] * eb[i]")} AS nb2
+       |  FROM p),
+       | cut AS (SELECT MAX(vec_id) // 2 AS c FROM embeddings)
+       |SELECT id_a, id_b, dot / (sqrt(na2) * sqrt(nb2)) AS sim
+       |FROM sc2
+       |WHERE dot / (sqrt(na2) * sqrt(nb2)) >= $nearDupThreshold
+       |  AND (id_a > (SELECT c FROM cut) OR id_b > (SELECT c FROM cut))""".stripMargin
+  }
+
   // ---------------------------------------------------------------- int8 SQ
 
   /** Per-vector int8 scalar-quantization profile: min/max/scale plus the

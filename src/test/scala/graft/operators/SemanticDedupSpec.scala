@@ -51,6 +51,41 @@ class SemanticDedupSpec extends SparkSpec {
       s"semantic verdicts diverge: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
   }
 
+  test("delta semantic pairs ≡ brute-force within-cell pairs restricted to the delta") {
+    val d = sf()
+    val emb = graft.core.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cellOf = Similarity.ivfAssign(spark, d)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cutoff = emb.keys.max / 2
+    val ids = emb.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids
+      if a < b && cellOf(a) == cellOf(b) && (a > cutoff || b > cutoff)
+      s = cos(emb(a), emb(b)) if s >= Similarity.nearDupThreshold
+    } yield (a, b, s)).toSet
+    val got = Similarity.semanticDeltaPairs(spark, d)
+      .select("id_a", "id_b", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "no delta-touching semantic pairs at sf0.001 — vacuous")
+    assert(got == want,
+      s"delta semantic pairs diverge: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+  }
+
+  test("delta semantic plan reads only persisted index rows — no embeddings table scan") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val df = Similarity.semanticDeltaPairs(spark, sf())
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation
+    }.collect { case fs: HadoopFsRelation => fs }
+      .flatMap(_.location.rootPaths.map(_.toString))
+    assert(paths.nonEmpty)
+    assert(paths.forall(_.contains("graft-ivf-indexes")),
+      s"delta semantic plan scans outside the persisted index: $paths")
+  }
+
   test("components never span cells, and exactly one member per cluster is kept") {
     val rows = Similarity.semanticDedup(spark, sf())
       .select("vec_id", "cell", "cluster_id", "keep").collect()
