@@ -802,9 +802,15 @@ object Similarity {
     * (src/vector_engine.rs:10-54); semantic pruning is the first thing a
     * 100 TB owner runs over it.
     */
-  def semanticDedup(s: SparkSession, d: String): DataFrame = {
-    val assign = ivfAssign(s, d).select(col("vec_id"), col("cell")).localCheckpoint()
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticVerdictsWith(ivfAssign(s, d),
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** The verdict pipeline over ANY cell assignment — shared by the
+    * anchor-centroid face (oracle-replayable) and the k-means-trained one.
+    */
+  private def semanticVerdictsWith(assignIn: DataFrame, emb: DataFrame): DataFrame = {
+    val assign = assignIn.select(col("vec_id"), col("cell")).localCheckpoint()
     val cand = Dedup.pairsFromBucketedRowsRaw(
       assign.select(col("cell"), col("vec_id").as("doc_id")),
       Seq("cell"), Dedup.bucketExpandCap)
@@ -878,6 +884,47 @@ object Similarity {
        |SELECT cell, COUNT(*) AS n, COUNT(DISTINCT cluster_id) AS n_clusters,
        |  COUNT(CASE WHEN keep THEN 1 END) AS n_kept
        |FROM verdicts GROUP BY cell""".stripMargin
+
+  /** Semantic dedup on TRAINED centroids — the production path (SemDeDup
+    * clusters with real k-means, not seed anchors). Lloyd's iterations are
+    * not SQL-replayable, so like every trained face the gate pins what IS
+    * invariant: the one-row summary carries the anchor pipeline's kept
+    * count (the oracle recomputes it exactly) plus four structural
+    * booleans of the TRAINED verdict frame that hold for any centroid set
+    * — full corpus coverage, exactly one keeper per cluster, the keeper is
+    * the cluster's min vec_id, and no cluster spans cells. Centroid
+    * QUALITY is already gated by [[ivfTrainedRecall]] + spec; this face
+    * gates that the dedup machinery composed with trained assignment
+    * remains structurally sound.
+    */
+  def semanticDedupTrained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val v = semanticVerdictsWith(
+      assignWith(s, d, trainedCentroids(s, d)), emb).localCheckpoint()
+    val n = emb.count()
+    val anchorKept = semanticDedup(s, d).where(col("keep")).count()
+    val perCluster = v.groupBy("cluster_id").agg(
+      count(when(col("keep"), lit(1))).as("keepers"),
+      min(col("vec_id")).as("mn"),
+      min(when(col("keep"), col("vec_id"))).as("keeper"),
+      countDistinct(col("cell")).as("ncells"))
+    Seq((n, anchorKept,
+        v.count() == n,
+        perCluster.where(col("keepers") =!= 1).isEmpty,
+        perCluster.where(col("keeper") =!= col("mn")).isEmpty,
+        perCluster.where(col("ncells") =!= 1).isEmpty))
+      .toDF("n", "anchor_kept", "covers_corpus", "one_keeper_per_cluster",
+        "keeper_is_min_id", "clusters_within_cells")
+  }
+
+  lazy val semanticDedupTrainedSql: String =
+    s"""WITH RECURSIVE ${semanticDedupSqlBody}
+       |SELECT (SELECT COUNT(*) FROM embeddings) AS n,
+       |  COUNT(CASE WHEN keep THEN 1 END) AS anchor_kept,
+       |  TRUE AS covers_corpus, TRUE AS one_keeper_per_cluster,
+       |  TRUE AS keeper_is_min_id, TRUE AS clusters_within_cells
+       |FROM verdicts""".stripMargin
 
   /** DELTA SEMANTIC DEDUP — the text family's delta-vs-index discipline
     * ([[Dedup.deltaCandidatePairs]]) carried to the embedding modality:

@@ -86,6 +86,14 @@ class SemanticDedupSpec extends SparkSpec {
       s"delta semantic plan scans outside the persisted index: $paths")
   }
 
+  test("trained-centroid verdicts hold every structural invariant (measured, not assumed)") {
+    val r = Similarity.semanticDedupTrained(spark, sf()).head()
+    val (n, kept) = (r.getLong(0), r.getLong(1))
+    assert(n > 0 && kept >= 1 && kept <= n, s"anchor kept count out of range: $kept of $n")
+    assert((2 to 5).forall(r.getBoolean),
+      s"a trained-verdict invariant failed: $r")
+  }
+
   test("components never span cells, and exactly one member per cluster is kept") {
     val rows = Similarity.semanticDedup(spark, sf())
       .select("vec_id", "cell", "cluster_id", "keep").collect()
