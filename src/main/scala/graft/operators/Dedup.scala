@@ -497,14 +497,14 @@ object Dedup {
     * row-shaped group metadata every collapse body shares (no row ever
     * holds a member list).
     */
-  private def groupFrame(keyed: DataFrame, keyCols: Seq[String]): DataFrame =
+  private[operators] def groupFrame(keyed: DataFrame, keyCols: Seq[String]): DataFrame =
     keyed.groupBy(keyCols.map(col): _*)
       .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gsize"))
 
   /** (n, maxGroup, intraPairs) for [[shouldCollapse]] — coalesced so an
     * empty frame decides "flat" instead of throwing.
     */
-  private def groupShapeStats(groups: DataFrame): (Long, Long, Long) = {
+  private[operators] def groupShapeStats(groups: DataFrame): (Long, Long, Long) = {
     val r = groups.agg(
       coalesce(sum(col("gsize")), lit(0L)),
       coalesce(max(col("gsize")), lit(0L)),

@@ -808,16 +808,100 @@ object Similarity {
 
   /** The verdict pipeline over ANY cell assignment — shared by the
     * anchor-centroid face (oracle-replayable) and the k-means-trained one.
+    * ADAPTIVE EXACT-VECTOR COLLAPSE, the text family's round-11/12
+    * discipline carried to the embedding modality: a boilerplate corpus
+    * replicates whole embedding rows, identical vectors land in the same
+    * cell with pairwise cosine exactly 1, and the flat pipeline pays
+    * C(g,2) cosine evaluations plus a C(g,2)-edge component pass per
+    * clique. Identical vectors have identical verdict relationships, so
+    * above the shared shape threshold ([[Dedup.shouldCollapse]] on the
+    * same [[Dedup.fpKeyed]] two-family fingerprint of the embedding array)
+    * the pipeline runs on ONE representative per distinct vector and
+    * members inherit the rep's component label — the expanded component's
+    * min member id IS the rep-level label (gid = min doc_id of its group),
+    * so collapsed ≡ flat row-for-row (SemanticDedupSpec pins it).
+    *
+    * Zero-norm edge case: cosine(0⃗, 0⃗) is NaN, never ≥ threshold, so the
+    * flat join leaves identical zero vectors as singletons. The collapse
+    * must not merge them — zero-norm rows bypass grouping and are emitted
+    * as singleton verdicts directly (the spec pins this too).
     */
-  private def semanticVerdictsWith(assignIn: DataFrame, emb: DataFrame): DataFrame = {
+  private def semanticVerdictsWith(assignIn: DataFrame, embIn: DataFrame): DataFrame = {
     val assign = assignIn.select(col("vec_id"), col("cell")).localCheckpoint()
+    val emb = embIn.select(col("vec_id"), col("embedding"))
+    if (Dedup.lowDupPreGate(emb, xxhash64(col("embedding"))))
+      semanticVerdictsFlat(assign, emb)
+    else {
+      val nz = emb.where(norm2Col > lit(0.0))
+      val keyed = Dedup.fpKeyed(
+        nz.select(col("vec_id").as("doc_id"), col("embedding")), col("embedding"))
+      val groups = Dedup.groupFrame(keyed, Seq("f1", "f2"))
+      val (n, maxg, intra) = Dedup.groupShapeStats(groups)
+      if (!Dedup.shouldCollapse(n, maxg, intra)) semanticVerdictsFlat(assign, emb)
+      else semanticVerdictsCollapsedWith(assign, emb, keyed, groups.localCheckpoint())
+    }
+  }
+
+  /** Σx² of the embedding — 0 exactly when the vector is all-zero. */
+  private def norm2Col: Column =
+    expr("aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+  /** Forced collapse entry (spec-pinnable below the adaptive threshold). */
+  private[operators] def semanticVerdictsCollapsed(assignIn: DataFrame,
+                                                   embIn: DataFrame): DataFrame = {
+    val assign = assignIn.select(col("vec_id"), col("cell")).localCheckpoint()
+    val emb = embIn.select(col("vec_id"), col("embedding"))
+    val nz = emb.where(norm2Col > lit(0.0))
+    val keyed = Dedup.fpKeyed(
+      nz.select(col("vec_id").as("doc_id"), col("embedding")), col("embedding"))
+    semanticVerdictsCollapsedWith(assign, emb, keyed,
+      Dedup.groupFrame(keyed, Seq("f1", "f2")).localCheckpoint())
+  }
+
+  private def semanticVerdictsCollapsedWith(assign: DataFrame, emb: DataFrame,
+                                            keyed: DataFrame, groups: DataFrame): DataFrame = {
+    val membership = keyed.join(groups, Seq("f1", "f2"))
+      .select(col("gid"), col("doc_id")).localCheckpoint()
+    val repIds = groups.select(col("gid").as("vec_id"))
+    val repVerdicts = semanticVerdictsFlat(
+      assign.join(repIds, Seq("vec_id"), "left_semi"),
+      emb.join(repIds, Seq("vec_id"), "left_semi"))
+    val expanded = membership
+      .join(repVerdicts.select(col("vec_id").as("gid"), col("cell"), col("cluster_id")),
+        Seq("gid"))
+      .select(col("doc_id").as("vec_id"), col("cell"), col("cluster_id"))
+    // zero-norm rows never pair (NaN cosine): singleton verdicts, own label
+    val zeros = assign.join(emb.where(norm2Col <= lit(0.0)).select("vec_id"), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("vec_id").as("cluster_id"))
+    expanded.unionAll(zeros)
+      .withColumn("keep", col("cluster_id") === col("vec_id"))
+  }
+
+  /** Spec hook: the flat body over an arbitrary (assign, emb) fixture. */
+  private[operators] def semanticVerdictsFlatForTest(assign: DataFrame,
+                                                     emb: DataFrame): DataFrame =
+    semanticVerdictsFlat(assign.select(col("vec_id"), col("cell")).localCheckpoint(),
+      emb.select(col("vec_id"), col("embedding")))
+
+  /** The flat verdict body — candidates from cell buckets (blocked), one
+    * cosine per candidate pair, components, left-join verdicts.
+    *
+    * The edge filter EXCLUDES NaN explicitly: cosine against a zero-norm
+    * vector is 0/0 = NaN, and Spark's SQL ordering puts NaN ABOVE every
+    * number, so a bare `sim >= t` would silently declare a zero vector a
+    * duplicate of its whole cell — the opposite of the right semantics (an
+    * undefined similarity is no evidence of duplication). The oracle
+    * carries the same guard as `na2 > 0 AND nb2 > 0`.
+    */
+  private def semanticVerdictsFlat(assign: DataFrame, emb: DataFrame): DataFrame = {
     val cand = Dedup.pairsFromBucketedRowsRaw(
       assign.select(col("cell"), col("vec_id").as("doc_id")),
       Seq("cell"), Dedup.bucketExpandCap)
     val edges = cand
       .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
       .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
-      .where(graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")) >= nearDupThreshold)
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
+      .where(!isnan(col("sim")) && col("sim") >= nearDupThreshold)
       .select("doc_a", "doc_b")
     val cc = Dedup.connectedComponentsOf(edges, smallGraphLimit = 1000000L)
     assign.join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
@@ -848,7 +932,8 @@ object Similarity {
        |  FROM p),
        | e2 AS (
        |  SELECT id_a, id_b FROM sc2
-       |  WHERE dot / (sqrt(na2) * sqrt(nb2)) >= $nearDupThreshold),
+       |  WHERE na2 > 0 AND nb2 > 0
+       |    AND dot / (sqrt(na2) * sqrt(nb2)) >= $nearDupThreshold),
        | edges AS (
        |  SELECT id_a, id_b FROM e2
        |  UNION SELECT id_b, id_a FROM e2),
@@ -954,7 +1039,7 @@ object Similarity {
       .join(e.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
       .join(e.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
       .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
-      .where(col("sim") >= nearDupThreshold)
+      .where(!isnan(col("sim")) && col("sim") >= nearDupThreshold)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("sim"))
   }
 
@@ -977,7 +1062,8 @@ object Similarity {
        | cut AS (SELECT MAX(vec_id) // 2 AS c FROM embeddings)
        |SELECT id_a, id_b, dot / (sqrt(na2) * sqrt(nb2)) AS sim
        |FROM sc2
-       |WHERE dot / (sqrt(na2) * sqrt(nb2)) >= $nearDupThreshold
+       |WHERE na2 > 0 AND nb2 > 0
+       |  AND dot / (sqrt(na2) * sqrt(nb2)) >= $nearDupThreshold
        |  AND (id_a > (SELECT c FROM cut) OR id_b > (SELECT c FROM cut))""".stripMargin
   }
 

@@ -94,6 +94,38 @@ class SemanticDedupSpec extends SparkSpec {
       s"a trained-verdict invariant failed: $r")
   }
 
+  test("exact-vector collapse ≡ flat verdicts on a clique fixture (zero vectors stay singletons)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextFloat() * 2f - 1f)
+    }
+    val clique = vec(1)
+    val rows =
+      (0L until 300L).map(i => (i, clique)) ++                    // exact clique
+      (300L until 340L).map(i => (i, vec(rnd.nextInt(20) + 2))) ++ // small dup groups
+      (400L until 420L).map(i => (i, vec(i.toInt + 1000))) ++      // singletons
+      (500L until 503L).map(i => (i, Array.fill(8)(0f)))           // identical ZERO vectors
+    val emb = rows.toDF("vec_id", "embedding")
+    // 4-cell assignment that is a pure function of the vector (identical
+    // vectors land together, like any real centroid assignment)
+    val assign = emb.select(col("vec_id"),
+      pmod(xxhash64(col("embedding")), lit(4L)).cast("int").as("cell"))
+    def verdicts(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, Boolean)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSet
+    val flat = verdicts(Similarity.semanticVerdictsFlatForTest(assign, emb))
+    val collapsed = verdicts(Similarity.semanticVerdictsCollapsed(assign, emb))
+    assert(flat.count(!_._4) >= 299, "fixture lost its clique structure")
+    // zero vectors: NaN cosine pairs with nothing — all three stay kept singletons
+    Seq(500L, 501L, 502L).foreach { z =>
+      assert(collapsed.exists(v => v._1 == z && v._3 == z && v._4),
+        s"zero vector $z was merged by the collapse")
+    }
+    assert(collapsed == flat,
+      s"collapse diverges: extra=${(collapsed -- flat).take(5)} missing=${(flat -- collapsed).take(5)}")
+  }
+
   test("components never span cells, and exactly one member per cluster is kept") {
     val rows = Similarity.semanticDedup(spark, sf())
       .select("vec_id", "cell", "cluster_id", "keep").collect()
