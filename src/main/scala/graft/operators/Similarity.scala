@@ -883,6 +883,16 @@ object Similarity {
     semanticVerdictsFlat(assign.select(col("vec_id"), col("cell")).localCheckpoint(),
       emb.select(col("vec_id"), col("embedding")))
 
+  /** ScaleProbe hooks: dropped-count through the adaptive entry vs the
+    * forced flat body over an arbitrary (assign, emb) corpus — the
+    * embedding-clique twin of the text family's dup-heavy probe legs.
+    */
+  private[graft] def semanticAdaptiveProbe(assign: DataFrame, emb: DataFrame): Long =
+    semanticVerdictsWith(assign, emb).where(!col("keep")).count()
+
+  private[graft] def semanticFlatProbe(assign: DataFrame, emb: DataFrame): Long =
+    semanticVerdictsFlatForTest(assign, emb).where(!col("keep")).count()
+
   /** The flat verdict body — candidates from cell buckets (blocked), one
     * cosine per candidate pair, components, left-join verdicts.
     *

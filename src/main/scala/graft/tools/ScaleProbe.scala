@@ -320,6 +320,38 @@ object ScaleProbe {
     }
     }
 
+    // --- embedding clique: semantic dedup flat vs adaptive collapse ------
+    // The dup-heavy pathology in the embedding modality: C copies of ONE
+    // vector among the distinct corpus, all landing in one cell. The flat
+    // verdict body pays C(C,2) cosine joins plus a quadratic edge list
+    // into the component pass; the round-13 exact-vector collapse runs on
+    // distinct vectors and members inherit the rep's label — no intra
+    // pair ever materializes (the verdict expansion is a membership join,
+    // not a pair stream). Flat at C=10⁴ is skipped by default
+    // (GRAFT_EMBCLIQUE_FLAT=1 forces it) — ~5·10⁷ two-array join rows.
+    section("emb_clique") {
+    println()
+    println(f"${"emb_clique"}%-14s ${"copies"}%7s ${"form"}%8s ${"dropped"}%9s  t(s)")
+    val cvec = emb.where(col("vec_id") === 1L)
+      .select("embedding").head.getSeq[Float](0)
+    for (c <- Seq(2500, 10000)) {
+      val corpus = emb.select(col("vec_id"), col("embedding")).unionAll(
+        spark.range(c).select((col("id") + 60000000L).as("vec_id"),
+          typedLit(cvec).as("embedding"))).localCheckpoint()
+      val assign = corpus.select(col("vec_id"),
+        pmod(xxhash64(col("embedding")), lit(32L)).cast("int").as("cell"))
+      for (form <- Seq("flat", "adaptive")
+           if !(form == "flat" && c > 2500 && !sys.env.contains("GRAFT_EMBCLIQUE_FLAT"))) {
+        val t0 = System.nanoTime()
+        val n =
+          if (form == "flat") graft.operators.Similarity.semanticFlatProbe(assign, corpus)
+          else graft.operators.Similarity.semanticAdaptiveProbe(assign, corpus)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"emb_clique     $c%7d $form%8s $n%9d  $dt%.2f")
+      }
+    }
+    }
+
     // --- containment join at replicated scales ---------------------------
     // Same disjoint-universe replication: the asymmetric prefix filter
     // must keep candidates linear in corpus size — the structural claim
