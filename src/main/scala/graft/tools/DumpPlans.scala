@@ -38,7 +38,9 @@ object DumpPlans {
       "dedup_exact_jaccard_join", "dedup_delta_candidates",
       "dedup_delta_candidates_streamed", "dedup_lsh_candidates_k12",
       "ann_ivf_filtered_search", "ann_ivf_filtered_batch_search",
-      "dedup_simhash_pairs_wide")
+      "dedup_simhash_pairs_wide",
+      "dedup_semantic", "dedup_semantic_delta", "text_global_shuffle",
+      "text_shard_balance")
     picks.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, d)
       val txt = df.queryExecution.explainString(
