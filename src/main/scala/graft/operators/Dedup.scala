@@ -699,7 +699,7 @@ object Dedup {
     * pointer but left its own table/index/staging/ckpt orphaned in tmpdir).
     * Failures are swallowed — cleanup is hygiene, never correctness.
     */
-  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+  private[operators] def deleteRecursively(dir: java.nio.file.Path): Unit =
     try {
       val walk = java.nio.file.Files.walk(dir)
       try walk.sorted(java.util.Comparator.reverseOrder())

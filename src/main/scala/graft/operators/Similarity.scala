@@ -980,6 +980,75 @@ object Similarity {
        |  COUNT(CASE WHEN keep THEN 1 END) AS n_kept
        |FROM verdicts GROUP BY cell""".stripMargin
 
+  /** Two-stage STREAM-maintained IVF index over an embeddings
+    * [[graft.core.VectorTable]], memoized per (machine, sf dir) behind the
+    * shared pointer protocol: build on the first vec_id half (with the
+    * CORPUS-scaled cell count pinned explicitly, so the streamed layout
+    * matches what [[ivfAssign]]'s oracle bakes), then land the second half
+    * through [[graft.streaming.StreamIngest]] one file per micro-batch
+    * with an `onBatch` hook refreshing the index — each refresh assigns
+    * ONLY the appended span against the fixed build-time centroids. The
+    * builder verifies the streamed index's (vec_id, cell) rows equal the
+    * batch assignment exactly and that ≥ 2 incremental refreshes ran
+    * before publishing the pointer.
+    */
+  private val streamedIvfRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def streamedIvfIndexRoot(s: SparkSession, d: String): String =
+    streamedIvfRoots.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d#ivf-streamed".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"emb-ivf-streamed-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"emb-ivf-streamed-$key-${java.util.UUID.randomUUID()}")
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val cutoff = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+        val t = graft.core.VectorTable.create(s, s"$dir/table")
+        t.append(emb.where(col("vec_id") <= cutoff))
+        val idx = new java.util.concurrent.atomic.AtomicReference(
+          IvfTableIndex.build(t, s"$dir/index", numCells = cellsOf(s, d)))
+        val refreshes = new java.util.concurrent.atomic.AtomicInteger(0)
+        emb.where(col("vec_id") > cutoff)
+          .repartition(4).write.parquet(s"$dir/staging")
+        val stream = s.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/staging")
+        val q = graft.streaming.StreamIngest.start(stream, t, s"$dir/ckpt",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          onBatch = (tab, _) => {
+            val cur = idx.get()
+            val next = cur.refresh(tab)
+            if (next ne cur) { idx.set(next); refreshes.incrementAndGet(); () }
+          })
+        q.awaitTermination()
+        val expect = ivfAssign(s, d).select(col("vec_id"), col("cell"))
+        val got = idx.get().data.select(col("vec_id"), col("cell"))
+        val missing = expect.exceptAll(got).count()
+        val extra = got.exceptAll(expect).count()
+        if (missing != 0 || extra != 0 || refreshes.get() < 2)
+          throw new IllegalStateException(
+            s"streamed IVF index diverged: $missing missing / $extra extra assignments, " +
+              s"${refreshes.get()} incremental refreshes")
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          Dedup.deleteRecursively(dir) } // racer won; adopt theirs, drop our build
+      }
+      Files.readString(pointer)
+    })
+
+  /** Declared `dedup_semantic_delta_streamed`: the delta face over the
+    * STREAM-maintained index — same stored-rows-only plan as the batch
+    * face, same oracle (the builder proved assignment parity).
+    */
+  def semanticDeltaPairsStreamed(s: SparkSession, d: String): DataFrame = {
+    val root = streamedIvfIndexRoot(s, d)
+    semanticDeltaPairsFrom(IvfTableIndex.open(s, s"$root/index").data)
+  }
+
+  lazy val semanticDeltaPairsStreamedSql: String = semanticDeltaPairsSql
+
   /** Semantic dedup on TRAINED centroids — the production path (SemDeDup
     * clusters with real k-means, not seed anchors). Lloyd's iterations are
     * not SQL-replayable, so like every trained face the gate pins what IS
@@ -1039,8 +1108,14 @@ object Similarity {
     * recompute from raw embeddings, restricted to pairs with ≥ 1 delta
     * member, must hash-match this plan's output exactly.
     */
-  def semanticDeltaPairs(s: SparkSession, d: String): DataFrame = {
-    val data = s.read.parquet(ivfIndexFor(s, d))
+  def semanticDeltaPairs(s: SparkSession, d: String): DataFrame =
+    semanticDeltaPairsFrom(s.read.parquet(ivfIndexFor(s, d)))
+
+  /** The delta body over any stored (vec_id, embedding, cell) index frame
+    * — shared by the batch face above and the STREAMED-index face, which
+    * differ only in how the index was maintained.
+    */
+  private def semanticDeltaPairsFrom(data: DataFrame): DataFrame = {
     val slim = data.select(col("cell"), col("vec_id").as("doc_id"))
     val cutoff = data.agg(max(col("vec_id"))).head().getLong(0) / 2
     val cand = Dedup.deltaPairsBlocked(slim, slim.where(col("doc_id") > cutoff), Seq("cell"))

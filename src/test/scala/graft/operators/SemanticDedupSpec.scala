@@ -86,6 +86,19 @@ class SemanticDedupSpec extends SparkSpec {
       s"delta semantic plan scans outside the persisted index: $paths")
   }
 
+  test("streamed-index delta face ≡ batch delta face (same stored-rows plan, stream-maintained)") {
+    val d = sf()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    val batch = rows(Similarity.semanticDeltaPairs(spark, d))
+    val streamed = rows(Similarity.semanticDeltaPairsStreamed(spark, d))
+    assert(batch.nonEmpty, "no delta pairs at sf0.001 — vacuous")
+    assert(streamed == batch,
+      s"streamed delta diverges: extra=${(streamed -- batch).take(5)} " +
+        s"missing=${(batch -- streamed).take(5)}")
+  }
+
   test("trained-centroid verdicts hold every structural invariant (measured, not assumed)") {
     val r = Similarity.semanticDedupTrained(spark, sf()).head()
     val (n, kept) = (r.getLong(0), r.getLong(1))
