@@ -381,6 +381,7 @@ object Bench {
       "ann_ivf_filtered_batch_search", "ann_ivfpq_filtered_search",
       "dedup_exact_jaccard_join_collapsed",
       "dedup_semantic", "dedup_semantic_stats", "dedup_semantic_delta",
+      "dedup_semantic_delta_streamed",
       "dedup_semantic_trained", "text_global_shuffle", "text_shard_balance",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
       "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
