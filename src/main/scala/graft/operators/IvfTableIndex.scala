@@ -141,6 +141,12 @@ object IvfTableIndex {
       .withColumn("centroid_sim", array_max(col("sims")))
       .withColumn("cell", (array_position(col("sims"), col("centroid_sim")) - 1).cast("int"))
       .select("vec_id", "embedding", "cell")
+      // one file per (span, cell): partitionBy alone writes task×cell
+      // files (see Similarity.buildIvfIndex). Incremental refreshes still
+      // add a file per cell per span — that growth is inherent to
+      // append-only maintenance; the compaction face is a [[buildWith]]
+      // rebuild against the same centroids.
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$root/data")
   }
 

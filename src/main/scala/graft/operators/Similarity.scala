@@ -568,6 +568,13 @@ object Similarity {
     ivfAssign(s, d)
       .join(Tables.embeddings(s, d), "vec_id")
       .select(col("vec_id"), col("embedding"), col("cell"))
+      // ONE file per cell: without this, partitionBy writes a file per
+      // (write task × cell) — measured 3 124 files at the sf1 corpus's 313
+      // cells, and every consumer paid the listing + footer reads (the
+      // batch delta face ran 51 s where its streamed twin took 9.6 s).
+      // The repartition is one extra exchange at BUILD time; reads win
+      // forever after. The classic partitioned-write small-file lesson.
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(root)
 
   /** Persisted index per immutable corpus dir, built once per machine
@@ -583,8 +590,11 @@ object Similarity {
       // under an older cellsFor regime names an index partitioned by a
       // different assignment, and probing it with this regime's centroid
       // ranking would read the wrong (or missing) cell directories
+      // layout=v2: one-file-per-cell writes (round 13) — part of the
+      // layout identity so an older multi-file-per-cell index is never
+      // adopted by code expecting the consolidated layout
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir#cells=${cellsOf(s, dir)}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest(s"$dir#cells=${cellsOf(s, dir)}#layout=v2".getBytes("UTF-8")).map("%02x".format(_)).mkString
       val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-ivf-indexes")
       Files.createDirectories(base)
       val pointer = base.resolve(s"ivf-$key.path")
@@ -638,7 +648,7 @@ object Similarity {
       graft.core.GraftSession.sessionId(s) + ":" + d, _ => {
         import java.nio.file.{Files, Paths, StandardOpenOption}
         val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$d#cells=${cellsOf(s, d)}#trained".getBytes("UTF-8"))
+          .digest(s"$d#cells=${cellsOf(s, d)}#trained#layout=v2".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
         val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-ivf-indexes")
         Files.createDirectories(base)
@@ -998,7 +1008,7 @@ object Similarity {
     streamedIvfRoots.computeIfAbsent(d, _ => {
       import java.nio.file.{Files, Paths, StandardOpenOption}
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$d#ivf-streamed".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest(s"$d#ivf-streamed#layout=v2".getBytes("UTF-8")).map("%02x".format(_)).mkString
       val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
       Files.createDirectories(base)
       val pointer = base.resolve(s"emb-ivf-streamed-$key.path")
