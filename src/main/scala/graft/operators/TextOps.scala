@@ -292,6 +292,29 @@ object TextOps {
        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INTEGER) AS pos
        |FROM sh""".stripMargin
 
+  /** The WRITE the shuffle manifest plans: shard files on disk, one file
+    * per shard, rows in shuffle order within each file. The plan is
+    * exactly what [[globalShuffle]]'s scaladoc promises — one exchange
+    * hash-partitioned on shard (`repartition(col)` so `partitionBy`
+    * emits ONE file per shard, the round-13 small-file lesson) and a
+    * per-shard sort feeding the writer; no global sort, no second pass.
+    * Parquet preserves row order within a file, so a reader consuming a
+    * shard file streams docs in the manifest's `pos` order —
+    * GlobalShuffleSpec reads every shard back and checks both the
+    * membership and the order against the manifest.
+    */
+  def writeShards(s: SparkSession, d: String, out: String): Unit =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        md5(concat(lit(shuffleSeed + ":"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("shard",
+        pmod(expr("CAST(conv(substr(skey, 1, 8), 16, 10) AS BIGINT)"),
+          lit(nShuffleShards.toLong)).cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("skey"), col("doc_id"))
+      .select(col("doc_id"), col("text"), col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+
   /** Per-shard balance report for the shuffle above — the check an export
     * owner reads before launching 16 (or 16k) writer tasks: doc and token
     * mass per shard. Hash sharding balances in expectation; this measures

@@ -43,6 +43,28 @@ class GlobalShuffleSpec extends SparkSpec {
     assert(keyed == base, "shuffle manifest depends on input partitioning")
   }
 
+  test("writeShards lands one file per shard, rows in manifest order") {
+    val out = tmpDir("shards") + "/export"
+    TextOps.writeShards(spark, sf(), out)
+    val manifest = TextOps.globalShuffle(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byShard = manifest.groupBy(_._2)
+    byShard.foreach { case (shard, rows) =>
+      val dir = java.nio.file.Paths.get(out, s"shard=$shard")
+      val files = java.nio.file.Files.list(dir).iterator()
+      val parquets = new scala.collection.mutable.ArrayBuffer[String]()
+      files.forEachRemaining(p =>
+        if (p.getFileName.toString.endsWith(".parquet")) parquets += p.toString)
+      assert(parquets.size == 1, s"shard $shard has ${parquets.size} files, want 1")
+      // row order WITHIN the single file is the manifest's pos order
+      val onDisk = spark.read.parquet(parquets.head)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val want = rows.sortBy(_._3).map(_._1).toSeq
+      assert(onDisk == want, s"shard $shard row order diverges from the manifest")
+    }
+    assert(byShard.keySet == (0 until TextOps.nShuffleShards).toSet)
+  }
+
   test("physical plan sorts within shard partitions — no global Sort") {
     val plan = TextOps.globalShuffle(spark, sf())
       .queryExecution.executedPlan.toString
