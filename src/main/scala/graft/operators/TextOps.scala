@@ -63,6 +63,57 @@ object TextOps {
       |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio
       | FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents))""".stripMargin
 
+  /** QUALITY-THRESHOLD CALIBRATION under a token budget — the decision a
+    * filtering pipeline actually needs from the score column: "what score
+    * cutoff keeps the best docs totalling ≤ B tokens?" (here B = 40% of
+    * corpus tokens, exact integer arithmetic). The threshold is resolved
+    * at BUCKET granularity (floor(score·1000)): docs aggregate to
+    * per-bucket token/doc masses (one shuffle on ~thousands of keys), the
+    * running sum walks buckets best-first, and the cutoff is the lowest
+    * bucket that still fits. The bucket resolution is the scale contract —
+    * the only ordered scan is over score buckets, never documents, so the
+    * window never forces corpus rows into one partition (a doc-exact
+    * cutoff would: `ORDER BY score` over all docs is a single-partition
+    * window at 100 TB; real pipelines calibrate at resolution ε for
+    * exactly this reason).
+    */
+  def qualityBudgetCutoff(s: SparkSession, d: String): DataFrame = {
+    val q = qualityScores(s, d).select(
+      col("n_tokens").cast("long").as("n_tokens"),
+      floor(col("quality_score") * 1000).cast("long").as("qb"))
+    val byBucket = q.groupBy("qb")
+      .agg(sum("n_tokens").as("bt"), count(lit(1)).as("bd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("qb").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byBucket
+      .withColumn("cum_t", sum(col("bt")).over(w))
+      .withColumn("cum_d", sum(col("bd")).over(w))
+      .crossJoin(broadcast(
+        q.agg(expr("CAST(sum(n_tokens) * 2 DIV 5 AS BIGINT)").as("budget"))))
+      .where(col("cum_t") <= col("budget"))
+      .agg(min(col("budget")).as("budget_tokens"),
+        min(col("qb")).as("cutoff_bucket"),
+        max(col("cum_d")).as("kept_docs"),
+        max(col("cum_t")).as("kept_tokens"))
+  }
+
+  val qualityBudgetCutoffSql: String =
+    s"""WITH q AS (
+       |  SELECT n_tokens, CAST(floor(quality_score * 1000) AS BIGINT) AS qb
+       |  FROM (${qualityScoresSql.replace("\n", "\n  ")})),
+       | b AS (SELECT qb, CAST(SUM(n_tokens) AS BIGINT) AS bt, COUNT(*) AS bd
+       |       FROM q GROUP BY qb),
+       | c AS (SELECT qb,
+       |   CAST(SUM(bt) OVER (ORDER BY qb DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_t,
+       |   CAST(SUM(bd) OVER (ORDER BY qb DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_d
+       |  FROM b),
+       | g AS (SELECT CAST((SUM(n_tokens) * 2) // 5 AS BIGINT) AS budget FROM q)
+       |SELECT MIN(budget) AS budget_tokens, MIN(qb) AS cutoff_bucket,
+       |  MAX(cum_d) AS kept_docs, MAX(cum_t) AS kept_tokens
+       |FROM c, g WHERE cum_t <= budget""".stripMargin
+
   /** Benchmark-contamination check: fraction of each document's word
     * 8-grams that appear anywhere in the EVAL SET (here the deterministic
     * `doc_id % 50 = 0` subset stands in for a held-out benchmark). The

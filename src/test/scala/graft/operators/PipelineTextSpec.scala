@@ -93,6 +93,29 @@ class PipelineTextSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(skew("s2")))
   }
 
+  test("quality budget cutoff is maximal: kept mass fits, the next bucket would not") {
+    import org.apache.spark.sql.functions._
+    val r = TextOps.qualityBudgetCutoff(spark, sf()).head()
+    val (budget, cutoff, keptDocs, keptTokens) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(keptTokens <= budget && keptDocs > 0)
+    // recompute from scores: kept = every doc at a bucket >= cutoff,
+    // and including the single next-best bucket below must overflow
+    val q = TextOps.qualityScores(spark, sf())
+      .select(col("n_tokens").cast("long").as("nt"),
+        floor(col("quality_score") * 1000).cast("long").as("qb"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    assert(q.filter(_._2 >= cutoff).map(_._1).sum == keptTokens)
+    assert(q.count(_._2 >= cutoff) == keptDocs)
+    val below = q.map(_._2).filter(_ < cutoff)
+    if (below.nonEmpty) {
+      val next = below.max
+      val withNext = q.filter(_._2 >= next).map(_._1).sum
+      assert(withNext > budget,
+        s"cutoff not maximal: adding bucket $next ($withNext tokens) still fits $budget")
+    }
+  }
+
   test("leakage-safe split: no near-dup cluster straddles two splits; counts partition the corpus") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sf()).select("doc_id")
