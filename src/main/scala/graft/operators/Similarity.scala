@@ -734,7 +734,11 @@ object Similarity {
     val c = b.select(col("vec_id").as("id_b"), col("bucket").as("bucket_b"), col("embedding").as("eb"))
     a.join(c, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
       .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
-      .where(col("sim") >= nearDupThreshold)
+      // NaN-explicit (same lesson as the semantic family): cosine against
+      // a zero-norm vector is 0/0 = NaN and Spark orders NaN ABOVE every
+      // number, so a bare `sim >= t` would declare a zero vector a
+      // near-dup of its whole bucket
+      .where(!isnan(col("sim")) && col("sim") >= nearDupThreshold)
       .select("id_a", "id_b", "sim")
   }
 
@@ -757,7 +761,9 @@ object Similarity {
        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i -> eb[i] * eb[i])), (acc, x) -> acc + x) AS nb2
        |  FROM p)
        |SELECT id_a, id_b, dot / (sqrt(na2) * sqrt(nb2)) AS sim
-       |FROM scored WHERE dot / (sqrt(na2) * sqrt(nb2)) >= $nearDupThreshold""".stripMargin
+       |FROM scored
+       |WHERE na2 > 0 AND nb2 > 0
+       |  AND dot / (sqrt(na2) * sqrt(nb2)) >= $nearDupThreshold""".stripMargin
   }
 
   /** Semantic duplicate clusters: connected components over the
