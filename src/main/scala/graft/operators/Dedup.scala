@@ -846,6 +846,13 @@ object Dedup {
   /** Generalized over the bucket key — the SimHash delta face runs the
     * same join on (pc, pv) pigeonhole buckets.
     */
+  /** [[deltaPairsBlocked]] for callers outside the operators package
+    * (the streaming ingest gates).
+    */
+  private[graft] def deltaPairsBlockedFor(all: DataFrame, delta: DataFrame,
+                                          key: Seq[String]): DataFrame =
+    deltaPairsBlocked(all, delta, key)
+
   private[operators] def deltaPairsBlocked(all: DataFrame, delta: DataFrame,
                                            key: Seq[String]): DataFrame = {
     val kc = key.map(col)

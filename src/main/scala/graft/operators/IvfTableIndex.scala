@@ -28,8 +28,27 @@ final class IvfTableIndex private (
     spark.read.parquet(s"$root/centroids")
       .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
 
-  /** The cell-partitioned index rows (vec_id, embedding, cell). */
-  def data: DataFrame = spark.read.parquet(s"$root/data")
+  /** The cell-partitioned index rows (vec_id, embedding, cell). An index
+    * built over an EMPTY table has no parquet files yet (an empty
+    * cell-partitioned write cannot carry schema — no partition dirs
+    * exist), so this returns the typed empty frame instead of a
+    * path/schema error: the empty index is readable before its first
+    * refresh, the same contract the round-12 ADVICE fixed for
+    * [[SimHashIndex]].
+    */
+  def data: DataFrame = {
+    val d = java.nio.file.Paths.get(root, "data")
+    val hasFiles = java.nio.file.Files.isDirectory(d) && {
+      val walk = java.nio.file.Files.walk(d)
+      try walk.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+    if (hasFiles) spark.read.parquet(s"$root/data")
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "cell")
+    }
+  }
 
   def isStale(table: VectorTable): Boolean =
     table.manifest.version > builtFromVersion
@@ -108,7 +127,9 @@ object IvfTableIndex {
     import spark.implicits._
     cs.zipWithIndex.map { case (e, i) => (i, e.toSeq) }.toSeq.toDF("cell", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-    writeSpan(table, cs, 0L, m.length, root)
+    // an EMPTY table fixes centroids only — range(0,0) has no data
+    // columns to assign; the first refresh writes the first real span
+    if (m.length > 0) writeSpan(table, cs, 0L, m.length, root)
     writeMeta(root, m.version, m.length)
     new IvfTableIndex(spark, root, m.version, m.length)
   }

@@ -279,7 +279,7 @@ object Similarity {
     * shared assignment scoring column (ad-hoc assign + persisted index
     * spans), kernel-or-inline per [[inlineCellCap]].
     */
-  private[operators] def centroidSimsColumn(cs: Array[Array[Float]]): Column =
+  private[graft] def centroidSimsColumn(cs: Array[Array[Float]]): Column =
     if (cs.length <= inlineCellCap)
       array(cs.indices.map(j =>
         graft.functions.VectorFunctions.cosineF(col("embedding"), lit(cs(j)))): _*)
@@ -1064,6 +1064,107 @@ object Similarity {
   }
 
   lazy val semanticDeltaPairsStreamedSql: String = semanticDeltaPairsSql
+
+  /** Stream-landed SEMANTICALLY-DEDUPED corpus, memoized per (machine, sf
+    * dir): stage the embeddings as four sequentially-written vec_id-range
+    * files (so FileStreamSource's arrival order IS id order), start from
+    * an EMPTY table + an index carrying only the fixed anchor centroids,
+    * and land every vector through
+    * [[graft.streaming.SemanticDedupIngest]] one file per micro-batch.
+    */
+  private val semanticIngestRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def semanticIngestRoot(s: SparkSession, d: String): String =
+    semanticIngestRoots.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d#sem-ingest".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"emb-sem-ingest-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"emb-sem-ingest-$key-${java.util.UUID.randomUUID()}")
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+        Files.createDirectories(dir.resolve("staging"))
+        (0 until 4).foreach { i =>
+          val lo = (maxId + 1) * i / 4
+          val hi = (maxId + 1) * (i + 1) / 4
+          val stage = dir.resolve(s"stage$i")
+          emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).sortWithinPartitions("vec_id")
+            .write.parquet(stage.toString)
+          val part = Files.list(stage).iterator()
+          var moved = false
+          part.forEachRemaining { p =>
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              Files.move(p, dir.resolve("staging").resolve(f"f$i%02d.parquet"))
+              moved = true
+            }
+          }
+          require(moved, s"stage $i produced no parquet file")
+        }
+        val t = graft.core.VectorTable.create(s, s"$dir/table")
+        val idx = new java.util.concurrent.atomic.AtomicReference(
+          IvfTableIndex.buildWith(t, s"$dir/index", centroids(s, d)))
+        val stream = s.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/staging")
+        val q = graft.streaming.SemanticDedupIngest.start(stream, t, idx,
+          nearDupThreshold, s"$dir/ckpt",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        require(t.length > 0, "semantic ingest landed nothing")
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          Dedup.deleteRecursively(dir) } // racer won; adopt theirs, drop our build
+      }
+      Files.readString(pointer)
+    })
+
+  /** Declared `dedup_semantic_ingest`: the stream-landed corpus checked
+    * against the greedy-MIS uniqueness characterization. When vectors
+    * arrive in id order, the kept set of the ingest gate is the UNIQUE
+    * set that is (i) independent in the within-cell similarity graph and
+    * (ii) dominating with smaller-id witnesses (every dropped vector has
+    * a kept neighbor with a smaller id) — a short induction on vec_id
+    * shows any set with both properties equals the greedy sweep's. So
+    * measuring the two properties over the full corpus pins the ENTIRE
+    * landed set without replaying the sequential sweep in SQL, which a
+    * recursive CTE cannot express (greedy MIS needs negation over the
+    * recursive table). The oracle states the corpus size and both
+    * invariants; SemanticIngestSpec additionally matches the landed ids
+    * against an in-test sequential reference.
+    */
+  def semanticIngestGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = semanticIngestRoot(s, d)
+    val landed = graft.core.VectorTable.open(s, s"$root/table")
+      .scan().select(col("vec_id")).localCheckpoint()
+    val a = ivfAssign(s, d).select(col("vec_id"), col("cell"))
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .localCheckpoint()
+    val kept = a.join(landed, Seq("vec_id"), "left_semi")
+    val dropped = a.join(landed, Seq("vec_id"), "left_anti")
+    def edges(x: DataFrame, y: DataFrame): DataFrame =
+      x.select(col("cell"), col("vec_id").as("doc_a"), col("embedding").as("ea"))
+        .join(y.select(col("cell").as("cb"), col("vec_id").as("doc_b"), col("embedding").as("eb")),
+          col("cell") === col("cb"))
+        .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
+        .where(!isnan(col("sim")) && col("sim") >= nearDupThreshold)
+        .select("doc_a", "doc_b")
+    val keptPairs = edges(kept, kept).where(col("doc_a") < col("doc_b")).count()
+    val uncovered = dropped.join(
+      edges(kept, dropped).where(col("doc_a") < col("doc_b"))
+        .select(col("doc_b").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti").count()
+    Seq((a.count(), keptPairs == 0L, uncovered == 0L))
+      .toDF("n_vectors", "kept_independent", "dropped_dominated")
+  }
+
+  lazy val semanticIngestGateSql: String =
+    """SELECT COUNT(*) AS n_vectors, TRUE AS kept_independent,
+      |  TRUE AS dropped_dominated
+      |FROM embeddings""".stripMargin
 
   /** Semantic dedup on TRAINED centroids — the production path (SemDeDup
     * clusters with real k-means, not seed anchors). Lloyd's iterations are
