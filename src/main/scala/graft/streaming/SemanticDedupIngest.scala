@@ -49,10 +49,33 @@ object SemanticDedupIngest {
     if (total == 0) return (0L, 0L)
     val cur = idx.get()
     val sims = Similarity.centroidSimsColumn(cur.centroids)
-    val assigned = batch.select(col("vec_id"), col("embedding"))
+    val assignedAll = batch.select(col("vec_id"), col("embedding"))
       .withColumn("sims", sims)
       .withColumn("cell",
         (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint()
+
+    // BATCH-LEVEL EXACT-VECTOR COLLAPSE (the shared round-11..13
+    // discipline): a boilerplate drop — thousands of copies of one
+    // vector — would otherwise put C(n,2) in-batch edges through the
+    // driver sweep. Identical non-zero vectors can never BOTH be kept
+    // (cosine ≈ 1 ≥ any dedup threshold), and a non-rep twin is always
+    // suppressed by its min-id rep when the rep is kept, or by whatever
+    // smaller kept vector covered the rep when it is not — so the greedy
+    // result over reps EXTENDS to members as "never kept", exactly the
+    // sequential semantics (SemanticIngestSpec pins a clique batch).
+    // Zero-norm vectors have no neighbors at all (NaN cosine): every one
+    // of them is kept unconditionally, bypassing the sweep.
+    val nz = assignedAll.where(
+      expr("aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))") > lit(0.0))
+    val zeroKeptIds = assignedAll.select(col("vec_id"))
+      .exceptAll(nz.select(col("vec_id"))).collect().map(_.getLong(0)).toSet
+    val assigned = nz
+      .withColumn("fp", md5(to_json(col("embedding"))))
+      .withColumn("rep", min(col("vec_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .where(col("vec_id") === col("rep"))
       .select(col("vec_id"), col("embedding"), col("cell"))
       .localCheckpoint()
 
@@ -89,13 +112,14 @@ object SemanticDedupIngest {
       if (!neighbors(v).exists(u => u < v && kept(u))) kept += v
     }
 
-    val keptRows = assigned.where(col("vec_id").isInCollection(kept))
+    val keptAll = kept.toSet ++ zeroKeptIds
+    val keptRows = assignedAll.where(col("vec_id").isInCollection(keptAll))
       .select(col("vec_id"), col("embedding"))
-    if (kept.nonEmpty) {
+    if (keptAll.nonEmpty) {
       table.append(keptRows, streamBatchId = streamBatchId)
       idx.set(idx.get().refresh(table))
     }
-    (kept.size.toLong, total - kept.size)
+    (keptAll.size.toLong, total - keptAll.size)
   }
 
   /** Streaming form: every micro-batch lands semantically deduplicated

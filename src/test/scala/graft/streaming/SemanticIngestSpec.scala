@@ -25,6 +25,60 @@ class SemanticIngestSpec extends SparkSpec {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  test("clique batch: gate ≡ sequential greedy, driver sweep sees only distinct vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(8)(r.nextFloat() * 2f - 1f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centroids = Array(unit(1), unit(2), unit(3), unit(4))
+    def cellOf(v: Array[Float]): Int = {
+      val sims = centroids.map(c => cos(v, c))
+      sims.indexOf(sims.max)
+    }
+    val dir = tmpDir("sem-ingest-clique")
+    val t = graft.core.VectorTable.create(spark, s"$dir/table")
+    val idx = new java.util.concurrent.atomic.AtomicReference(
+      graft.operators.IvfTableIndex.buildWith(t, s"$dir/index", centroids))
+
+    val base = (0L until 20L).map(i => (i, unit(100 + i.toInt)))
+    val (k1, _) = SemanticDedupIngest.appendDeduped(t, idx,
+      base.toDF("vec_id", "embedding"), Similarity.nearDupThreshold, Some(0L))
+    assert(k1 > 0)
+
+    // batch 2: a 500-copy clique + fresh vectors + identical ZERO vectors
+    val clique = unit(42)
+    val b2 = (1000L until 1500L).map(i => (i, clique)) ++
+      (2000L until 2010L).map(i => (i, unit(300 + i.toInt))) ++
+      (3000L until 3003L).map(i => (i, Array.fill(8)(0f)))
+    SemanticDedupIngest.appendDeduped(t, idx,
+      b2.toDF("vec_id", "embedding"), Similarity.nearDupThreshold, Some(1L))
+
+    // sequential greedy reference over the FULL arrival order
+    val all = (base ++ b2).sortBy(_._1)
+    val kept = scala.collection.mutable.Set.empty[Long]
+    all.foreach { case (v, e) =>
+      val blocked = all.exists { case (u, f) =>
+        u < v && kept(u) && cellOf(e) == cellOf(f) && {
+          val s = cos(e, f); !s.isNaN && s >= Similarity.nearDupThreshold
+        }
+      }
+      if (!blocked) kept += v
+    }
+    val landed = t.scan().select("vec_id").collect().map(_.getLong(0)).toSet
+    // identical copies can never coexist: the clique keeps at most one
+    // (zero when a committed neighbor covers the shared vector — which is
+    // what this fixture's reference computes)
+    assert(kept.count(id => id >= 1000L && id < 1500L) <= 1, "clique kept two identical copies")
+    assert((3000L until 3003L).forall(kept), "zero vectors must all be kept")
+    assert(landed == kept.toSet,
+      s"gate diverges from greedy: extra=${(landed -- kept).take(5)} " +
+        s"missing=${(kept.toSet -- landed).take(5)}")
+  }
+
   test("stream-landed set ≡ sequential greedy sweep in id order; invariants measure TRUE") {
     val d = sf()
     val emb = graft.core.Tables.embeddings(spark, d)
