@@ -1065,6 +1065,46 @@ object Similarity {
 
   lazy val semanticDeltaPairsStreamedSql: String = semanticDeltaPairsSql
 
+  /** Per-stage semantic-dedup funnel — the text family's `dedup_report`
+    * for the embedding modality: corpus size, occupied cells, candidate
+    * pairs the cell scope admits, edges the cosine threshold confirms,
+    * components, and survivors. The ops dashboard a pipeline owner reads
+    * to see WHERE the reduction happens (cells bound candidates,
+    * threshold bounds edges) before committing a prune.
+    */
+  def semanticDedupReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assign = ivfAssign(s, d).select(col("vec_id"), col("cell")).localCheckpoint()
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cand = Dedup.pairsFromBucketedRowsRaw(
+      assign.select(col("cell"), col("vec_id").as("doc_id")),
+      Seq("cell"), Dedup.bucketExpandCap).localCheckpoint()
+    val nEdges = cand
+      .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
+      .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
+      .where(!isnan(col("sim")) && col("sim") >= nearDupThreshold)
+      .count()
+    val v = semanticDedup(s, d).localCheckpoint()
+    Seq(
+      ("vectors", emb.count()),
+      ("cells", assign.select("cell").distinct().count()),
+      ("candidate_pairs", cand.count()),
+      ("semantic_edges", nEdges),
+      ("clusters", v.select("cluster_id").distinct().count()),
+      ("kept", v.where(col("keep")).count()))
+      .toDF("stage", "n")
+  }
+
+  lazy val semanticDedupReportSql: String =
+    s"""WITH RECURSIVE ${semanticDedupSqlBody}
+       |SELECT 'vectors' AS stage, (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n
+       |UNION ALL SELECT 'cells', CAST(COUNT(DISTINCT cell) AS BIGINT) FROM assign
+       |UNION ALL SELECT 'candidate_pairs', CAST(COUNT(*) AS BIGINT) FROM p
+       |UNION ALL SELECT 'semantic_edges', CAST(COUNT(*) AS BIGINT) FROM e2
+       |UNION ALL SELECT 'clusters', CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM verdicts
+       |UNION ALL SELECT 'kept', CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) FROM verdicts""".stripMargin
+
   /** Stream-landed SEMANTICALLY-DEDUPED corpus, memoized per (machine, sf
     * dir): stage the embeddings as four sequentially-written vec_id-range
     * files (so FileStreamSource's arrival order IS id order), start from
