@@ -493,6 +493,15 @@ object Dedup {
       unhex(substring(md5(to_json(canon)), 17, 16)).as("f2"),
       col("doc_id"))
 
+  /** [[fpKeyed]] for callers outside the operators package (the streaming
+    * ingest gates' batch-level collapse grouping uses the SAME two-family
+    * key as every other collapse site — round-13 ADVICE: an md5-only batch
+    * fingerprint would make a false collision silently DROP a distinct
+    * vector, not merely degrade a plan choice).
+    */
+  private[graft] def fpKeyedFor(df: DataFrame, canon: Column): DataFrame =
+    fpKeyed(df, canon)
+
   /** One (gid = min doc_id, gsize) row per distinct group key — the
     * row-shaped group metadata every collapse body shares (no row ever
     * holds a member list).

@@ -21,18 +21,29 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   2. one blocked bipartite pass (the shared hot-bucket-safe kernel)
   *      over (committed ∪ batch) × batch per cell scores every candidate
   *      pair once — NaN-explicit, so zero-norm vectors never match;
-  *   3. batch vectors covered by a COMMITTED neighbor drop immediately
-  *      (committed rows are all kept, and all have smaller ids);
-  *   4. the survivors' in-batch edges run a driver-side GREEDY sweep in
-  *      vec_id order (micro-batch-sized by definition — same bounded
-  *      fast-path stance as the component pass's union-find);
+  *   3. batch vectors covered by a COMMITTED neighbor drop IN-PLAN via a
+  *      distributed anti-join — the committed×batch edge stream never
+  *      reaches the driver, because a batch landing in a dense region of
+  *      a large committed corpus can match arbitrarily many committed
+  *      rows (committed pairwise-below-threshold does NOT bound how many
+  *      sit ≥ threshold from one new vector in high dimension);
+  *   4. the survivors' in-batch edges — micro-batch-bounded after the
+  *      exact-vector collapse — run a driver-side GREEDY sweep in vec_id
+  *      order when they fit under `smallEdgeLimit` (the same fast-path
+  *      stance as [[graft.operators.Dedup]]'s `connectedComponentsOf`);
+  *      beyond the gate an iterative local-minima elimination computes
+  *      the SAME lexicographically-first MIS distributively;
   *   5. kept rows append; the index refreshes over the appended span.
   *
-  * When vectors arrive in vec_id order the landed set is EXACTLY the
-  * greedy (lexicographically-first) maximal independent set of the
-  * within-cell similarity graph — the unique set that is (i) independent
-  * and (ii) every dropped vector has a kept neighbor with a smaller id.
-  * That uniqueness is the declared face's gate: the two properties are
+  * Vectors must arrive in vec_id order across batches (enforced: the
+  * batch's min vec_id must exceed the committed max — committed rows can
+  * never be retroactively dropped, so out-of-order arrival would silently
+  * violate the smaller-id-witness invariant the declared face gates).
+  * Under that order the landed set is EXACTLY the greedy
+  * (lexicographically-first) maximal independent set of the within-cell
+  * similarity graph — the unique set that is (i) independent and (ii)
+  * every dropped vector has a kept neighbor with a smaller id. That
+  * uniqueness is the declared face's gate: the two properties are
   * measured over the full corpus after the stream lands, and TRUE/TRUE
   * pins the whole set without replaying the sequential sweep in SQL
   * (SemanticIngestSpec additionally pins the landed set against an
@@ -40,14 +51,39 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object SemanticDedupIngest {
 
+  /** Edge-count gate for the driver-side greedy sweep — same stance as
+    * `connectedComponentsOf`'s small-graph fast path: under it a driver
+    * sweep finishes in milliseconds; above it the distributed sweep runs.
+    */
+  val defaultSmallEdgeLimit: Long = 1000000L
+
+  /** Telemetry: in-batch survivor edges the LAST `appendDeduped` call
+    * collected to the driver (-1 when the distributed path ran instead).
+    * Read by the ScaleProbe ingest leg and the stress spec to prove the
+    * driver's share is bounded by the batch, not the corpus.
+    */
+  val lastDriverEdges = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   /** One semantically-gated batch append; returns (kept, dropped). */
   def appendDeduped(table: VectorTable, idx: java.util.concurrent.atomic.AtomicReference[IvfTableIndex],
                     batch: DataFrame, threshold: Double,
-                    streamBatchId: Option[Long] = None): (Long, Long) = {
+                    streamBatchId: Option[Long] = None,
+                    smallEdgeLimit: Long = defaultSmallEdgeLimit): (Long, Long) = {
     if (streamBatchId.exists(_ <= table.manifest.streamBatch)) return (0L, 0L)
-    val total = batch.count()
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val stats = batch.agg(count(lit(1)), min(col("vec_id"))).head()
+    val total = stats.getLong(0)
     if (total == 0) return (0L, 0L)
+    val minBatchId = stats.getLong(1)
     val cur = idx.get()
+    // The greedy-MIS contract (scaladoc above) needs committed ids below
+    // batch ids; parquet column stats make this max a footer-cheap agg.
+    val committedMax = cur.data.agg(coalesce(max(col("vec_id")), lit(-1L)))
+      .head().getLong(0)
+    require(minBatchId > committedMax,
+      s"semantic ingest requires id-ordered arrival: batch min vec_id " +
+        s"$minBatchId <= committed max $committedMax")
     val sims = Similarity.centroidSimsColumn(cur.centroids)
     val assignedAll = batch.select(col("vec_id"), col("embedding"))
       .withColumn("sims", sims)
@@ -66,16 +102,23 @@ object SemanticDedupIngest {
     // result over reps EXTENDS to members as "never kept", exactly the
     // sequential semantics (SemanticIngestSpec pins a clique batch).
     // Zero-norm vectors have no neighbors at all (NaN cosine): every one
-    // of them is kept unconditionally, bypassing the sweep.
+    // of them is kept unconditionally, bypassing the sweep. The grouping
+    // key is the shared two-family fingerprint (Dedup.fpKeyed) — not a
+    // single md5, where a false collision would silently DROP a distinct
+    // vector rather than merely degrade a plan choice.
     val nz = assignedAll.where(
       expr("aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))") > lit(0.0))
-    val zeroKeptIds = assignedAll.select(col("vec_id"))
-      .exceptAll(nz.select(col("vec_id"))).collect().map(_.getLong(0)).toSet
+    val zeroKept = assignedAll.select(col("vec_id"))
+      .exceptAll(nz.select(col("vec_id")))
     val assigned = nz
-      .withColumn("fp", md5(to_json(col("embedding"))))
-      .withColumn("rep", min(col("vec_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .where(col("vec_id") === col("rep"))
+      .join(
+        graft.operators.Dedup.fpKeyedFor(
+            nz.select(col("vec_id").as("doc_id"), col("embedding")), col("embedding"))
+          .withColumn("rep", min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("f1"), col("f2"))))
+          .where(col("doc_id") === col("rep"))
+          .select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding"), col("cell"))
       .localCheckpoint()
 
@@ -92,34 +135,106 @@ object SemanticDedupIngest {
       .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
       .where(!isnan(col("sim")) && col("sim") >= threshold)
       .select("doc_a", "doc_b")
+      .localCheckpoint()
 
-    val batchIds = assigned.select(col("vec_id")).collect().map(_.getLong(0)).toSet
-    val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 3 (in-plan): every pair has >= 1 batch member (the kernel's delta
+    // side is the batch), and committed ids sit below batch ids, so a
+    // mixed pair always has doc_a committed — the covered set is one
+    // distributed filter + distinct, bounded by the BATCH even when a
+    // dense cell matches each batch vector against thousands of
+    // committed rows.
+    val covered = edges.where(col("doc_a") <= committedMax)
+      .select(col("doc_b").as("vec_id")).distinct()
+      .localCheckpoint()
 
-    // 3: drop anything covered by a committed (always-kept, smaller-id) row
-    val coveredByCommitted = pairs.collect {
-      case (a, b) if batchIds(b) && !batchIds(a) => b
-      case (a, b) if batchIds(a) && !batchIds(b) => a
-    }.toSet
-    // 4: greedy sweep in id order over the in-batch survivor graph
-    val inBatch = pairs.filter { case (a, b) => batchIds(a) && batchIds(b) }
-      .filterNot { case (a, b) => coveredByCommitted(a) || coveredByCommitted(b) }
-    val neighbors = inBatch.foldLeft(Map.empty[Long, List[Long]].withDefaultValue(Nil)) {
-      case (m, (a, b)) => m.updated(a, b :: m(a)).updated(b, a :: m(b))
-    }
-    val kept = scala.collection.mutable.Set.empty[Long]
-    (batchIds -- coveredByCommitted).toSeq.sorted.foreach { v =>
-      if (!neighbors(v).exists(u => u < v && kept(u))) kept += v
-    }
+    // 4: greedy sweep over the in-batch survivor graph. Survivor edges
+    // are micro-batch-bounded (both endpoints are batch reps), so the
+    // driver fast path is the common case; the gate + distributed
+    // fallback keep a pathological batch from becoming the repo's one
+    // ungated driver collect.
+    val inBatchEdges = edges.where(col("doc_a") > committedMax)
+      .join(covered.select(col("vec_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(covered.select(col("vec_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b")) // joins move key columns first
+      .localCheckpoint()
+    val nSurvivorEdges = inBatchEdges.count()
+    val droppedSweep: DataFrame =
+      if (nSurvivorEdges <= smallEdgeLimit) {
+        lastDriverEdges.set(nSurvivorEdges)
+        val pairs = inBatchEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val neighbors = pairs.foldLeft(Map.empty[Long, List[Long]].withDefaultValue(Nil)) {
+          case (m, (a, b)) => m.updated(a, b :: m(a)).updated(b, a :: m(b))
+        }
+        val kept = scala.collection.mutable.Set.empty[Long]
+        val dropped = scala.collection.mutable.ArrayBuffer.empty[Long]
+        neighbors.keys.toSeq.sorted.foreach { v =>
+          if (neighbors(v).exists(u => u < v && kept(u))) dropped += v else kept += v
+        }
+        dropped.toSeq.toDF("vec_id")
+      } else {
+        lastDriverEdges.set(-1L)
+        distributedGreedyDropped(inBatchEdges)
+      }
 
-    val keptAll = kept.toSet ++ zeroKeptIds
-    val keptRows = assignedAll.where(col("vec_id").isInCollection(keptAll))
+    val keptIds = assigned.select(col("vec_id"))
+      .join(covered, Seq("vec_id"), "left_anti")
+      .join(droppedSweep, Seq("vec_id"), "left_anti")
+      .unionByName(zeroKept)
+    val keptRows = assignedAll.join(keptIds, Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding"))
-    if (keptAll.nonEmpty) {
+      .localCheckpoint()
+    val nKept = keptRows.count()
+    if (nKept > 0) {
       table.append(keptRows, streamBatchId = streamBatchId)
       idx.set(idx.get().refresh(table))
     }
-    (keptAll.size.toLong, total - keptAll.size)
+    (nKept, total - nKept)
+  }
+
+  /** Distributed lexicographically-first MIS over a (doc_a < doc_b) edge
+    * list; returns the DROPPED node ids. Round shape: a node with no
+    * smaller undecided neighbor (= never on an edge's doc_b side) is a
+    * LOCAL MINIMUM — greedy must keep it regardless of anything
+    * undecided; its neighbors are then covered by a smaller kept node —
+    * greedy must drop them; both leave the graph and the remainder
+    * recurses. Induction on vec_id shows this equals the sequential
+    * sweep (each node's greedy verdict depends only on smaller ids'
+    * verdicts, and local minima have none undecided). The global minimum
+    * is always a local minimum, so every round strictly shrinks the
+    * graph; like `connectedComponentsOf`, exhausting the round cap is a
+    * BUG (a graph whose ids fit in memory-bounded rounds), so throw
+    * rather than land a wrong set.
+    */
+  private[streaming] def distributedGreedyDropped(edgesIn: DataFrame): DataFrame = {
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    // select BY NAME — the (doc_a < doc_b) orientation carries the greedy
+    // semantics, and a positional rename after an upstream join (which
+    // moves key columns first) would silently invert the graph
+    var edges = edgesIn.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    var remaining = edges.count()
+    var droppedAcc = Seq.empty[Long].toDF("vec_id").localCheckpoint()
+    var rounds = 0
+    val maxRounds = 1 << 20 // each round removes >= 1 node
+    while (remaining > 0 && rounds < maxRounds) {
+      val keptRound = edges.select(col("doc_a").as("vec_id"))
+        .join(edges.select(col("doc_b").as("vec_id")), Seq("vec_id"), "left_anti")
+        .distinct()
+      val droppedRound = edges
+        .join(keptRound.select(col("vec_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .select(col("doc_b").as("vec_id")).distinct()
+        .localCheckpoint()
+      droppedAcc = droppedAcc.unionByName(droppedRound).localCheckpoint()
+      edges = edges
+        .join(droppedRound.select(col("vec_id").as("doc_a")), Seq("doc_a"), "left_anti")
+        .join(droppedRound.select(col("vec_id").as("doc_b")), Seq("doc_b"), "left_anti")
+        .localCheckpoint()
+      remaining = edges.count()
+      rounds += 1
+    }
+    require(remaining == 0,
+      s"distributed greedy sweep failed to converge after $rounds rounds")
+    droppedAcc
   }
 
   /** Streaming form: every micro-batch lands semantically deduplicated

@@ -352,6 +352,50 @@ object ScaleProbe {
     }
     }
 
+    // --- semantic ingest gate: driver edge volume vs committed size ------
+    // The round-13 weak mark: the gate used to collect the FULL
+    // (committed ∪ batch) × batch edge list. This leg grows the committed
+    // corpus 16× while the micro-batch stays fixed (50 vectors covered by
+    // a dense committed cell + a 50-vector novel near-clique): the edges
+    // reaching the driver must stay EXACTLY the in-batch survivor graph
+    // (C(50,2) = 1225) at every committed size — coverage is in-plan.
+    section("sem_ingest") {
+    println()
+    println(f"${"sem_ingest"}%-14s ${"committed"}%9s ${"kept"}%5s ${"dropped"}%8s ${"drv_edges"}%9s  t(s)")
+    def unitV(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(64)(r.nextFloat() * 2f - 1f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val cents = Array(unitV(1), unitV(2), unitV(3), unitV(4))
+    // deterministic per-(id, position) perturbation ≤ 0.01 of a base
+    // vector: cosine ≈ 1 to the base and to every sibling, distinct
+    // vectors so the exact-vector collapse cannot shortcut the stress
+    def nearCol(base: Array[Float], salt: Int) =
+      transform(typedLit(base.toSeq), (x, i) =>
+        (x + pmod(xxhash64(col("vec_id"), i, lit(salt)), lit(1000L)) / lit(100000.0))
+          .cast("float"))
+    for (n <- Seq(5000, 20000, 80000)) {
+      val dir = Files.createTempDirectory("scaleprobe-semingest").toString
+      val t = graft.core.VectorTable.create(spark, s"$dir/table")
+      t.append(spark.range(n).select(col("id").as("vec_id"))
+        .select(col("vec_id"), nearCol(cents(0), 1).as("embedding")))
+      val idx = new java.util.concurrent.atomic.AtomicReference(
+        graft.operators.IvfTableIndex.buildWith(t, s"$dir/index", cents))
+      val batch = spark.range(50).select((col("id") + 10000000L).as("vec_id"))
+        .select(col("vec_id"), nearCol(cents(0), 2).as("embedding"))
+        .unionAll(spark.range(50).select((col("id") + 10000050L).as("vec_id"))
+          .select(col("vec_id"), nearCol(cents(1), 3).as("embedding")))
+      val t0 = System.nanoTime()
+      val (kept, dropped) = graft.streaming.SemanticDedupIngest.appendDeduped(
+        t, idx, batch, graft.operators.Similarity.nearDupThreshold, Some(0L))
+      val dt = (System.nanoTime() - t0) / 1e9
+      val drv = graft.streaming.SemanticDedupIngest.lastDriverEdges.get()
+      println(f"sem_ingest     $n%9d $kept%5d $dropped%8d $drv%9d  $dt%.2f")
+    }
+    }
+
     // --- containment join at replicated scales ---------------------------
     // Same disjoint-universe replication: the asymmetric prefix filter
     // must keep candidates linear in corpus size — the structural claim
