@@ -996,6 +996,280 @@ object Similarity {
        |  COUNT(CASE WHEN keep THEN 1 END) AS n_kept
        |FROM verdicts GROUP BY cell""".stripMargin
 
+  // ------------------------------------------------- cell-scope recall
+
+  /** TOP-2 cell assignment — the boundary-recovery mitigation for the
+    * cell-scope miss class (round-13 verdict missing #2): each vector
+    * additionally joins its SECOND-nearest cell, so a near-dup pair
+    * straddling one boundary still shares a cell when either member's
+    * runner-up is the other's home. Ranking is NaN-explicit (a zero-norm
+    * vector has no defined similarity to any centroid — it ranks nothing,
+    * exactly as it pairs with nothing) with the same (sim desc, cell asc)
+    * tie-break as [[rankedCells]] and the argmax assign.
+    */
+  private[graft] def assignTop2(s: SparkSession, d: String): DataFrame =
+    assignTop2Of(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      centroids(s, d))
+
+  private[operators] def assignTop2Of(emb: DataFrame, cs: Array[Array[Float]]): DataFrame =
+    emb.withColumn("sims", centroidSimsColumn(cs))
+      .withColumn("ranked", expr(
+        """transform(array_sort(
+          |  filter(zip_with(sims, sequence(0, size(sims) - 1), (s, i) -> struct(s AS sim, i AS idx)),
+          |         p -> NOT isnan(p.sim)),
+          |  (a, b) -> CASE WHEN a.sim > b.sim THEN -1 WHEN a.sim < b.sim THEN 1
+          |                 WHEN a.idx < b.idx THEN -1 WHEN a.idx > b.idx THEN 1 ELSE 0 END),
+          |p -> p.idx)""".stripMargin))
+      .select(col("vec_id"),
+        when(size(col("ranked")) >= 1, col("ranked")(0)).as("c1"),
+        when(size(col("ranked")) >= 2, col("ranked")(1)).as("c2"))
+
+  /** Thresholds (permille) the recall face sweeps — the production
+    * [[nearDupThreshold]] plus two tighter settings, so the report shows
+    * how the cell-scope miss rate moves with the bar.
+    */
+  val semanticRecallThresholds: Seq[Int] = Seq(350, 450, 600)
+
+  /** MEASURED SEMANTIC-DEDUP RECALL (round-13 verdict missing #1):
+    * cell-scoped candidate pairs vs EXACT cosine truth, in integer
+    * permille — the embedding twin of [[Dedup.lshRecall]]. Cell-scoped
+    * SemDeDup misses every near-dup pair that straddles a cell boundary
+    * BY CONSTRUCTION; this face prices that loss (scope `cell`) and shows
+    * what top-2 multi-assignment recovers (scope `top2`) — the numbers a
+    * corpus owner needs before trusting `WHERE keep` at 100 TB.
+    *
+    * Truth is lossless by construction: every pair, scored through the
+    * BLOCKED all-pairs kernel (one constant bucket through
+    * [[Dedup.pairsFromBucketedRowsRaw]] — ~cap²-bounded tasks, never a
+    * CartesianProduct node). Quadratic in the corpus BY DEFINITION — at
+    * 100 TB this face runs on a stratified sample, the
+    * [[Dedup.lshRecall]] stance: the permille ratio, not the pair set, is
+    * the product.
+    */
+  /** Target sampled-corpus size for the recall measurement: above it the
+    * face runs on a DETERMINISTIC md5(vec_id) sample (the
+    * [[Dedup.lshRecall]] "stratified sample at scale" stance made real
+    * in-plan — the permille ratio, not the pair set, is the product, and
+    * the truth side is quadratic by definition). The sample predicate is
+    * a pure function of vec_id, mirrored verbatim by the oracle, and is
+    * the identity at every gate scale (sf0.01: 500, sf0.1: 5000 ≤ cap).
+    */
+  val recallSampleTarget = 5000L
+
+  /** permille of vec_ids the recall face keeps at corpus size n. */
+  private[operators] def recallSamplePermille(n: Long): Long =
+    math.min(1000L, math.max(1L, recallSampleTarget * 1000L / math.max(1L, n)))
+
+  private def recallSamplePred(p: Long): Column =
+    expr(s"pmod(CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 13), 16, 10) AS BIGINT), 1000) < $p")
+
+  def semanticRecall(s: SparkSession, d: String): DataFrame = {
+    val p = recallSamplePermille(embeddingCount(s, d))
+    val pred = recallSamplePred(p)
+    semanticRecallOf(ivfAssign(s, d).select(col("vec_id"), col("cell")).where(pred),
+      assignTop2Of(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding")).where(pred), centroids(s, d)),
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).where(pred),
+      semanticRecallThresholds)
+  }
+
+  private[operators] def semanticRecallOf(assign: DataFrame, top2: DataFrame,
+                                          emb: DataFrame,
+                                          thresholds: Seq[Int]): DataFrame = {
+    val s = assign.sparkSession
+    import s.implicits._
+    val truthCand = Dedup.pairsFromBucketedRowsRaw(
+      assign.select(lit(0).as("k"), col("vec_id").as("doc_id")),
+      Seq("k"), Dedup.bucketExpandCap)
+    val scored = truthCand
+      .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
+      .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
+      .where(!isnan(col("sim")))
+      .select("doc_a", "doc_b", "sim")
+      .join(assign.select(col("vec_id").as("doc_a"), col("cell").as("ca")), Seq("doc_a"))
+      .join(assign.select(col("vec_id").as("doc_b"), col("cell").as("cb")), Seq("doc_b"))
+      .join(top2.select(col("vec_id").as("doc_a"), col("c1").as("a1"), col("c2").as("a2")), Seq("doc_a"))
+      .join(top2.select(col("vec_id").as("doc_b"), col("c1").as("b1"), col("c2").as("b2")), Seq("doc_b"))
+      .withColumn("same_cell", col("ca") === col("cb"))
+      .withColumn("top2_shared", coalesce(
+        (col("a1") === col("b1")) || (col("a1") === col("b2")) ||
+          (col("a2") === col("b1")) || (col("a2") === col("b2")), lit(false)))
+      .select("sim", "same_cell", "top2_shared")
+    // every count in ONE aggregation pass over the scored pairs
+    val aggs = thresholds.flatMap { t =>
+      val cond = col("sim") >= lit(t / 1000.0)
+      Seq(count(when(cond, lit(1))).as(s"t$t"),
+        count(when(cond && col("same_cell"), lit(1))).as(s"c$t"),
+        count(when(cond && col("top2_shared"), lit(1))).as(s"p$t"))
+    }
+    val r = scored.agg(aggs.head, aggs.tail: _*).head()
+    val rows = for {
+      (scope, det) <- Seq("cell" -> "c", "top2" -> "p")
+      t <- thresholds
+    } yield {
+      val nTrue = r.getAs[Long](s"t$t")
+      val found = r.getAs[Long](s"$det$t")
+      (scope, t, nTrue, found, nTrue - found,
+        if (nTrue == 0L) 0L else 1000L * found / nTrue)
+    }
+    rows.toDF("scope", "threshold_permille", "true_pairs", "detected",
+      "missed", "recall_permille")
+  }
+
+  /** The (vec_id, s0..s{cells-1}) per-centroid-sim CTE body — shared SQL
+    * generator for the top-2 oracles (same folds as [[ivfAssignSql]]).
+    */
+  private def centroidSimsScoredSql(where: String): String = {
+    def cSim(j: Int): String =
+      s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |   list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * c$j.embedding[i]::DOUBLE)), (acc, p) -> acc + p)
+         | / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (acc, p) -> acc + p))
+         |  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, $dim + 1), i -> c$j.embedding[i]::DOUBLE * c$j.embedding[i]::DOUBLE)), (acc, p) -> acc + p))))""".stripMargin
+    val joins = (0 until oracleCells)
+      .map(j => s"(SELECT embedding FROM embeddings WHERE vec_id = $j) c$j")
+      .mkString(", ")
+    val sims = (0 until oracleCells).map(j => s"${cSim(j)} AS s$j").mkString(",\n  ")
+    s"SELECT e.vec_id, $sims\n  FROM embeddings e, $joins\n  WHERE $where"
+  }
+
+  /** top-2 CTE chain (names csims/lf/nn/rk/top2): per-centroid sims
+    * unpivoted, NaN-excluded, ranked (sim desc, cell asc), first two.
+    */
+  private def top2SqlCtes(where: String = "TRUE"): String = {
+    val unpivot = (0 until oracleCells)
+      .map(j => s"SELECT vec_id, $j AS cell, s$j AS s FROM csims")
+      .mkString("\n  UNION ALL ")
+    s"""csims AS (${centroidSimsScoredSql(where).replace("\n", "\n  ")}),
+       | lf AS (
+       |  $unpivot),
+       | nn AS (SELECT vec_id, cell, s FROM lf WHERE NOT isnan(s)),
+       | rk AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rk
+       |  FROM nn),
+       | top2 AS (SELECT vec_id, cell FROM rk WHERE rk <= 2)""".stripMargin
+  }
+
+  lazy val semanticRecallSql: String = {
+    def fold(e: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i -> $e)), (acc, x) -> acc + x)"
+    val cfg = semanticRecallThresholds.map(t => s"($t)").mkString(", ")
+    // the deterministic scale sample, identity at every gate corpus size
+    val pred = s"""(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 13))::BIGINT) % 1000
+       | < (SELECT GREATEST(1, LEAST(1000, ${recallSampleTarget * 1000L}
+       |      // GREATEST(1, COUNT(*)))) FROM embeddings)""".stripMargin.replace("\n", " ")
+    s"""WITH assign AS (${ivfAssignSql.replace("\n", "\n  ")}),
+       | ${top2SqlCtes(pred).replace("\n", "\n ")},
+       | b AS (
+       |  SELECT a.vec_id, a.cell, list_transform(e.embedding, x -> x::DOUBLE) AS ed
+       |  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+       |  WHERE $pred),
+       | p AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cell AS ca, y.cell AS cb,
+       |    x.ed AS ea, y.ed AS eb
+       |  FROM b x JOIN b y ON x.vec_id < y.vec_id),
+       | sc2 AS (
+       |  SELECT id_a, id_b, ca, cb,
+       |   ${fold("ea[i] * eb[i]")} AS dot,
+       |   ${fold("ea[i] * ea[i]")} AS na2,
+       |   ${fold("eb[i] * eb[i]")} AS nb2
+       |  FROM p),
+       | simp AS (
+       |  SELECT id_a, id_b, ca, cb, dot / (sqrt(na2) * sqrt(nb2)) AS sim
+       |  FROM sc2 WHERE na2 > 0 AND nb2 > 0),
+       | share AS (
+       |  SELECT DISTINCT ta.vec_id AS id_a, tb.vec_id AS id_b
+       |  FROM top2 ta JOIN top2 tb ON ta.cell = tb.cell AND ta.vec_id < tb.vec_id),
+       | flag AS (
+       |  SELECT f.sim, f.ca = f.cb AS same_cell,
+       |    (s.id_a IS NOT NULL) AS top2_shared
+       |  FROM simp f LEFT JOIN share s ON f.id_a = s.id_a AND f.id_b = s.id_b),
+       | cfg(t) AS (VALUES $cfg),
+       | agg AS (
+       |  SELECT t,
+       |    COUNT(CASE WHEN sim >= t / 1000.0 THEN 1 END) AS true_pairs,
+       |    COUNT(CASE WHEN sim >= t / 1000.0 AND same_cell THEN 1 END) AS d_cell,
+       |    COUNT(CASE WHEN sim >= t / 1000.0 AND top2_shared THEN 1 END) AS d_top2
+       |  FROM flag CROSS JOIN cfg GROUP BY t)
+       |SELECT 'cell' AS scope, CAST(t AS INTEGER) AS threshold_permille,
+       |  true_pairs, d_cell AS detected, true_pairs - d_cell AS missed,
+       |  CASE WHEN true_pairs = 0 THEN 0 ELSE 1000 * d_cell // true_pairs END AS recall_permille
+       |FROM agg
+       |UNION ALL
+       |SELECT 'top2', CAST(t AS INTEGER), true_pairs, d_top2,
+       |  true_pairs - d_top2,
+       |  CASE WHEN true_pairs = 0 THEN 0 ELSE 1000 * d_top2 // true_pairs END
+       |FROM agg""".stripMargin
+  }
+
+  /** BOUNDARY-RECOVERY SEMANTIC DEDUP: the verdict pipeline over TOP-2
+    * cell assignment — candidate pairs share ANY of the two cells (union
+    * of per-cell edges, deduped by the hybrid kernel), components over
+    * the merged graph, min-id keeper, same keep/drop semantics as
+    * [[semanticDedup]]. Recovers the boundary-straddling pairs the recall
+    * face prices (its `top2` scope IS this face's candidate generator).
+    * Cost: each vector sits in 2 buckets, so candidate volume ≲ 2× — the
+    * probe leg prices it; still cell-bounded, blocked, never all-pairs.
+    */
+  def semanticDedupMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val buckets = assignTop2(s, d)
+      .select(col("vec_id").as("doc_id"), explode(array(col("c1"), col("c2"))).as("cell"))
+      .where(col("cell").isNotNull)
+    val cand = Dedup.pairsFromBucketedRows(
+      buckets.select(col("cell"), col("doc_id")), Seq("cell"), Dedup.bucketExpandCap)
+    val edges = cand
+      .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
+      .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
+      .where(!isnan(col("sim")) && col("sim") >= nearDupThreshold)
+      .select("doc_a", "doc_b")
+    val cc = Dedup.connectedComponentsOf(edges, smallGraphLimit = 1000000L)
+    ivfAssign(s, d).select(col("vec_id"), col("cell"))
+      .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("vec_id"))
+  }
+
+  lazy val semanticDedupMultiprobeSql: String = {
+    def fold(e: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i -> $e)), (acc, x) -> acc + x)"
+    s"""WITH RECURSIVE assign AS (${ivfAssignSql.replace("\n", "\n  ")}),
+       | ${top2SqlCtes().replace("\n", "\n ")},
+       | pr AS (
+       |  SELECT DISTINCT ta.vec_id AS id_a, tb.vec_id AS id_b
+       |  FROM top2 ta JOIN top2 tb ON ta.cell = tb.cell AND ta.vec_id < tb.vec_id),
+       | bb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ed
+       |  FROM embeddings),
+       | sc2 AS (
+       |  SELECT pr.id_a, pr.id_b,
+       |   ${fold("x.ed[i] * y.ed[i]")} AS dot,
+       |   ${fold("x.ed[i] * x.ed[i]")} AS na2,
+       |   ${fold("y.ed[i] * y.ed[i]")} AS nb2
+       |  FROM pr JOIN bb x ON pr.id_a = x.vec_id JOIN bb y ON pr.id_b = y.vec_id),
+       | e2 AS (
+       |  SELECT id_a, id_b FROM sc2
+       |  WHERE na2 > 0 AND nb2 > 0
+       |    AND dot / (sqrt(na2) * sqrt(nb2)) >= $nearDupThreshold),
+       | edges AS (
+       |  SELECT id_a, id_b FROM e2
+       |  UNION SELECT id_b, id_a FROM e2),
+       | reach(id, label) AS (
+       |  SELECT id_a, id_a FROM edges
+       |  UNION
+       |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON e.id_b = r.id),
+       | cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+       |SELECT a.vec_id, a.cell,
+       |  COALESCE(cc.cluster_id, a.vec_id) AS cluster_id,
+       |  COALESCE(cc.cluster_id, a.vec_id) = a.vec_id AS keep
+       |FROM assign a LEFT JOIN cc ON a.vec_id = cc.id""".stripMargin
+  }
+
   /** Two-stage STREAM-maintained IVF index over an embeddings
     * [[graft.core.VectorTable]], memoized per (machine, sf dir) behind the
     * shared pointer protocol: build on the first vec_id half (with the
@@ -1134,14 +1408,14 @@ object Similarity {
           emb.where(col("vec_id") >= lo && col("vec_id") < hi)
             .coalesce(1).sortWithinPartitions("vec_id")
             .write.parquet(stage.toString)
-          val part = Files.list(stage).iterator()
+          val listing = Files.list(stage)
           var moved = false
-          part.forEachRemaining { p =>
+          try listing.iterator().forEachRemaining { p =>
             if (p.getFileName.toString.endsWith(".parquet")) {
               Files.move(p, dir.resolve("staging").resolve(f"f$i%02d.parquet"))
               moved = true
             }
-          }
+          } finally listing.close()
           require(moved, s"stage $i produced no parquet file")
         }
         val t = graft.core.VectorTable.create(s, s"$dir/table")
@@ -1183,20 +1457,31 @@ object Similarity {
     val a = ivfAssign(s, d).select(col("vec_id"), col("cell"))
       .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .localCheckpoint()
-    val kept = a.join(landed, Seq("vec_id"), "left_semi")
-    val dropped = a.join(landed, Seq("vec_id"), "left_anti")
-    def edges(x: DataFrame, y: DataFrame): DataFrame =
-      x.select(col("cell"), col("vec_id").as("doc_a"), col("embedding").as("ea"))
-        .join(y.select(col("cell").as("cb"), col("vec_id").as("doc_b"), col("embedding").as("eb")),
-          col("cell") === col("cb"))
-        .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
-        .where(!isnan(col("sim")) && col("sim") >= nearDupThreshold)
-        .select("doc_a", "doc_b")
-    val keptPairs = edges(kept, kept).where(col("doc_a") < col("doc_b")).count()
-    val uncovered = dropped.join(
-      edges(kept, dropped).where(col("doc_a") < col("doc_b"))
-        .select(col("doc_b").as("vec_id")).distinct(),
-      Seq("vec_id"), "left_anti").count()
+    val kept = a.join(landed, Seq("vec_id"), "left_semi").localCheckpoint()
+    val dropped = a.join(landed, Seq("vec_id"), "left_anti").localCheckpoint()
+    // Both verification edge builders route through the shared
+    // hot-bucket-safe kernels (like every other embedding face) rather
+    // than plain per-cell equi-joins: one hot cell would otherwise put
+    // its full cross product through a single sort-merge key group.
+    val emb = a.select(col("vec_id"), col("embedding"))
+    def scored(cand: DataFrame): DataFrame = cand
+      .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
+      .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
+      .where(!isnan(col("sim")) && col("sim") >= nearDupThreshold)
+      .select("doc_a", "doc_b")
+    val keptPairs = scored(Dedup.pairsFromBucketedRowsRaw(
+      kept.select(col("cell"), col("vec_id").as("doc_id")),
+      Seq("cell"), Dedup.bucketExpandCap)).count()
+    // bipartite kept × dropped via the blocked delta kernel (disjoint
+    // sides, so the pairs are exactly the cross edges); a dropped row is
+    // covered when it appears on EITHER side of a scored pair.
+    val coveredDropped = scored(Dedup.deltaPairsBlockedFor(
+        kept.select(col("cell"), col("vec_id").as("doc_id")),
+        dropped.select(col("cell"), col("vec_id").as("doc_id")), Seq("cell")))
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("vec_id"))
+      .join(dropped.select(col("vec_id")), Seq("vec_id"), "left_semi").distinct()
+    val uncovered = dropped.join(coveredDropped, Seq("vec_id"), "left_anti").count()
     Seq((a.count(), keptPairs == 0L, uncovered == 0L))
       .toDF("n_vectors", "kept_independent", "dropped_dominated")
   }

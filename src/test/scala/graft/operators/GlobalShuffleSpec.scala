@@ -34,7 +34,7 @@ class GlobalShuffleSpec extends SparkSpec {
         md5(concat(lit(TextOps.shuffleSeed + ":"), col("doc_id").cast("string"))).as("skey"))
       .withColumn("shard",
         pmod(expr("CAST(conv(substr(skey, 1, 8), 16, 10) AS BIGINT)"),
-          lit(TextOps.nShuffleShards.toLong)).cast("int"))
+          lit(TextOps.shardCountFor(spark, sf()).toLong)).cast("int"))
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
           .orderBy(col("skey"), col("doc_id"))))
@@ -62,7 +62,19 @@ class GlobalShuffleSpec extends SparkSpec {
       val want = rows.sortBy(_._3).map(_._1).toSeq
       assert(onDisk == want, s"shard $shard row order diverges from the manifest")
     }
-    assert(byShard.keySet == (0 until TextOps.nShuffleShards).toSet)
+    // every MANIFEST shard landed a dir (hash sharding may leave some of
+    // the 0..n_shards-1 ids empty; empty shards write no dir)
+    assert(byShard.keySet == manifest.map(_._2).toSet)
+    assert(byShard.keySet.forall(sh =>
+      sh >= 0 && sh < TextOps.shardCountFor(spark, sf())))
+  }
+
+  test("shard count is the exact integer ceil of token mass over the budget") {
+    val t = graft.core.Tables.documents(spark, sf())
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val want = math.max(1L, (t + TextOps.shardTokenBudget - 1) / TextOps.shardTokenBudget)
+    assert(TextOps.shardCountFor(spark, sf()).toLong == want)
   }
 
   test("physical plan sorts within shard partitions — no global Sort") {

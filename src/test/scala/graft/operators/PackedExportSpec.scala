@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The composed training export ([[TextOps.packedExportManifest]] +
+  * [[TextOps.writePackedShards]]): shard count derived from token mass,
+  * docs in seeded shuffle order, greedy [[TextOps.packBudget]]-token bins
+  * within each shard — and the written shards must replay the manifest
+  * exactly (membership, order, bin assignment), GlobalShuffleSpec-style.
+  */
+class PackedExportSpec extends SparkSpec {
+
+  test("manifest invariants: budget, contiguous pos ranges, derived shard count") {
+    val m = TextOps.packedExportManifest(spark, sf()).collect()
+    assert(m.nonEmpty)
+    val nShards = TextOps.shardCountFor(spark, sf())
+    m.foreach { r =>
+      val (shard, bin, nDocs, binTokens) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(r.getInt(6) == nShards, "n_shards column must carry the derived count")
+      assert(shard >= 0 && shard < nShards)
+      assert(binTokens <= TextOps.packBudget || nDocs == 1L,
+        s"shard $shard bin $bin overfilled: $binTokens tokens across $nDocs docs")
+    }
+    // bins tile each shard's positions contiguously in bin order
+    m.groupBy(_.getInt(0)).foreach { case (shard, bins) =>
+      val ordered = bins.sortBy(_.getLong(1))
+      assert(ordered.head.getInt(4) == 1, s"shard $shard does not start at pos 1")
+      ordered.sliding(2).filter(_.length == 2).foreach { w =>
+        val (a, b) = (w(0), w(1))
+        assert(b.getInt(4) == a.getInt(5) + 1,
+          s"shard $shard bins ${a.getLong(1)}→${b.getLong(1)} leave a pos gap")
+      }
+    }
+  }
+
+  test("written shards replay the manifest: one file, shuffle order, matching bins") {
+    val out = tmpDir("packed") + "/export"
+    TextOps.writePackedShards(spark, sf(), out)
+    val manifest = TextOps.packedExportManifest(spark, sf()).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap // (shard, bin) -> (n_docs, bin_tokens)
+    val shuffle = TextOps.globalShuffle(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val tokensByDoc = graft.core.Tables.documents(spark, sf())
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    val shards = shuffle.map(_._2).distinct
+    var seen = Set.empty[(Int, Long)]
+    shards.foreach { shard =>
+      val dir = java.nio.file.Paths.get(out, s"shard=$shard")
+      val listing = java.nio.file.Files.list(dir)
+      val parquets = new scala.collection.mutable.ArrayBuffer[String]()
+      try listing.iterator().forEachRemaining(p =>
+        if (p.getFileName.toString.endsWith(".parquet")) parquets += p.toString)
+      finally listing.close()
+      assert(parquets.size == 1, s"shard $shard has ${parquets.size} files, want 1")
+      val onDisk = spark.read.parquet(parquets.head)
+        .select("doc_id", "bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // order = the shuffle manifest's pos order
+      val want = shuffle.filter(_._2 == shard).sortBy(_._3).map(_._1).toSeq
+      assert(onDisk.map(_._1).toSeq == want, s"shard $shard row order diverges")
+      // bin assignment matches the manifest's (n_docs, bin_tokens) per bin
+      onDisk.groupBy(_._2).foreach { case (bin, rows) =>
+        val key = (shard, bin)
+        val toks = rows.map(r => tokensByDoc(r._1).toLong).sum
+        assert(manifest.get(key).contains((rows.length.toLong, toks)),
+          s"bin $key on disk (${rows.length} docs, $toks tokens) != manifest ${manifest.get(key)}")
+        seen += key
+      }
+    }
+    assert(seen == manifest.keySet, "written bins != manifest bins")
+  }
+}
