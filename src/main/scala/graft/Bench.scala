@@ -385,6 +385,8 @@ object Bench {
       "dedup_semantic_trained", "text_global_shuffle", "text_shard_balance",
       "text_quality_budget_cutoff", "dedup_semantic_ingest", "dedup_semantic_report",
       "dedup_semantic_recall", "dedup_semantic_multiprobe", "text_packed_export",
+      "dedup_semantic_keep_best", "dedup_paraphrase_candidates",
+      "semantic_contamination",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
       "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
       "store_point_reads_1k_cached", "store_concurrent_10x100_reads",

@@ -1491,6 +1491,141 @@ object Similarity {
       |  TRUE AS dropped_dominated
       |FROM embeddings""".stripMargin
 
+  /** QUALITY-AWARE KEEPER SELECTION — SemDeDup's actual production policy:
+    * the paper keeps a centroid-distance extremum, a real pipeline keeps
+    * the member the quality model scores HIGHEST; min-id is the
+    * deterministic default the other faces use. This face reuses the
+    * verdict pipeline's cluster structure unchanged and picks each
+    * cluster's keeper by (quality_score desc, vec_id) — the text family's
+    * [[TextOps.qualityScores]] joined across the doc_id = vec_id fusion
+    * key ([[Multimodal.docEmbeddingFusion]]'s contract). Deterministic
+    * across engines because the score is the same fixed expression both
+    * sides (the quality face hash-matches bit-for-bit) and ties break on
+    * vec_id.
+    *
+    * Scale shape: the verdict pipeline plus one key-to-key join and a
+    * per-cluster window (clusters are cell-bounded and tiny); no new pair
+    * stage.
+    */
+  def semanticKeepBest(s: SparkSession, d: String): DataFrame = {
+    val v = semanticDedup(s, d).select(col("vec_id"), col("cluster_id"))
+    val q = TextOps.qualityScores(s, d)
+      .select(col("doc_id").as("vec_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("vec_id"))
+    v.join(q, Seq("vec_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("vec_id", "cluster_id", "quality_score", "keep")
+  }
+
+  lazy val semanticKeepBestSql: String =
+    s"""WITH RECURSIVE ${semanticDedupSqlBody},
+       | q AS (
+       |  SELECT doc_id AS vec_id, quality_score
+       |  FROM (${TextOps.qualityScoresSql.replace("\n", "\n  ")})),
+       | r AS (
+       |  SELECT v.vec_id, v.cluster_id, q.quality_score,
+       |    row_number() OVER (PARTITION BY v.cluster_id
+       |                       ORDER BY q.quality_score DESC, v.vec_id) AS rk
+       |  FROM verdicts v JOIN q ON v.vec_id = q.vec_id)
+       |SELECT vec_id, cluster_id, quality_score, rk = 1 AS keep FROM r""".stripMargin
+
+  /** PARAPHRASE / RE-ENCODE CANDIDATES — the cross-modal composition the
+    * two dedup families exist to enable: pairs that are SEMANTICALLY
+    * near-duplicates (embedding cosine ≥ threshold, LSH-bucketed — never
+    * all-pairs) but share NO lexical signal (anti-joined against the
+    * MinHash banding candidates over the same ids). Exact-text and
+    * boilerplate duplicates fall out; what remains is the
+    * paraphrased/re-encoded duplication only the embedding modality can
+    * see — the set a curation owner reviews before pruning, since these
+    * are precisely the drops a text-only pipeline would have missed.
+    */
+  def paraphraseCandidates(s: SparkSession, d: String): DataFrame =
+    embeddingNearDups(s, d)
+      .join(Dedup.lshCandidatePairs(s, d)
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+
+  lazy val paraphraseCandidatesSql: String =
+    s"""WITH e AS (${embeddingNearDupsSql.replace("\n", "\n  ")}),
+       | t AS (${Dedup.lshCandidatePairsSql.replace("\n", "\n  ")})
+       |SELECT e.id_a, e.id_b, e.sim
+       |FROM e LEFT JOIN t ON e.id_a = t.doc_a AND e.id_b = t.doc_b
+       |WHERE t.doc_a IS NULL""".stripMargin
+
+  /** SEMANTIC CONTAMINATION — [[TextOps.contaminationCheck]]'s
+    * decontamination pass lifted to the embedding modality: a corpus
+    * vector is contaminated when it sits at cosine ≥ threshold from ANY
+    * eval-set vector (the same deterministic `id % 50 = 0` held-out
+    * stand-in as the n-gram face), catching the PARAPHRASED benchmark
+    * leakage exact n-grams cannot see. Decontamination must not miss a
+    * hit to a cell boundary, so this face does NOT bucket: the eval set
+    * is tiny by construction (the benchmark, not the corpus), so its
+    * vectors ride into the plan as a literal matrix through the SAME
+    * fused [[graft.functions.CentroidSims]] kernel as cell assignment —
+    * a MAP-ONLY pass over the corpus, no shuffle, no join, one scan.
+    * That is the exact 100 TB shape: broadcast-sized eval side, one
+    * codegen'd pass, output only the contaminated rows.
+    *
+    * NaN discipline: a zero-norm EVAL vector yields NaN sims that
+    * `array_max` would rank above every real similarity — NaN entries
+    * are filtered before the max (an undefined similarity is no evidence
+    * of contamination), and zero-norm corpus vectors drop out the same
+    * way. Nearest eval id = first max position over ids sorted
+    * ascending ≡ the oracle's MIN(eid) over max-sim ties.
+    */
+  def semanticContamination(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val evalRows = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect() // the eval set is benchmark-sized by construction
+    semanticContaminationOf(emb.where(col("vec_id") % 50 =!= 0),
+      evalRows.map(_.getLong(0)), evalRows.map(_.getSeq[Float](1).toArray))
+  }
+
+  private[operators] def semanticContaminationOf(corpus: DataFrame,
+                                                 evalIds: Array[Long],
+                                                 evalVecs: Array[Array[Float]]): DataFrame =
+    corpus
+      .withColumn("sims", centroidSimsColumn(evalVecs))
+      .withColumn("clean", expr("filter(sims, x -> NOT isnan(x))"))
+      .where(size(col("clean")) > 0)
+      .withColumn("max_eval_sim", array_max(col("clean")))
+      .where(col("max_eval_sim") >= nearDupThreshold)
+      .withColumn("nearest_eval",
+        element_at(typedLit(evalIds.toSeq),
+          array_position(col("sims"), col("max_eval_sim")).cast("int")))
+      .select("vec_id", "nearest_eval", "max_eval_sim")
+
+  lazy val semanticContaminationSql: String = {
+    def fold(e: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i -> $e)), (acc, x) -> acc + x)"
+    s"""WITH ev AS (
+       |  SELECT vec_id AS eid, list_transform(embedding, x -> x::DOUBLE) AS ee
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       | co AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ed
+       |  FROM embeddings WHERE vec_id % 50 <> 0),
+       | sc AS (
+       |  SELECT co.vec_id, ev.eid,
+       |   ${fold("ed[i] * ee[i]")} AS dot,
+       |   ${fold("ed[i] * ed[i]")} AS na2,
+       |   ${fold("ee[i] * ee[i]")} AS nb2
+       |  FROM co, ev),
+       | sim AS (
+       |  SELECT vec_id, eid, dot / (sqrt(na2) * sqrt(nb2)) AS sim
+       |  FROM sc WHERE na2 > 0 AND nb2 > 0),
+       | mx AS (
+       |  SELECT vec_id, MAX(sim) AS max_eval_sim FROM sim GROUP BY vec_id
+       |  HAVING MAX(sim) >= $nearDupThreshold)
+       |SELECT m.vec_id,
+       |  (SELECT MIN(s.eid) FROM sim s
+       |   WHERE s.vec_id = m.vec_id AND s.sim = m.max_eval_sim) AS nearest_eval,
+       |  m.max_eval_sim
+       |FROM mx m""".stripMargin
+  }
+
   /** Semantic dedup on TRAINED centroids — the production path (SemDeDup
     * clusters with real k-means, not seed anchors). Lloyd's iterations are
     * not SQL-replayable, so like every trained face the gate pins what IS
