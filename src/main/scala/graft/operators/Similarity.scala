@@ -1073,6 +1073,29 @@ object Similarity {
       semanticRecallThresholds)
   }
 
+  /** Probe hooks: the truth candidate stream and the scored stream of the
+    * recall face, for component timing (tools/ProfileRecall).
+    */
+  private[graft] def semanticRecallTruthCandProbe(s: SparkSession, d: String): DataFrame = {
+    val p = recallSamplePermille(embeddingCount(s, d))
+    val assign = ivfAssign(s, d).select(col("vec_id"), col("cell")).where(recallSamplePred(p))
+    Dedup.pairsFromBucketedRowsRaw(
+      assign.select(lit(0).as("k"), col("vec_id").as("doc_id")),
+      Seq("k"), Dedup.bucketExpandCap)
+  }
+
+  private[graft] def semanticRecallScoredProbe(s: SparkSession, d: String): DataFrame = {
+    val p = recallSamplePermille(embeddingCount(s, d))
+    val pred = recallSamplePred(p)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).where(pred)
+    semanticRecallTruthCandProbe(s, d)
+      .join(broadcast(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))), Seq("doc_a"))
+      .join(broadcast(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb"))), Seq("doc_b"))
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
+      .where(!isnan(col("sim")))
+      .select("doc_a", "doc_b", "sim")
+  }
+
   private[operators] def semanticRecallOf(assign: DataFrame, top2: DataFrame,
                                           emb: DataFrame,
                                           thresholds: Seq[Int]): DataFrame = {
@@ -1081,16 +1104,24 @@ object Similarity {
     val truthCand = Dedup.pairsFromBucketedRowsRaw(
       assign.select(lit(0).as("k"), col("vec_id").as("doc_id")),
       Seq("k"), Dedup.bucketExpandCap)
+    // Every joined side below is ≤ the sample universe (recallSampleTarget
+    // rows × dim floats ≈ 1.3 MB) BY CONSTRUCTION — but at scale it hides
+    // behind an unestimatable hash-sample filter over the full table, so
+    // Catalyst sizes it at the parent and falls back to sort-merge,
+    // shuffling the quadratic pair stream once PER JOIN (measured 44 s vs
+    // 6 s at sf1 for the identical ~12.5M-pair truth universe). The
+    // explicit broadcast is safe precisely because the sample cap, not
+    // the corpus, bounds these sides — this is not an SF-growing side.
     val scored = truthCand
-      .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
-      .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
+      .join(broadcast(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))), Seq("doc_a"))
+      .join(broadcast(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb"))), Seq("doc_b"))
       .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
       .where(!isnan(col("sim")))
       .select("doc_a", "doc_b", "sim")
-      .join(assign.select(col("vec_id").as("doc_a"), col("cell").as("ca")), Seq("doc_a"))
-      .join(assign.select(col("vec_id").as("doc_b"), col("cell").as("cb")), Seq("doc_b"))
-      .join(top2.select(col("vec_id").as("doc_a"), col("c1").as("a1"), col("c2").as("a2")), Seq("doc_a"))
-      .join(top2.select(col("vec_id").as("doc_b"), col("c1").as("b1"), col("c2").as("b2")), Seq("doc_b"))
+      .join(broadcast(assign.select(col("vec_id").as("doc_a"), col("cell").as("ca"))), Seq("doc_a"))
+      .join(broadcast(assign.select(col("vec_id").as("doc_b"), col("cell").as("cb"))), Seq("doc_b"))
+      .join(broadcast(top2.select(col("vec_id").as("doc_a"), col("c1").as("a1"), col("c2").as("a2"))), Seq("doc_a"))
+      .join(broadcast(top2.select(col("vec_id").as("doc_b"), col("c1").as("b1"), col("c2").as("b2"))), Seq("doc_b"))
       .withColumn("same_cell", col("ca") === col("cb"))
       .withColumn("top2_shared", coalesce(
         (col("a1") === col("b1")) || (col("a1") === col("b2")) ||
