@@ -386,7 +386,7 @@ object Bench {
       "text_quality_budget_cutoff", "dedup_semantic_ingest", "dedup_semantic_report",
       "dedup_semantic_recall", "dedup_semantic_multiprobe", "text_packed_export",
       "dedup_semantic_keep_best", "dedup_paraphrase_candidates",
-      "semantic_contamination",
+      "semantic_contamination", "semantic_contamination_ingest", "text_mixture_export",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
       "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
       "store_point_reads_1k_cached", "store_concurrent_10x100_reads",
@@ -414,6 +414,7 @@ object Bench {
     // verdict: the sf1 sweep showed 40.7 s of memoized landing inside the
     // query dim)
     dim("sem_ingest_corpus_build")(graft.operators.Similarity.semanticIngestRoot(spark, sfDir))
+    dim("contam_ingest_corpus_build")(graft.operators.Similarity.contaminationIngestRoot(spark, sfDir))
     dim("sec_index_build")(graft.operators.Relational.prebuildCustkeyIndex(spark, sfDir))
     dim("upsert_table_build")(graft.operators.Relational.prebuildUpsertTable(spark, sfDir))
     dim("mv_view_build")(graft.operators.Relational.prebuildPricingSummaryView(spark, sfDir))

@@ -1615,9 +1615,9 @@ object Similarity {
       evalRows.map(_.getLong(0)), evalRows.map(_.getSeq[Float](1).toArray))
   }
 
-  private[operators] def semanticContaminationOf(corpus: DataFrame,
-                                                 evalIds: Array[Long],
-                                                 evalVecs: Array[Array[Float]]): DataFrame =
+  private[graft] def semanticContaminationOf(corpus: DataFrame,
+                                             evalIds: Array[Long],
+                                             evalVecs: Array[Array[Float]]): DataFrame =
     corpus
       .withColumn("sims", centroidSimsColumn(evalVecs))
       .withColumn("clean", expr("filter(sims, x -> NOT isnan(x))"))
@@ -1656,6 +1656,94 @@ object Similarity {
        |  m.max_eval_sim
        |FROM mx m""".stripMargin
   }
+
+  /** Stream-landed DECONTAMINATED corpus, memoized per (machine, sf dir):
+    * the non-eval vectors staged as four sequentially-written files and
+    * landed through [[graft.streaming.ContaminationIngest]] one file per
+    * micro-batch — each batch is one map-only kernel pass against the
+    * fixed eval matrix.
+    */
+  private val contamIngestRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def contaminationIngestRoot(s: SparkSession, d: String): String =
+    contamIngestRoots.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d#contam-ingest".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"emb-contam-ingest-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"emb-contam-ingest-$key-${java.util.UUID.randomUUID()}")
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val evalRows = emb.where(col("vec_id") % 50 === 0).orderBy("vec_id").collect()
+        val corpus = emb.where(col("vec_id") % 50 =!= 0)
+        val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+        Files.createDirectories(dir.resolve("staging"))
+        (0 until 4).foreach { i =>
+          val lo = (maxId + 1) * i / 4
+          val hi = (maxId + 1) * (i + 1) / 4
+          val stage = dir.resolve(s"stage$i")
+          corpus.where(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).sortWithinPartitions("vec_id")
+            .write.parquet(stage.toString)
+          val listing = Files.list(stage)
+          var moved = false
+          try listing.iterator().forEachRemaining { p =>
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              Files.move(p, dir.resolve("staging").resolve(f"f$i%02d.parquet"))
+              moved = true
+            }
+          } finally listing.close()
+          require(moved, s"stage $i produced no parquet file")
+        }
+        val t = graft.core.VectorTable.create(s, s"$dir/table")
+        val stream = s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/staging")
+        val q = graft.streaming.ContaminationIngest.start(stream, t,
+          evalRows.map(_.getLong(0)), evalRows.map(_.getSeq[Float](1).toArray),
+          s"$dir/ckpt",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        require(t.length > 0, "decontamination ingest landed nothing")
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          Dedup.deleteRecursively(dir) } // racer won; adopt theirs, drop our build
+      }
+      Files.readString(pointer)
+    })
+
+  /** Declared `semantic_contamination_ingest`: the stream-landed corpus
+    * checked against the batch face — landed count must equal the
+    * non-eval corpus minus the contaminated set (both exactly
+    * oracle-replayable), and re-running the contamination pass over the
+    * LANDED rows must find nothing (the gate actually gates).
+    */
+  def semanticContaminationIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = contaminationIngestRoot(s, d)
+    val landed = graft.core.VectorTable.open(s, s"$root/table")
+      .scan().select(col("vec_id"), col("embedding")).localCheckpoint()
+    val emb = Tables.embeddings(s, d)
+    val evalRows = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
+    val evalIds = evalRows.map(_.getLong(0))
+    val evalVecs = evalRows.map(_.getSeq[Float](1).toArray)
+    val nCorpus = emb.where(col("vec_id") % 50 =!= 0).count()
+    val nContam = semanticContamination(s, d).count()
+    val nLanded = landed.count()
+    val landedDirty = semanticContaminationOf(landed, evalIds, evalVecs).count()
+    Seq((nCorpus, nContam, nLanded, landedDirty == 0L && nLanded == nCorpus - nContam))
+      .toDF("n_corpus", "n_contaminated", "n_landed", "landed_clean")
+  }
+
+  lazy val semanticContaminationIngestSql: String =
+    s"""WITH c AS (${semanticContaminationSql.replace("\n", "\n  ")})
+       |SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % 50 <> 0) AS n_corpus,
+       |  (SELECT COUNT(*) FROM c) AS n_contaminated,
+       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 50 <> 0)
+       |    - (SELECT COUNT(*) FROM c) AS n_landed,
+       |  TRUE AS landed_clean""".stripMargin
 
   /** Semantic dedup on TRAINED centroids — the production path (SemDeDup
     * clusters with real k-means, not seed anchors). Lloyd's iterations are

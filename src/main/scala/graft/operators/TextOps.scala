@@ -970,9 +970,12 @@ object TextOps {
     * over-budget doc gets its own bin), but walking SHUFFLE order and
     * counting `pos` inline — one exchange, no window.
     */
-  private def packedFold(s: SparkSession, d: String, nShards: Int): DataFrame = {
+  private def packedFold(s: SparkSession, d: String, nShards: Int): DataFrame =
+    packedFoldOf(s, Tables.documents(s, d), nShards)
+
+  private def packedFoldOf(s: SparkSession, docs: DataFrame, nShards: Int): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), size(tokens("text")).as("n_tokens"),
         md5(concat(lit(shuffleSeed + ":"), col("doc_id").cast("string"))).as("skey"))
       .withColumn("shard",
@@ -1046,6 +1049,78 @@ object TextOps {
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR)) AS skey
        |  FROM documents),
+       | sh AS (
+       |  SELECT doc_id, n_tokens, skey,
+       |    CAST((('0x' || substr(skey, 1, 8))::BIGINT) % (SELECT n FROM sc) AS INTEGER) AS shard
+       |  FROM k),
+       | po AS (
+       |  SELECT doc_id, n_tokens, shard,
+       |    CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INTEGER) AS pos
+       |  FROM sh),
+       | pack AS (
+       |  SELECT shard, pos, n_tokens, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+       |  FROM po WHERE pos = 1
+       |  UNION ALL
+       |  SELECT p.shard, p.pos, p.n_tokens,
+       |    CASE WHEN q.fill + p.n_tokens > $packBudget THEN q.bin + 1 ELSE q.bin END,
+       |    CASE WHEN q.fill + p.n_tokens > $packBudget THEN p.n_tokens
+       |         ELSE q.fill + p.n_tokens END
+       |  FROM po p JOIN pack q ON p.shard = q.shard AND p.pos = q.pos + 1)
+       |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       |  MIN(pos) AS first_pos, MAX(pos) AS last_pos,
+       |  CAST((SELECT n FROM sc) AS INTEGER) AS n_shards
+       |FROM pack GROUP BY shard, bin""".stripMargin
+
+  /** MIXTURE-WEIGHTED PACKED EXPORT — the full composition a training run
+    * executes: the mixture plan's per-source char budgets become exact
+    * integer-permille sampling rates (min(1000, 1000·budget // avail) —
+    * the same content-hash-mod discipline as every sampler here, so the
+    * sampled corpus is a pure function of the data), the shard count
+    * derives from the SAMPLED token mass, and the sampled docs pack into
+    * shuffle-ordered bins. One plan: broadcast the per-source rates (a
+    * handful of rows), one map-side sample filter, one exchange, the
+    * O(1)-state fold.
+    */
+  def mixtureExportManifest(s: SparkSession, d: String): DataFrame = {
+    val rates = mixturePlan(s, d)
+      .select(col("source"),
+        least(lit(1000L), expr("1000 * budget_chars DIV avail_chars")).as("rate_permille"))
+    val sampled = Tables.documents(s, d)
+      .join(broadcast(rates), Seq("source"))
+      .where(expr("pmod(CAST(conv(substr(md5(text), 1, 13), 16, 10) AS BIGINT), 1000)")
+        < col("rate_permille"))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint() // sampled twice below (shard count + fold)
+    val t = sampled
+      .agg(coalesce(sum(size(tokens("text")).cast("long")), lit(0L))).head().getLong(0)
+    val nShards = math.max(1L, (t + shardTokenBudget - 1) / shardTokenBudget).toInt
+    packedFoldOf(s, sampled, nShards)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("bin_tokens"),
+        min("pos").as("first_pos"), max("pos").as("last_pos"))
+      .withColumn("n_shards", lit(nShards))
+  }
+
+  lazy val mixtureExportSql: String =
+    s"""WITH RECURSIVE mix AS (
+       |  SELECT source, least(1000, 1000 * budget_chars // avail_chars) AS rate_permille
+       |  FROM (SELECT source,
+       |          CAST(SUM(n_chars) AS BIGINT) AS avail_chars,
+       |          CAST(SUM(SUM(n_chars)) OVER () * 3 // (10 * COUNT(*) OVER ()) AS BIGINT) AS budget_chars
+       |        FROM documents GROUP BY source)),
+       | sd AS (
+       |  SELECT d.doc_id, d.text
+       |  FROM documents d JOIN mix ON d.source = mix.source
+       |  WHERE (('0x' || substr(md5(d.text), 1, 13))::BIGINT) % 1000 < mix.rate_permille),
+       | sc AS (
+       |  SELECT GREATEST(1, (CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+       |    + ${shardTokenBudget - 1}) // $shardTokenBudget) AS n FROM sd),
+       | k AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR)) AS skey
+       |  FROM sd),
        | sh AS (
        |  SELECT doc_id, n_tokens, skey,
        |    CAST((('0x' || substr(skey, 1, 8))::BIGINT) % (SELECT n FROM sc) AS INTEGER) AS shard
