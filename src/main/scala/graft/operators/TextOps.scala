@@ -1082,15 +1082,23 @@ object TextOps {
     * handful of rows), one map-side sample filter, one exchange, the
     * O(1)-state fold.
     */
-  def mixtureExportManifest(s: SparkSession, d: String): DataFrame = {
+  /** The mixture sample subplan (docs ⋈ broadcast rates, hash-mod filter)
+    * — split out so the spec can pin the broadcast on the pre-checkpoint
+    * plan (the manifest checkpoints it, which hides the join upstream).
+    */
+  private[operators] def mixtureSampledDocs(s: SparkSession, d: String): DataFrame = {
     val rates = mixturePlan(s, d)
       .select(col("source"),
         least(lit(1000L), expr("1000 * budget_chars DIV avail_chars")).as("rate_permille"))
-    val sampled = Tables.documents(s, d)
+    Tables.documents(s, d)
       .join(broadcast(rates), Seq("source"))
       .where(expr("pmod(CAST(conv(substr(md5(text), 1, 13), 16, 10) AS BIGINT), 1000)")
         < col("rate_permille"))
       .select(col("doc_id"), col("text"))
+  }
+
+  def mixtureExportManifest(s: SparkSession, d: String): DataFrame = {
+    val sampled = mixtureSampledDocs(s, d)
       .localCheckpoint() // sampled twice below (shard count + fold)
     val t = sampled
       .agg(coalesce(sum(size(tokens("text")).cast("long")), lit(0L))).head().getLong(0)

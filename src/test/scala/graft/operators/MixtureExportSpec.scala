@@ -49,4 +49,19 @@ class MixtureExportSpec extends SparkSpec {
     }
     assert(totalChars > 0 && bySource.nonEmpty) // fixture sanity
   }
+
+  test("plan shape: rates broadcast, no global sort, per-shard sort only") {
+    val plan = TextOps.mixtureExportManifest(spark, sf())
+      .queryExecution.executedPlan.toString
+    val globalSorts = "(?m)^\\s*\\*?\\(?\\d*\\)?\\s*Sort .*global=true".r
+      .findAllIn(plan).length
+    assert(globalSorts == 0, s"global sort in the export plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge join belongs in the export plan:\n$plan")
+    // the sample subplan (checkpointed away in the manifest's plan)
+    val sample = TextOps.mixtureSampledDocs(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(sample.contains("BroadcastHashJoin") && !sample.contains("SortMergeJoin"),
+      s"the per-source rates must broadcast:\n$sample")
+  }
 }

@@ -46,6 +46,13 @@ class SemanticContaminationSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture has no semantic contamination — face untested")
   }
 
+  test("the batch face is MAP-ONLY: no exchange anywhere in the physical plan") {
+    val plan = Similarity.semanticContamination(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"decontamination must be one codegen'd pass — plan shuffles:\n$plan")
+  }
+
   test("a zero-norm eval vector never poisons the max (NaN is not evidence)") {
     import spark.implicits._
     val corpus = Seq(
