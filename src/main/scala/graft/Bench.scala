@@ -387,6 +387,7 @@ object Bench {
       "dedup_semantic_recall", "dedup_semantic_multiprobe", "text_packed_export",
       "dedup_semantic_keep_best", "dedup_paraphrase_candidates",
       "semantic_contamination", "semantic_contamination_ingest", "text_mixture_export",
+      "pipeline_clean_export",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
       "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
       "store_point_reads_1k_cached", "store_concurrent_10x100_reads",

@@ -110,6 +110,38 @@ object Pipeline {
         sum(col("n_tokens").cast("long")).as("total_tokens"))
   }
 
+  /** THE REFINERY WRITE: the cleaned corpus ([[cleanCorpus]]'s survivors —
+    * quality gate → exact dedup → near-dup canonical filter) routed
+    * through the packed-export plan ([[TextOps.packedFoldOf]]) — shard
+    * count derived from the CLEANED token mass, survivors shuffled
+    * deterministically and packed into budget bins. This is the last
+    * stage of the pipeline this engine exists for: every upstream
+    * operator's bug (a wrong quality score, a missed duplicate, a split
+    * shard) surfaces in this one manifest, and the oracle replays the
+    * whole composition end-to-end.
+    */
+  def cleanExportManifest(s: SparkSession, d: String): DataFrame = {
+    val cleaned = cleanCorpus(s, d).localCheckpoint() // (doc_id, n_tokens), used twice
+    val t = cleaned.agg(coalesce(sum(col("n_tokens").cast("long")), lit(0L)))
+      .head().getLong(0)
+    val nShards = math.max(1L,
+      (t + TextOps.shardTokenBudget - 1) / TextOps.shardTokenBudget).toInt
+    val docs = Tables.documents(s, d)
+      .join(cleaned.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    TextOps.packedFoldOf(s, docs, nShards)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("bin_tokens"),
+        min("pos").as("first_pos"), max("pos").as("last_pos"))
+      .withColumn("n_shards", lit(nShards))
+  }
+
+  lazy val cleanExportSql: String = TextOps.packedManifestSqlOver(
+    s"""SELECT d.doc_id, d.text
+       |FROM documents d JOIN (${cleanCorpusSql.replace("\n", "\n  ")}) c
+       |  ON d.doc_id = c.doc_id""".stripMargin)
+
   // lazy: composes cleanCorpusSql, declared below (val init order)
   lazy val splitBudgetsSql: String =
     s"""WITH cleaned AS (${cleanCorpusSql.replace("\n", "\n  ")}),

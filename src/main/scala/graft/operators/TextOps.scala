@@ -973,7 +973,7 @@ object TextOps {
   private def packedFold(s: SparkSession, d: String, nShards: Int): DataFrame =
     packedFoldOf(s, Tables.documents(s, d), nShards)
 
-  private def packedFoldOf(s: SparkSession, docs: DataFrame, nShards: Int): DataFrame = {
+  private[operators] def packedFoldOf(s: SparkSession, docs: DataFrame, nShards: Int): DataFrame = {
     import s.implicits._
     docs
       .select(col("doc_id"), size(tokens("text")).as("n_tokens"),
@@ -1038,17 +1038,23 @@ object TextOps {
       .write.mode("overwrite").partitionBy("shard").parquet(out)
   }
 
-  /** Oracle: the same derived shard count (integer ceil), seeded shard +
-    * pos, and the greedy fold replayed rn-by-rn with a linear recursive
-    * CTE — [[packSequencesSql]]'s recursion walking pos instead of
-    * doc_id.
+  /** The full packed-manifest oracle statement over ANY (doc_id, text)
+    * source body `sd`: derived shard count (integer ceil over sd's token
+    * mass), seeded shard + pos, and the greedy fold replayed rn-by-rn
+    * with a linear recursive CTE — [[packSequencesSql]]'s recursion
+    * walking pos instead of doc_id. Shared by the plain, mixture-weighted
+    * and cleaned export faces, which differ only in which docs feed the
+    * fold.
     */
-  lazy val packedExportSql: String =
-    s"""WITH RECURSIVE sc AS (${shardCountSql.replace("\n", "\n  ")}),
+  private[operators] def packedManifestSqlOver(docsCte: String): String =
+    s"""WITH RECURSIVE sd AS (${docsCte.replace("\n", "\n  ")}),
+       | sc AS (
+       |  SELECT GREATEST(1, (CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+       |    + ${shardTokenBudget - 1}) // $shardTokenBudget) AS n FROM sd),
        | k AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR)) AS skey
-       |  FROM documents),
+       |  FROM sd),
        | sh AS (
        |  SELECT doc_id, n_tokens, skey,
        |    CAST((('0x' || substr(skey, 1, 8))::BIGINT) % (SELECT n FROM sc) AS INTEGER) AS shard
@@ -1071,6 +1077,9 @@ object TextOps {
        |  MIN(pos) AS first_pos, MAX(pos) AS last_pos,
        |  CAST((SELECT n FROM sc) AS INTEGER) AS n_shards
        |FROM pack GROUP BY shard, bin""".stripMargin
+
+  lazy val packedExportSql: String =
+    packedManifestSqlOver("SELECT doc_id, text FROM documents")
 
   /** MIXTURE-WEIGHTED PACKED EXPORT — the full composition a training run
     * executes: the mixture plan's per-source char budgets become exact
@@ -1111,44 +1120,14 @@ object TextOps {
       .withColumn("n_shards", lit(nShards))
   }
 
-  lazy val mixtureExportSql: String =
-    s"""WITH RECURSIVE mix AS (
+  lazy val mixtureExportSql: String = packedManifestSqlOver(
+    s"""SELECT d.doc_id, d.text
+       |FROM documents d JOIN (
        |  SELECT source, least(1000, 1000 * budget_chars // avail_chars) AS rate_permille
        |  FROM (SELECT source,
        |          CAST(SUM(n_chars) AS BIGINT) AS avail_chars,
        |          CAST(SUM(SUM(n_chars)) OVER () * 3 // (10 * COUNT(*) OVER ()) AS BIGINT) AS budget_chars
-       |        FROM documents GROUP BY source)),
-       | sd AS (
-       |  SELECT d.doc_id, d.text
-       |  FROM documents d JOIN mix ON d.source = mix.source
-       |  WHERE (('0x' || substr(md5(d.text), 1, 13))::BIGINT) % 1000 < mix.rate_permille),
-       | sc AS (
-       |  SELECT GREATEST(1, (CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
-       |    + ${shardTokenBudget - 1}) // $shardTokenBudget) AS n FROM sd),
-       | k AS (
-       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR)) AS skey
-       |  FROM sd),
-       | sh AS (
-       |  SELECT doc_id, n_tokens, skey,
-       |    CAST((('0x' || substr(skey, 1, 8))::BIGINT) % (SELECT n FROM sc) AS INTEGER) AS shard
-       |  FROM k),
-       | po AS (
-       |  SELECT doc_id, n_tokens, shard,
-       |    CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INTEGER) AS pos
-       |  FROM sh),
-       | pack AS (
-       |  SELECT shard, pos, n_tokens, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
-       |  FROM po WHERE pos = 1
-       |  UNION ALL
-       |  SELECT p.shard, p.pos, p.n_tokens,
-       |    CASE WHEN q.fill + p.n_tokens > $packBudget THEN q.bin + 1 ELSE q.bin END,
-       |    CASE WHEN q.fill + p.n_tokens > $packBudget THEN p.n_tokens
-       |         ELSE q.fill + p.n_tokens END
-       |  FROM po p JOIN pack q ON p.shard = q.shard AND p.pos = q.pos + 1)
-       |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
-       |  MIN(pos) AS first_pos, MAX(pos) AS last_pos,
-       |  CAST((SELECT n FROM sc) AS INTEGER) AS n_shards
-       |FROM pack GROUP BY shard, bin""".stripMargin
+       |        FROM documents GROUP BY source)) mix
+       |  ON d.source = mix.source
+       |WHERE (('0x' || substr(md5(d.text), 1, 13))::BIGINT) % 1000 < mix.rate_permille""".stripMargin)
 }

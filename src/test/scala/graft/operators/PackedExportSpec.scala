@@ -35,6 +35,23 @@ class PackedExportSpec extends SparkSpec {
     }
   }
 
+  test("cleaned export: manifest covers exactly the clean-corpus survivors") {
+    val cleaned = Pipeline.cleanCorpus(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val m = Pipeline.cleanExportManifest(spark, sf()).collect()
+    assert(m.nonEmpty && cleaned.nonEmpty)
+    assert(m.map(_.getLong(2)).sum == cleaned.size.toLong,
+      "manifest docs != clean-corpus survivors")
+    assert(m.map(_.getLong(3)).sum == cleaned.values.sum,
+      "manifest token mass != cleaned mass")
+    val wantShards = math.max(1L,
+      (cleaned.values.sum + TextOps.shardTokenBudget - 1) / TextOps.shardTokenBudget)
+    assert(m.forall(_.getInt(6).toLong == wantShards),
+      s"shard count must derive from the CLEANED token mass ($wantShards)")
+    m.foreach(r => assert(r.getLong(3) <= TextOps.packBudget || r.getLong(2) == 1L,
+      s"overfilled bin: $r"))
+  }
+
   test("written shards replay the manifest: one file, shuffle order, matching bins") {
     val out = tmpDir("packed") + "/export"
     TextOps.writePackedShards(spark, sf(), out)
