@@ -343,10 +343,19 @@ object TextOps {
     * the writer; the face emits the (doc_id, shard, pos) manifest that
     * write would produce.
     */
-  def globalShuffle(s: SparkSession, d: String): DataFrame = {
+  def globalShuffle(s: SparkSession, d: String): DataFrame =
+    globalShuffleWith(s, d, shuffleSeed)
+
+  /** The shuffle parameterized over the epoch seed: each seed is an
+    * INDEPENDENT deterministic permutation of the same corpus (epoch N's
+    * data order = seed N), each individually reproducible across engines,
+    * runs and partitionings — the property `ORDER BY rand()` cannot give
+    * between epochs (GlobalShuffleSpec pins both halves).
+    */
+  def globalShuffleWith(s: SparkSession, d: String, seed: String): DataFrame = {
     val keyed = Tables.documents(s, d)
       .select(col("doc_id"),
-        md5(concat(lit(shuffleSeed + ":"), col("doc_id").cast("string"))).as("skey"))
+        md5(concat(lit(seed + ":"), col("doc_id").cast("string"))).as("skey"))
       .withColumn("shard",
         pmod(expr("CAST(conv(substr(skey, 1, 8), 16, 10) AS BIGINT)"),
           lit(shardCountFor(s, d).toLong)).cast("int"))

@@ -69,6 +69,23 @@ class GlobalShuffleSpec extends SparkSpec {
       sh >= 0 && sh < TextOps.shardCountFor(spark, sf())))
   }
 
+  test("epoch re-shuffle: a new seed is a NEW permutation of the SAME corpus") {
+    val e0 = TextOps.globalShuffleWith(spark, sf(), "graft-epoch-0")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val e1 = TextOps.globalShuffleWith(spark, sf(), "graft-epoch-1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(e0.map(_._1).toSet == e1.map(_._1).toSet, "epochs must cover the same docs")
+    assert(e0.toSet != e1.toSet, "a new epoch seed must produce a different permutation")
+    // each epoch individually dense per shard
+    e1.groupBy(_._2).foreach { case (shard, ms) =>
+      assert(ms.map(_._3).sorted.toSeq == (1 to ms.length), s"epoch-1 shard $shard not dense")
+    }
+    // and reproducible: same seed, same manifest
+    val e1b = TextOps.globalShuffleWith(spark, sf(), "graft-epoch-1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(e1b.toSet == e1.toSet)
+  }
+
   test("shard count is the exact integer ceil of token mass over the budget") {
     val t = graft.core.Tables.documents(spark, sf())
       .select(size(split(col("text"), " ")).cast("long").as("n"))
