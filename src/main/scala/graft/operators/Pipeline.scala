@@ -120,7 +120,10 @@ object Pipeline {
     * shard) surfaces in this one manifest, and the oracle replays the
     * whole composition end-to-end.
     */
-  def cleanExportManifest(s: SparkSession, d: String): DataFrame = {
+  /** Cleaned (doc_id, text) survivors + their derived shard count —
+    * shared by the manifest face and the writer.
+    */
+  private def cleanedDocsAndShards(s: SparkSession, d: String): (DataFrame, Int) = {
     val cleaned = cleanCorpus(s, d).localCheckpoint() // (doc_id, n_tokens), used twice
     val t = cleaned.agg(coalesce(sum(col("n_tokens").cast("long")), lit(0L)))
       .head().getLong(0)
@@ -129,6 +132,19 @@ object Pipeline {
     val docs = Tables.documents(s, d)
       .join(cleaned.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"))
+    (docs, nShards)
+  }
+
+  /** The materialization of [[cleanExportManifest]]: cleaned survivors
+    * written as one packed parquet file per shard.
+    */
+  def writeCleanPackedShards(s: SparkSession, d: String, out: String): Unit = {
+    val (docs, nShards) = cleanedDocsAndShards(s, d)
+    TextOps.writePackedShardsOf(s, docs, nShards, out)
+  }
+
+  def cleanExportManifest(s: SparkSession, d: String): DataFrame = {
+    val (docs, nShards) = cleanedDocsAndShards(s, d)
     TextOps.packedFoldOf(s, docs, nShards)
       .groupBy("shard", "bin")
       .agg(count(lit(1)).as("n_docs"),

@@ -1019,10 +1019,19 @@ object TextOps {
     * PackedExportSpec reads every shard back and checks membership, order
     * and bin assignment against the manifest.
     */
-  def writePackedShards(s: SparkSession, d: String, out: String): Unit = {
+  def writePackedShards(s: SparkSession, d: String, out: String): Unit =
+    writePackedShardsOf(s, Tables.documents(s, d).select(col("doc_id"), col("text")),
+      shardCountFor(s, d), out)
+
+  /** The packed writer over ANY (doc_id, text) source — the cleaned and
+    * mixture-weighted exports write through this with their own doc sets
+    * and derived shard counts (the manifests above are the plans; this is
+    * the materialization).
+    */
+  def writePackedShardsOf(s: SparkSession, docs: DataFrame, nShards: Int,
+                          out: String): Unit = {
     import s.implicits._
-    val nShards = shardCountFor(s, d)
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("text"), size(tokens("text")).as("n_tokens"),
         md5(concat(lit(shuffleSeed + ":"), col("doc_id").cast("string"))).as("skey"))
       .withColumn("shard",

@@ -52,6 +52,22 @@ class PackedExportSpec extends SparkSpec {
       s"overfilled bin: $r"))
   }
 
+  test("cleaned writer: shards hold exactly the survivors, bins match the manifest") {
+    val out = tmpDir("clean-packed") + "/export"
+    Pipeline.writeCleanPackedShards(spark, sf(), out)
+    val onDisk = spark.read.parquet(out)
+      .select("doc_id", "shard", "bin").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val survivors = Pipeline.cleanCorpus(spark, sf())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(onDisk.map(_._1).toSet == survivors,
+      "written docs != clean-corpus survivors")
+    val manifest = Pipeline.cleanExportManifest(spark, sf()).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val got = onDisk.groupBy(r => (r._2, r._3)).view.mapValues(_.length.toLong).toMap
+    assert(got == manifest, "written (shard, bin) doc counts != manifest")
+  }
+
   test("written shards replay the manifest: one file, shuffle order, matching bins") {
     val out = tmpDir("packed") + "/export"
     TextOps.writePackedShards(spark, sf(), out)
