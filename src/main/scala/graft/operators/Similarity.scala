@@ -3099,4 +3099,205 @@ object Similarity {
 
   val pqTrainedErrorSql: String =
     "SELECT COUNT(*) AS n_vectors, TRUE AS trained_le_anchor FROM embeddings"
+
+  // ------------------------------------------------ IVF+PQ refine rerank
+
+  /** Refine-stage shortlist size: 3× the served k. The standard IVF-PQ
+    * production shape is two-stage — a memory-bound ADC pass over
+    * compressed codes produces an R-row shortlist, then ONLY those R rows'
+    * raw vectors are touched for an exact re-rank — so the raw-vector
+    * I/O is O(R) per query regardless of corpus size. R/k = 3 is the
+    * usual refine ratio (reference corpus model: append-only raw vectors,
+    * src/vector_engine.rs:10-54, which is exactly the store the refine
+    * stage point-reads).
+    */
+  val refineR: Int = 3 * pqTopK
+
+  /** IVF+PQ search with exact re-rank (the "refine" stage): the
+    * [[ivfPqSearch]] ADC scan keeps `refineR` candidates instead of k,
+    * then the shortlist's RAW vectors — an R-row broadcast semi-join, not
+    * a corpus scan — are scored by exact cosine and the top k served.
+    * Plan shape at 100 TB: stage 1 reads only the code column of the
+    * probed cells (memory-bound, fused codegen ADC); stage 2 is a
+    * broadcast hash join of 30 ids against the corpus (point reads via
+    * the pruned vec_id scan) + a 30-row sort on the driver. The recall
+    * this buys over serving raw ADC order is measured by
+    * [[refineRecall]].
+    */
+  def ivfPqRefinedSearch(s: SparkSession, d: String): DataFrame = {
+    val (cb, q) = pqCodebook(s, d)
+    val probe = rankedCells(q.toArray, centroids(s, d)).take(ivfNprobe)
+    val members = ivfAssign(s, d).where(col("cell").isin(probe: _*)).select("vec_id")
+    val shortlist = Tables.embeddings(s, d)
+      .join(members, Seq("vec_id"), "left_semi")
+      .where(col("vec_id") =!= pqQueryId)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.pqAdcF(col("embedding"),
+          typedLit(cb), typedLit(q), pqM).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(refineR)
+    Tables.embeddings(s, d)
+      .join(broadcast(shortlist.select("vec_id")), Seq("vec_id"))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosineF(col("embedding"),
+          lit(q.toArray)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(pqTopK)
+  }
+
+  val ivfPqRefinedSearchSql: String =
+    s"""WITH assign AS ($ivfAssignSql),
+       | cellsims AS (
+       |  ${cellSimsUnionSql(pqQueryId)}),
+       | probe AS (SELECT cell FROM cellsims ORDER BY sim DESC, cell LIMIT $ivfNprobe),
+       | members AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cell),
+       | $pqBestSql,
+       | shortlist AS (
+       |  SELECT b.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qdist ORDER BY m)), (acc, p) -> acc + p) AS adc
+       |  FROM best b JOIN members mm ON b.vec_id = mm.vec_id
+       |  WHERE b.vec_id <> $pqQueryId
+       |  GROUP BY b.vec_id ORDER BY adc, b.vec_id LIMIT $refineR),
+       | q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $pqQueryId),
+       | qn AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, $dim + 1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)), (acc, p) -> acc + p)) AS qnorm FROM q),
+       | scored AS (
+       |  SELECT e.vec_id,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), (acc, p) -> acc + p) AS dot,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (acc, p) -> acc + p) AS norm2
+       |  FROM embeddings e JOIN shortlist sl ON e.vec_id = sl.vec_id, q)
+       |SELECT vec_id, dot / (sqrt(norm2) * qn.qnorm) AS sim
+       |FROM scored, qn ORDER BY sim DESC, vec_id LIMIT $pqTopK""".stripMargin
+
+  /** Measured refine gain (the ANN analog of `dedup_lsh_recall`'s
+    * honesty discipline): recall@k of the raw ADC top-k and of the
+    * refined top-k against EXACT cosine truth for the same query — the
+    * number that justifies paying the R raw-vector point reads per
+    * query. Truth is a full-corpus exact scan (fine at gate scale; the
+    * serving path never does this).
+    */
+  def refineRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === pqQueryId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val exact = emb.where(col("vec_id") =!= pqQueryId)
+      .withColumn("sim",
+        graft.functions.VectorFunctions.cosineF(col("embedding"), lit(q)))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(pqTopK)
+      .select("vec_id")
+    def hitsOf(method: String, approx: DataFrame): DataFrame =
+      exact.join(broadcast(approx.select(col("vec_id").as("iv"))),
+          col("vec_id") === col("iv"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(method).as("method"), lit(pqTopK).as("k"), col("hits"),
+          (col("hits") * lit(1000) / lit(pqTopK)).cast("long").as("recall_permille"))
+    hitsOf("ivfpq_adc", ivfPqSearch(s, d))
+      .unionAll(hitsOf("ivfpq_refined", ivfPqRefinedSearch(s, d)))
+  }
+
+  val refineRecallSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $pqQueryId),
+       | qn AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, $dim + 1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)), (acc, p) -> acc + p)) AS qnorm FROM q),
+       | scored AS (
+       |  SELECT e.vec_id,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), (acc, p) -> acc + p) AS dot,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (acc, p) -> acc + p) AS norm2
+       |  FROM embeddings e, q WHERE e.vec_id <> $pqQueryId),
+       | exact AS (SELECT vec_id FROM scored, qn
+       |           ORDER BY dot / (sqrt(norm2) * qn.qnorm) DESC, vec_id LIMIT $pqTopK),
+       | adc AS (SELECT vec_id AS iv FROM ($ivfPqSearchSql)),
+       | refined AS (SELECT vec_id AS iv FROM ($ivfPqRefinedSearchSql))
+       |SELECT 'ivfpq_adc' AS method, CAST($pqTopK AS INTEGER) AS k, COUNT(*) AS hits,
+       |  CAST(COUNT(*) * 1000 / $pqTopK AS BIGINT) AS recall_permille
+       |FROM exact JOIN adc ON exact.vec_id = adc.iv
+       |UNION ALL
+       |SELECT 'ivfpq_refined' AS method, CAST($pqTopK AS INTEGER) AS k, COUNT(*) AS hits,
+       |  CAST(COUNT(*) * 1000 / $pqTopK AS BIGINT) AS recall_permille
+       |FROM exact JOIN refined ON exact.vec_id = refined.iv""".stripMargin
+
+  // ------------------------------------------------ nprobe tuning sweep
+
+  /** nprobe sweep (1, 2, 4, all cells): the ANN analog of
+    * `dedup_lsh_tuning` — for each probe count, the candidate volume
+    * (rows the exact-cosine stage must score) and recall@k vs the exact
+    * global top-k. This is the cost/recall curve an index owner reads
+    * before picking nprobe at 100 TB: candidates is the per-query scan
+    * budget, recall_permille what it buys. One corpus scan total: vectors
+    * are scored ONCE (cosine per vec), the sweep fans out over a 4-row
+    * broadcast params table, and each probe level's top-k is a
+    * window rank — the sweep costs one extra narrow column, not four
+    * corpus scans.
+    */
+  val probeSweep: Seq[Int] = Seq(1, 2, 4, oracleCells)
+
+  def ivfProbeTuning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === ivfQueryId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val ranked = rankedCells(q, centroids(s, d))
+    val rankDf = broadcast(
+      ranked.zipWithIndex.map { case (c, i) => (c, i + 1) }.toDF("cell", "cellrk"))
+    val scored = ivfAssign(s, d)
+      .join(rankDf, "cell")
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      .where(col("vec_id") =!= ivfQueryId)
+      .select(col("vec_id"), col("cellrk"),
+        graft.functions.VectorFunctions.cosineF(col("embedding"), lit(q)).as("sim"))
+    val params = broadcast(probeSweep.toDF("probes"))
+    val cand = scored.crossJoin(params).where(col("cellrk") <= col("probes"))
+    val counts = cand.groupBy("probes").agg(count(lit(1)).as("candidates"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probes").orderBy(col("sim").desc, col("vec_id").asc)
+    val topk = cand.withColumn("rn", row_number().over(w)).where(col("rn") <= ivfK)
+    val exact = scored.orderBy(col("sim").desc, col("vec_id"))
+      .limit(ivfK).select(col("vec_id").as("ev"))
+    val hits = topk.join(broadcast(exact), col("vec_id") === col("ev"))
+      .groupBy("probes").agg(count(lit(1)).as("hits"))
+    counts.join(hits, Seq("probes"), "left")
+      .select(col("probes"), col("candidates"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) * lit(1000) / lit(ivfK))
+          .cast("long").as("recall_permille"))
+  }
+
+  val ivfProbeTuningSql: String = {
+    val values = probeSweep.map(p => s"($p)").mkString(", ")
+    s"""WITH assign AS ($ivfAssignSql),
+       | cellsims AS (
+       |  ${cellSimsUnionSql(ivfQueryId)}),
+       | ranked AS (SELECT cell, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, cell) AS INTEGER) AS cellrk FROM cellsims),
+       | q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $ivfQueryId),
+       | qn AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, $dim + 1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)), (acc, p) -> acc + p)) AS qnorm FROM q),
+       | raw AS (
+       |  SELECT e.vec_id, r.cellrk,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), (acc, p) -> acc + p) AS dot,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (acc, p) -> acc + p) AS norm2
+       |  FROM embeddings e
+       |  JOIN assign a ON a.vec_id = e.vec_id
+       |  JOIN ranked r ON r.cell = a.cell
+       |  CROSS JOIN q
+       |  WHERE e.vec_id <> $ivfQueryId),
+       | scored AS (SELECT vec_id, cellrk, dot / (sqrt(norm2) * qn.qnorm) AS sim FROM raw, qn),
+       | params AS (SELECT * FROM (VALUES $values) AS t(probes)),
+       | cand AS (SELECT p.probes, s.vec_id, s.sim FROM scored s CROSS JOIN params p WHERE s.cellrk <= p.probes),
+       | counts AS (SELECT probes, COUNT(*) AS candidates FROM cand GROUP BY probes),
+       | topk AS (SELECT probes, vec_id FROM (
+       |    SELECT probes, vec_id, ROW_NUMBER() OVER (PARTITION BY probes ORDER BY sim DESC, vec_id) AS rn FROM cand)
+       |   WHERE rn <= $ivfK),
+       | exact AS (SELECT vec_id AS ev FROM scored ORDER BY sim DESC, vec_id LIMIT $ivfK),
+       | hits AS (SELECT t.probes, COUNT(*) AS hits FROM topk t JOIN exact x ON t.vec_id = x.ev GROUP BY t.probes)
+       |SELECT c.probes, c.candidates, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+       |  CAST(COALESCE(h.hits, 0) * 1000 / $ivfK AS BIGINT) AS recall_permille
+       |FROM counts c LEFT JOIN hits h ON c.probes = h.probes""".stripMargin
+  }
 }
