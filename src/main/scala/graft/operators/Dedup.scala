@@ -169,6 +169,90 @@ object Dedup {
        |ORDER BY n_docs DESC, n_occurrences DESC, gram_hash LIMIT $repeatedSpanTopK""".stripMargin
   }
 
+  /** Span-level SCRUB verdicts — [[repeatedSubstrings]] finds the repeated
+    * character spans; this face prices each DOCUMENT by them and decides
+    * the removal: per doc, how many of its scanned windows are non-first
+    * occurrences of a cross-document span (the canonical copy — the one in
+    * the span's min-doc_id document — is never charged), the integer
+    * permille of duplicated coverage, and the keep verdict at
+    * [[spanScrubMaxPermille]]. This is the document-granular face of
+    * exact-substring dedup (Lee et al. 2021's remove-the-duplicated-span
+    * policy, applied at doc granularity): a doc that is mostly spans
+    * already present earlier in the corpus is boilerplate / template bulk
+    * and gets dropped even when no WHOLE-doc near-dup face fires.
+    *
+    * Scale shape: the window stream is the same map-only rolling-hash
+    * scan as [[repeatedSubstrings]] (O(1)/char); spans shared by ≥2 docs
+    * come from one hash-keyed agg; charging occurrences back is a second
+    * hash-partitioned join on gram_hash (both sides co-partitioned by the
+    * agg's own exchange — AQE reuses it) followed by a doc_id agg. Docs
+    * too short to produce a window re-enter via one left join from the
+    * doc table, charged zero. No driver collect, no global sort.
+    */
+  val spanScrubMaxPermille = 500L
+
+  def spanScrub(s: SparkSession, d: String): DataFrame =
+    spanScrubOf(Tables.documents(s, d))
+
+  private[operators] def spanScrubOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(graft.functions.TextFunctions
+        .rollingHashes(col("text"), repeatedSpanWindow, repeatedSpanStride)).as("gram_hash"))
+    val shared = grams
+      .groupBy("gram_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= repeatedSpanMinDocs)
+      .select(col("gram_hash"), col("first_doc"))
+    val charged = grams
+      .join(shared, Seq("gram_hash"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("first_doc").isNotNull && col("first_doc") < col("doc_id"), 1L)
+          .otherwise(0L)).as("n_dup_windows"))
+    docs.select("doc_id")
+      .join(charged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_permille",
+        expr("CASE WHEN n_windows = 0 THEN 0 ELSE 1000 * n_dup_windows DIV n_windows END"))
+      .withColumn("keep", col("dup_permille") < spanScrubMaxPermille)
+  }
+
+  lazy val spanScrubSql: String = {
+    val M = graft.functions.ShingleKernel.RollM
+    val B = graft.functions.ShingleKernel.RollB
+    s"""WITH pos AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(1, len(text) - $repeatedSpanWindow + 2, $repeatedSpanStride)) AS i
+       |  FROM documents WHERE len(text) >= $repeatedSpanWindow),
+       | grams AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(i, i + $repeatedSpanWindow),
+       |                     j -> CAST(ord(text[j]) % 128 AS BIGINT))),
+       |      (acc, c) -> (acc * $B + c) % $M) AS gram_hash
+       |  FROM pos),
+       | shared AS (
+       |  SELECT gram_hash, MIN(doc_id) AS first_doc
+       |  FROM grams GROUP BY gram_hash
+       |  HAVING COUNT(DISTINCT doc_id) >= $repeatedSpanMinDocs),
+       | charged AS (
+       |  SELECT g.doc_id, COUNT(*) AS n_windows,
+       |    CAST(SUM(CASE WHEN sh.first_doc IS NOT NULL AND sh.first_doc < g.doc_id
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+       |  FROM grams g LEFT JOIN shared sh USING (gram_hash)
+       |  GROUP BY g.doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(c.n_windows, 0) AS n_windows,
+       |  COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+       |  CASE WHEN COALESCE(c.n_windows, 0) = 0 THEN 0
+       |       ELSE 1000 * c.n_dup_windows // c.n_windows END AS dup_permille,
+       |  (CASE WHEN COALESCE(c.n_windows, 0) = 0 THEN 0
+       |        ELSE 1000 * c.n_dup_windows // c.n_windows END) < $spanScrubMaxPermille AS keep
+       |FROM documents d LEFT JOIN charged c USING (doc_id)""".stripMargin
+  }
+
   /** Universal-hash family for MinHash: one 52-bit md5-derived base hash per
     * shingle, then k cheap linear mixes (base·A_j + B_j mod p). One
     * cryptographic hash instead of k — the standard MinHash construction,

@@ -1148,4 +1148,93 @@ object TextOps {
        |        FROM documents GROUP BY source)) mix
        |  ON d.source = mix.source
        |WHERE (('0x' || substr(md5(d.text), 1, 13))::BIGINT) % 1000 < mix.rate_permille""".stripMargin)
+
+  /** Overlapping token-window CHUNKING — the long-document splitter every
+    * context-bounded training pipeline runs before packing: each doc's
+    * whitespace tokens become windows of [[chunkWindowTokens]] tokens at
+    * stride [[chunkStrideTokens]] (overlap = window − stride preserves
+    * cross-boundary context), window count = 1 + ceil(max(0, n−W)/S) in
+    * EXACT integer arithmetic so the tail window (possibly short) always
+    * lands and a short doc yields exactly one window.
+    *
+    * Scale shape: MAP-ONLY — `transform(sequence(...), slice(...))` builds
+    * every window inside one codegen'd projection over the row, then one
+    * posexplode; no token-granularity explode, no shuffle, no window
+    * function. Output grows by ≤ W/S× the corpus (1.33× at the defaults),
+    * the same expansion the downstream packer budgets for.
+    */
+  val chunkWindowTokens = 32
+  val chunkStrideTokens = 24
+
+  def chunkWindows(s: SparkSession, d: String): DataFrame =
+    chunkWindowsOf(Tables.documents(s, d))
+
+  private[operators] def chunkWindowsOf(docs: DataFrame): DataFrame = {
+    val (w, st) = (chunkWindowTokens, chunkStrideTokens)
+    docs
+      .select(col("doc_id"), tokens("text").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, greatest(0, (size(toks) - $w + $st - 1) div $st)),
+           |  i -> slice(toks, i * $st + 1, $w))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("win_id"),
+        size(col("col")).as("win_tokens"),
+        array_join(col("col"), " ").as("chunk"))
+  }
+
+  val chunkWindowsSql: String = {
+    val (w, st) = (chunkWindowTokens, chunkStrideTokens)
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       | win AS (SELECT doc_id, toks,
+       |   unnest(range(0, GREATEST(0, (len(toks) - $w + $st - 1) // $st) + 1)) AS win_id
+       | FROM t)
+       |SELECT doc_id, win_id,
+       |  len(toks[(win_id * $st + 1):(win_id * $st + $w)]) AS win_tokens,
+       |  array_to_string(toks[(win_id * $st + 1):(win_id * $st + $w)], ' ') AS chunk
+       |FROM win""".stripMargin
+  }
+
+  /** TEMPERATURE-SCALED source mixture (the multilingual-sampling rule:
+    * p_s ∝ mass_s^α) at α = 1/2. The α = 1/2 point is computed as
+    * sqrt(mass) — IEEE-754 sqrt is CORRECTLY ROUNDED in every engine, so
+    * the weight is bit-exact cross-engine where a libm pow(x, α) is only
+    * ≤1-ulp and could flip a floor at a boundary; the weight is floored
+    * to integer BEFORE normalization so every downstream number
+    * (permille share, per-epoch token allocation, boost factor) is exact
+    * integer arithmetic, the same discipline as the char-budget mixture
+    * faces. Flattening exponents α < 1 upsample scarce sources and
+    * downsample crawl bulk; the boost column is the resulting per-source
+    * repetition factor a budget-B epoch implies.
+    *
+    * Scale shape: one groupBy(source) agg (map-side partial over the
+    * corpus scan, reading two columns), then window totals over the
+    * ~handful of source rows — the post-agg frame is O(sources), never
+    * O(corpus).
+    */
+  val temperatureEpochTokens = 100000L
+
+  def temperatureMixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val everything = Window.partitionBy()
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(tokens("text")).cast("long")).as("token_mass"))
+      .withColumn("weight",
+        floor(lit(1000.0) * sqrt(col("token_mass").cast("double"))).cast("long"))
+      .withColumn("total_weight", sum(col("weight")).over(everything))
+      .withColumn("share_permille", expr("1000 * weight DIV total_weight"))
+      .withColumn("epoch_tokens", expr(s"$temperatureEpochTokens * weight DIV total_weight"))
+      .withColumn("boost_x1000", expr("1000 * epoch_tokens DIV token_mass"))
+      .select("source", "token_mass", "weight", "share_permille",
+        "epoch_tokens", "boost_x1000")
+  }
+
+  val temperatureMixtureSql: String =
+    s"""SELECT source, token_mass, weight,
+       |  CAST(1000 * weight // CAST(SUM(weight) OVER () AS BIGINT) AS BIGINT) AS share_permille,
+       |  CAST($temperatureEpochTokens * weight // CAST(SUM(weight) OVER () AS BIGINT) AS BIGINT) AS epoch_tokens,
+       |  CAST(1000 * ($temperatureEpochTokens * weight // CAST(SUM(weight) OVER () AS BIGINT)) // token_mass AS BIGINT) AS boost_x1000
+       |FROM (SELECT source,
+       |        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS token_mass,
+       |        CAST(FLOOR(1000.0 * sqrt(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE))) AS BIGINT) AS weight
+       |      FROM documents GROUP BY source)""".stripMargin
 }
