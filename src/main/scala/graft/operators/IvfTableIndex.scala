@@ -62,6 +62,52 @@ final class IvfTableIndex private (
     new IvfTableIndex(spark, root, m.version, m.length)
   }
 
+  /** COMPACTION — the in-place cure for append-only fragmentation: every
+    * [[refresh]] adds one file per touched cell per span, so a
+    * continuously-fed index accumulates N-span × cell small files and a
+    * probe pays N file opens per cell (the same small-file pathology the
+    * round-13 v2 layout fix measured at 14× on the semantic delta face).
+    * Compacting rewrites the EXISTING index rows into one file per cell —
+    * no table scan and no re-assignment (a rebuild re-pays the centroid
+    * kernel over the whole corpus; compaction is pure I/O over index
+    * rows) — and swaps the directory in, leaving (version, length) and
+    * every row untouched: search results are bit-identical by
+    * construction, only the file layout changes.
+    */
+  def compact(): IvfTableIndex = {
+    val d = Paths.get(root, "data")
+    if (!Files.isDirectory(d)) return this
+    val tmp = Paths.get(root, s"data-compact-${java.util.UUID.randomUUID()}")
+    data.repartition(col("cell"))
+      .write.partitionBy("cell").parquet(tmp.toString)
+    val trash = Paths.get(root, s".data-old-${java.util.UUID.randomUUID()}")
+    Files.move(d, trash)
+    Files.move(tmp, d)
+    Dedup.deleteRecursively(trash)
+    this
+  }
+
+  /** Parquet files per cell — the fragmentation measure [[compact]]
+    * collapses to 1; read by the compaction spec and the declared face's
+    * layout gate.
+    */
+  def filesPerCell(): Map[Int, Long] = {
+    val d = Paths.get(root, "data")
+    if (!Files.isDirectory(d)) return Map.empty
+    val walk = Files.walk(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .flatMap { p =>
+          Option(p.getParent.getFileName.toString)
+            .filter(_.startsWith("cell="))
+            .map(_.stripPrefix("cell=").toInt)
+        }
+        .toSeq.groupBy(identity).map { case (c, fs) => c -> fs.size.toLong }
+    } finally walk.close()
+  }
+
   /** Cell-pruned cosine top-k: probe the `nprobe` cells ranked nearest to
     * `q`, scan only their partitions, deterministic (sim desc, vec_id) tie
     * order.
