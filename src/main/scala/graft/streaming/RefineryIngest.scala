@@ -1,0 +1,160 @@
+package graft.streaming
+
+import graft.core.VectorTable
+import graft.operators.{IvfTableIndex, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The COMPOSED refinery write path: every micro-batch of fused
+  * (vec_id, text, embedding) rows runs the full curation chain before a
+  * single row lands — the streaming twin of [[graft.operators.Pipeline]]'s
+  * batch refinery, and the composition of the three single-gate streams
+  * ([[DedupIngest]], [[SemanticDedupIngest]], [[ContaminationIngest]])
+  * into ONE ingest:
+  *
+  *   1. QUALITY (stateless, map-only): the exact
+  *      [[graft.operators.TextOps.qualityScores]] arithmetic, dropping
+  *      rows below the cutoff first — cheapest gate, biggest kill, and
+  *      every later stage works on the thinned batch;
+  *   2. EXACT DEDUP (hash state): min-vec_id representative per content
+  *      hash within the batch, then an anti-join against the committed
+  *      hash store. The store records every quality survivor ever seen —
+  *      not just landed rows — so a doc dropped downstream still
+  *      suppresses its later exact copies (the sequential min-id-per-hash
+  *      semantics the batch oracle replays);
+  *   3. DECONTAMINATION (stateless, map-only): the fixed eval matrix
+  *      rides through the fused kernel, one codegen pass, no join;
+  *   4. SEMANTIC DEDUP (committed-corpus state): the thinned batch lands
+  *      through [[SemanticDedupIngest.appendDeduped]] unchanged — in-plan
+  *      committed coverage, gated driver sweep, distributed MIS fallback;
+  *   5. the kept ids' text rows land in the docs table, keeping the two
+  *      stores id-aligned.
+  *
+  * Ordering is the cost gradient: stateless text arithmetic, then one
+  * hash join, then one kernel pass, and only the survivors of all three
+  * pay the embedding pair stage. At 100 TB each batch's cost is dominated
+  * by stage 4's cell-bucketed candidate work on an already-thinned batch;
+  * stages 1–3 are map-only or broadcast-shaped.
+  */
+object RefineryIngest {
+
+  /** Per-batch stage accounting (returned so specs can pin that streamed
+    * totals equal the batch oracle's global counts).
+    */
+  final case class Counts(input: Long, qualityDropped: Long,
+                          exactDropped: Long, contamDropped: Long,
+                          semanticDropped: Long, landed: Long) {
+    def +(o: Counts): Counts = Counts(input + o.input,
+      qualityDropped + o.qualityDropped, exactDropped + o.exactDropped,
+      contamDropped + o.contamDropped, semanticDropped + o.semanticDropped,
+      landed + o.landed)
+  }
+  object Counts { val zero: Counts = Counts(0L, 0L, 0L, 0L, 0L, 0L) }
+
+  /** The quality gate's score column over (text, n_chars-free) rows —
+    * n_chars is recomputed from the text so a fused stream needs no extra
+    * column; `length(text)` equals the generator's `n_chars` for the
+    * corpus (single-byte tokens), and the arithmetic below is otherwise
+    * the exact [[graft.operators.TextOps.qualityScores]] expression.
+    */
+  private def withQuality(df: DataFrame): DataFrame = df
+    .withColumn("toks", split(col("text"), " "))
+    .withColumn("n_tokens", size(col("toks")))
+    .withColumn("ttr",
+      size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
+    .withColumn("mean_token_len",
+      (length(col("text")).cast("double") - (col("n_tokens").cast("double") - 1.0)) / col("n_tokens").cast("double"))
+    .withColumn("stop_ratio",
+      expr("CAST(size(filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)") / col("n_tokens").cast("double"))
+    .withColumn("quality_score",
+      col("ttr") * lit(2.0) + col("mean_token_len") * lit(0.1) - col("stop_ratio"))
+    .drop("toks", "n_tokens", "ttr", "mean_token_len", "stop_ratio")
+
+  /** One fully-gated batch append; returns the stage [[Counts]]. */
+  def appendRefined(docsTable: VectorTable, hashStore: VectorTable,
+                    embTable: VectorTable,
+                    idx: java.util.concurrent.atomic.AtomicReference[IvfTableIndex],
+                    batch: DataFrame, evalIds: Array[Long],
+                    evalVecs: Array[Array[Float]], minQuality: Double,
+                    threshold: Double,
+                    streamBatchId: Option[Long] = None): Counts = {
+    if (streamBatchId.exists(_ <= hashStore.manifest.streamBatch)) return Counts.zero
+    val total = batch.count()
+    if (total == 0) return Counts.zero
+
+    // 1. quality — stateless projection + filter
+    val scored = withQuality(batch)
+      .where(col("quality_score") >= minQuality)
+      .select(col("vec_id"), col("text"), col("embedding"))
+      .localCheckpoint()
+    val nScored = scored.count()
+
+    // 2. exact dedup — min-id rep per hash in batch, anti-join committed
+    val hashed = scored.withColumn("content_hash", md5(col("text")))
+    val reps = hashed
+      .withColumn("keep_id", min(col("vec_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
+      .where(col("vec_id") === col("keep_id"))
+      .select(col("vec_id"), col("text"), col("embedding"), col("content_hash"))
+    val novel =
+      (if (hashStore.length == 0L) reps
+       else reps.join(hashStore.scan().select("content_hash"),
+         Seq("content_hash"), "left_anti"))
+        .localCheckpoint()
+    val nNovel = novel.count()
+    // record EVERY quality survivor's hash (one rep per in-batch hash is
+    // enough — same hash), regardless of what later stages decide
+    val newHashes = reps.select(col("vec_id"), col("content_hash"))
+    if (nScored > 0) hashStore.append(newHashes, streamBatchId = streamBatchId)
+
+    // 3. decontamination — map-only pass against the fixed eval matrix
+    val contaminated = Similarity.semanticContaminationOf(
+      novel.select(col("vec_id"), col("embedding")), evalIds, evalVecs)
+      .select(col("vec_id"))
+    val clean = novel.join(contaminated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("text"), col("embedding"))
+      .localCheckpoint()
+    val nClean = clean.count()
+
+    // 4. semantic dedup landing (in-plan committed coverage, gated sweep)
+    val (kept, _) = SemanticDedupIngest.appendDeduped(embTable, idx,
+      clean.select(col("vec_id"), col("embedding")), threshold,
+      streamBatchId = streamBatchId)
+
+    // 5. land the kept ids' text rows — the embeddings table's last span
+    //    IS the kept set (appendDeduped appends exactly once per batch)
+    if (kept > 0) {
+      val last = embTable.manifest.batches.last
+      val keptIds = embTable.range(last.start, last.end - last.start)
+        .select(col("vec_id"))
+      docsTable.append(
+        clean.select(col("vec_id"), col("text"))
+          .join(keptIds, Seq("vec_id"), "left_semi"),
+        streamBatchId = streamBatchId)
+    }
+    Counts(total, total - nScored, nScored - nNovel, nNovel - nClean,
+      nClean - kept, kept)
+  }
+
+  /** Streaming form: every micro-batch lands fully refined; per-batch
+    * counts accumulate into `acc` for callers that pin totals.
+    */
+  def start(stream: DataFrame, docsTable: VectorTable, hashStore: VectorTable,
+            embTable: VectorTable,
+            idx: java.util.concurrent.atomic.AtomicReference[IvfTableIndex],
+            evalIds: Array[Long], evalVecs: Array[Array[Float]],
+            minQuality: Double, threshold: Double, checkpointDir: String,
+            acc: java.util.concurrent.atomic.AtomicReference[Counts],
+            trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val c = appendRefined(docsTable, hashStore, embTable, idx, batch,
+          evalIds, evalVecs, minQuality, threshold, streamBatchId = Some(batchId))
+        acc.updateAndGet(_ + c); ()
+      }
+      .start()
+}
