@@ -1149,6 +1149,101 @@ object TextOps {
        |  ON d.source = mix.source
        |WHERE (('0x' || substr(md5(d.text), 1, 13))::BIGINT) % 1000 < mix.rate_permille""".stripMargin)
 
+  /** CURRICULUM-ORDERED packed export — the ordering lever between the
+    * pure shuffle ([[packedExportManifest]]) and a deterministic schedule:
+    * within each shard, docs walk quality buckets ASCENDING (train
+    * easy-to-hard over the epoch — curriculum learning's standard
+    * schedule) and are SHUFFLED within each bucket (skey breaks up any
+    * within-bucket ordering artifact). The curriculum key is
+    * floor(quality_score · 1000) — the same bucket resolution as
+    * [[qualityBudgetCutoff]], and bit-exact cross-engine because the
+    * score expression is.
+    *
+    * Scale shape: identical to the other export faces — ONE exchange
+    * hash-partitioned on shard, a per-shard sort whose key is
+    * (ckey, skey, doc_id) instead of (skey, doc_id), then the O(1)-state
+    * greedy fold. The curriculum costs nothing over the plain shuffle:
+    * same exchange, same sort pass, one extra sort column.
+    */
+  def curriculumExportManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nShards = shardCountFor(s, d)
+    Tables.documents(s, d)
+      .withColumn("toks", tokens("text"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("ttr",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
+      .withColumn("mean_token_len",
+        (col("n_chars").cast("double") - (col("n_tokens").cast("double") - 1.0)) / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio",
+        expr("CAST(size(filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)") / col("n_tokens").cast("double"))
+      .withColumn("ckey",
+        floor((col("ttr") * lit(2.0) + col("mean_token_len") * lit(0.1) - col("stop_ratio")) * lit(1000.0)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("ckey"),
+        md5(concat(lit(shuffleSeed + ":"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("shard",
+        pmod(expr("CAST(conv(substr(skey, 1, 8), 16, 10) AS BIGINT)"),
+          lit(nShards.toLong)).cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ckey"), col("skey"), col("doc_id"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"), col("ckey"))
+      .as[(Int, Long, Int, Long)]
+      .mapPartitions { it =>
+        var shard = Int.MinValue
+        var bin = 0L
+        var fill = 0L
+        var pos = 0
+        it.map { case (sh, id, nt, ck) =>
+          if (sh != shard) { shard = sh; bin = 0L; fill = nt.toLong; pos = 1 }
+          else {
+            pos += 1
+            if (fill + nt > packBudget) { bin += 1; fill = nt.toLong }
+            else fill += nt
+          }
+          (sh, bin, id, pos, nt, ck)
+        }
+      }
+      .toDF("shard", "bin", "doc_id", "pos", "n_tokens", "ckey")
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("bin_tokens"),
+        min("pos").as("first_pos"), max("pos").as("last_pos"),
+        min("ckey").as("ckey_lo"), max("ckey").as("ckey_hi"))
+      .withColumn("n_shards", lit(nShards))
+  }
+
+  lazy val curriculumExportSql: String =
+    s"""WITH RECURSIVE q AS (${qualityScoresSql.replace("\n", "\n  ")}),
+       | sc AS ($shardCountSql),
+       | k AS (
+       |  SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(FLOOR(q.quality_score * 1000) AS BIGINT) AS ckey,
+       |    md5('$shuffleSeed:' || CAST(d.doc_id AS VARCHAR)) AS skey
+       |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+       | sh AS (
+       |  SELECT doc_id, n_tokens, ckey, skey,
+       |    CAST((('0x' || substr(skey, 1, 8))::BIGINT) % (SELECT n FROM sc) AS INTEGER) AS shard
+       |  FROM k),
+       | po AS (
+       |  SELECT doc_id, n_tokens, ckey, shard,
+       |    CAST(row_number() OVER (PARTITION BY shard ORDER BY ckey, skey, doc_id) AS INTEGER) AS pos
+       |  FROM sh),
+       | pack AS (
+       |  SELECT shard, pos, n_tokens, ckey, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+       |  FROM po WHERE pos = 1
+       |  UNION ALL
+       |  SELECT p.shard, p.pos, p.n_tokens, p.ckey,
+       |    CASE WHEN r.fill + p.n_tokens > $packBudget THEN r.bin + 1 ELSE r.bin END,
+       |    CASE WHEN r.fill + p.n_tokens > $packBudget THEN p.n_tokens
+       |         ELSE r.fill + p.n_tokens END
+       |  FROM po p JOIN pack r ON p.shard = r.shard AND p.pos = r.pos + 1)
+       |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       |  MIN(pos) AS first_pos, MAX(pos) AS last_pos,
+       |  MIN(ckey) AS ckey_lo, MAX(ckey) AS ckey_hi,
+       |  CAST((SELECT n FROM sc) AS INTEGER) AS n_shards
+       |FROM pack GROUP BY shard, bin""".stripMargin
+
   /** Overlapping token-window CHUNKING — the long-document splitter every
     * context-bounded training pipeline runs before packing: each doc's
     * whitespace tokens become windows of [[chunkWindowTokens]] tokens at
