@@ -1288,6 +1288,55 @@ object TextOps {
        |FROM win""".stripMargin
   }
 
+  /** Synthetic per-chunk id for compositions that feed chunks through the
+    * doc-keyed pack chain: doc_id · stride + win_id. The stride bounds
+    * windows per document — 2²⁰ windows × 24-token stride ≈ 25M tokens
+    * per doc, far beyond any training document — and the build asserts
+    * it, so a violation fails loudly instead of aliasing two chunks.
+    */
+  val chunkIdStride = 1L << 20
+
+  /** CHUNKED packed export — the LONG-DOCUMENT training export: documents
+    * are first split into overlapping token windows ([[chunkWindows]]),
+    * then the WINDOWS — not the docs — run the standard export chain:
+    * seeded deterministic shuffle, token-mass-derived shard count
+    * (derived from the CHUNKED mass, which exceeds the raw corpus by the
+    * window/stride overlap factor), greedy budget-bin packing. This is
+    * the composition a context-bounded pipeline actually executes: a
+    * 200k-token document cannot ride one bin, its windows can — and the
+    * chunk grain is what makes every bin ≤ budget hold without ever
+    * splitting a training row mid-sequence.
+    *
+    * Scale shape: the chunk stage is the map-only projection of
+    * [[chunkWindows]]; the export stage is byte-identical to
+    * [[packedExportManifest]]'s ONE exchange + per-shard sort + O(1)
+    * fold, just over ~W/S× more, shorter rows.
+    */
+  def chunkedExportManifest(s: SparkSession, d: String): DataFrame = {
+    val chunked0 = chunkWindows(s, d)
+      .select(col("doc_id").as("orig_id"), col("win_id"), col("chunk").as("text"))
+      .localCheckpoint() // stride assert + token mass + fold all read it
+    val stats = chunked0.agg(
+      coalesce(sum(size(tokens("text")).cast("long")), lit(0L)),
+      coalesce(max(col("win_id")), lit(0))).head()
+    val t = stats.getLong(0)
+    require(stats.getInt(1) < chunkIdStride,
+      s"windows per doc exceed the $chunkIdStride synthetic-id stride")
+    val chunked = chunked0
+      .select((col("orig_id") * chunkIdStride + col("win_id")).as("doc_id"), col("text"))
+    val nShards = math.max(1L, (t + shardTokenBudget - 1) / shardTokenBudget).toInt
+    packedFoldOf(s, chunked, nShards)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("bin_tokens"),
+        min("pos").as("first_pos"), max("pos").as("last_pos"))
+      .withColumn("n_shards", lit(nShards))
+  }
+
+  lazy val chunkedExportSql: String = packedManifestSqlOver(
+    s"""SELECT doc_id * $chunkIdStride + win_id AS doc_id, chunk AS text
+       |FROM (${chunkWindowsSql.replace("\n", "\n  ")})""".stripMargin)
+
   /** TEMPERATURE-SCALED source mixture (the multilingual-sampling rule:
     * p_s ∝ mass_s^α) at α = 1/2. The α = 1/2 point is computed as
     * sqrt(mass) — IEEE-754 sqrt is CORRECTLY ROUNDED in every engine, so
