@@ -1640,6 +1640,61 @@ object Similarity {
        |FROM e LEFT JOIN t ON e.id_a = t.doc_a AND e.id_b = t.doc_b
        |WHERE t.doc_a IS NULL""".stripMargin
 
+  /** SEMANTIC CELL DRIFT — the embedding-distribution monitor a
+    * continuously-ingested corpus runs between refreshes: split the
+    * corpus into a reference and a current cohort (deterministic vec_id
+    * parity here; production splits by ingest epoch), assign both to the
+    * SAME fixed cells, and report each cell's occupancy shift as a
+    * per-cell add-one-smoothed KL contribution — p_cur · ln(p_cur/p_ref)
+    * with Laplace (n+1)/(total+cells) probabilities, so empty-on-one-side
+    * cells contribute finite, well-defined terms instead of ±∞. Rows stay
+    * PER-CELL (the consumer sums, thresholds or ranks them): emitting the
+    * global sum would hash-compare a cross-engine float reduction whose
+    * addend ORDER neither engine pins, while each per-cell term is a
+    * fixed-shape expression over exact integers — bit-stable everywhere.
+    *
+    * Scale shape: one map-only assignment pass (the fused kernel) + one
+    * cell-keyed count agg (map-side partial); everything after is
+    * window arithmetic over the O(cells) frame.
+    */
+  def semanticCellDrift(s: SparkSession, d: String): DataFrame = {
+    val everything = org.apache.spark.sql.expressions.Window.partitionBy()
+    ivfAssign(s, d)
+      .groupBy("cell")
+      .agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_cur"))
+      .withColumn("tr", sum(col("n_ref")).over(everything))
+      .withColumn("tc", sum(col("n_cur")).over(everything))
+      .withColumn("nc", count(lit(1)).over(everything))
+      .withColumn("pr",
+        (col("n_ref") + 1L).cast("double") / (col("tr") + col("nc")).cast("double"))
+      .withColumn("pc",
+        (col("n_cur") + 1L).cast("double") / (col("tc") + col("nc")).cast("double"))
+      .withColumn("kl_term", col("pc") * log(col("pc") / col("pr")))
+      .select("cell", "n_ref", "n_cur", "kl_term")
+  }
+
+  lazy val semanticCellDriftSql: String =
+    s"""WITH assign AS ($ivfAssignSql),
+       | c AS (
+       |  SELECT cell,
+       |   CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |   CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+       |  FROM assign GROUP BY cell),
+       | t AS (
+       |  SELECT cell, n_ref, n_cur,
+       |   CAST(SUM(n_ref) OVER () AS BIGINT) AS tr,
+       |   CAST(SUM(n_cur) OVER () AS BIGINT) AS tc,
+       |   CAST(COUNT(*) OVER () AS BIGINT) AS nc
+       |  FROM c),
+       | p AS (
+       |  SELECT cell, n_ref, n_cur,
+       |   CAST(n_ref + 1 AS DOUBLE) / CAST(tr + nc AS DOUBLE) AS pr,
+       |   CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nc AS DOUBLE) AS pc
+       |  FROM t)
+       |SELECT cell, n_ref, n_cur, pc * ln(pc / pr) AS kl_term FROM p""".stripMargin
+
   /** SEMANTIC CONTAMINATION — [[TextOps.contaminationCheck]]'s
     * decontamination pass lifted to the embedding modality: a corpus
     * vector is contaminated when it sits at cosine ≥ threshold from ANY
