@@ -388,6 +388,10 @@ object Bench {
       "dedup_semantic_keep_best", "dedup_paraphrase_candidates",
       "semantic_contamination", "semantic_contamination_ingest", "text_mixture_export",
       "pipeline_clean_export",
+      "ann_ivf_probe_tuning", "ann_refine_recall", "ann_ivfpq_refined_search",
+      "ann_ivf_compacted_search", "text_chunk_windows", "text_temperature_mixture",
+      "text_span_scrub", "pipeline_ingest_gates", "text_curriculum_export",
+      "text_chunked_export", "semantic_cell_drift",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
       "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
       "store_point_reads_1k_cached", "store_concurrent_10x100_reads",
@@ -416,6 +420,8 @@ object Bench {
     // query dim)
     dim("sem_ingest_corpus_build")(graft.operators.Similarity.semanticIngestRoot(spark, sfDir))
     dim("contam_ingest_corpus_build")(graft.operators.Similarity.contaminationIngestRoot(spark, sfDir))
+    dim("refinery_corpus_build")(graft.operators.Pipeline.refineryRoot(spark, sfDir))
+    dim("ivf_compacted_index_build")(graft.operators.Similarity.compactedIvfRoot(spark, sfDir))
     dim("sec_index_build")(graft.operators.Relational.prebuildCustkeyIndex(spark, sfDir))
     dim("upsert_table_build")(graft.operators.Relational.prebuildUpsertTable(spark, sfDir))
     dim("mv_view_build")(graft.operators.Relational.prebuildPricingSummaryView(spark, sfDir))

@@ -40,7 +40,10 @@ object DumpPlans {
       "ann_ivf_filtered_search", "ann_ivf_filtered_batch_search",
       "dedup_simhash_pairs_wide",
       "dedup_semantic", "dedup_semantic_delta", "text_global_shuffle",
-      "text_shard_balance")
+      "text_shard_balance",
+      "text_chunk_windows", "text_temperature_mixture", "text_span_scrub",
+      "text_curriculum_export", "text_chunked_export", "semantic_cell_drift",
+      "ann_ivf_compacted_search")
     picks.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, d)
       val txt = df.queryExecution.explainString(
