@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.IvfTableIndex
+import org.apache.spark.sql.functions._
+
+/** Adversarial batch shapes through the composed refinery gate
+  * ([[RefineryIngest.appendRefined]]), each directly against crafted
+  * tables rather than the memoized corpus landing:
+  *   - a boilerplate batch (one text × N copies) lands exactly one row;
+  *   - an all-contaminated batch (every vector ≥ threshold from an eval
+  *     vector) lands nothing, with the drop charged to the right stage;
+  *   - an all-low-quality batch lands nothing at the quality stage;
+  *   - a replayed streamBatchId is a complete no-op;
+  *   - cross-batch exact dedup suppresses a later copy of a doc the
+  *     SEMANTIC stage dropped earlier (the hash store records quality
+  *     survivors, not landed rows).
+  */
+@graft.SlowTest
+class RefineryStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  // high-quality text (distinct tokens → ttr 1.0, long tokens) that
+  // clears minQuality = 0.5 comfortably
+  private def goodText(tag: String) =
+    s"alpha$tag bravo$tag charlie$tag delta$tag echo$tag foxtrot$tag"
+  // degenerate text: one repeated stopword → ttr ≈ 0, stop_ratio 1
+  private val badText = "the the the the the the the the"
+
+  private def fused(rows: Seq[(Long, String, Array[Float])]) =
+    rows.toDF("vec_id", "text", "embedding")
+
+  private def freshStores(tag: String) = {
+    val dir = tmpDir(s"refinery-$tag")
+    val docs = graft.core.VectorTable.create(spark, s"$dir/docs")
+    val hashes = graft.core.VectorTable.create(spark, s"$dir/hashes")
+    val emb = graft.core.VectorTable.create(spark, s"$dir/emb")
+    val idx = new java.util.concurrent.atomic.AtomicReference(
+      IvfTableIndex.buildWith(emb, s"$dir/index",
+        Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f))))
+    (docs, hashes, emb, idx)
+  }
+
+  private val evalIds = Array(999L)
+  private val evalVecs = Array(Array(0f, 0f, 1f))
+
+  test("boilerplate batch: N exact copies land exactly one row") {
+    val (docs, hashes, emb, idx) = freshStores("clique")
+    val rows = (0L until 50L).map(i => (i, goodText("x"), Array(1f, 0.1f * (i % 3), 0f)))
+    val c = RefineryIngest.appendRefined(docs, hashes, emb, idx,
+      fused(rows), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
+      0.35, streamBatchId = Some(0L))
+    assert(c.input == 50 && c.qualityDropped == 0)
+    assert(c.exactDropped == 49, s"49 exact copies must drop: $c")
+    assert(c.landed == 1 && docs.length == 1)
+  }
+
+  test("all-contaminated batch lands nothing, charged to the contamination stage") {
+    val (docs, hashes, emb, idx) = freshStores("contam")
+    val rows = (0L until 10L).map(i => (i, goodText(i.toString), Array(0f, 0f, 1f + i * 0.1f)))
+    val c = RefineryIngest.appendRefined(docs, hashes, emb, idx,
+      fused(rows), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
+      0.35, streamBatchId = Some(0L))
+    assert(c.contamDropped == 10 && c.landed == 0, s"$c")
+    assert(docs.length == 0 && emb.length == 0)
+  }
+
+  test("all-low-quality batch lands nothing at the quality stage") {
+    val (docs, hashes, emb, idx) = freshStores("lowq")
+    val rows = (0L until 5L).map(i => (i, badText, Array(1f, 0f, 0f)))
+    val c = RefineryIngest.appendRefined(docs, hashes, emb, idx,
+      fused(rows), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
+      0.35, streamBatchId = Some(0L))
+    assert(c.qualityDropped == 5 && c.landed == 0, s"$c")
+    assert(hashes.length == 0, "no quality survivor, no recorded hash")
+  }
+
+  test("replayed streamBatchId is a complete no-op") {
+    val (docs, hashes, emb, idx) = freshStores("replay")
+    val rows = Seq((0L, goodText("a"), Array(1f, 0f, 0f)),
+      (1L, goodText("b"), Array(0f, 1f, 0f)))
+    val c1 = RefineryIngest.appendRefined(docs, hashes, emb, idx,
+      fused(rows), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
+      0.35, streamBatchId = Some(0L))
+    assert(c1.landed == 2)
+    val c2 = RefineryIngest.appendRefined(docs, hashes, emb, idx,
+      fused(rows), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
+      0.35, streamBatchId = Some(0L))
+    assert(c2 == RefineryIngest.Counts.zero, s"replay must be a no-op: $c2")
+    assert(docs.length == 2 && emb.length == 2 && hashes.length == 2)
+  }
+
+  test("exact dedup suppresses a copy of a doc the semantic stage dropped") {
+    val (docs, hashes, emb, idx) = freshStores("crossbatch")
+    // batch 0: two near-identical vectors with DISTINCT texts — semantic
+    // stage keeps the smaller id, drops vec 1
+    val b0 = Seq((0L, goodText("a"), Array(1f, 0f, 0f)),
+      (1L, goodText("b"), Array(0.999f, 0.001f, 0f)))
+    val c0 = RefineryIngest.appendRefined(docs, hashes, emb, idx,
+      fused(b0), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
+      0.35, streamBatchId = Some(0L))
+    assert(c0.semanticDropped == 1 && c0.landed == 1, s"$c0")
+    // batch 1: an exact TEXT copy of the semantically-dropped doc, with an
+    // orthogonal embedding — must still drop at the EXACT stage (the hash
+    // store saw doc 1 even though it never landed)
+    val b1 = Seq((2L, goodText("b"), Array(0f, 1f, 0f)))
+    val c1 = RefineryIngest.appendRefined(docs, hashes, emb, idx,
+      fused(b1), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
+      0.35, streamBatchId = Some(1L))
+    assert(c1.exactDropped == 1 && c1.landed == 0, s"$c1")
+  }
+}
