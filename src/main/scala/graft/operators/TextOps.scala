@@ -1212,6 +1212,49 @@ object TextOps {
       .withColumn("n_shards", lit(nShards))
   }
 
+  /** The write [[curriculumExportManifest]] plans: one parquet file per
+    * shard, rows in curriculum order (quality bucket asc, shuffled within
+    * buckets), each row carrying its bin id — same writer shape as
+    * [[writePackedShardsOf]] with the curriculum sort key.
+    */
+  def writeCurriculumShards(s: SparkSession, d: String, out: String): Unit = {
+    import s.implicits._
+    val nShards = shardCountFor(s, d)
+    Tables.documents(s, d)
+      .withColumn("toks", tokens("text"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("ttr",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
+      .withColumn("mean_token_len",
+        (col("n_chars").cast("double") - (col("n_tokens").cast("double") - 1.0)) / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio",
+        expr("CAST(size(filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)") / col("n_tokens").cast("double"))
+      .withColumn("ckey",
+        floor((col("ttr") * lit(2.0) + col("mean_token_len") * lit(0.1) - col("stop_ratio")) * lit(1000.0)).cast("long"))
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("ckey"),
+        md5(concat(lit(shuffleSeed + ":"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("shard",
+        pmod(expr("CAST(conv(substr(skey, 1, 8), 16, 10) AS BIGINT)"),
+          lit(nShards.toLong)).cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ckey"), col("skey"), col("doc_id"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"), col("ckey"), col("text"))
+      .as[(Int, Long, Int, Long, String)]
+      .mapPartitions { it =>
+        var shard = Int.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (sh, id, nt, ck, text) =>
+          if (sh != shard) { shard = sh; bin = 0L; fill = nt.toLong }
+          else if (fill + nt > packBudget) { bin += 1; fill = nt.toLong }
+          else fill += nt
+          (sh, bin, id, ck, text)
+        }
+      }
+      .toDF("shard", "bin", "doc_id", "ckey", "text")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+  }
+
   lazy val curriculumExportSql: String =
     s"""WITH RECURSIVE q AS (${qualityScoresSql.replace("\n", "\n  ")}),
        | sc AS ($shardCountSql),

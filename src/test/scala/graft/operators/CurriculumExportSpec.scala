@@ -42,4 +42,39 @@ class CurriculumExportSpec extends SparkSpec {
     assert(m.where(col("bin_tokens") > TextOps.packBudget && col("n_docs") =!= 1)
       .count() == 0)
   }
+
+  test("the written shards read back in curriculum order, matching the manifest") {
+    val out = tmpDir("curriculum-shards")
+    TextOps.writeCurriculumShards(spark, sf(), out)
+    val back = spark.read.parquet(out).cache()
+    // membership: every doc exactly once
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    // one parquet file per shard
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+    try {
+      import scala.jdk.CollectionConverters._
+      val perShard = files.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.getParent.getFileName.toString).toSeq
+        .groupBy(identity).map(_._2.size)
+      assert(perShard.nonEmpty && perShard.forall(_ == 1))
+    } finally files.close()
+    // bin grain matches the manifest's (n_docs, bin_tokens) per (shard, bin)
+    val backBins = back
+      .join(docs, Seq("doc_id"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("b_docs"), sum(col("n_tokens").cast("long")).as("b_tokens"))
+    val mismatch = backBins.join(m, Seq("shard", "bin"))
+      .where(col("b_docs") =!= col("n_docs") || col("b_tokens") =!= col("bin_tokens"))
+    assert(mismatch.count() == 0, "written bins must match the declared manifest")
+    // curriculum order: within a shard, ckey never decreases across bins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("bin")
+    val binned = back.groupBy("shard", "bin")
+      .agg(min("ckey").as("lo"), max("ckey").as("hi"))
+      .withColumn("prev_hi", lag(col("hi"), 1).over(w))
+      .where(col("prev_hi").isNotNull)
+    assert(binned.where(col("lo") < col("prev_hi")).count() == 0)
+  }
 }
