@@ -1168,6 +1168,95 @@ object Dedup {
        |SELECT doc_a, doc_b, hamming FROM p
        |WHERE doc_a > (SELECT c FROM cut) OR doc_b > (SELECT c FROM cut)""".stripMargin
 
+  /** Two-stage [[SpanIndex]] build, memoized like the other delta indexes:
+    * first half builds, second half refreshes (only the appended span is
+    * rolling-hashed).
+    */
+  private val spanIndexRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def spanIndexRoot(s: SparkSession, d: String): String =
+    spanIndexRoots.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d#spans".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"docs-spans-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"docs-spans-$key-${java.util.UUID.randomUUID()}")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val cutoff = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+        val t = graft.core.VectorTable.create(s, s"$dir/table")
+        t.append(docs.where(col("doc_id") <= cutoff))
+        val idx = SpanIndex.build(t, s"$dir/index")
+        t.append(docs.where(col("doc_id") > cutoff))
+        idx.refresh(t)
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          deleteRecursively(dir) } // racer won; adopt theirs, drop our build
+      }
+      Files.readString(pointer)
+    })
+
+  def prebuildSpanIndex(s: SparkSession, d: String): Unit = {
+    spanIndexRoot(s, d); ()
+  }
+
+  /** Declared `dedup_delta_spans`: per corpus drop, the repeated-span scan
+    * scoped to spans TOUCHING THE DELTA, from the persisted [[SpanIndex]] —
+    * the exact-substring modality joining the MinHash / SimHash /
+    * containment / semantic delta family. Delta window hashes semi-join
+    * the stored rows, so only hash groups containing a delta occurrence
+    * are aggregated — work is keyed by the DELTA's hash set, never a full
+    * re-scan of document text (the plan touches only index parquet; the
+    * counts per touched span cover the WHOLE corpus, committed + delta,
+    * which is exactly what a memorization audit of newly-ingested data
+    * needs). Oracle: the full rolling-hash recompute from raw text
+    * filtered to delta-touching spans — a green row proves the
+    * incremental index and the delta join lose nothing vs re-hashing
+    * everything.
+    */
+  def deltaSpanStats(s: SparkSession, d: String): DataFrame = {
+    val root = spanIndexRoot(s, d)
+    val idx = SpanIndex.open(s, s"$root/index").windows
+    val cutoff = deltaCutoff(s, d)
+    val deltaHashes = idx.where(col("doc_id") > cutoff)
+      .select("gram_hash").distinct()
+    idx.join(deltaHashes, Seq("gram_hash"), "left_semi")
+      .groupBy("gram_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= repeatedSpanMinDocs)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram_hash"))
+      .limit(repeatedSpanTopK)
+  }
+
+  lazy val deltaSpanStatsSql: String = {
+    val M = graft.functions.ShingleKernel.RollM
+    val B = graft.functions.ShingleKernel.RollB
+    s"""WITH pos AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(1, len(text) - $repeatedSpanWindow + 2, $repeatedSpanStride)) AS i
+       |  FROM documents WHERE len(text) >= $repeatedSpanWindow),
+       | grams AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(i, i + $repeatedSpanWindow),
+       |                     j -> CAST(ord(text[j]) % 128 AS BIGINT))),
+       |      (acc, c) -> (acc * $B + c) % $M) AS gram_hash
+       |  FROM pos),
+       | cut AS (SELECT MAX(doc_id) // 2 AS c FROM documents),
+       | touched AS (
+       |  SELECT DISTINCT gram_hash FROM grams WHERE doc_id > (SELECT c FROM cut))
+       |SELECT g.gram_hash, COUNT(DISTINCT g.doc_id) AS n_docs,
+       |  COUNT(*) AS n_occurrences, MIN(g.doc_id) AS first_doc
+       |FROM grams g JOIN touched t ON g.gram_hash = t.gram_hash
+       |GROUP BY g.gram_hash HAVING COUNT(DISTINCT g.doc_id) >= $repeatedSpanMinDocs
+       |ORDER BY n_docs DESC, n_occurrences DESC, g.gram_hash
+       |LIMIT $repeatedSpanTopK""".stripMargin
+  }
+
   /** Two-stage [[ContainmentIndex]] build, memoized like the others. The
     * second-half refresh sorts under the FIRST half's frozen frequency
     * order — exactly the drift the lossless-under-any-consistent-order

@@ -179,3 +179,72 @@ object ContainmentIndex {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 }
+
+/** Persisted repeated-SPAN index over a documents [[VectorTable]] with
+  * incremental maintenance — the [[SimHashIndex]] discipline for the
+  * exact-substring modality: every stride-th rolling-hash window is
+  * computed once at ingest and stored as slim (doc_id, gram_hash) rows;
+  * a refresh hashes ONLY the appended rowid span (the indexed prefix is
+  * immutable, O(1)-per-character via the fused
+  * [[graft.functions.ShingleKernel.rollingHashes]] kernel). The per-drop
+  * delta query aggregates stored rows keyed on the delta's hashes,
+  * touching no document text at all.
+  */
+final class SpanIndex private (
+    val spark: SparkSession,
+    val root: String,
+    val builtFromVersion: Long,
+    val indexedLength: Long) {
+
+  /** The stored (doc_id, gram_hash) window rows. */
+  def windows: DataFrame = spark.read.parquet(s"$root/data")
+
+  def isStale(table: VectorTable): Boolean =
+    table.manifest.version > builtFromVersion
+
+  def refresh(table: VectorTable): SpanIndex = {
+    val m = table.manifest
+    if (m.length <= indexedLength) return this
+    SpanIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
+    SpanIndex.writeMeta(root, m.version, m.length)
+    new SpanIndex(spark, root, m.version, m.length)
+  }
+}
+
+object SpanIndex {
+
+  def build(table: VectorTable, root: String): SpanIndex = {
+    val m = table.manifest
+    Files.createDirectories(Paths.get(root))
+    if (m.length > 0) writeSpan(table, 0L, m.length, root)
+    else {
+      // empty index stays readable before the first refresh (round-12
+      // ADVICE contract, same as SimHashIndex.build)
+      import table.spark.implicits._
+      Seq.empty[(Long, Long)].toDF("doc_id", "gram_hash")
+        .write.mode("append").parquet(s"$root/data")
+    }
+    writeMeta(root, m.version, m.length)
+    new SpanIndex(table.spark, root, m.version, m.length)
+  }
+
+  def open(spark: SparkSession, root: String): SpanIndex = {
+    val Array(v, len) = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
+    new SpanIndex(spark, root, v.toLong, len.toLong)
+  }
+
+  private def writeSpan(table: VectorTable, start: Long, count: Long, root: String): Unit =
+    table.range(start, count)
+      .select(col("doc_id"), explode(graft.functions.TextFunctions
+        .rollingHashes(col("text"), Dedup.repeatedSpanWindow, Dedup.repeatedSpanStride))
+        .as("gram_hash"))
+      .write.mode("append").parquet(s"$root/data")
+
+  private def writeMeta(root: String, version: Long, length: Long): Unit = {
+    val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, s"$version,$length".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, Paths.get(root, "meta.txt"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}

@@ -107,4 +107,37 @@ class DeltaIndexSpec extends SparkSpec {
       s"delta simhash collapse diverges: extra=${(adaptive -- flat).take(5)} " +
         s"missing=${(flat -- adaptive).take(5)}")
   }
+
+  test("delta spans ≡ full repeated-span scan restricted to delta-touching hashes") {
+    val d = sf()
+    // full recompute, filtered to hashes with a delta occurrence — the
+    // oracle's statement, replayed here through the Spark kernel
+    val grams = graft.core.Tables.documents(spark, d)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(graft.functions.TextFunctions
+          .rollingHashes(org.apache.spark.sql.functions.col("text"),
+            Dedup.repeatedSpanWindow, Dedup.repeatedSpanStride)).as("gram_hash"))
+    val cutoff = cutoffOf(d)
+    import org.apache.spark.sql.functions._
+    val touched = grams.where(col("doc_id") > cutoff).select("gram_hash").distinct()
+    val want = grams.join(touched, Seq("gram_hash"), "left_semi")
+      .groupBy("gram_hash")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occurrences"),
+        min("doc_id").as("first_doc"))
+      .where(col("n_docs") >= Dedup.repeatedSpanMinDocs)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram_hash"))
+      .limit(Dedup.repeatedSpanTopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = Dedup.deltaSpanStats(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(want.nonEmpty, "expected delta-touching repeated spans at sf0.001")
+    assert(got == want, s"delta spans diverge: got=${got.take(3)} want=${want.take(3)}")
+  }
+
+  test("delta spans plan reads only stored index rows — no documents scan, no text") {
+    val (paths, cols) = scanPaths(Dedup.deltaSpanStats(spark, sf()))
+    assert(paths.forall(_.contains("docs-spans-")),
+      s"delta spans plan scans outside the persisted index: $paths")
+    assert(!cols.contains("text"), s"delta spans plan reads document text: $cols")
+  }
 }
