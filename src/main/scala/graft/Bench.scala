@@ -377,7 +377,7 @@ object Bench {
       "dedup_lsh_candidates_k12", "dedup_lsh_candidates_k64",
       "dedup_cluster_stats_by_source", "dedup_rate_by_source",
       "dedup_lsh_recall", "dedup_delta_candidates_streamed",
-      "dedup_delta_simhash", "dedup_delta_containment", "dedup_delta_spans", "ann_ivf_filtered_search",
+      "dedup_delta_simhash", "dedup_delta_containment", "dedup_delta_spans", "dedup_delta_spans_streamed", "ann_ivf_filtered_search",
       "ann_ivf_filtered_batch_search", "ann_ivfpq_filtered_search",
       "dedup_exact_jaccard_join_collapsed",
       "dedup_semantic", "dedup_semantic_stats", "dedup_semantic_delta",
@@ -413,6 +413,7 @@ object Bench {
     dim("simhash_index_build")(graft.operators.Dedup.prebuildSimhashIndex(spark, sfDir))
     dim("containment_index_build")(graft.operators.Dedup.prebuildContainmentIndex(spark, sfDir))
     dim("span_index_build")(graft.operators.Dedup.prebuildSpanIndex(spark, sfDir))
+    dim("streamed_span_index_build")(graft.operators.Dedup.prebuildStreamedSpanIndex(spark, sfDir))
     dim("ivf_index_build")(graft.operators.Similarity.ivfIndexFor(spark, sfDir))
     dim("ivf_trained_index_build")(graft.operators.Similarity.trainedIvfIndexFor(spark, sfDir))
     // the semantic ingest gate's one-time streamed landing of the corpus,

@@ -1202,6 +1202,74 @@ object Dedup {
     spanIndexRoot(s, d); ()
   }
 
+  /** STREAM-MAINTAINED [[SpanIndex]] (the `dedup_delta_candidates_streamed`
+    * discipline for the span modality): the second half lands through
+    * [[graft.streaming.StreamIngest]] one file per micro-batch, the index
+    * refreshes inside the loop (only each appended span is rolling-hashed),
+    * and the build THROWS unless the streamed index's window rows equal
+    * the batch recompute exactly with ≥2 incremental refreshes observed.
+    */
+  private val streamedSpanRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def streamedSpanIndexRoot(s: SparkSession, d: String): String =
+    streamedSpanRoots.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d#spans-streamed".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"docs-spans-streamed-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"docs-spans-streamed-$key-${java.util.UUID.randomUUID()}")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val cutoff = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+        val t = graft.core.VectorTable.create(s, s"$dir/table")
+        t.append(docs.where(col("doc_id") <= cutoff))
+        val idx = new java.util.concurrent.atomic.AtomicReference(
+          SpanIndex.build(t, s"$dir/index"))
+        val refreshes = new java.util.concurrent.atomic.AtomicInteger(0)
+        docs.where(col("doc_id") > cutoff)
+          .repartition(4).write.parquet(s"$dir/staging")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/staging")
+        val q = graft.streaming.StreamIngest.start(stream, t, s"$dir/ckpt",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          onBatch = (tab, _) => {
+            val cur = idx.get()
+            val next = cur.refresh(tab)
+            if (next ne cur) { idx.set(next); refreshes.incrementAndGet(); () }
+          })
+        q.awaitTermination()
+        val expect = docs.select(col("doc_id"), explode(graft.functions.TextFunctions
+          .rollingHashes(col("text"), repeatedSpanWindow, repeatedSpanStride)).as("gram_hash"))
+        val got = idx.get().windows
+        val missing = expect.exceptAll(got).count()
+        val extra = got.exceptAll(expect).count()
+        if (missing != 0 || extra != 0 || refreshes.get() < 2)
+          throw new IllegalStateException(
+            s"streamed span index diverged: $missing missing / $extra extra window rows, " +
+              s"${refreshes.get()} incremental refreshes")
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          deleteRecursively(dir) } // racer won; adopt theirs, drop our build
+      }
+      Files.readString(pointer)
+    })
+
+  def prebuildStreamedSpanIndex(s: SparkSession, d: String): Unit = {
+    streamedSpanIndexRoot(s, d); ()
+  }
+
+  /** Declared `dedup_delta_spans_streamed`: [[deltaSpanStats]]'s exact
+    * query against the STREAM-maintained index — a green row proves the
+    * micro-batch refresh loop converges to the same stored rows as the
+    * batch build (the build itself throws on divergence).
+    */
+  def deltaSpanStatsStreamed(s: SparkSession, d: String): DataFrame =
+    deltaSpanStatsOver(s,
+      SpanIndex.open(s, s"${streamedSpanIndexRoot(s, d)}/index").windows,
+      deltaCutoff(s, d))
+
   /** Declared `dedup_delta_spans`: per corpus drop, the repeated-span scan
     * scoped to spans TOUCHING THE DELTA, from the persisted [[SpanIndex]] —
     * the exact-substring modality joining the MinHash / SimHash /
@@ -1216,10 +1284,13 @@ object Dedup {
     * incremental index and the delta join lose nothing vs re-hashing
     * everything.
     */
-  def deltaSpanStats(s: SparkSession, d: String): DataFrame = {
-    val root = spanIndexRoot(s, d)
-    val idx = SpanIndex.open(s, s"$root/index").windows
-    val cutoff = deltaCutoff(s, d)
+  def deltaSpanStats(s: SparkSession, d: String): DataFrame =
+    deltaSpanStatsOver(s,
+      SpanIndex.open(s, s"${spanIndexRoot(s, d)}/index").windows,
+      deltaCutoff(s, d))
+
+  private def deltaSpanStatsOver(s: SparkSession, idx: DataFrame,
+                                 cutoff: Long): DataFrame = {
     val deltaHashes = idx.where(col("doc_id") > cutoff)
       .select("gram_hash").distinct()
     idx.join(deltaHashes, Seq("gram_hash"), "left_semi")
