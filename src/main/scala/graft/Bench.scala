@@ -389,7 +389,7 @@ object Bench {
       "semantic_contamination", "semantic_contamination_ingest", "text_mixture_export",
       "pipeline_clean_export",
       "ann_ivf_probe_tuning", "ann_refine_recall", "ann_ivfpq_refined_search",
-      "ann_ivf_compacted_search", "text_chunk_windows", "text_temperature_mixture",
+      "ann_ivf_compacted_search", "text_chunk_windows", "text_chunk_udtf", "text_temperature_mixture",
       "text_span_scrub", "pipeline_ingest_gates", "text_curriculum_export",
       "text_chunked_export", "semantic_cell_drift",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",

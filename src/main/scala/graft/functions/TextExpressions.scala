@@ -294,6 +294,52 @@ case class ShingleGenerator(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** graft_chunks(text, w, s): table-generating form of the token-window
+  * chunker — one (win_id, win_tokens, chunk) row per window of `w`
+  * whitespace tokens at stride `s`, the same window-count contract as
+  * `TextOps.chunkWindows` (1 + ceil(max(0, n−w)/s) windows, the tail
+  * window possibly short, a short doc yielding exactly one window).
+  * `LATERAL VIEW graft_chunks(text, 32, 24)` gives SQL users the
+  * long-document splitter without the DataFrame API.
+  */
+case class ChunkGenerator(child: Expression, w: Int, s: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  require(w >= 1 && s >= 1, s"graft_chunks requires window >= 1 and stride >= 1, got ($w, $s)")
+
+  override def elementSchema: StructType = StructType(
+    StructField("win_id", IntegerType, nullable = false) ::
+    StructField("win_tokens", IntegerType, nullable = false) ::
+    StructField("chunk", StringType, nullable = false) :: Nil)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_chunks requires STRING input, got $other")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Iterator.empty
+    else {
+      val toks = t.asInstanceOf[UTF8String].toString.split(" ", -1)
+      val n = toks.length
+      val nWins = 1 + math.max(0, (n - w + s - 1) / s)
+      (0 until nWins).iterator.map { i =>
+        val from = i * s
+        val until = math.min(n, from + w)
+        org.apache.spark.sql.catalyst.InternalRow(
+          i, until - from,
+          UTF8String.fromString(toks.slice(from, until).mkString(" ")))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 abstract class ShingleExpression extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -430,6 +476,18 @@ object TextFunctions {
     Bridge.registerFunction(spark, "simhash16", args => SimHash16(args.head))
     Bridge.registerFunction(spark, "simhash64", args => SimHash64(args.head))
     Bridge.registerFunction(spark, "graft_shingles", args => ShingleGenerator(args.head))
+    Bridge.registerFunction(spark, "graft_chunks", { args =>
+      def lit(e: Expression, name: String): Int = {
+        require(e.foldable, s"graft_chunks $name must be a literal integer")
+        e.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_chunks $name must be an integer literal, got $other")
+        }
+      }
+      ChunkGenerator(args(0), lit(args(1), "window"), lit(args(2), "stride"))
+    })
     Bridge.registerFunction(spark, "sorted_intersect_count",
       args => SortedIntersectCount(args(0), args(1)))
   }

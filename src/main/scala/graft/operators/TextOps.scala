@@ -840,6 +840,20 @@ object TextOps {
         |GROUP BY shingle ORDER BY n DESC, shingle LIMIT 15""".stripMargin,
       tables = Seq("documents"))
 
+  /** Declared `text_chunk_udtf`: the chunker through the SQL front door —
+    * `LATERAL VIEW graft_chunks(text, w, s)` — sharing
+    * [[chunkWindowsSql]]'s oracle with the DataFrame face, so a green row
+    * for both proves the Generator and the transform/slice projection
+    * compute the identical window set.
+    */
+  def chunkUdtf(s: SparkSession, d: String): DataFrame =
+    graft.GraftCatalog.sql(s, d,
+      s"""SELECT doc_id, win_id, win_tokens, chunk
+         |FROM documents
+         |LATERAL VIEW graft_chunks(text, $chunkWindowTokens, $chunkStrideTokens) t
+         |  AS win_id, win_tokens, chunk""".stripMargin,
+      tables = Seq("documents"))
+
   val shingleUdtfTopKSql: String =
     """SELECT shingle, COUNT(*) AS n FROM (
       | SELECT unnest(CASE WHEN len(toks) >= 3
