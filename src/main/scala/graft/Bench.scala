@@ -390,7 +390,7 @@ object Bench {
       "pipeline_clean_export",
       "ann_ivf_probe_tuning", "ann_refine_recall", "ann_ivfpq_refined_search",
       "ann_ivf_compacted_search", "text_chunk_windows", "text_chunk_udtf", "text_temperature_mixture",
-      "text_span_scrub", "pipeline_ingest_gates", "text_curriculum_export",
+      "text_span_scrub", "dedup_span_ingest", "pipeline_ingest_gates", "text_curriculum_export",
       "text_chunked_export", "semantic_cell_drift",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
       "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
@@ -414,6 +414,7 @@ object Bench {
     dim("containment_index_build")(graft.operators.Dedup.prebuildContainmentIndex(spark, sfDir))
     dim("span_index_build")(graft.operators.Dedup.prebuildSpanIndex(spark, sfDir))
     dim("streamed_span_index_build")(graft.operators.Dedup.prebuildStreamedSpanIndex(spark, sfDir))
+    dim("span_ingest_corpus_build")(graft.operators.Dedup.prebuildSpanIngest(spark, sfDir))
     dim("ivf_index_build")(graft.operators.Similarity.ivfIndexFor(spark, sfDir))
     dim("ivf_trained_index_build")(graft.operators.Similarity.trainedIvfIndexFor(spark, sfDir))
     // the semantic ingest gate's one-time streamed landing of the corpus,

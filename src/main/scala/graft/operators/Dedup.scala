@@ -1270,6 +1270,139 @@ object Dedup {
       SpanIndex.open(s, s"${streamedSpanIndexRoot(s, d)}/index").windows,
       deltaCutoff(s, d))
 
+  /** Stream-landed SPAN-GATED corpus, memoized per (machine, sf dir): the
+    * documents land in four sequential id-range batches through
+    * [[graft.streaming.SpanScrubIngest]] — each batch drops docs whose
+    * windows are ≥ [[spanScrubMaxPermille]]‰ covered by spans of
+    * already-landed docs, survivors land and the [[SpanIndex]] refreshes.
+    */
+  private val spanIngestRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def spanIngestRoot(s: SparkSession, d: String): String =
+    spanIngestRoots.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d#span-ingest".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"docs-span-ingest-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"docs-span-ingest-$key-${java.util.UUID.randomUUID()}")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+        Files.createDirectories(dir.resolve("staging"))
+        (0 until 4).foreach { i =>
+          val lo = (maxId + 1) * i / 4
+          val hi = (maxId + 1) * (i + 1) / 4
+          val stage = dir.resolve(s"stage$i")
+          docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+            .coalesce(1).sortWithinPartitions("doc_id")
+            .write.parquet(stage.toString)
+          val listing = Files.list(stage)
+          var moved = false
+          try listing.iterator().forEachRemaining { p =>
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              Files.move(p, dir.resolve("staging").resolve(f"f$i%02d.parquet"))
+              moved = true
+            }
+          } finally listing.close()
+          require(moved, s"stage $i produced no parquet file")
+        }
+        val t = graft.core.VectorTable.create(s, s"$dir/table")
+        val idx = new java.util.concurrent.atomic.AtomicReference(
+          SpanIndex.build(t, s"$dir/index"))
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/staging")
+        val q = graft.streaming.SpanScrubIngest.start(stream, t, idx,
+          spanScrubMaxPermille, s"$dir/ckpt",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        require(t.length > 0, "span ingest landed nothing")
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          deleteRecursively(dir) } // racer won; adopt theirs, drop our build
+      }
+      Files.readString(pointer)
+    })
+
+  def prebuildSpanIngest(s: SparkSession, d: String): Unit = {
+    spanIngestRoot(s, d); ()
+  }
+
+  /** Declared `dedup_span_ingest`: the landed (doc_id, batch) SET of the
+    * span-coverage gate. Because coverage is measured against LANDED docs
+    * only (never batch-vs-batch) and the batch boundaries are
+    * deterministic id quartiles, the whole four-batch landing is a pure
+    * recurrence the oracle replays stage by stage — landed₀ = batch 0,
+    * landedₖ = batch k docs whose windows are < threshold‰ covered by
+    * spans of ⋃ landed₍₋ₖ₎ — so the gate's exact landed set is
+    * value-verified, the strongest contract in the ingest-gate family.
+    */
+  def spanIngestGate(s: SparkSession, d: String): DataFrame = {
+    val root = spanIngestRoot(s, d)
+    val maxId = Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0)
+    val m = maxId + 1
+    graft.core.VectorTable.open(s, s"$root/table")
+      .scan().select(col("doc_id"))
+      .withColumn("batch",
+        when(col("doc_id") < m * 1 / 4, 0)
+          .when(col("doc_id") < m * 2 / 4, 1)
+          .when(col("doc_id") < m * 3 / 4, 2)
+          .otherwise(3))
+  }
+
+  lazy val spanIngestGateSql: String = {
+    val M = graft.functions.ShingleKernel.RollM
+    val B = graft.functions.ShingleKernel.RollB
+    // landedₖ recurrence unrolled over the four deterministic id-quartile
+    // batches; coverage counts window OCCURRENCES whose hash is a span of
+    // any already-landed doc (the Spark gate's exact arithmetic)
+    def cov(k: Int, prevSpans: String): String =
+      s"""c$k AS (
+         |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+         |  FROM grams g JOIN nw ON g.doc_id = nw.doc_id AND nw.batch = $k
+         |  WHERE g.gram_hash IN (SELECT gram_hash FROM $prevSpans)
+         |  GROUP BY g.doc_id),
+         | l$k AS (
+         |  SELECT nw.doc_id FROM nw LEFT JOIN c$k ON nw.doc_id = c$k.doc_id
+         |  WHERE nw.batch = $k AND (nw.n_windows = 0
+         |    OR 1000 * COALESCE(c$k.n_dup, 0) // nw.n_windows < $spanScrubMaxPermille)),
+         | s$k AS (
+         |  SELECT gram_hash FROM $prevSpans
+         |  UNION SELECT DISTINCT g.gram_hash FROM grams g JOIN l$k ON g.doc_id = l$k.doc_id)""".stripMargin
+    s"""WITH pos AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(1, len(text) - $repeatedSpanWindow + 2, $repeatedSpanStride)) AS i
+       |  FROM documents WHERE len(text) >= $repeatedSpanWindow),
+       | grams AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(i, i + $repeatedSpanWindow),
+       |                     j -> CAST(ord(text[j]) % 128 AS BIGINT))),
+       |      (acc, c) -> (acc * $B + c) % $M) AS gram_hash
+       |  FROM pos),
+       | b AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+       | nw AS (
+       |  SELECT d.doc_id,
+       |    CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_windows,
+       |    CASE WHEN d.doc_id < (SELECT m * 1 // 4 FROM b) THEN 0
+       |         WHEN d.doc_id < (SELECT m * 2 // 4 FROM b) THEN 1
+       |         WHEN d.doc_id < (SELECT m * 3 // 4 FROM b) THEN 2
+       |         ELSE 3 END AS batch
+       |  FROM documents d LEFT JOIN
+       |    (SELECT doc_id, COUNT(*) AS cnt FROM grams GROUP BY doc_id) g
+       |    ON d.doc_id = g.doc_id),
+       | l0 AS (SELECT doc_id FROM nw WHERE batch = 0),
+       | s0 AS (SELECT DISTINCT g.gram_hash FROM grams g JOIN l0 ON g.doc_id = l0.doc_id),
+       | ${cov(1, "s0")},
+       | ${cov(2, "s1")},
+       | ${cov(3, "s2")}
+       |SELECT doc_id, 0 AS batch FROM l0
+       |UNION ALL SELECT doc_id, 1 FROM l1
+       |UNION ALL SELECT doc_id, 2 FROM l2
+       |UNION ALL SELECT doc_id, 3 FROM l3""".stripMargin
+  }
+
   /** Declared `dedup_delta_spans`: per corpus drop, the repeated-span scan
     * scoped to spans TOUCHING THE DELTA, from the persisted [[SpanIndex]] —
     * the exact-substring modality joining the MinHash / SimHash /
