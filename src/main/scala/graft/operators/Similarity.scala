@@ -1767,6 +1767,62 @@ object Similarity {
        |FROM mx m""".stripMargin
   }
 
+  /** Per-SOURCE contamination rollup — the triage view a corpus owner
+    * reads after the contamination scan: which ingestion source is
+    * leaking eval content, at what rate. One join from the contaminated
+    * ids to the doc→source map (doc_id = vec_id fusion key), one grouped
+    * count; integer-permille rate. At 100 TB the contaminated side is
+    * tiny (it is the leak, not the corpus), so the join broadcasts.
+    */
+  def contaminationBySource(s: SparkSession, d: String): DataFrame = {
+    val contaminated = semanticContamination(s, d).select(col("vec_id"))
+    Tables.documents(s, d)
+      .where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("vec_id"), col("source"))
+      .join(contaminated.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contam_permille", expr("1000 * n_contaminated DIV n_docs"))
+  }
+
+  lazy val contaminationBySourceSql: String =
+    s"""WITH c AS (${semanticContaminationSql.replace("\n", "\n  ")})
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  CAST(1000 * SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS contam_permille
+       |FROM documents d LEFT JOIN c ON d.doc_id = c.vec_id
+       |WHERE d.doc_id % 50 <> 0
+       |GROUP BY d.source""".stripMargin
+
+  /** Embedding-corpus HEALTH monitor — the pre-flight check every
+    * embedding-dependent stage assumes: uniform dimension, zero-norm
+    * count (vectors the NaN discipline will exclude from every cosine),
+    * and the norm² envelope. Min/max only — no float SUM crosses the
+    * engine boundary (addend order is unpinned), and norm² itself is the
+    * same fixed-order left fold as every kernel here. Map-only + one agg.
+    */
+  def embeddingStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), size(col("embedding")).as("edim"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("norm2"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("norm2") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        min(col("edim")).as("dim_min"), max(col("edim")).as("dim_max"),
+        min(col("norm2")).as("norm2_min"), max(col("norm2")).as("norm2_max"))
+
+  lazy val embeddingStatsSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(CASE WHEN norm2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       |  MIN(edim) AS dim_min, MAX(edim) AS dim_max,
+       |  MIN(norm2) AS norm2_min, MAX(norm2) AS norm2_max
+       |FROM (
+       |  SELECT CAST(len(embedding) AS INTEGER) AS edim,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+       |      (acc, p) -> acc + p) AS norm2
+       |  FROM embeddings)""".stripMargin
+
   /** Stream-landed DECONTAMINATED corpus, memoized per (machine, sf dir):
     * the non-eval vectors staged as four sequentially-written files and
     * landed through [[graft.streaming.ContaminationIngest]] one file per
