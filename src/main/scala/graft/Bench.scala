@@ -391,7 +391,7 @@ object Bench {
       "ann_ivf_probe_tuning", "ann_refine_recall", "ann_ivfpq_refined_search",
       "ann_ivf_compacted_search", "text_chunk_windows", "text_chunk_udtf", "text_temperature_mixture",
       "text_span_scrub", "dedup_span_ingest", "pipeline_ingest_gates", "text_curriculum_export",
-      "text_chunked_export", "semantic_cell_drift", "semantic_contamination_by_source", "embedding_stats",
+      "text_chunked_export", "semantic_cell_drift", "semantic_contamination_by_source", "embedding_stats", "text_temperature_export",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
       "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
       "store_point_reads_1k_cached", "store_concurrent_10x100_reads",

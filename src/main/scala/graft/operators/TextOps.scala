@@ -1301,6 +1301,65 @@ object TextOps {
        |  CAST((SELECT n FROM sc) AS INTEGER) AS n_shards
        |FROM pack GROUP BY shard, bin""".stripMargin
 
+  /** TEMPERATURE-WEIGHTED packed export — [[temperatureMixture]]'s α = 1/2
+    * flattening driving the actual export: the epoch token budget is 3/10
+    * of corpus mass (relative, so the face scales), each source's
+    * allocation is budget · w/Σw with w = floor(1000·sqrt(mass)), the
+    * sampling rate is the exact integer permille min(1000, 1000·alloc //
+    * mass) — scarce sources sample at or near 1000‰ (the flattening), and
+    * crawl bulk is cut — and the sampled docs run the standard shuffle/
+    * shard/pack chain with the shard count derived from the SAMPLED mass.
+    * Same one-broadcast + one-exchange + O(1)-fold plan as the
+    * char-budget mixture export; only the rate formula differs.
+    */
+  def temperatureExportManifest(s: SparkSession, d: String): DataFrame = {
+    val sampled = temperatureSampledDocs(s, d)
+      .localCheckpoint() // sampled twice below (shard count + fold)
+    val t = sampled
+      .agg(coalesce(sum(size(tokens("text")).cast("long")), lit(0L))).head().getLong(0)
+    val nShards = math.max(1L, (t + shardTokenBudget - 1) / shardTokenBudget).toInt
+    packedFoldOf(s, sampled, nShards)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("bin_tokens"),
+        min("pos").as("first_pos"), max("pos").as("last_pos"))
+      .withColumn("n_shards", lit(nShards))
+  }
+
+  private[operators] def temperatureSampledDocs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val everything = Window.partitionBy()
+    val rates = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(tokens("text")).cast("long")).as("mass"))
+      .withColumn("w", floor(lit(1000.0) * sqrt(col("mass").cast("double"))).cast("long"))
+      .withColumn("tm", sum(col("mass")).over(everything))
+      .withColumn("tw", sum(col("w")).over(everything))
+      .withColumn("rate_permille",
+        least(lit(1000L), expr("1000 * ((tm * 3 DIV 10) * w DIV tw) DIV mass")))
+      .select("source", "rate_permille")
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("source"))
+      .where(expr("pmod(CAST(conv(substr(md5(text), 1, 13), 16, 10) AS BIGINT), 1000)")
+        < col("rate_permille"))
+      .select(col("doc_id"), col("text"))
+  }
+
+  lazy val temperatureExportSql: String = packedManifestSqlOver(
+    s"""SELECT d.doc_id, d.text
+       |FROM documents d JOIN (
+       |  SELECT source,
+       |    LEAST(1000, 1000 * ((tm * 3 // 10) * w // tw) // mass) AS rate_permille
+       |  FROM (SELECT source, mass, w,
+       |          CAST(SUM(mass) OVER () AS BIGINT) AS tm,
+       |          CAST(SUM(w) OVER () AS BIGINT) AS tw
+       |        FROM (SELECT source,
+       |                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS mass,
+       |                CAST(FLOOR(1000.0 * sqrt(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE))) AS BIGINT) AS w
+       |              FROM documents GROUP BY source))) mix
+       |  ON d.source = mix.source
+       |WHERE (('0x' || substr(md5(d.text), 1, 13))::BIGINT) % 1000 < mix.rate_permille""".stripMargin)
+
   /** Overlapping token-window CHUNKING — the long-document splitter every
     * context-bounded training pipeline runs before packing: each doc's
     * whitespace tokens become windows of [[chunkWindowTokens]] tokens at
