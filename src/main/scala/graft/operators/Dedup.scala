@@ -1152,8 +1152,16 @@ object Dedup {
     // no checkpoint: the stored slim rows ARE the materialization — every
     // consumer re-reads the index parquet, and the plan pin (DeltaIndexSpec)
     // relies on those scans being visible relations
-    val sig = SimHashIndex.open(s, s"$root/index").signatures
-    val cands = deltaSimhashCandidates(sig, deltaCutoff(s, d))
+    deltaSimhashPairsFrom(
+      SimHashIndex.open(s, s"$root/index").signatures, deltaCutoff(s, d))
+  }
+
+  /** The candidates + hamming verification over any stored signature frame
+    * — shared by the plain face above and its compacted twin, which differ
+    * only in the index's file layout.
+    */
+  private def deltaSimhashPairsFrom(sig: DataFrame, cutoff: Long): DataFrame = {
+    val cands = deltaSimhashCandidates(sig, cutoff)
     cands
       .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
       .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), Seq("doc_b"))
@@ -1513,8 +1521,15 @@ object Dedup {
     val root = containmentIndexRoot(s, d)
     // no checkpoint: stored rows are the materialization (see
     // deltaSimhashPairs) and the plan pin needs visible parquet scans
-    val entries = ContainmentIndex.open(s, s"$root/index").entries
-    val cutoff = deltaCutoff(s, d)
+    deltaContainmentPairsFrom(
+      ContainmentIndex.open(s, s"$root/index").entries, deltaCutoff(s, d))
+  }
+
+  /** Both blocked bipartite arms + merge-count verification over any
+    * stored entries frame — shared by the plain face above and its
+    * compacted twin.
+    */
+  private def deltaContainmentPairsFrom(entries: DataFrame, cutoff: Long): DataFrame = {
     val sorted = entries.select("doc_id", "sg", "n")
     val cands = containmentCandidatesBetween(sorted.where(col("doc_id") > cutoff), sorted)
       .unionAll(containmentCandidatesBetween(
@@ -1535,6 +1550,98 @@ object Dedup {
        | cut AS (SELECT MAX(doc_id) // 2 AS c FROM documents)
        |SELECT doc_a, doc_b, inter, n_min, containment FROM p
        |WHERE doc_a > (SELECT c FROM cut) OR doc_b > (SELECT c FROM cut)""".stripMargin
+
+  // ----- round-15: post-compaction identity faces -----------------------
+  // Every delta face re-run against a COMPACTED twin of its persisted
+  // index, with the SAME full-recompute oracle — a green row per modality
+  // is the proof that [[IndexCompaction]] (which collapses the
+  // refresh-fragmented live dir to the byte-sized file target behind an
+  // atomic pointer flip) changes the file layout and NOTHING else. The
+  // twin is its own memoized two-stage build (build on the first doc_id
+  // half, refresh with the second — the exact maintenance history of the
+  // plain index — then compact, with the fragmentation REQUIRED before
+  // and the collapse REQUIRED after, the same contract as
+  // [[Similarity.compactedIvfRoot]]). Compacting the SHARED index in the
+  // face itself would race the plain face reading it on Verify's query
+  // thread pool — the old dir is deleted after the pointer flip.
+
+  private val compactedDeltaRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def compactedDeltaIndexRoot[I](
+      s: SparkSession, d: String, tag: String,
+      build: (graft.core.VectorTable, String) => I,
+      refresh: (I, graft.core.VectorTable) => I,
+      compactIt: I => Unit): String =
+    compactedDeltaRoots.computeIfAbsent(s"$d#$tag", _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d#delta-compacted#$tag".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"docs-compacted-$tag-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"docs-compacted-$tag-$key-${java.util.UUID.randomUUID()}")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val cutoff = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+        val t = graft.core.VectorTable.create(s, s"$dir/table")
+        t.append(docs.where(col("doc_id") <= cutoff))
+        var idx = build(t, s"$dir/index")
+        t.append(docs.where(col("doc_id") > cutoff))
+        idx = refresh(idx, t)
+        val pre = IndexCompaction.liveFileCount(s"$dir/index")
+        require(pre > 1,
+          s"$tag: the two-stage build must fragment the layout before " +
+            "compaction prices anything")
+        compactIt(idx)
+        val post = IndexCompaction.liveFileCount(s"$dir/index")
+        require(post < pre,
+          s"$tag: compaction must shrink the file count ($pre -> $post)")
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          deleteRecursively(dir) } // racer won; adopt theirs, drop our build
+      }
+      Files.readString(pointer)
+    })
+
+  /** Declared `dedup_delta_candidates_compacted`. */
+  def deltaCandidatePairsCompacted(s: SparkSession, d: String): DataFrame = {
+    val root = compactedDeltaIndexRoot[LshIndex](s, d, "lsh",
+      (t, r) => LshIndex.build(t, r), (i, t) => i.refresh(t), i => { i.compact(); () })
+    deltaCandidatesFromBands(
+      LshIndex.open(s, s"$root/index").bands, deltaCutoff(s, d))
+  }
+
+  lazy val deltaCandidatePairsCompactedSql: String = deltaCandidatePairsSql
+
+  /** Declared `dedup_delta_simhash_compacted`. */
+  def deltaSimhashPairsCompacted(s: SparkSession, d: String): DataFrame = {
+    val root = compactedDeltaIndexRoot[SimHashIndex](s, d, "simhash",
+      (t, r) => SimHashIndex.build(t, r), (i, t) => i.refresh(t), i => { i.compact(); () })
+    deltaSimhashPairsFrom(
+      SimHashIndex.open(s, s"$root/index").signatures, deltaCutoff(s, d))
+  }
+
+  lazy val deltaSimhashPairsCompactedSql: String = deltaSimhashPairsSql
+
+  /** Declared `dedup_delta_containment_compacted`. */
+  def deltaContainmentPairsCompacted(s: SparkSession, d: String): DataFrame = {
+    val root = compactedDeltaIndexRoot[ContainmentIndex](s, d, "containment",
+      (t, r) => ContainmentIndex.build(t, r), (i, t) => i.refresh(t), i => { i.compact(); () })
+    deltaContainmentPairsFrom(
+      ContainmentIndex.open(s, s"$root/index").entries, deltaCutoff(s, d))
+  }
+
+  lazy val deltaContainmentPairsCompactedSql: String = deltaContainmentPairsSql
+
+  /** Declared `dedup_delta_spans_compacted`. */
+  def deltaSpanStatsCompacted(s: SparkSession, d: String): DataFrame = {
+    val root = compactedDeltaIndexRoot[SpanIndex](s, d, "span",
+      (t, r) => SpanIndex.build(t, r), (i, t) => i.refresh(t), i => { i.compact(); () })
+    deltaSpanStatsOver(s,
+      SpanIndex.open(s, s"$root/index").windows, deltaCutoff(s, d))
+  }
+
+  lazy val deltaSpanStatsCompactedSql: String = deltaSpanStatsSql
 
   val lshCandidatePairsSql: String = {
     val bandRows = (0 until numHashes / 2)

@@ -27,7 +27,8 @@ final class SimHashIndex private (
     val indexedLength: Long) {
 
   /** The stored (doc_id, simhash) signature rows. */
-  def signatures: DataFrame = spark.read.parquet(s"$root/data")
+  def signatures: DataFrame =
+    spark.read.parquet(IndexCompaction.dataDir(root).toString)
 
   def isStale(table: VectorTable): Boolean =
     table.manifest.version > builtFromVersion
@@ -38,6 +39,14 @@ final class SimHashIndex private (
     SimHashIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
     SimHashIndex.writeMeta(root, m.version, m.length)
     new SimHashIndex(spark, root, m.version, m.length)
+  }
+
+  /** In-place [[IndexCompaction]] over the accumulated refresh files —
+    * rows, meta and every delta-face result identical by construction.
+    */
+  def compact(): SimHashIndex = {
+    IndexCompaction.compact(spark, root, sortWithin = Seq("simhash"))
+    this
   }
 }
 
@@ -54,7 +63,7 @@ object SimHashIndex {
       // ContainmentIndex.build, whose freq/entry frames always exist
       import table.spark.implicits._
       Seq.empty[(Long, Long)].toDF("doc_id", "simhash")
-        .write.mode("append").parquet(s"$root/data")
+        .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
     }
     writeMeta(root, m.version, m.length)
     new SimHashIndex(table.spark, root, m.version, m.length)
@@ -69,7 +78,7 @@ object SimHashIndex {
     table.range(start, count)
       .select(col("doc_id"),
         graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
-      .write.mode("append").parquet(s"$root/data")
+      .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
 
   private def writeMeta(root: String, version: Long, length: Long): Unit = {
     val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")
@@ -106,7 +115,8 @@ final class ContainmentIndex private (
     val indexedLength: Long) {
 
   /** Stored (doc_id, sg frozen-rarity-order, sh ASC, n) rows. */
-  def entries: DataFrame = spark.read.parquet(s"$root/data")
+  def entries: DataFrame =
+    spark.read.parquet(IndexCompaction.dataDir(root).toString)
 
   /** The frozen build-time (g, cnt) frequency table. */
   def freq: DataFrame = spark.read.parquet(s"$root/freq")
@@ -121,6 +131,15 @@ final class ContainmentIndex private (
     ContainmentIndex.writeMeta(root, m.version, m.length)
     new ContainmentIndex(spark, root, m.version, m.length)
   }
+
+  /** In-place [[IndexCompaction]] over the accumulated refresh files —
+    * rows, meta, the frozen freq table and every delta-face result
+    * identical by construction.
+    */
+  def compact(): ContainmentIndex = {
+    IndexCompaction.compact(spark, root, sortWithin = Seq("doc_id"))
+    this
+  }
 }
 
 object ContainmentIndex {
@@ -128,12 +147,24 @@ object ContainmentIndex {
   def build(table: VectorTable, root: String): ContainmentIndex = {
     val m = table.manifest
     Files.createDirectories(Paths.get(root))
-    val sh = shOf(table, 0L, m.length)
-    val freq = sh.select(explode(col("sh")).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("cnt"))
-    freq.write.mode("overwrite").parquet(s"$root/freq")
-    val frozen = table.spark.read.parquet(s"$root/freq")
-    writeEntries(sh, frozen, root)
+    if (m.length == 0) {
+      // empty index stays readable before the first refresh (round-12
+      // ADVICE contract, same as SimHashIndex.build); the frozen freq
+      // table is empty, so a later refresh orders every element by
+      // (0, g) — rarest-first, deterministic, still a valid total order
+      import table.spark.implicits._
+      Seq.empty[(Long, Long)].toDF("g", "cnt")
+        .write.mode("overwrite").parquet(s"$root/freq")
+      Seq.empty[(Long, Seq[Long], Seq[Long], Int)].toDF("doc_id", "sg", "sh", "n")
+        .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
+    } else {
+      val sh = shOf(table, 0L, m.length)
+      val freq = sh.select(explode(col("sh")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+      freq.write.mode("overwrite").parquet(s"$root/freq")
+      val frozen = table.spark.read.parquet(s"$root/freq")
+      writeEntries(sh, frozen, root)
+    }
     writeMeta(root, m.version, m.length)
     new ContainmentIndex(table.spark, root, m.version, m.length)
   }
@@ -168,7 +199,7 @@ object ContainmentIndex {
     sg.join(sh, Seq("doc_id"))
       .withColumn("n", size(col("sg")))
       .select("doc_id", "sg", "sh", "n")
-      .write.mode("append").parquet(s"$root/data")
+      .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
   }
 
   private def writeMeta(root: String, version: Long, length: Long): Unit = {
@@ -197,7 +228,8 @@ final class SpanIndex private (
     val indexedLength: Long) {
 
   /** The stored (doc_id, gram_hash) window rows. */
-  def windows: DataFrame = spark.read.parquet(s"$root/data")
+  def windows: DataFrame =
+    spark.read.parquet(IndexCompaction.dataDir(root).toString)
 
   def isStale(table: VectorTable): Boolean =
     table.manifest.version > builtFromVersion
@@ -208,6 +240,14 @@ final class SpanIndex private (
     SpanIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
     SpanIndex.writeMeta(root, m.version, m.length)
     new SpanIndex(spark, root, m.version, m.length)
+  }
+
+  /** In-place [[IndexCompaction]] over the accumulated refresh files —
+    * rows, meta and every delta-face result identical by construction.
+    */
+  def compact(): SpanIndex = {
+    IndexCompaction.compact(spark, root, sortWithin = Seq("gram_hash"))
+    this
   }
 }
 
@@ -222,7 +262,7 @@ object SpanIndex {
       // ADVICE contract, same as SimHashIndex.build)
       import table.spark.implicits._
       Seq.empty[(Long, Long)].toDF("doc_id", "gram_hash")
-        .write.mode("append").parquet(s"$root/data")
+        .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
     }
     writeMeta(root, m.version, m.length)
     new SpanIndex(table.spark, root, m.version, m.length)
@@ -238,7 +278,7 @@ object SpanIndex {
       .select(col("doc_id"), explode(graft.functions.TextFunctions
         .rollingHashes(col("text"), Dedup.repeatedSpanWindow, Dedup.repeatedSpanStride))
         .as("gram_hash"))
-      .write.mode("append").parquet(s"$root/data")
+      .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
 
   private def writeMeta(root: String, version: Long, length: Long): Unit = {
     val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")

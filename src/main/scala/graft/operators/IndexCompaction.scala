@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
+/** Shared IN-PLACE compaction over the persisted-index layout every
+  * incremental index in the repo uses (`root/<live-dir>` of parquet files,
+  * `root/meta.txt` of (version, length)) — the round-15 generalization of
+  * [[IvfTableIndex.compact]] to the whole delta-index family
+  * ([[LshIndex]], [[SimHashIndex]], [[ContainmentIndex]], [[SpanIndex]]).
+  *
+  * Why it exists: every `refresh` appends one parquet file (or one per
+  * touched partition) per span, so a continuously-fed index accumulates
+  * N-span small files and EVERY query pays N file opens forever —
+  * ProfileCompaction measured ~20% probe tax at just 8 files/cell on the
+  * IVF layout. Compaction rewrites the live rows into a file-count sized
+  * by bytes (128 MiB target per file — 1 file at test scale, proportional
+  * at 100 TB), touching no source table and re-deriving nothing: rows,
+  * (version, length) meta, and therefore every query result are identical
+  * by construction; only the file layout changes.
+  *
+  * CRASH SAFETY (round-15 ADVICE: the original IVF compact's two
+  * `Files.move` swap could strand an index with NO live dir): the live
+  * directory is named by a pointer file `root/current.txt` (absent =
+  * legacy `data`, so pre-existing indexes read unchanged). Compaction
+  * writes the compacted layout into a fresh `data-<uuid>` dir, then flips
+  * the pointer with the repo's atomic publish pattern (tmp file +
+  * ATOMIC_MOVE), then deletes the old dir. A crash before the flip leaves
+  * the old layout live and an orphan dir (swept by the next compact); a
+  * crash after the flip leaves the new layout live — there is no window
+  * with no live data.
+  *
+  * Single-writer discipline (the same assumption every `refresh` already
+  * makes): one maintenance process compacts at a time; readers opened
+  * BEFORE a flip keep reading the old dir until it is deleted, which is
+  * the usual lakehouse small-window caveat and why production runs
+  * compaction in the ingest maintenance slot, not concurrently with it.
+  */
+object IndexCompaction {
+
+  /** Bytes per compacted output file — the usual cluster parquet target. */
+  val targetBytesPerFile: Long = 128L * 1024 * 1024
+
+  private def pointer(root: String): Path = Paths.get(root, "current.txt")
+
+  /** Resolve the LIVE data directory under `root`: the pointer names it;
+    * an absent pointer means the legacy fixed name `data`.
+    */
+  def dataDir(root: String): Path = {
+    val p = pointer(root)
+    val name = if (Files.exists(p)) Files.readString(p).trim else "data"
+    Paths.get(root, name)
+  }
+
+  /** True iff `dir` exists and holds at least one parquet file. */
+  def hasParquet(dir: Path): Boolean =
+    Files.isDirectory(dir) && {
+      val walk = Files.walk(dir)
+      try walk.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+
+  /** Parquet files currently in the live dir (compaction's fragmentation
+    * measure; specs pin it to the post-compaction target).
+    */
+  def liveFileCount(root: String): Long = {
+    val d = dataDir(root)
+    if (!Files.isDirectory(d)) return 0L
+    val walk = Files.walk(d)
+    try walk.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+    finally walk.close()
+  }
+
+  private def liveBytes(root: String): Long = {
+    val d = dataDir(root)
+    if (!Files.isDirectory(d)) return 0L
+    val walk = Files.walk(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+    } finally walk.close()
+  }
+
+  /** Rewrite the live rows of the index at `root` into a byte-sized file
+    * count and publish atomically. `partitionCols` non-empty keeps the
+    * hive partitioning (one file per partition value — the IVF cell
+    * layout); otherwise the frame coalesces to
+    * ceil(bytes / targetBytesPerFile) files, each sorted within by
+    * `sortWithin` so file-level column stats stay tight for the keyed
+    * scans the delta faces run. No-op (returns false) when the live dir
+    * already holds at most the target file count and no orphans need
+    * sweeping.
+    */
+  def compact(spark: SparkSession, root: String,
+              partitionCols: Seq[String] = Nil,
+              sortWithin: Seq[String] = Nil): Boolean = {
+    sweepOrphans(root)
+    val live = dataDir(root)
+    if (!hasParquet(live)) return false
+    val targetFiles =
+      math.max(1L, (liveBytes(root) + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+    if (partitionCols.isEmpty && liveFileCount(root) <= targetFiles) return false
+    val df = spark.read.parquet(live.toString)
+    val fresh = Paths.get(root, s"data-${java.util.UUID.randomUUID()}")
+    val sortCols: Seq[Column] = sortWithin.map(org.apache.spark.sql.functions.col)
+    if (partitionCols.nonEmpty) {
+      val parts = partitionCols.map(org.apache.spark.sql.functions.col)
+      df.repartition(parts: _*)
+        .sortWithinPartitions((parts ++ sortCols): _*)
+        .write.partitionBy(partitionCols: _*).parquet(fresh.toString)
+    } else {
+      val c = df.coalesce(targetFiles)
+      (if (sortCols.nonEmpty) c.sortWithinPartitions(sortCols: _*) else c)
+        .write.parquet(fresh.toString)
+    }
+    publish(root, fresh.getFileName.toString)
+    if (live != fresh) Dedup.deleteRecursively(live)
+    true
+  }
+
+  /** Atomically flip the pointer to `dirName` (tmp + ATOMIC_MOVE — the
+    * same publish pattern as every index's writeMeta).
+    */
+  private def publish(root: String, dirName: String): Unit = {
+    val tmp = Paths.get(root, s".current-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, dirName.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, pointer(root),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Delete `data-*` dirs a crashed compaction left behind (anything
+    * matching the compaction naming scheme that the pointer does not
+    * reference). Safe under the single-writer discipline.
+    */
+  private def sweepOrphans(root: String): Unit = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) return
+    val live = dataDir(root).getFileName.toString
+    val listing = Files.list(r)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .filter(p => Files.isDirectory(p))
+        .filter(_.getFileName.toString.startsWith("data-"))
+        .filter(_.getFileName.toString != live)
+        .toList
+        .foreach(Dedup.deleteRecursively)
+    } finally listing.close()
+  }
+}

@@ -34,16 +34,18 @@ final class IvfTableIndex private (
     * exist), so this returns the typed empty frame instead of a
     * path/schema error: the empty index is readable before its first
     * refresh, the same contract the round-12 ADVICE fixed for
-    * [[SimHashIndex]].
+    * [[SimHashIndex]]. The empty fallback is gated on `indexedLength`
+    * (round-15 ADVICE): an index whose meta records rows but whose live
+    * dir holds no files has LOST data (e.g. someone deleted it out from
+    * under the pointer) and must fail loudly, not serve empty searches.
     */
   def data: DataFrame = {
-    val d = java.nio.file.Paths.get(root, "data")
-    val hasFiles = java.nio.file.Files.isDirectory(d) && {
-      val walk = java.nio.file.Files.walk(d)
-      try walk.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-      finally walk.close()
-    }
-    if (hasFiles) spark.read.parquet(s"$root/data")
+    val d = IndexCompaction.dataDir(root)
+    if (IndexCompaction.hasParquet(d)) spark.read.parquet(d.toString)
+    else if (indexedLength > 0L)
+      throw new IllegalStateException(
+        s"IVF index at $root records $indexedLength indexed rows but its " +
+          s"live data dir $d holds no parquet files — index data lost")
     else {
       import spark.implicits._
       Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "cell")
@@ -70,20 +72,15 @@ final class IvfTableIndex private (
     * Compacting rewrites the EXISTING index rows into one file per cell —
     * no table scan and no re-assignment (a rebuild re-pays the centroid
     * kernel over the whole corpus; compaction is pure I/O over index
-    * rows) — and swaps the directory in, leaving (version, length) and
-    * every row untouched: search results are bit-identical by
-    * construction, only the file layout changes.
+    * rows) — and publishes via [[IndexCompaction]]'s atomic pointer flip
+    * (round-15 ADVICE: the earlier two-`Files.move` swap had a crash
+    * window with NO live dir), leaving (version, length) and every row
+    * untouched: search results are bit-identical by construction, only
+    * the file layout changes.
     */
   def compact(): IvfTableIndex = {
-    val d = Paths.get(root, "data")
-    if (!Files.isDirectory(d)) return this
-    val tmp = Paths.get(root, s"data-compact-${java.util.UUID.randomUUID()}")
-    data.repartition(col("cell"))
-      .write.partitionBy("cell").parquet(tmp.toString)
-    val trash = Paths.get(root, s".data-old-${java.util.UUID.randomUUID()}")
-    Files.move(d, trash)
-    Files.move(tmp, d)
-    Dedup.deleteRecursively(trash)
+    IndexCompaction.compact(spark, root, partitionCols = Seq("cell"),
+      sortWithin = Seq("vec_id"))
     this
   }
 
@@ -92,7 +89,7 @@ final class IvfTableIndex private (
     * layout gate.
     */
   def filesPerCell(): Map[Int, Long] = {
-    val d = Paths.get(root, "data")
+    val d = IndexCompaction.dataDir(root)
     if (!Files.isDirectory(d)) return Map.empty
     val walk = Files.walk(d)
     try {
@@ -214,7 +211,8 @@ object IvfTableIndex {
       // append-only maintenance; the compaction face is a [[buildWith]]
       // rebuild against the same centroids.
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$root/data")
+      .write.mode("append").partitionBy("cell")
+      .parquet(IndexCompaction.dataDir(root).toString)
   }
 
   private def writeMeta(root: String, version: Long, length: Long): Unit = {

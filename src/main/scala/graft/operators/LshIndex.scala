@@ -31,7 +31,8 @@ final class LshIndex private (
     val indexedLength: Long) {
 
   /** The stored band rows (doc_id, band, h1, h2). */
-  def bands: DataFrame = spark.read.parquet(s"$root/data")
+  def bands: DataFrame =
+    spark.read.parquet(IndexCompaction.dataDir(root).toString)
 
   /** Candidate pairs from the INDEX — one aggregation on the bucket key,
     * no signature recomputation (see [[Dedup.pairsFromBands]]).
@@ -51,6 +52,15 @@ final class LshIndex private (
     LshIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
     LshIndex.writeMeta(root, m.version, m.length)
     new LshIndex(spark, root, m.version, m.length)
+  }
+
+  /** In-place [[IndexCompaction]] over the accumulated refresh files,
+    * keeping the sorted bucket-key layout — rows, meta and candidate
+    * pairs identical by construction.
+    */
+  def compact(): LshIndex = {
+    IndexCompaction.compact(spark, root, sortWithin = Seq("band", "h1", "h2"))
+    this
   }
 }
 
@@ -78,7 +88,7 @@ object LshIndex {
       // scans; at cluster scale this directory would also be hive-
       // partitioned by band
       .sortWithinPartitions("band", "h1", "h2")
-      .write.mode("append").parquet(s"$root/data")
+      .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
   }
 
   private def writeMeta(root: String, version: Long, length: Long): Unit = {

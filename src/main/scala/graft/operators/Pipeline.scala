@@ -299,9 +299,10 @@ object Pipeline {
     * recursive CTE cannot express — is pinned by the same uniqueness
     * characterization as `dedup_semantic_ingest`: over the semantic
     * stage's input set, the landed rows are pairwise-independent within
-    * cells and every semantically-dropped row has a landed neighbor with
-    * a smaller id. Both edge builders route through the shared
-    * hot-bucket-safe kernels.
+    * cells and every semantically-dropped row has a landed neighbor in
+    * its cell (the coverage measurement is id-agnostic; the stricter
+    * smaller-id witness is what SemanticIngestSpec pins sequentially).
+    * Both edge builders route through the shared hot-bucket-safe kernels.
     */
   def ingestGates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

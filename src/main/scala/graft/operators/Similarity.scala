@@ -666,7 +666,8 @@ object Similarity {
     * partitions.
     */
   def ivfCompactedSearch(s: SparkSession, d: String): DataFrame =
-    searchIvfIndex(s, s"${compactedIvfRoot(s, d)}/index/data", d,
+    searchIvfIndex(s,
+      IndexCompaction.dataDir(s"${compactedIvfRoot(s, d)}/index").toString, d,
       ivfQueryId, ivfK, ivfNprobe)
 
   /** Top-k over the persisted index, probing `nprobe` cells: the scan's
@@ -1644,14 +1645,16 @@ object Similarity {
     * continuously-ingested corpus runs between refreshes: split the
     * corpus into a reference and a current cohort (deterministic vec_id
     * parity here; production splits by ingest epoch), assign both to the
-    * SAME fixed cells, and report each cell's occupancy shift as a
-    * per-cell add-one-smoothed KL contribution — p_cur · ln(p_cur/p_ref)
-    * with Laplace (n+1)/(total+cells) probabilities, so empty-on-one-side
-    * cells contribute finite, well-defined terms instead of ±∞. Rows stay
-    * PER-CELL (the consumer sums, thresholds or ranks them): emitting the
-    * global sum would hash-compare a cross-engine float reduction whose
-    * addend ORDER neither engine pins, while each per-cell term is a
-    * fixed-shape expression over exact integers — bit-stable everywhere.
+    * SAME fixed cells, and report each cell's occupancy shift as the
+    * EXACT-INTEGER inputs of a per-cell add-one-smoothed KL contribution
+    * (n_ref, n_cur, the two cohort totals and the cell count — the
+    * consumer derives p_cur · ln(p_cur/p_ref) from them, [[withKlTerm]]).
+    * Rows stay PER-CELL and INTEGER: the earlier face emitted the float
+    * kl_term itself, but `ln` is a transcendental the JVM and DuckDB are
+    * not both guaranteed to round identically (unlike +,*,/ and sqrt), so
+    * the bit-exact hash oracle could flip on another platform even with
+    * both engines "correct" — integer outputs are bit-stable everywhere,
+    * unconditionally (round-15 ADVICE).
     *
     * Scale shape: one map-only assignment pass (the fused kernel) + one
     * cell-keyed count agg (map-side partial); everything after is
@@ -1664,16 +1667,27 @@ object Similarity {
       .agg(
         sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_cur"))
-      .withColumn("tr", sum(col("n_ref")).over(everything))
-      .withColumn("tc", sum(col("n_cur")).over(everything))
-      .withColumn("nc", count(lit(1)).over(everything))
-      .withColumn("pr",
-        (col("n_ref") + 1L).cast("double") / (col("tr") + col("nc")).cast("double"))
-      .withColumn("pc",
-        (col("n_cur") + 1L).cast("double") / (col("tc") + col("nc")).cast("double"))
-      .withColumn("kl_term", col("pc") * log(col("pc") / col("pr")))
-      .select("cell", "n_ref", "n_cur", "kl_term")
+      .withColumn("tot_ref", sum(col("n_ref")).over(everything))
+      .withColumn("tot_cur", sum(col("n_cur")).over(everything))
+      .withColumn("n_cells", count(lit(1)).over(everything))
+      .select("cell", "n_ref", "n_cur", "tot_ref", "tot_cur", "n_cells")
   }
+
+  /** The derived per-cell KL contribution over [[semanticCellDrift]]'s
+    * integer rows — p_cur · ln(p_cur/p_ref) with Laplace
+    * (n+1)/(total+cells) smoothing, so empty-on-one-side cells contribute
+    * finite, well-defined terms instead of ±∞. Kept OUT of the hash-gated
+    * face (the `ln` cross-engine caveat above); CellDriftSpec pins the
+    * Gibbs'-inequality non-negative global sum and a hand-computed cell
+    * instead.
+    */
+  def withKlTerm(drift: DataFrame): DataFrame = drift
+    .withColumn("pr",
+      (col("n_ref") + 1L).cast("double") / (col("tot_ref") + col("n_cells")).cast("double"))
+    .withColumn("pc",
+      (col("n_cur") + 1L).cast("double") / (col("tot_cur") + col("n_cells")).cast("double"))
+    .withColumn("kl_term", col("pc") * log(col("pc") / col("pr")))
+    .drop("pr", "pc")
 
   lazy val semanticCellDriftSql: String =
     s"""WITH assign AS ($ivfAssignSql),
@@ -1681,19 +1695,12 @@ object Similarity {
        |  SELECT cell,
        |   CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
        |   CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
-       |  FROM assign GROUP BY cell),
-       | t AS (
-       |  SELECT cell, n_ref, n_cur,
-       |   CAST(SUM(n_ref) OVER () AS BIGINT) AS tr,
-       |   CAST(SUM(n_cur) OVER () AS BIGINT) AS tc,
-       |   CAST(COUNT(*) OVER () AS BIGINT) AS nc
-       |  FROM c),
-       | p AS (
-       |  SELECT cell, n_ref, n_cur,
-       |   CAST(n_ref + 1 AS DOUBLE) / CAST(tr + nc AS DOUBLE) AS pr,
-       |   CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nc AS DOUBLE) AS pc
-       |  FROM t)
-       |SELECT cell, n_ref, n_cur, pc * ln(pc / pr) AS kl_term FROM p""".stripMargin
+       |  FROM assign GROUP BY cell)
+       |SELECT cell, n_ref, n_cur,
+       |  CAST(SUM(n_ref) OVER () AS BIGINT) AS tot_ref,
+       |  CAST(SUM(n_cur) OVER () AS BIGINT) AS tot_cur,
+       |  CAST(COUNT(*) OVER () AS BIGINT) AS n_cells
+       |FROM c""".stripMargin
 
   /** SEMANTIC CONTAMINATION — [[TextOps.contaminationCheck]]'s
     * decontamination pass lifted to the embedding modality: a corpus

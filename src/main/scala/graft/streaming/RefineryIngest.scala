@@ -71,7 +71,25 @@ object RefineryIngest {
       col("ttr") * lit(2.0) + col("mean_token_len") * lit(0.1) - col("stop_ratio"))
     .drop("toks", "n_tokens", "ttr", "mean_token_len", "stop_ratio")
 
-  /** One fully-gated batch append; returns the stage [[Counts]]. */
+  /** One fully-gated batch append; returns the stage [[Counts]].
+    *
+    * REPLAY CONTRACT (round-15 ADVICE fix): the refinery mutates THREE
+    * stores per batch (hash, embeddings, docs), and a stream restart after
+    * a partial batch (hash append committed, emb/docs not yet) must
+    * re-execute exactly the uncommitted appends. So there is NO
+    * whole-function replay guard — each [[VectorTable.append]] (and
+    * [[SemanticDedupIngest.appendDeduped]]) self-guards on ITS OWN
+    * table's `manifest.streamBatch`, and every stage is made
+    * replay-DETERMINISTIC:
+    *   - the exact-dedup anti-join reads only hash rows with
+    *     `vec_id < min(batch vec_id)` — the committed-BEFORE-this-batch
+    *     view, identical whether or not this batch's own hash append has
+    *     already landed (ids arrive ordered across batches, enforced
+    *     below);
+    *   - the kept-id set for the docs append derives from embTable
+    *     MEMBERSHIP at `vec_id >= min(batch vec_id)` (footer-prunable),
+    *     not from "the last appended span", which a replay would misread.
+    */
   def appendRefined(docsTable: VectorTable, hashStore: VectorTable,
                     embTable: VectorTable,
                     idx: java.util.concurrent.atomic.AtomicReference[IvfTableIndex],
@@ -79,9 +97,25 @@ object RefineryIngest {
                     evalVecs: Array[Array[Float]], minQuality: Double,
                     threshold: Double,
                     streamBatchId: Option[Long] = None): Counts = {
-    if (streamBatchId.exists(_ <= hashStore.manifest.streamBatch)) return Counts.zero
-    val total = batch.count()
+    val stats = batch.agg(count(lit(1)), min(col("vec_id"))).head()
+    val total = stats.getLong(0)
     if (total == 0) return Counts.zero
+    val minBatchId = stats.getLong(1)
+    // ordered-arrival invariant for the hash store's before-this-batch
+    // view (appendDeduped enforces the same for embTable, but over KEPT
+    // rows only — the hash store additionally records dropped survivors,
+    // so it needs its own check; parquet column stats make this cheap).
+    // Skipped on a replay whose hash append already committed: the store
+    // then legitimately holds THIS batch's ids, and the invariant was
+    // checked when the batch first executed.
+    if (hashStore.length > 0L &&
+        !streamBatchId.exists(_ <= hashStore.manifest.streamBatch)) {
+      val hashMax = hashStore.scan()
+        .agg(coalesce(max(col("vec_id")), lit(-1L))).head().getLong(0)
+      require(minBatchId > hashMax,
+        s"refinery ingest requires id-ordered arrival: batch min vec_id " +
+          s"$minBatchId <= hash-store max $hashMax")
+    }
 
     // 1. quality — stateless projection + filter
     val scored = withQuality(batch)
@@ -90,7 +124,9 @@ object RefineryIngest {
       .localCheckpoint()
     val nScored = scored.count()
 
-    // 2. exact dedup — min-id rep per hash in batch, anti-join committed
+    // 2. exact dedup — min-id rep per hash in batch, anti-join the hashes
+    //    committed BEFORE this batch (vec_id < minBatchId: deterministic
+    //    under replay even after this batch's own hash append landed)
     val hashed = scored.withColumn("content_hash", md5(col("text")))
     val reps = hashed
       .withColumn("keep_id", min(col("vec_id")).over(
@@ -99,12 +135,15 @@ object RefineryIngest {
       .select(col("vec_id"), col("text"), col("embedding"), col("content_hash"))
     val novel =
       (if (hashStore.length == 0L) reps
-       else reps.join(hashStore.scan().select("content_hash"),
+       else reps.join(
+         hashStore.scan().where(col("vec_id") < minBatchId)
+           .select("content_hash"),
          Seq("content_hash"), "left_anti"))
         .localCheckpoint()
     val nNovel = novel.count()
     // record EVERY quality survivor's hash (one rep per in-batch hash is
-    // enough — same hash), regardless of what later stages decide
+    // enough — same hash), regardless of what later stages decide;
+    // append self-guards on hashStore.manifest.streamBatch
     val newHashes = reps.select(col("vec_id"), col("content_hash"))
     if (nScored > 0) hashStore.append(newHashes, streamBatchId = streamBatchId)
 
@@ -117,17 +156,26 @@ object RefineryIngest {
       .localCheckpoint()
     val nClean = clean.count()
 
-    // 4. semantic dedup landing (in-plan committed coverage, gated sweep)
-    val (kept, _) = SemanticDedupIngest.appendDeduped(embTable, idx,
+    // 4. semantic dedup landing (in-plan committed coverage, gated sweep;
+    //    self-guards on embTable.manifest.streamBatch — a replay whose emb
+    //    append already committed returns (0,0) and stage 5 recovers the
+    //    kept set from membership instead)
+    SemanticDedupIngest.appendDeduped(embTable, idx,
       clean.select(col("vec_id"), col("embedding")), threshold,
       streamBatchId = streamBatchId)
 
-    // 5. land the kept ids' text rows — the embeddings table's last span
-    //    IS the kept set (appendDeduped appends exactly once per batch)
+    // 5. the kept ids are this batch's clean ids that LANDED in embTable —
+    //    pure membership, valid on first run and on replay alike (ids are
+    //    unique and ordered, so embTable rows at vec_id >= minBatchId are
+    //    exactly this batch's kept rows); docs append self-guards
+    val keptIds =
+      (if (embTable.length == 0L) clean.select(col("vec_id")).limit(0)
+       else clean.select(col("vec_id")).join(
+         embTable.scan().where(col("vec_id") >= minBatchId).select(col("vec_id")),
+         Seq("vec_id"), "left_semi"))
+        .localCheckpoint()
+    val kept = keptIds.count()
     if (kept > 0) {
-      val last = embTable.manifest.batches.last
-      val keptIds = embTable.range(last.start, last.end - last.start)
-        .select(col("vec_id"))
       docsTable.append(
         clean.select(col("vec_id"), col("text"))
           .join(keptIds, Seq("vec_id"), "left_semi"),

@@ -75,7 +75,7 @@ class RefineryStressSpec extends SparkSpec {
     assert(hashes.length == 0, "no quality survivor, no recorded hash")
   }
 
-  test("replayed streamBatchId is a complete no-op") {
+  test("replayed streamBatchId mutates nothing and recomputes the same counts") {
     val (docs, hashes, emb, idx) = freshStores("replay")
     val rows = Seq((0L, goodText("a"), Array(1f, 0f, 0f)),
       (1L, goodText("b"), Array(0f, 1f, 0f)))
@@ -83,11 +83,50 @@ class RefineryStressSpec extends SparkSpec {
       fused(rows), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
       0.35, streamBatchId = Some(0L))
     assert(c1.landed == 2)
+    // round-15 contract: every append self-guards on its own table's
+    // streamBatch (no whole-function guard — a crash between the three
+    // appends must re-execute only the uncommitted ones), and every stage
+    // is replay-deterministic, so a full replay returns the SAME counts
+    // while mutating nothing
     val c2 = RefineryIngest.appendRefined(docs, hashes, emb, idx,
       fused(rows), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
       0.35, streamBatchId = Some(0L))
-    assert(c2 == RefineryIngest.Counts.zero, s"replay must be a no-op: $c2")
+    assert(c2 == c1, s"replay must recompute identical counts: $c2 vs $c1")
     assert(docs.length == 2 && emb.length == 2 && hashes.length == 2)
+  }
+
+  test("partial-commit replay (hash landed, emb/docs did not) recovers the kept rows") {
+    // the round-15 ADVICE scenario: a stream restart after the hash append
+    // committed but before the emb/docs appends — the replayed batch must
+    // land the kept rows instead of silently returning and losing them
+    val (docs, hashes, emb, idx) = freshStores("partial")
+    val b0 = Seq((0L, goodText("a"), Array(1f, 0f, 0f)))
+    RefineryIngest.appendRefined(docs, hashes, emb, idx, fused(b0),
+      evalIds, evalVecs, graft.operators.Pipeline.minQuality, 0.35,
+      streamBatchId = Some(0L))
+    // simulate the crash: commit ONLY batch 1's hash rows (exactly what
+    // stage 2 would have written — the min-id rep per content hash)
+    val b1 = Seq((10L, goodText("p"), Array(0f, 1f, 0f)),
+      (11L, goodText("q"), Array(1f, 0.02f, 0f)))
+    hashes.append(
+      fused(b1).select(col("vec_id"), md5(col("text")).as("content_hash")),
+      streamBatchId = Some(1L))
+    assert(hashes.manifest.streamBatch == 1L && emb.length == 1L)
+    // the replay: hash append must no-op (no duplicate hash rows), the
+    // emb/docs appends must execute, and the counts must equal what an
+    // uninterrupted run would have reported
+    val c = RefineryIngest.appendRefined(docs, hashes, emb, idx, fused(b1),
+      evalIds, evalVecs, graft.operators.Pipeline.minQuality, 0.35,
+      streamBatchId = Some(1L))
+    assert(c.input == 2 && c.qualityDropped == 0 && c.exactDropped == 0 &&
+      c.contamDropped == 0, s"$c")
+    // vec 11 is a semantic near-dup of landed vec 0 (cosine ≈ 1)
+    assert(c.semanticDropped == 1 && c.landed == 1, s"$c")
+    assert(hashes.length == 3, "no duplicate hash rows from the replay")
+    assert(emb.length == 2 && docs.length == 2,
+      "the kept row lands despite the pre-committed hash append")
+    val landedIds = docs.scan().select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(landedIds == Set(0L, 10L))
   }
 
   test("exact dedup suppresses a copy of a doc the semantic stage dropped") {
