@@ -390,7 +390,9 @@ object Bench {
       "pipeline_clean_export",
       "ann_ivf_probe_tuning", "ann_refine_recall", "ann_ivfpq_refined_search",
       "ann_ivf_compacted_search", "text_chunk_windows", "text_chunk_udtf", "text_temperature_mixture",
-      "text_span_scrub", "dedup_span_ingest", "pipeline_ingest_gates", "text_curriculum_export",
+      "text_span_scrub", "dedup_span_ingest", "dedup_lsh_ingest", "pipeline_ingest_gates", "text_curriculum_export",
+      "dedup_delta_candidates_compacted", "dedup_delta_simhash_compacted",
+      "dedup_delta_containment_compacted", "dedup_delta_spans_compacted",
       "text_chunked_export", "semantic_cell_drift", "semantic_contamination_by_source", "embedding_stats", "text_temperature_export",
       "store_bulk_append_100k", "store_bulk_append_1m", "store_full_scan_1m", "store_getall_1m",
       "store_range_read_1k", "store_point_reads_50_cold", "store_point_reads_50_batched",
@@ -415,6 +417,8 @@ object Bench {
     dim("span_index_build")(graft.operators.Dedup.prebuildSpanIndex(spark, sfDir))
     dim("streamed_span_index_build")(graft.operators.Dedup.prebuildStreamedSpanIndex(spark, sfDir))
     dim("span_ingest_corpus_build")(graft.operators.Dedup.prebuildSpanIngest(spark, sfDir))
+    dim("lsh_ingest_corpus_build")(graft.operators.Dedup.prebuildLshIngest(spark, sfDir))
+    dim("compacted_delta_index_build")(graft.operators.Dedup.prebuildCompactedDeltaIndexes(spark, sfDir))
     dim("ivf_index_build")(graft.operators.Similarity.ivfIndexFor(spark, sfDir))
     dim("ivf_trained_index_build")(graft.operators.Similarity.trainedIvfIndexFor(spark, sfDir))
     // the semantic ingest gate's one-time streamed landing of the corpus,

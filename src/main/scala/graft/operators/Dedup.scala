@@ -946,6 +946,13 @@ object Dedup {
                                           key: Seq[String]): DataFrame =
     deltaPairsBlocked(all, delta, key)
 
+  /** The production signature→banding chain over a (doc_id, text) frame,
+    * for callers outside the operators package (the LSH ingest gate bands
+    * each micro-batch with exactly the rows [[LshIndex]] stores).
+    */
+  private[graft] def bandRowsFor(docs: DataFrame): DataFrame =
+    bandsOf(signaturesOf(docs))
+
   private[operators] def deltaPairsBlocked(all: DataFrame, delta: DataFrame,
                                            key: Seq[String]): DataFrame = {
     val kc = key.map(col)
@@ -1411,6 +1418,125 @@ object Dedup {
        |UNION ALL SELECT doc_id, 3 FROM l3""".stripMargin
   }
 
+  /** Stream-landed LEXICALLY-GATED corpus, memoized per (machine, sf dir):
+    * the documents land in four sequential id-range batches through
+    * [[graft.streaming.LshDedupIngest]] — each batch drops docs that band
+    * against the committed [[LshIndex]] AND verify as Jaccard ≥ 1/2
+    * near-dups of an already-landed doc; survivors land and the index
+    * refreshes (only the appended span is signature-hashed).
+    */
+  private val lshIngestRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def lshIngestRoot(s: SparkSession, d: String): String =
+    lshIngestRoots.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d#lsh-ingest".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"docs-lsh-ingest-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"docs-lsh-ingest-$key-${java.util.UUID.randomUUID()}")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+        Files.createDirectories(dir.resolve("staging"))
+        (0 until 4).foreach { i =>
+          val lo = (maxId + 1) * i / 4
+          val hi = (maxId + 1) * (i + 1) / 4
+          val stage = dir.resolve(s"stage$i")
+          docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+            .coalesce(1).sortWithinPartitions("doc_id")
+            .write.parquet(stage.toString)
+          val listing = Files.list(stage)
+          var moved = false
+          try listing.iterator().forEachRemaining { p =>
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              Files.move(p, dir.resolve("staging").resolve(f"f$i%02d.parquet"))
+              moved = true
+            }
+          } finally listing.close()
+          require(moved, s"stage $i produced no parquet file")
+        }
+        val t = graft.core.VectorTable.create(s, s"$dir/table")
+        val idx = new java.util.concurrent.atomic.AtomicReference(
+          LshIndex.build(t, s"$dir/index"))
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/staging")
+        val q = graft.streaming.LshDedupIngest.start(stream, t, idx,
+          s"$dir/ckpt",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        require(t.length > 0, "lsh ingest landed nothing")
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          deleteRecursively(dir) } // racer won; adopt theirs, drop our build
+      }
+      Files.readString(pointer)
+    })
+
+  def prebuildLshIngest(s: SparkSession, d: String): Unit = {
+    lshIngestRoot(s, d); ()
+  }
+
+  /** Declared `dedup_lsh_ingest`: the landed (doc_id, batch) SET of the
+    * lexical (MinHash-LSH + Jaccard-verified) ingest gate. Because
+    * near-dups are measured against LANDED docs only (never batch-vs-batch)
+    * and the batch boundaries are deterministic id quartiles, the whole
+    * four-batch landing is a pure recurrence the oracle replays stage by
+    * stage — landed₀ = batch 0, landedₖ = batch k docs with NO verified
+    * near-dup pair into ⋃ landed₍<ₖ₎ — over the SAME verified-pair set as
+    * `dedup_jaccard_verified` (banding collisions and Jaccard are
+    * symmetric, deterministic functions of the two texts, so the gate's
+    * bipartite candidates against stored band rows coincide with the
+    * all-docs pair set restricted to (landed, batch) pairs). The landed
+    * set is value-verified exactly — the same strongest-contract gate as
+    * `dedup_span_ingest`.
+    */
+  def lshIngestGate(s: SparkSession, d: String): DataFrame = {
+    val root = lshIngestRoot(s, d)
+    val maxId = Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0)
+    val m = maxId + 1
+    graft.core.VectorTable.open(s, s"$root/table")
+      .scan().select(col("doc_id"))
+      .withColumn("batch",
+        when(col("doc_id") < m * 1 / 4, 0)
+          .when(col("doc_id") < m * 2 / 4, 1)
+          .when(col("doc_id") < m * 3 / 4, 2)
+          .otherwise(3))
+  }
+
+  lazy val lshIngestGateSql: String = {
+    // landedₖ recurrence unrolled over the four deterministic id-quartile
+    // batches, over the verified near-dup pair set of the whole corpus
+    // (doc_a < doc_b — the committed side of every gate-checked pair is
+    // always the smaller id under ordered arrival)
+    def step(k: Int, prev: String): String =
+      s"""l$k AS (
+         |  SELECT d.doc_id FROM d
+         |  WHERE d.batch = $k AND NOT EXISTS (
+         |    SELECT 1 FROM v JOIN $prev p ON v.doc_a = p.doc_id
+         |    WHERE v.doc_b = d.doc_id)),
+         | s$k AS (SELECT doc_id FROM $prev UNION ALL SELECT doc_id FROM l$k)""".stripMargin
+    s"""WITH v AS (${jaccardVerifiedPairsSql.replace("\n", "\n  ")}),
+       | b AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+       | d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id < (SELECT m * 1 // 4 FROM b) THEN 0
+       |         WHEN doc_id < (SELECT m * 2 // 4 FROM b) THEN 1
+       |         WHEN doc_id < (SELECT m * 3 // 4 FROM b) THEN 2
+       |         ELSE 3 END AS batch
+       |  FROM documents),
+       | l0 AS (SELECT doc_id FROM d WHERE batch = 0),
+       | s0 AS (SELECT doc_id FROM l0),
+       | ${step(1, "s0")},
+       | ${step(2, "s1")},
+       | ${step(3, "s2")}
+       |SELECT doc_id, 0 AS batch FROM l0
+       |UNION ALL SELECT doc_id, 1 FROM l1
+       |UNION ALL SELECT doc_id, 2 FROM l2
+       |UNION ALL SELECT doc_id, 3 FROM l3""".stripMargin
+  }
+
   /** Declared `dedup_delta_spans`: per corpus drop, the repeated-span scan
     * scoped to spans TOUCHING THE DELTA, from the persisted [[SpanIndex]] —
     * the exact-substring modality joining the MinHash / SimHash /
@@ -1602,6 +1728,21 @@ object Dedup {
       }
       Files.readString(pointer)
     })
+
+  /** One-time landing of all four compacted twin indexes, priced as its
+    * own bench dim so the compacted query faces report the WARM gate.
+    */
+  def prebuildCompactedDeltaIndexes(s: SparkSession, d: String): Unit = {
+    compactedDeltaIndexRoot[LshIndex](s, d, "lsh",
+      (t, r) => LshIndex.build(t, r), (i, t) => i.refresh(t), i => { i.compact(); () })
+    compactedDeltaIndexRoot[SimHashIndex](s, d, "simhash",
+      (t, r) => SimHashIndex.build(t, r), (i, t) => i.refresh(t), i => { i.compact(); () })
+    compactedDeltaIndexRoot[ContainmentIndex](s, d, "containment",
+      (t, r) => ContainmentIndex.build(t, r), (i, t) => i.refresh(t), i => { i.compact(); () })
+    compactedDeltaIndexRoot[SpanIndex](s, d, "span",
+      (t, r) => SpanIndex.build(t, r), (i, t) => i.refresh(t), i => { i.compact(); () })
+    ()
+  }
 
   /** Declared `dedup_delta_candidates_compacted`. */
   def deltaCandidatePairsCompacted(s: SparkSession, d: String): DataFrame = {

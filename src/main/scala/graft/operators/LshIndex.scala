@@ -71,6 +71,15 @@ object LshIndex {
     val m = table.manifest
     Files.createDirectories(Paths.get(root))
     if (m.length > 0) writeSpan(table, 0L, m.length, root)
+    else {
+      // an EMPTY index must still be readable before its first refresh
+      // (round-12 ADVICE contract, same as SimHashIndex.build) — the LSH
+      // ingest gate builds over an empty table and bands batch 0 against
+      // the empty committed side
+      import table.spark.implicits._
+      Seq.empty[(Long, Int, Long, Long)].toDF("doc_id", "band", "h1", "h2")
+        .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
+    }
     writeMeta(root, m.version, m.length)
     new LshIndex(table.spark, root, m.version, m.length)
   }
