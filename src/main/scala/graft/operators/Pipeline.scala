@@ -267,7 +267,10 @@ object Pipeline {
         }
         val docsTable = graft.core.VectorTable.create(s, s"$dir/docs")
         val hashStore = graft.core.VectorTable.create(s, s"$dir/hashes")
+        val spanStore = graft.core.VectorTable.create(s, s"$dir/spans")
         val embTable = graft.core.VectorTable.create(s, s"$dir/emb")
+        val spanIdx = new java.util.concurrent.atomic.AtomicReference(
+          graft.operators.SpanIndex.build(spanStore, s"$dir/spanindex"))
         val idx = new java.util.concurrent.atomic.AtomicReference(
           IvfTableIndex.buildWith(embTable, s"$dir/index", Similarity.centroids(s, d)))
         val acc = new java.util.concurrent.atomic.AtomicReference(
@@ -275,14 +278,15 @@ object Pipeline {
         val stream = s.readStream.schema(fused.schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$dir/staging")
         val q = graft.streaming.RefineryIngest.start(stream, docsTable,
-          hashStore, embTable, idx, evalIds, evalVecs, minQuality,
+          hashStore, spanStore, embTable, spanIdx, idx, evalIds, evalVecs,
+          minQuality,
           Similarity.nearDupThreshold, s"$dir/ckpt", acc,
           trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
         q.awaitTermination()
         require(docsTable.length > 0, "refinery landed nothing")
         val c = acc.get()
         Files.write(dir.resolve("counts.txt"),
-          s"${c.input},${c.qualityDropped},${c.exactDropped},${c.contamDropped},${c.semanticDropped},${c.landed}"
+          s"${c.input},${c.qualityDropped},${c.exactDropped},${c.spanDropped},${c.contamDropped},${c.semanticDropped},${c.landed}"
             .getBytes("UTF-8"))
         try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
         catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -292,10 +296,11 @@ object Pipeline {
     })
 
   /** Declared `pipeline_ingest_gates`: the composed streaming refinery,
-    * gated the way each constituent face is gated — the three
+    * gated the way each constituent face is gated — the four
     * SQL-expressible stage counts are oracle-replayed EXACTLY (quality
-    * drop, exact-dedup drop with min-id-per-hash semantics, eval-set
-    * contamination drop), and the semantic stage — whose greedy sweep a
+    * drop, exact-dedup drop with min-id-per-hash semantics, span-coverage
+    * drop via the four-batch recurrence, eval-set contamination drop),
+    * and the semantic stage — whose greedy sweep a
     * recursive CTE cannot express — is pinned by the same uniqueness
     * characterization as `dedup_semantic_ingest`: over the semantic
     * stage's input set, the landed rows are pairwise-independent within
@@ -303,6 +308,11 @@ object Pipeline {
     * its cell (the coverage measurement is id-agnostic; the stricter
     * smaller-id witness is what SemanticIngestSpec pins sequentially).
     * Both edge builders route through the shared hot-bucket-safe kernels.
+    * The span stage's Spark side reads the PERSISTED span store (the
+    * streamed landing's ground truth — every span-stage survivor is
+    * recorded there); the oracle recomputes the same survivor set from
+    * raw text via the landedₖ recurrence, so a green row value-verifies
+    * the streamed span gate end-to-end.
     */
   def ingestGates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -332,15 +342,21 @@ object Pipeline {
       .select(col("doc_id").as("vec_id"))
       .localCheckpoint()
     val nExact = exactKeep.count()
-    // stage 3
+    // stage 3: span-stage survivors from the persisted span store — the
+    // streamed truth the oracle's recurrence recomputes from raw text
+    val spanKeep = graft.core.VectorTable.open(s, s"$root/spans")
+      .scan().select(col("doc_id").as("vec_id"))
+      .localCheckpoint()
+    val nSpanKeep = spanKeep.count()
+    // stage 4
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val evalRows = emb.where(col("vec_id") % refineryEvalMod === 0)
       .orderBy("vec_id").collect()
     val contaminated = Similarity.semanticContaminationOf(
-      emb.join(exactKeep, Seq("vec_id"), "left_semi"),
+      emb.join(spanKeep, Seq("vec_id"), "left_semi"),
       evalRows.map(_.getLong(0)), evalRows.map(_.getSeq[Float](1).toArray))
       .select(col("vec_id"))
-    val semInput = exactKeep.join(contaminated, Seq("vec_id"), "left_anti")
+    val semInput = spanKeep.join(contaminated, Seq("vec_id"), "left_anti")
       .join(Similarity.ivfAssign(s, d).select(col("vec_id"), col("cell")), Seq("vec_id"))
       .join(emb, Seq("vec_id"))
       .localCheckpoint()
@@ -370,20 +386,46 @@ object Pipeline {
       uncovered == 0L, keptPairs == 0L))
       .toDF("n_input", "n_quality_dropped", "n_exact_dropped",
         "n_semantic_input", "dropped_dominated", "kept_independent")
-      .withColumn("n_contam_dropped", lit(nExact - nSemInput))
+      .withColumn("n_span_dropped", lit(nExact - nSpanKeep))
+      .withColumn("n_contam_dropped", lit(nSpanKeep - nSemInput))
       .select("n_input", "n_quality_dropped", "n_exact_dropped",
-        "n_contam_dropped", "n_semantic_input", "kept_independent",
-        "dropped_dominated")
+        "n_span_dropped", "n_contam_dropped", "n_semantic_input",
+        "kept_independent", "dropped_dominated")
   }
 
-  /** Oracle twin: the three SQL-expressible counts replayed exactly; the
-    * semantic invariants asserted TRUE (measured honestly Spark-side —
-    * same stance as `dedup_semantic_ingest`).
+  /** Oracle twin: the four SQL-expressible counts replayed exactly —
+    * quality/exact set-level, the span stage via the landedₖ recurrence
+    * over the four deterministic id-quartile micro-batches (the same
+    * unrolled shape as `dedup_span_ingest`'s oracle, restricted to
+    * quality+exact survivors) — and the semantic invariants asserted TRUE
+    * (measured honestly Spark-side, same stance as
+    * `dedup_semantic_ingest`).
     */
   lazy val ingestGatesSql: String = {
     val dim = Similarity.dim
+    val W = Dedup.repeatedSpanWindow
+    val S = Dedup.repeatedSpanStride
+    val M = graft.functions.ShingleKernel.RollM
+    val B = graft.functions.ShingleKernel.RollB
     def fold(e: String): String =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $dim + 1), i -> $e)), (acc, x) -> acc + x)"
+    // span-stage recurrence step k: batch-k exact survivors whose window
+    // occurrences are < threshold-permille covered by spans of survivors
+    // from batches < k (committed-only — batch docs never charge each
+    // other, exactly the streamed gate's arithmetic)
+    def cov(k: Int, prevSpans: String): String =
+      s"""c$k AS (
+         |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+         |  FROM grams g JOIN nw ON g.doc_id = nw.doc_id AND nw.batch = $k
+         |  WHERE g.gram_hash IN (SELECT gram_hash FROM $prevSpans)
+         |  GROUP BY g.doc_id),
+         | l$k AS (
+         |  SELECT nw.doc_id FROM nw LEFT JOIN c$k ON nw.doc_id = c$k.doc_id
+         |  WHERE nw.batch = $k AND (nw.n_windows = 0
+         |    OR 1000 * COALESCE(c$k.n_dup, 0) // nw.n_windows < ${Dedup.spanScrubMaxPermille})),
+         | s$k AS (
+         |  SELECT gram_hash FROM $prevSpans
+         |  UNION SELECT DISTINCT g.gram_hash FROM grams g JOIN l$k ON g.doc_id = l$k.doc_id)""".stripMargin
     s"""WITH scored AS (
        |  SELECT doc_id, text,
        |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 2.0
@@ -398,12 +440,44 @@ object Pipeline {
        |  SELECT doc_id FROM (
        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
        |    FROM gated) WHERE doc_id = keep_id),
+       | ek AS (
+       |  SELECT g.doc_id, g.text FROM gated g JOIN exact_keep k ON g.doc_id = k.doc_id),
+       | pos AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(1, len(text) - $W + 2, $S)) AS i
+       |  FROM ek WHERE len(text) >= $W),
+       | grams AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(i, i + $W),
+       |                     j -> CAST(ord(text[j]) % 128 AS BIGINT))),
+       |      (acc, c) -> (acc * $B + c) % $M) AS gram_hash
+       |  FROM pos),
+       | bm AS (SELECT MAX(doc_id) + 1 AS m FROM documents WHERE doc_id % $refineryEvalMod <> 0),
+       | nw AS (
+       |  SELECT e.doc_id,
+       |    CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_windows,
+       |    CASE WHEN e.doc_id < (SELECT m * 1 // 4 FROM bm) THEN 0
+       |         WHEN e.doc_id < (SELECT m * 2 // 4 FROM bm) THEN 1
+       |         WHEN e.doc_id < (SELECT m * 3 // 4 FROM bm) THEN 2
+       |         ELSE 3 END AS batch
+       |  FROM ek e LEFT JOIN
+       |    (SELECT doc_id, COUNT(*) AS cnt FROM grams GROUP BY doc_id) g
+       |    ON e.doc_id = g.doc_id),
+       | l0 AS (SELECT doc_id FROM nw WHERE batch = 0),
+       | s0 AS (SELECT DISTINCT g.gram_hash FROM grams g JOIN l0 ON g.doc_id = l0.doc_id),
+       | ${cov(1, "s0")},
+       | ${cov(2, "s1")},
+       | ${cov(3, "s2")},
+       | span_keep AS (
+       |  SELECT doc_id FROM l0 UNION ALL SELECT doc_id FROM l1
+       |  UNION ALL SELECT doc_id FROM l2 UNION ALL SELECT doc_id FROM l3),
        | ev AS (
        |  SELECT vec_id AS eid, list_transform(embedding, x -> x::DOUBLE) AS ee
        |  FROM embeddings WHERE vec_id % $refineryEvalMod = 0),
        | co AS (
        |  SELECT e.vec_id, list_transform(e.embedding, x -> x::DOUBLE) AS ed
-       |  FROM embeddings e JOIN exact_keep k ON e.vec_id = k.doc_id),
+       |  FROM embeddings e JOIN span_keep k ON e.vec_id = k.doc_id),
        | sc AS (
        |  SELECT co.vec_id, ev.eid,
        |   ${fold("ed[i] * ee[i]")} AS dot,
@@ -420,8 +494,9 @@ object Pipeline {
        |  (SELECT COUNT(*) FROM documents WHERE doc_id % $refineryEvalMod <> 0)
        |    - (SELECT COUNT(*) FROM gated) AS n_quality_dropped,
        |  (SELECT COUNT(*) FROM gated) - (SELECT COUNT(*) FROM exact_keep) AS n_exact_dropped,
+       |  (SELECT COUNT(*) FROM exact_keep) - (SELECT COUNT(*) FROM span_keep) AS n_span_dropped,
        |  (SELECT COUNT(*) FROM contam) AS n_contam_dropped,
-       |  (SELECT COUNT(*) FROM exact_keep) - (SELECT COUNT(*) FROM contam) AS n_semantic_input,
+       |  (SELECT COUNT(*) FROM span_keep) - (SELECT COUNT(*) FROM contam) AS n_semantic_input,
        |  TRUE AS kept_independent, TRUE AS dropped_dominated""".stripMargin
   }
 }

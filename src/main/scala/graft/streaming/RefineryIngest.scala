@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.core.VectorTable
-import graft.operators.{IvfTableIndex, Similarity}
+import graft.operators.{Dedup, IvfTableIndex, Similarity, SpanIndex}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -9,9 +9,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 /** The COMPOSED refinery write path: every micro-batch of fused
   * (vec_id, text, embedding) rows runs the full curation chain before a
   * single row lands — the streaming twin of [[graft.operators.Pipeline]]'s
-  * batch refinery, and the composition of the three single-gate streams
-  * ([[DedupIngest]], [[SemanticDedupIngest]], [[ContaminationIngest]])
-  * into ONE ingest:
+  * batch refinery, and the composition of the per-modality single-gate
+  * streams ([[DedupIngest]], [[SpanScrubIngest]], [[ContaminationIngest]],
+  * [[SemanticDedupIngest]]) into ONE ingest, ordered down the cost
+  * gradient:
   *
   *   1. QUALITY (stateless, map-only): the exact
   *      [[graft.operators.TextOps.qualityScores]] arithmetic, dropping
@@ -23,19 +24,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *      not just landed rows — so a doc dropped downstream still
   *      suppresses its later exact copies (the sequential min-id-per-hash
   *      semantics the batch oracle replays);
-  *   3. DECONTAMINATION (stateless, map-only): the fixed eval matrix
+  *   3. SPAN COVERAGE (rolling-hash state, round 15): a doc whose windows
+  *      are ≥ [[graft.operators.Dedup.spanScrubMaxPermille]]‰ covered by
+  *      spans already seen at this gate is boilerplate recombination and
+  *      drops — one map-only rolling-hash pass + one hash-keyed semi-join,
+  *      which is why it sits right after the exact hash join. The span
+  *      store records every SPAN-STAGE SURVIVOR (the hash store's stance):
+  *      boilerplate seen once gates every later recombination even if the
+  *      doc itself later dies downstream, and the stage stays a pure
+  *      function of (batch, survivors-so-far) the oracle can replay;
+  *   4. DECONTAMINATION (stateless, map-only): the fixed eval matrix
   *      rides through the fused kernel, one codegen pass, no join;
-  *   4. SEMANTIC DEDUP (committed-corpus state): the thinned batch lands
+  *   5. SEMANTIC DEDUP (committed-corpus state): the thinned batch lands
   *      through [[SemanticDedupIngest.appendDeduped]] unchanged — in-plan
   *      committed coverage, gated driver sweep, distributed MIS fallback;
-  *   5. the kept ids' text rows land in the docs table, keeping the two
+  *   6. the kept ids' text rows land in the docs table, keeping the two
   *      stores id-aligned.
   *
-  * Ordering is the cost gradient: stateless text arithmetic, then one
-  * hash join, then one kernel pass, and only the survivors of all three
-  * pay the embedding pair stage. At 100 TB each batch's cost is dominated
-  * by stage 4's cell-bucketed candidate work on an already-thinned batch;
-  * stages 1–3 are map-only or broadcast-shaped.
+  * At 100 TB each batch's cost is dominated by the semantic stage's
+  * cell-bucketed candidate work on an already-thinned batch; stages 1–4
+  * are map-only, one hash join, one span semi-join and one kernel pass.
   */
 object RefineryIngest {
 
@@ -43,14 +51,16 @@ object RefineryIngest {
     * totals equal the batch oracle's global counts).
     */
   final case class Counts(input: Long, qualityDropped: Long,
-                          exactDropped: Long, contamDropped: Long,
+                          exactDropped: Long, spanDropped: Long,
+                          contamDropped: Long,
                           semanticDropped: Long, landed: Long) {
     def +(o: Counts): Counts = Counts(input + o.input,
       qualityDropped + o.qualityDropped, exactDropped + o.exactDropped,
+      spanDropped + o.spanDropped,
       contamDropped + o.contamDropped, semanticDropped + o.semanticDropped,
       landed + o.landed)
   }
-  object Counts { val zero: Counts = Counts(0L, 0L, 0L, 0L, 0L, 0L) }
+  object Counts { val zero: Counts = Counts(0L, 0L, 0L, 0L, 0L, 0L, 0L) }
 
   /** The quality gate's score column over (text, n_chars-free) rows —
     * n_chars is recomputed from the text so a fused stream needs no extra
@@ -73,10 +83,10 @@ object RefineryIngest {
 
   /** One fully-gated batch append; returns the stage [[Counts]].
     *
-    * REPLAY CONTRACT (round-15 ADVICE fix): the refinery mutates THREE
-    * stores per batch (hash, embeddings, docs), and a stream restart after
-    * a partial batch (hash append committed, emb/docs not yet) must
-    * re-execute exactly the uncommitted appends. So there is NO
+    * REPLAY CONTRACT (round-15 ADVICE fix): the refinery mutates FOUR
+    * stores per batch (hash, span, embeddings, docs), and a stream restart
+    * after a partial batch (say, hash append committed, the rest not yet)
+    * must re-execute exactly the uncommitted appends. So there is NO
     * whole-function replay guard — each [[VectorTable.append]] (and
     * [[SemanticDedupIngest.appendDeduped]]) self-guards on ITS OWN
     * table's `manifest.streamBatch`, and every stage is made
@@ -86,12 +96,15 @@ object RefineryIngest {
     *     view, identical whether or not this batch's own hash append has
     *     already landed (ids arrive ordered across batches, enforced
     *     below);
+    *   - the span-coverage semi-join reads only index windows with
+    *     `doc_id < min(batch vec_id)` — the same before-this-batch view;
     *   - the kept-id set for the docs append derives from embTable
     *     MEMBERSHIP at `vec_id >= min(batch vec_id)` (footer-prunable),
     *     not from "the last appended span", which a replay would misread.
     */
   def appendRefined(docsTable: VectorTable, hashStore: VectorTable,
-                    embTable: VectorTable,
+                    spanStore: VectorTable, embTable: VectorTable,
+                    spanIdx: java.util.concurrent.atomic.AtomicReference[SpanIndex],
                     idx: java.util.concurrent.atomic.AtomicReference[IvfTableIndex],
                     batch: DataFrame, evalIds: Array[Long],
                     evalVecs: Array[Array[Float]], minQuality: Double,
@@ -139,6 +152,7 @@ object RefineryIngest {
          hashStore.scan().where(col("vec_id") < minBatchId)
            .select("content_hash"),
          Seq("content_hash"), "left_anti"))
+        .select(col("vec_id"), col("text"), col("embedding"))
         .localCheckpoint()
     val nNovel = novel.count()
     // record EVERY quality survivor's hash (one rep per in-batch hash is
@@ -147,24 +161,54 @@ object RefineryIngest {
     val newHashes = reps.select(col("vec_id"), col("content_hash"))
     if (nScored > 0) hashStore.append(newHashes, streamBatchId = streamBatchId)
 
-    // 3. decontamination — map-only pass against the fixed eval matrix
+    // 3. span coverage — one rolling-hash pass over the exact survivors,
+    //    one semi-join against spans seen at this gate BEFORE this batch
+    val wins = novel.select(col("vec_id"),
+      explode_outer(graft.functions.TextFunctions.rollingHashes(
+        col("text"), Dedup.repeatedSpanWindow, Dedup.repeatedSpanStride)).as("gram_hash"))
+    val committedSpans = spanIdx.get().windows
+      .where(col("doc_id") < minBatchId)
+      .select("gram_hash").distinct()
+    val coveredWins = wins.where(col("gram_hash").isNotNull)
+      .join(committedSpans, Seq("gram_hash"), "left_semi")
+      .groupBy("vec_id").agg(count(lit(1)).as("n_dup"))
+    val spanVerdicts = wins
+      .groupBy("vec_id")
+      .agg(sum(when(col("gram_hash").isNotNull, 1L).otherwise(0L)).as("n_windows"))
+      .join(coveredWins, Seq("vec_id"), "left")
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .withColumn("keep", col("n_windows") === 0L ||
+        expr(s"1000 * n_dup DIV n_windows") < Dedup.spanScrubMaxPermille)
+    val spanKept = novel
+      .join(spanVerdicts.where(col("keep")).select("vec_id"), Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    val nSpanKept = spanKept.count()
+    // record every span-stage survivor's windows (self-guarded append +
+    // length-driven refresh — idempotent under replay either way)
+    if (nSpanKept > 0) {
+      spanStore.append(spanKept.select(col("vec_id").as("doc_id"), col("text")),
+        streamBatchId = streamBatchId)
+      spanIdx.set(spanIdx.get().refresh(spanStore))
+    }
+
+    // 4. decontamination — map-only pass against the fixed eval matrix
     val contaminated = Similarity.semanticContaminationOf(
-      novel.select(col("vec_id"), col("embedding")), evalIds, evalVecs)
+      spanKept.select(col("vec_id"), col("embedding")), evalIds, evalVecs)
       .select(col("vec_id"))
-    val clean = novel.join(contaminated, Seq("vec_id"), "left_anti")
+    val clean = spanKept.join(contaminated, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("text"), col("embedding"))
       .localCheckpoint()
     val nClean = clean.count()
 
-    // 4. semantic dedup landing (in-plan committed coverage, gated sweep;
+    // 5. semantic dedup landing (in-plan committed coverage, gated sweep;
     //    self-guards on embTable.manifest.streamBatch — a replay whose emb
-    //    append already committed returns (0,0) and stage 5 recovers the
+    //    append already committed returns (0,0) and stage 6 recovers the
     //    kept set from membership instead)
     SemanticDedupIngest.appendDeduped(embTable, idx,
       clean.select(col("vec_id"), col("embedding")), threshold,
       streamBatchId = streamBatchId)
 
-    // 5. the kept ids are this batch's clean ids that LANDED in embTable —
+    // 6. the kept ids are this batch's clean ids that LANDED in embTable —
     //    pure membership, valid on first run and on replay alike (ids are
     //    unique and ordered, so embTable rows at vec_id >= minBatchId are
     //    exactly this batch's kept rows); docs append self-guards
@@ -181,15 +225,16 @@ object RefineryIngest {
           .join(keptIds, Seq("vec_id"), "left_semi"),
         streamBatchId = streamBatchId)
     }
-    Counts(total, total - nScored, nScored - nNovel, nNovel - nClean,
-      nClean - kept, kept)
+    Counts(total, total - nScored, nScored - nNovel, nNovel - nSpanKept,
+      nSpanKept - nClean, nClean - kept, kept)
   }
 
   /** Streaming form: every micro-batch lands fully refined; per-batch
     * counts accumulate into `acc` for callers that pin totals.
     */
   def start(stream: DataFrame, docsTable: VectorTable, hashStore: VectorTable,
-            embTable: VectorTable,
+            spanStore: VectorTable, embTable: VectorTable,
+            spanIdx: java.util.concurrent.atomic.AtomicReference[SpanIndex],
             idx: java.util.concurrent.atomic.AtomicReference[IvfTableIndex],
             evalIds: Array[Long], evalVecs: Array[Array[Float]],
             minQuality: Double, threshold: Double, checkpointDir: String,
@@ -200,8 +245,9 @@ object RefineryIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val c = appendRefined(docsTable, hashStore, embTable, idx, batch,
-          evalIds, evalVecs, minQuality, threshold, streamBatchId = Some(batchId))
+        val c = appendRefined(docsTable, hashStore, spanStore, embTable,
+          spanIdx, idx, batch, evalIds, evalVecs, minQuality, threshold,
+          streamBatchId = Some(batchId))
         acc.updateAndGet(_ + c); ()
       }
       .start()
