@@ -953,6 +953,15 @@ object Dedup {
   private[graft] def bandRowsFor(docs: DataFrame): DataFrame =
     bandsOf(signaturesOf(docs))
 
+  /** [[connectedComponentsOf]] for callers outside the operators package
+    * (the semantic ingest gate decomposes its survivor graph into
+    * components before sweeping). Input (doc_a, doc_b) pairs; output
+    * (id, cluster_id) labels.
+    */
+  private[graft] def connectedComponentsFor(pairs: DataFrame,
+                                            smallGraphLimit: Long): DataFrame =
+    connectedComponentsOf(pairs, smallGraphLimit)
+
   private[operators] def deltaPairsBlocked(all: DataFrame, delta: DataFrame,
                                            key: Seq[String]): DataFrame = {
     val kc = key.map(col)
