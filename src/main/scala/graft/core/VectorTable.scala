@@ -558,6 +558,54 @@ final class VectorTable(val spark: SparkSession, val root: String) {
       start
     }
 
+  /** TAKEDOWN / right-to-be-forgotten delete (round 15): mask every LIVE
+    * row matching `cond`, versioned exactly like [[upsertBy]]'s
+    * delete-vector (mask write → manifest commit under the writer lock; a
+    * crash before the commit leaves an orphaned mask file vacuum()
+    * reclaims, and re-running converges). The physical rowid surface
+    * (`scan`/`range`/`point`) and every earlier version stay readable —
+    * [[vacuum]] is what makes the bytes unrecoverable, the usual
+    * two-step legal-delete discipline (logical tombstone now, physical
+    * erasure at the retention boundary). The commit bumps `version` and
+    * `maskCount`, which is the signal the incremental indexes' refresh
+    * checks to rewrite ONLY the affected cells/spans (see
+    * [[graft.operators.IvfTableIndex.refresh]]). Returns the number of
+    * newly deleted rows.
+    */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Long =
+    VectorTable.commitLock.synchronized {
+      val m = manifest
+      if (m.batches.isEmpty) return 0L
+      val hits = liveScanOf(m).where(cond).select(col(ROWID))
+      val mask = (m.maskPath match {
+        case "" => hits
+        case p  => spark.read.parquet(s"$root/$p").unionByName(hits)
+      }).distinct()
+      val rel = f"data/mask-${m.version + 1}%08d-${java.util.UUID.randomUUID()}"
+      mask.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel")
+      val cnt = spark.read.parquet(s"$root/$rel").count()
+      if (cnt == m.maskCount) {
+        // nothing matched: drop the redundant file, commit nothing
+        deleteRecursively(Paths.get(root, rel))
+        0L
+      } else {
+        Manifest.commit(root, m.copy(version = m.version + 1,
+          maskPath = rel, maskCount = cnt))
+        cnt - m.maskCount
+      }
+    }
+
+  /** The MASKED (deleted/superseded) rows with their data columns — what
+    * an index refresh needs to invalidate exactly the affected entries.
+    * Empty frame when no upsert/delete has run.
+    */
+  def maskedScan(): DataFrame = {
+    val m = manifest
+    if (m.maskPath.isEmpty || m.batches.isEmpty) scan().where(lit(false))
+    else scan().join(spark.read.parquet(s"$root/${m.maskPath}"),
+      Seq(ROWID), "left_semi")
+  }
+
   /** The logical (post-upsert) view: committed rows minus the delete-vector
     * mask. Identical to [[scan]] when no upsert has run.
     */

@@ -121,9 +121,11 @@ object IndexCompaction {
   }
 
   /** Atomically flip the pointer to `dirName` (tmp + ATOMIC_MOVE — the
-    * same publish pattern as every index's writeMeta).
+    * same publish pattern as every index's writeMeta). Package-visible:
+    * the IVF delete path publishes its affected-cells rewrite the same
+    * way.
     */
-  private def publish(root: String, dirName: String): Unit = {
+  private[operators] def publish(root: String, dirName: String): Unit = {
     val tmp = Paths.get(root, s".current-${java.util.UUID.randomUUID()}")
     Files.write(tmp, dirName.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
     Files.move(tmp, pointer(root),
@@ -143,7 +145,8 @@ object IndexCompaction {
       import scala.jdk.CollectionConverters._
       listing.iterator().asScala
         .filter(p => Files.isDirectory(p))
-        .filter(_.getFileName.toString.startsWith("data-"))
+        .filter(n => n.getFileName.toString.startsWith("data-")
+          || n.getFileName.toString.startsWith(".rewrite-"))
         .filter(_.getFileName.toString != live)
         .toList
         .foreach(Dedup.deleteRecursively)

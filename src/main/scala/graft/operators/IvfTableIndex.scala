@@ -21,7 +21,8 @@ final class IvfTableIndex private (
     val spark: SparkSession,
     val root: String,
     val builtFromVersion: Long,
-    val indexedLength: Long) {
+    val indexedLength: Long,
+    val indexedMask: Long = 0L) {
 
   /** Fixed cell centroids, persisted at build time. */
   lazy val centroids: Array[Array[Float]] =
@@ -55,13 +56,75 @@ final class IvfTableIndex private (
   def isStale(table: VectorTable): Boolean =
     table.manifest.version > builtFromVersion
 
-  /** Assign only the appended span to the FIXED centroids; no-op → `this`. */
+  /** Assign only the appended span to the FIXED centroids; apply any
+    * takedown deletes the table committed since the last refresh (the
+    * manifest's maskCount is the signal — [[VectorTable.deleteWhere]]
+    * bumps it); no-op → `this`. Order matters: the appended span lands
+    * first so [[applyDeletes]] also scrubs rows that were appended and
+    * deleted between refreshes.
+    */
   def refresh(table: VectorTable): IvfTableIndex = {
     val m = table.manifest
-    if (m.length <= indexedLength) return this
-    IvfTableIndex.writeSpan(table, centroids, indexedLength, m.length - indexedLength, root)
-    IvfTableIndex.writeMeta(root, m.version, m.length)
-    new IvfTableIndex(spark, root, m.version, m.length)
+    if (m.length <= indexedLength && m.maskCount == indexedMask) return this
+    if (m.length > indexedLength)
+      IvfTableIndex.writeSpan(table, centroids, indexedLength, m.length - indexedLength, root)
+    if (m.maskCount != indexedMask) applyDeletes(table)
+    IvfTableIndex.writeMeta(root, m.version, m.length, m.maskCount)
+    new IvfTableIndex(spark, root, m.version, m.length, m.maskCount)
+  }
+
+  /** TAKEDOWN propagation — rewrite ONLY the cells that contain masked
+    * ids (a takedown touches a handful of documents; re-assigning the
+    * whole corpus for it would be a rebuild, not maintenance): affected
+    * cells are rewritten minus the masked ids via a distributed
+    * anti-join, every UNAFFECTED cell's parquet files are HARD-LINKED
+    * into the fresh layout (same filesystem, O(1) per file, no data
+    * copied — the local-FS analog of a manifest-level file re-reference
+    * on object storage), and the result publishes behind the same atomic
+    * pointer flip as [[IndexCompaction]]. Idempotent: already-applied
+    * deletes no longer appear in the index, so they mark no cell
+    * affected. A cell whose every member is deleted disappears from the
+    * layout entirely.
+    */
+  private def applyDeletes(table: VectorTable): Unit = {
+    val live = IndexCompaction.dataDir(root)
+    if (!IndexCompaction.hasParquet(live)) return
+    val deleted = table.maskedScan().select(col("vec_id")).localCheckpoint()
+    val affected = data.join(deleted, Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    if (affected.isEmpty) return
+    val rewritten = data.where(col("cell").isin(affected.toSeq: _*))
+      .join(deleted, Seq("vec_id"), "left_anti")
+    val tmp = Paths.get(root, s".rewrite-${java.util.UUID.randomUUID()}")
+    rewritten.repartition(col("cell"))
+      .write.partitionBy("cell").parquet(tmp.toString)
+    val fresh = Paths.get(root, s"data-${java.util.UUID.randomUUID()}")
+    Files.createDirectories(fresh)
+    // rewritten cells move in; unaffected cells hard-link in
+    val tmpList = Files.list(tmp)
+    try tmpList.iterator().forEachRemaining { p =>
+      if (p.getFileName.toString.startsWith("cell="))
+        Files.move(p, fresh.resolve(p.getFileName.toString))
+    } finally tmpList.close()
+    val liveList = Files.list(live)
+    try liveList.iterator().forEachRemaining { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("cell=") &&
+          !affected.contains(name.stripPrefix("cell=").toInt)) {
+        val dst = fresh.resolve(name)
+        Files.createDirectories(dst)
+        val cellFiles = Files.list(p)
+        try cellFiles.iterator().forEachRemaining { f =>
+          if (f.getFileName.toString.endsWith(".parquet"))
+            try Files.createLink(dst.resolve(f.getFileName.toString), f)
+            catch { case _: UnsupportedOperationException =>
+              Files.copy(f, dst.resolve(f.getFileName.toString)) }
+        } finally cellFiles.close()
+      }
+    } finally liveList.close()
+    IndexCompaction.publish(root, fresh.getFileName.toString)
+    Dedup.deleteRecursively(tmp)
+    Dedup.deleteRecursively(live)
   }
 
   /** COMPACTION — the in-place cure for append-only fragmentation: every
@@ -173,13 +236,15 @@ object IvfTableIndex {
     // an EMPTY table fixes centroids only — range(0,0) has no data
     // columns to assign; the first refresh writes the first real span
     if (m.length > 0) writeSpan(table, cs, 0L, m.length, root)
-    writeMeta(root, m.version, m.length)
-    new IvfTableIndex(spark, root, m.version, m.length)
+    writeMeta(root, m.version, m.length, m.maskCount)
+    new IvfTableIndex(spark, root, m.version, m.length, m.maskCount)
   }
 
   def open(spark: SparkSession, root: String): IvfTableIndex = {
-    val Array(v, len) = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
-    new IvfTableIndex(spark, root, v.toLong, len.toLong)
+    // meta is "version,length" (pre-round-15) or "version,length,mask"
+    val parts = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
+    val mask = if (parts.length > 2) parts(2).toLong else 0L
+    new IvfTableIndex(spark, root, parts(0).toLong, parts(1).toLong, mask)
   }
 
   /** Cells ranked by cosine(q, centroid) desc, ties to the lower id —
@@ -215,9 +280,10 @@ object IvfTableIndex {
       .parquet(IndexCompaction.dataDir(root).toString)
   }
 
-  private def writeMeta(root: String, version: Long, length: Long): Unit = {
+  private def writeMeta(root: String, version: Long, length: Long,
+                        mask: Long = 0L): Unit = {
     val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, s"$version,$length".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    Files.write(tmp, s"$version,$length,$mask".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
     Files.move(tmp, Paths.get(root, "meta.txt"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -670,6 +670,97 @@ object Similarity {
       IndexCompaction.dataDir(s"${compactedIvfRoot(s, d)}/index").toString, d,
       ivfQueryId, ivfK, ivfNprobe)
 
+  /** TAKEDOWN corpus + index, memoized per (machine, sf dir): the
+    * embeddings land in a [[graft.core.VectorTable]], the incremental IVF
+    * index builds over the anchor centroids, then every
+    * `vec_id % `[[takedownMod]]` = 0` row is taken down
+    * ([[graft.core.VectorTable.deleteWhere]] — the right-to-be-forgotten
+    * path) and ONE `refresh` propagates the mask into the index
+    * (affected-cells-only rewrite). Two faces gate the result: the live
+    * scan and the index-served search must both exclude the deleted ids.
+    */
+  val takedownMod = 37L
+
+  private val takedownRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def takedownRoot(s: SparkSession, d: String): String =
+    takedownRoots.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d#takedown#cells=${cellsOf(s, d)}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-ivf-indexes")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"takedown-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"takedown-$key-${java.util.UUID.randomUUID()}")
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val t = graft.core.VectorTable.create(s, s"$dir/table")
+        t.append(emb)
+        val idx = IvfTableIndex.buildWith(t, s"$dir/index", centroids(s, d))
+        val deleted = t.deleteWhere(col("vec_id") % takedownMod === 0)
+        require(deleted > 0, "takedown face must actually delete rows")
+        val refreshed = idx.refresh(t)
+        require(refreshed.indexedMask == deleted,
+          "refresh must record the applied mask")
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          Dedup.deleteRecursively(dir) } // racer won; adopt theirs
+      }
+      Files.readString(pointer)
+    })
+
+  def prebuildTakedown(s: SparkSession, d: String): Unit = {
+    takedownRoot(s, d); ()
+  }
+
+  /** Declared `takedown_scan`: the post-delete LIVE view of the takedown
+    * table — oracle replays the predicate over the raw parquet. A green
+    * row proves the logical delete removes exactly the targeted rows and
+    * nothing else.
+    */
+  def takedownScan(s: SparkSession, d: String): DataFrame =
+    graft.core.VectorTable.open(s, s"${takedownRoot(s, d)}/table")
+      .liveScan().select(col("vec_id"))
+
+  lazy val takedownScanSql: String =
+    s"SELECT vec_id FROM embeddings WHERE vec_id % $takedownMod <> 0"
+
+  /** Declared `takedown_ivf_search`: the multiprobe top-k served from the
+    * REFRESHED index — the oracle recomputes the same search over only
+    * the surviving ids, so a green row proves no stale index row serves
+    * a deleted document (the exact failure a takedown that skips index
+    * invalidation would silently exhibit).
+    */
+  def takedownIvfSearch(s: SparkSession, d: String): DataFrame =
+    searchIvfIndex(s,
+      IndexCompaction.dataDir(s"${takedownRoot(s, d)}/index").toString, d,
+      ivfQueryId, ivfK, ivfNprobe)
+
+  lazy val takedownIvfSearchSql: String = {
+    val cellSims = cellSimsUnionSql(ivfQueryId)
+    s"""WITH assign AS ($ivfAssignSql),
+       | cellsims AS (
+       |  $cellSims),
+       | probe AS (SELECT cell FROM cellsims ORDER BY sim DESC, cell LIMIT $ivfNprobe),
+       | members AS (
+       |  SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cell
+       |  WHERE a.vec_id % $takedownMod <> 0),
+       | q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $ivfQueryId),
+       | qn AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, $dim + 1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)), (acc, p) -> acc + p)) AS qnorm FROM q),
+       | scored AS (
+       |  SELECT e.vec_id,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), (acc, p) -> acc + p) AS dot,
+       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, $dim + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (acc, p) -> acc + p) AS norm2
+       |  FROM embeddings e JOIN members m ON e.vec_id = m.vec_id, q
+       |  WHERE e.vec_id <> $ivfQueryId)
+       |SELECT vec_id, dot / (sqrt(norm2) * qn.qnorm) AS sim
+       |FROM scored, qn ORDER BY sim DESC, vec_id LIMIT $ivfK""".stripMargin
+  }
+
   /** Top-k over the persisted index, probing `nprobe` cells: the scan's
     * partition filter prunes to the probe directories at the source.
     */

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Takedown / right-to-be-forgotten delete (round 15): the logical delete
+  * over [[graft.core.VectorTable]] and its propagation into the
+  * incrementally-maintained IVF index.
+  *
+  *   - deleteWhere masks live rows, bumps (version, maskCount), leaves the
+  *     physical rowid surface and earlier versions readable;
+  *   - refresh() sees the mask delta and rewrites ONLY the affected cells
+  *     (unaffected cells' parquet files are hard-linked — same file names,
+  *     no data copied);
+  *   - post-refresh search results equal a from-scratch index built over
+  *     only the live rows (parity — no stale index rows serve deleted
+  *     docs);
+  *   - delete composes with append: a later span refresh keeps the
+  *     deletes applied, and deleting freshly-appended rows works;
+  *   - idempotence: a second refresh after the delete is a no-op.
+  */
+class TakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deleteWhere masks live rows and versions the commit") {
+    val dir = tmpDir("takedown-table")
+    val t = graft.core.VectorTable.create(spark, s"$dir/t")
+    val emb = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding")).limit(100)
+    t.append(emb)
+    val v0 = t.manifest.version
+    val n = t.deleteWhere(col("vec_id") % 10 === 0)
+    assert(n == 10L)
+    assert(t.manifest.version == v0 + 1 && t.manifest.maskCount == 10L)
+    assert(t.liveCount == 90L)
+    assert(t.liveScan().where(col("vec_id") % 10 === 0).count() == 0)
+    // the physical surface is untouched (legal erasure is vacuum's job)
+    assert(t.scan().count() == 100L)
+    assert(t.maskedScan().count() == 10L)
+    // deleting the same rows again commits nothing
+    assert(t.deleteWhere(col("vec_id") % 10 === 0) == 0L)
+    assert(t.manifest.version == v0 + 1)
+  }
+
+  test("delete -> refresh rewrites only affected cells; search parity with a live-only rebuild") {
+    val dir = tmpDir("takedown-ivf")
+    val emb = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding"))
+    val cs = emb.orderBy("vec_id").limit(8).collect().map(_.getSeq[Float](1).toArray)
+    val t = graft.core.VectorTable.create(spark, s"$dir/t")
+    t.append(emb)
+    var idx = IvfTableIndex.buildWith(t, s"$dir/index", cs)
+
+    // choose victims concentrated in ONE cell so most cells are unaffected
+    val victimCell = idx.data.groupBy("cell").count()
+      .orderBy(col("count").desc).head().getInt(0)
+    val victims = idx.data.where(col("cell") === victimCell)
+      .select("vec_id").orderBy("vec_id").limit(5)
+      .collect().map(_.getLong(0))
+    val untouchedFiles = filesByCell(idx).filter(_._1 != victimCell)
+
+    assert(t.deleteWhere(col("vec_id").isin(victims: _*)) == victims.length.toLong)
+    idx = idx.refresh(t)
+    assert(idx.indexedMask == victims.length.toLong)
+
+    // deleted ids are gone from the index; every other row survives
+    assert(idx.data.where(col("vec_id").isin(victims: _*)).count() == 0)
+    assert(idx.data.count() == t.liveCount)
+    // unaffected cells kept their exact files (hard-linked, not rewritten)
+    val after = filesByCell(idx)
+    untouchedFiles.foreach { case (cell, files) =>
+      assert(after(cell) == files, s"cell $cell must keep its files verbatim")
+    }
+
+    // search parity: post-delete index ≡ from-scratch index over live rows
+    val t2 = graft.core.VectorTable.create(spark, s"$dir/t2")
+    t2.append(t.liveScan().select("vec_id", "embedding"))
+    val fresh = IvfTableIndex.buildWith(t2, s"$dir/index2", cs)
+    val q = emb.where(col("vec_id") === 5L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    assert(idx.search(q, 5, 3).collect().toSeq ==
+      fresh.search(q, 5, 3).collect().toSeq,
+      "no stale index row may serve a deleted doc")
+
+    // a second refresh is a no-op
+    assert(idx.refresh(t) eq idx)
+  }
+
+  test("delete composes with append: later spans land, deletes stay applied") {
+    val dir = tmpDir("takedown-append")
+    val emb = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding"))
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    val cs = emb.orderBy("vec_id").limit(4).collect().map(_.getSeq[Float](1).toArray)
+    val t = graft.core.VectorTable.create(spark, s"$dir/t")
+    t.append(emb.where(col("vec_id") <= maxId / 2))
+    var idx = IvfTableIndex.buildWith(t, s"$dir/index", cs)
+    t.deleteWhere(col("vec_id") % 7 === 0)
+    // append the second half, then refresh once: the span lands AND the
+    // deletes apply in the same maintenance pass
+    t.append(emb.where(col("vec_id") > maxId / 2))
+    idx = idx.refresh(t)
+    assert(idx.data.count() == t.liveCount)
+    assert(idx.data.where(col("vec_id") % 7 === 0 && col("vec_id") <= maxId / 2).count() == 0)
+    assert(idx.data.where(col("vec_id") > maxId / 2).count() ==
+      t.liveScan().where(col("vec_id") > maxId / 2).count())
+    // delete rows from the fresh span too
+    t.deleteWhere(col("vec_id") === maxId)
+    idx = idx.refresh(t)
+    assert(idx.data.where(col("vec_id") === maxId).count() == 0)
+    assert(idx.data.count() == t.liveCount)
+  }
+
+  private def filesByCell(idx: IvfTableIndex): Map[Int, Set[String]] = {
+    val d = IndexCompaction.dataDir(idx.root)
+    val walk = java.nio.file.Files.walk(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq
+        .groupBy(p => p.getParent.getFileName.toString.stripPrefix("cell=").toInt)
+        .map { case (c, fs) => c -> fs.map(_.getFileName.toString).toSet }
+    } finally walk.close()
+  }
+}
