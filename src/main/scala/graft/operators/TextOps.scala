@@ -114,6 +114,106 @@ object TextOps {
        |  MAX(cum_d) AS kept_docs, MAX(cum_t) AS kept_tokens
        |FROM c, g WHERE cum_t <= budget""".stripMargin
 
+  // ----- round-15: subword token accounting ------------------------------
+
+  /** The frozen [[graft.functions.SubwordKernel.vocab]] rendered as a
+    * DuckDB list literal — one source of truth for both engines.
+    */
+  private lazy val subwordVocabSql: String =
+    graft.functions.SubwordKernel.vocab.map(v => s"'$v'").mkString("[", ", ", "]")
+
+  /** Shared oracle CTEs: greedy longest-match replayed as a RECURSIVE walk
+    * over each DISTINCT word (max matching vocab length at each position,
+    * else one character as one unknown token — exactly the kernel), then
+    * summed per doc. Matching never crosses a space (the vocab has none),
+    * so per-word replay equals the kernel's single pass.
+    */
+  private lazy val subwordCtes: String =
+    s"""sw_words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+       | sw_vocab(tok) AS (SELECT unnest($subwordVocabSql)),
+       | sw_walk(w, pos, cnt) AS (
+       |   SELECT w, 1, 0 FROM sw_words WHERE len(w) > 0
+       |   UNION ALL
+       |   SELECT w,
+       |     pos + COALESCE((SELECT MAX(len(tok)) FROM sw_vocab
+       |                     WHERE tok = substr(w, pos, len(tok))), 1),
+       |     cnt + 1
+       |   FROM sw_walk WHERE pos <= len(w)),
+       | sw_wc AS (SELECT w, CAST(MAX(cnt) AS BIGINT) AS n FROM sw_walk GROUP BY w),
+       | sw_doc AS (
+       |   SELECT dt.doc_id, CAST(SUM(wc.n) AS BIGINT) AS n_subword
+       |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) dt
+       |   JOIN sw_wc wc ON dt.w = wc.w GROUP BY dt.doc_id)""".stripMargin
+
+  /** Declared `text_subword_tokens`: per-doc whitespace vs SUBWORD token
+    * counts from the codegen'd greedy longest-match kernel
+    * ([[graft.functions.SubwordTokenCount]]) — the honest budget basis
+    * whitespace counting is not (it under-prices CJK/code/agglutinative
+    * text, where one whitespace "token" can be a whole sentence). Scale
+    * shape: map-only, one pass per document.
+    */
+  def subwordTokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      graft.functions.TextFunctions.subwordTokens(col("text")).as("n_subword"))
+
+  lazy val subwordTokenStatsSql: String =
+    s"""WITH RECURSIVE $subwordCtes
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(p.n_subword, 0) AS BIGINT) AS n_subword
+       |FROM documents d LEFT JOIN sw_doc p ON d.doc_id = p.doc_id""".stripMargin
+
+  /** Declared `text_subword_budget_cutoff`: [[qualityBudgetCutoff]]
+    * RE-PARAMETERIZED on subword masses — the same bucket-resolution
+    * quality-threshold calibration, but the budget and the kept mass are
+    * priced in subword tokens, making the budget family honest for text
+    * whose whitespace token count lies (the round-15 gap: every export
+    * budget counted whitespace). Same windowed shape, same exact integer
+    * arithmetic.
+    */
+  def subwordBudgetCutoff(s: SparkSession, d: String): DataFrame = {
+    val sub = Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.TextFunctions.subwordTokens(col("text")).as("n_sub"))
+    val q = qualityScores(s, d)
+      .select(col("doc_id"), floor(col("quality_score") * 1000).cast("long").as("qb"))
+      .join(sub, Seq("doc_id"))
+    val byBucket = q.groupBy("qb")
+      .agg(sum("n_sub").as("bt"), count(lit(1)).as("bd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("qb").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byBucket
+      .withColumn("cum_t", sum(col("bt")).over(w))
+      .withColumn("cum_d", sum(col("bd")).over(w))
+      .crossJoin(broadcast(
+        q.agg(expr("CAST(sum(n_sub) * 2 DIV 5 AS BIGINT)").as("budget"))))
+      .where(col("cum_t") <= col("budget"))
+      .agg(min(col("budget")).as("budget_subword"),
+        min(col("qb")).as("cutoff_bucket"),
+        max(col("cum_d")).as("kept_docs"),
+        max(col("cum_t")).as("kept_subword"))
+  }
+
+  lazy val subwordBudgetCutoffSql: String =
+    s"""WITH RECURSIVE $subwordCtes,
+       | qs AS (${qualityScoresSql.replace("\n", "\n  ")}),
+       | q AS (
+       |  SELECT qs.doc_id, CAST(floor(qs.quality_score * 1000) AS BIGINT) AS qb,
+       |    sd.n_subword AS n_sub
+       |  FROM qs JOIN sw_doc sd ON qs.doc_id = sd.doc_id),
+       | b AS (SELECT qb, CAST(SUM(n_sub) AS BIGINT) AS bt, COUNT(*) AS bd
+       |       FROM q GROUP BY qb),
+       | c AS (SELECT qb,
+       |   CAST(SUM(bt) OVER (ORDER BY qb DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_t,
+       |   CAST(SUM(bd) OVER (ORDER BY qb DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_d
+       |  FROM b),
+       | g AS (SELECT CAST((SUM(n_sub) * 2) // 5 AS BIGINT) AS budget FROM q)
+       |SELECT MIN(budget) AS budget_subword, MIN(qb) AS cutoff_bucket,
+       |  MAX(cum_d) AS kept_docs, MAX(cum_t) AS kept_subword
+       |FROM c, g WHERE cum_t <= budget""".stripMargin
+
   /** Benchmark-contamination check: fraction of each document's word
     * 8-grams that appear anywhere in the EVAL SET (here the deterministic
     * `doc_id % 50 = 0` subset stands in for a held-out benchmark). The
