@@ -953,6 +953,14 @@ object Dedup {
   private[graft] def bandRowsFor(docs: DataFrame): DataFrame =
     bandsOf(signaturesOf(docs))
 
+  /** [[deltaCandidatesFromBands]] / [[deleteRecursively]] for the pricing
+    * tools outside the operators package.
+    */
+  private[graft] def deltaCandidatesFromBandsFor(all: DataFrame, cutoff: Long): DataFrame =
+    deltaCandidatesFromBands(all, cutoff)
+  private[graft] def deleteRecursivelyFor(dir: java.nio.file.Path): Unit =
+    deleteRecursively(dir)
+
   /** [[connectedComponentsOf]] for callers outside the operators package
     * (the semantic ingest gate decomposes its survivor graph into
     * components before sweeping). Input (doc_a, doc_b) pairs; output
