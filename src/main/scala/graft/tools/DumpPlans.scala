@@ -43,7 +43,10 @@ object DumpPlans {
       "text_shard_balance",
       "text_chunk_windows", "text_temperature_mixture", "text_span_scrub",
       "text_curriculum_export", "text_chunked_export", "semantic_cell_drift",
-      "ann_ivf_compacted_search")
+      "ann_ivf_compacted_search",
+      "dedup_delta_candidates_compacted", "dedup_lsh_ingest",
+      "takedown_scan", "takedown_ivf_search",
+      "text_subword_tokens", "text_subword_budget_cutoff")
     picks.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, d)
       val txt = df.queryExecution.explainString(
