@@ -426,6 +426,11 @@ object Bench {
     // verdict: the sf1 sweep showed 40.7 s of memoized landing inside the
     // query dim)
     dim("sem_ingest_corpus_build")(graft.operators.Similarity.semanticIngestRoot(spark, sfDir))
+    // the streamed IVF landing behind dedup_semantic_delta_streamed — its
+    // own dim so the query face reports the WARM index (the round-15 sf1
+    // cold sweep showed 36.7 s of memoized landing inside the query dim,
+    // the exact round-13 pathology, for this one uncovered face)
+    dim("streamed_ivf_index_build")(graft.operators.Similarity.streamedIvfIndexRoot(spark, sfDir))
     dim("contam_ingest_corpus_build")(graft.operators.Similarity.contaminationIngestRoot(spark, sfDir))
     dim("refinery_corpus_build")(graft.operators.Pipeline.refineryRoot(spark, sfDir))
     dim("ivf_compacted_index_build")(graft.operators.Similarity.compactedIvfRoot(spark, sfDir))
