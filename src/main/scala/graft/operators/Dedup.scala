@@ -1791,6 +1791,87 @@ object Dedup {
 
   lazy val deltaContainmentPairsCompactedSql: String = deltaContainmentPairsSql
 
+  /** TAKEDOWN over the lexical index (round 15): documents land in two
+    * spans (build + refresh — the incremental history), then the VICTIM
+    * SET — every doc that appears as the smaller (`doc_a`) side of a
+    * full-corpus LSH candidate pair with an even id — is deleted
+    * ([[graft.core.VectorTable.deleteWhere]]) and ONE refresh propagates
+    * the mask into the [[LshIndex]] via the file-granular
+    * [[IndexCompaction.applyDeletesFiles]] (only files containing masked
+    * ids are rewritten; the rest hard-link). The victims are chosen FROM
+    * the pair set deliberately: deleting ids that never collide would
+    * leave the face unable to distinguish a stale index from a scrubbed
+    * one (measured at sf0.01: a plain modulo predicate touches zero
+    * pairs). Memoized per (machine, sf dir) behind the pointer protocol.
+    */
+  private val takedownLshRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def takedownLshRoot(s: SparkSession, d: String): String =
+    takedownLshRoots.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d#lsh-takedown".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"docs-lsh-takedown-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"docs-lsh-takedown-$key-${java.util.UUID.randomUUID()}")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val cutoff = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+        val t = graft.core.VectorTable.create(s, s"$dir/table")
+        t.append(docs.where(col("doc_id") <= cutoff))
+        var idx = LshIndex.build(t, s"$dir/index")
+        t.append(docs.where(col("doc_id") > cutoff))
+        idx = idx.refresh(t)
+        val victims = pairsFromBands(idx.bands)
+          .where(col("doc_a") % 2 === 0)
+          .select(col("doc_a")).distinct()
+          .collect().map(_.getLong(0))
+        require(victims.nonEmpty, "lsh takedown face needs colliding victims")
+        val deleted = t.deleteWhere(col("doc_id").isin(victims: _*))
+        require(deleted == victims.length.toLong,
+          "every victim must be a live doc")
+        idx = idx.refresh(t)
+        require(idx.indexedMask == deleted, "refresh must record the applied mask")
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          deleteRecursively(dir) } // racer won; adopt theirs, drop our build
+      }
+      Files.readString(pointer)
+    })
+
+  def prebuildTakedownLsh(s: SparkSession, d: String): Unit = {
+    takedownLshRoot(s, d); ()
+  }
+
+  /** Declared `takedown_lsh_delta`: [[deltaCandidatePairs]]'s exact query
+    * over the POST-TAKEDOWN index — the oracle recomputes the whole
+    * banding pipeline from only the SURVIVING documents, so a green row
+    * proves the file-granular invalidation removed every deleted doc's
+    * band rows and nothing else (a stale band row would surface a
+    * candidate pair the oracle cannot produce).
+    */
+  def takedownLshDelta(s: SparkSession, d: String): DataFrame = {
+    val root = takedownLshRoot(s, d)
+    val t = graft.core.VectorTable.open(s, s"$root/table")
+    val cutoff = t.liveScan().agg(max(col("doc_id"))).head.getLong(0) / 2
+    deltaCandidatesFromBands(LshIndex.open(s, s"$root/index").bands, cutoff)
+  }
+
+  lazy val takedownLshDeltaSql: String = {
+    // victims from the FULL corpus's pair set (the pre-delete index holds
+    // all docs' bands — banding is deterministic, so recomputing from all
+    // docs reproduces it); then the delta pipeline recomputed from only
+    // the surviving documents
+    val inner = deltaCandidatePairsSql.replace("FROM documents",
+      "FROM (SELECT * FROM documents WHERE doc_id NOT IN " +
+        "(SELECT doc_a FROM victims)) AS documents")
+    require(inner.startsWith("WITH "), "delta SQL must be a WITH query")
+    s"""WITH fp0 AS (${lshCandidatePairsSql.replace("\n", "\n  ")}),
+       | victims AS (SELECT DISTINCT doc_a FROM fp0 WHERE doc_a % 2 = 0),
+       | ${inner.drop("WITH ".length)}""".stripMargin
+  }
+
   /** Declared `dedup_delta_spans_compacted`. */
   def deltaSpanStatsCompacted(s: SparkSession, d: String): DataFrame = {
     val root = compactedDeltaIndexRoot[SpanIndex](s, d, "span",

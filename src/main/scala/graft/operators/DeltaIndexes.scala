@@ -24,7 +24,8 @@ final class SimHashIndex private (
     val spark: SparkSession,
     val root: String,
     val builtFromVersion: Long,
-    val indexedLength: Long) {
+    val indexedLength: Long,
+    val indexedMask: Long = 0L) {
 
   /** The stored (doc_id, simhash) signature rows. */
   def signatures: DataFrame =
@@ -35,10 +36,14 @@ final class SimHashIndex private (
 
   def refresh(table: VectorTable): SimHashIndex = {
     val m = table.manifest
-    if (m.length <= indexedLength) return this
-    SimHashIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
-    SimHashIndex.writeMeta(root, m.version, m.length)
-    new SimHashIndex(spark, root, m.version, m.length)
+    if (m.length <= indexedLength && m.maskCount == indexedMask) return this
+    if (m.length > indexedLength)
+      SimHashIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
+    if (m.maskCount != indexedMask)
+      IndexCompaction.applyDeletesFiles(spark, root, "doc_id",
+        table.maskedScan().select(col("doc_id")), sortWithin = Seq("simhash"))
+    SimHashIndex.writeMeta(root, m.version, m.length, m.maskCount)
+    new SimHashIndex(spark, root, m.version, m.length, m.maskCount)
   }
 
   /** In-place [[IndexCompaction]] over the accumulated refresh files —
@@ -65,13 +70,15 @@ object SimHashIndex {
       Seq.empty[(Long, Long)].toDF("doc_id", "simhash")
         .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
     }
-    writeMeta(root, m.version, m.length)
-    new SimHashIndex(table.spark, root, m.version, m.length)
+    writeMeta(root, m.version, m.length, m.maskCount)
+    new SimHashIndex(table.spark, root, m.version, m.length, m.maskCount)
   }
 
   def open(spark: SparkSession, root: String): SimHashIndex = {
-    val Array(v, len) = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
-    new SimHashIndex(spark, root, v.toLong, len.toLong)
+    // meta is "version,length" (pre-round-15) or "version,length,mask"
+    val parts = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
+    val mask = if (parts.length > 2) parts(2).toLong else 0L
+    new SimHashIndex(spark, root, parts(0).toLong, parts(1).toLong, mask)
   }
 
   private def writeSpan(table: VectorTable, start: Long, count: Long, root: String): Unit =
@@ -80,9 +87,10 @@ object SimHashIndex {
         graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
       .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
 
-  private def writeMeta(root: String, version: Long, length: Long): Unit = {
+  private def writeMeta(root: String, version: Long, length: Long,
+                        mask: Long = 0L): Unit = {
     val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, s"$version,$length".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    Files.write(tmp, s"$version,$length,$mask".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
     Files.move(tmp, Paths.get(root, "meta.txt"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -112,7 +120,8 @@ final class ContainmentIndex private (
     val spark: SparkSession,
     val root: String,
     val builtFromVersion: Long,
-    val indexedLength: Long) {
+    val indexedLength: Long,
+    val indexedMask: Long = 0L) {
 
   /** Stored (doc_id, sg frozen-rarity-order, sh ASC, n) rows. */
   def entries: DataFrame =
@@ -126,10 +135,17 @@ final class ContainmentIndex private (
 
   def refresh(table: VectorTable): ContainmentIndex = {
     val m = table.manifest
-    if (m.length <= indexedLength) return this
-    ContainmentIndex.writeSpan(table, indexedLength, m.length - indexedLength, root, freq)
-    ContainmentIndex.writeMeta(root, m.version, m.length)
-    new ContainmentIndex(spark, root, m.version, m.length)
+    if (m.length <= indexedLength && m.maskCount == indexedMask) return this
+    if (m.length > indexedLength)
+      ContainmentIndex.writeSpan(table, indexedLength, m.length - indexedLength, root, freq)
+    // takedown: the frozen freq table keeps the deleted docs' counts —
+    // frequency drift only degrades prefix SELECTIVITY, never correctness
+    // (losslessness holds under ANY shared total order; see class doc)
+    if (m.maskCount != indexedMask)
+      IndexCompaction.applyDeletesFiles(spark, root, "doc_id",
+        table.maskedScan().select(col("doc_id")), sortWithin = Seq("doc_id"))
+    ContainmentIndex.writeMeta(root, m.version, m.length, m.maskCount)
+    new ContainmentIndex(spark, root, m.version, m.length, m.maskCount)
   }
 
   /** In-place [[IndexCompaction]] over the accumulated refresh files —
@@ -165,13 +181,15 @@ object ContainmentIndex {
       val frozen = table.spark.read.parquet(s"$root/freq")
       writeEntries(sh, frozen, root)
     }
-    writeMeta(root, m.version, m.length)
-    new ContainmentIndex(table.spark, root, m.version, m.length)
+    writeMeta(root, m.version, m.length, m.maskCount)
+    new ContainmentIndex(table.spark, root, m.version, m.length, m.maskCount)
   }
 
   def open(spark: SparkSession, root: String): ContainmentIndex = {
-    val Array(v, len) = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
-    new ContainmentIndex(spark, root, v.toLong, len.toLong)
+    // meta is "version,length" (pre-round-15) or "version,length,mask"
+    val parts = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
+    val mask = if (parts.length > 2) parts(2).toLong else 0L
+    new ContainmentIndex(spark, root, parts(0).toLong, parts(1).toLong, mask)
   }
 
   private def shOf(table: VectorTable, start: Long, count: Long): DataFrame =
@@ -202,9 +220,10 @@ object ContainmentIndex {
       .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
   }
 
-  private def writeMeta(root: String, version: Long, length: Long): Unit = {
+  private def writeMeta(root: String, version: Long, length: Long,
+                        mask: Long = 0L): Unit = {
     val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, s"$version,$length".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    Files.write(tmp, s"$version,$length,$mask".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
     Files.move(tmp, Paths.get(root, "meta.txt"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -225,7 +244,8 @@ final class SpanIndex private (
     val spark: SparkSession,
     val root: String,
     val builtFromVersion: Long,
-    val indexedLength: Long) {
+    val indexedLength: Long,
+    val indexedMask: Long = 0L) {
 
   /** The stored (doc_id, gram_hash) window rows. */
   def windows: DataFrame =
@@ -236,10 +256,14 @@ final class SpanIndex private (
 
   def refresh(table: VectorTable): SpanIndex = {
     val m = table.manifest
-    if (m.length <= indexedLength) return this
-    SpanIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
-    SpanIndex.writeMeta(root, m.version, m.length)
-    new SpanIndex(spark, root, m.version, m.length)
+    if (m.length <= indexedLength && m.maskCount == indexedMask) return this
+    if (m.length > indexedLength)
+      SpanIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
+    if (m.maskCount != indexedMask)
+      IndexCompaction.applyDeletesFiles(spark, root, "doc_id",
+        table.maskedScan().select(col("doc_id")), sortWithin = Seq("gram_hash"))
+    SpanIndex.writeMeta(root, m.version, m.length, m.maskCount)
+    new SpanIndex(spark, root, m.version, m.length, m.maskCount)
   }
 
   /** In-place [[IndexCompaction]] over the accumulated refresh files —
@@ -264,13 +288,15 @@ object SpanIndex {
       Seq.empty[(Long, Long)].toDF("doc_id", "gram_hash")
         .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
     }
-    writeMeta(root, m.version, m.length)
-    new SpanIndex(table.spark, root, m.version, m.length)
+    writeMeta(root, m.version, m.length, m.maskCount)
+    new SpanIndex(table.spark, root, m.version, m.length, m.maskCount)
   }
 
   def open(spark: SparkSession, root: String): SpanIndex = {
-    val Array(v, len) = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
-    new SpanIndex(spark, root, v.toLong, len.toLong)
+    // meta is "version,length" (pre-round-15) or "version,length,mask"
+    val parts = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
+    val mask = if (parts.length > 2) parts(2).toLong else 0L
+    new SpanIndex(spark, root, parts(0).toLong, parts(1).toLong, mask)
   }
 
   private def writeSpan(table: VectorTable, start: Long, count: Long, root: String): Unit =
@@ -280,9 +306,10 @@ object SpanIndex {
         .as("gram_hash"))
       .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
 
-  private def writeMeta(root: String, version: Long, length: Long): Unit = {
+  private def writeMeta(root: String, version: Long, length: Long,
+                        mask: Long = 0L): Unit = {
     val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, s"$version,$length".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    Files.write(tmp, s"$version,$length,$mask".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
     Files.move(tmp, Paths.get(root, "meta.txt"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -120,6 +120,64 @@ object IndexCompaction {
     true
   }
 
+  /** TAKEDOWN propagation for the UNPARTITIONED index layouts (the delta
+    * family: LSH / SimHash / containment / span) — the file-granular twin
+    * of [[IvfTableIndex]]'s affected-cells rewrite: find the live files
+    * that contain masked ids (`input_file_name` join — at cluster scale
+    * this is a footer-stats pruning decision), rewrite ONLY those files'
+    * rows minus the deleted ids, HARD-LINK every unaffected file into the
+    * fresh layout, and publish behind the atomic pointer flip. A takedown
+    * touches a handful of documents, so the rewrite cost is proportional
+    * to the files they landed in, never the index. Returns false when no
+    * file is affected (nothing published).
+    */
+  private[operators] def applyDeletesFiles(spark: SparkSession, root: String,
+                                           idCol: String, deleted: DataFrame,
+                                           sortWithin: Seq[String] = Nil): Boolean = {
+    val live = dataDir(root)
+    if (!hasParquet(live)) return false
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val df = spark.read.parquet(live.toString)
+    val affectedUris = df.withColumn("__f", input_file_name())
+      .join(deleted.select(col(idCol)), Seq(idCol), "left_semi")
+      .select("__f").distinct().collect().map(_.getString(0))
+    if (affectedUris.isEmpty) return false
+    val affectedNames = affectedUris
+      .map(u => Paths.get(java.net.URI.create(u).getPath).getFileName.toString).toSet
+    val tmp = Paths.get(root, s".rewrite-${java.util.UUID.randomUUID()}")
+    val kept = df.withColumn("__f", input_file_name())
+      .where(col("__f").isin(affectedUris.toSeq: _*))
+      .join(deleted.select(col(idCol)), Seq(idCol), "left_anti")
+      .drop("__f")
+      .coalesce(math.max(1, affectedNames.size))
+    val sortCols = sortWithin.map(org.apache.spark.sql.functions.col)
+    (if (sortCols.nonEmpty) kept.sortWithinPartitions(sortCols: _*) else kept)
+      .write.parquet(tmp.toString)
+    val fresh = Paths.get(root, s"data-${java.util.UUID.randomUUID()}")
+    Files.createDirectories(fresh)
+    val tmpList = Files.list(tmp)
+    try tmpList.iterator().forEachRemaining { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        Files.move(p, fresh.resolve(p.getFileName.toString))
+    } finally tmpList.close()
+    val liveList = Files.walk(live)
+    try {
+      import scala.jdk.CollectionConverters._
+      liveList.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .filterNot(p => affectedNames.contains(p.getFileName.toString))
+        .foreach { f =>
+          try Files.createLink(fresh.resolve(f.getFileName.toString), f)
+          catch { case _: UnsupportedOperationException =>
+            Files.copy(f, fresh.resolve(f.getFileName.toString)) }
+        }
+    } finally liveList.close()
+    publish(root, fresh.getFileName.toString)
+    Dedup.deleteRecursively(tmp)
+    Dedup.deleteRecursively(live)
+    true
+  }
+
   /** Atomically flip the pointer to `dirName` (tmp + ATOMIC_MOVE — the
     * same publish pattern as every index's writeMeta). Package-visible:
     * the IVF delete path publishes its affected-cells rewrite the same

@@ -28,7 +28,8 @@ final class LshIndex private (
     val spark: SparkSession,
     val root: String,
     val builtFromVersion: Long,
-    val indexedLength: Long) {
+    val indexedLength: Long,
+    val indexedMask: Long = 0L) {
 
   /** The stored band rows (doc_id, band, h1, h2). */
   def bands: DataFrame =
@@ -48,10 +49,15 @@ final class LshIndex private (
     */
   def refresh(table: VectorTable): LshIndex = {
     val m = table.manifest
-    if (m.length <= indexedLength) return this
-    LshIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
-    LshIndex.writeMeta(root, m.version, m.length)
-    new LshIndex(spark, root, m.version, m.length)
+    if (m.length <= indexedLength && m.maskCount == indexedMask) return this
+    if (m.length > indexedLength)
+      LshIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
+    if (m.maskCount != indexedMask)
+      IndexCompaction.applyDeletesFiles(spark, root, "doc_id",
+        table.maskedScan().select(col("doc_id")),
+        sortWithin = Seq("band", "h1", "h2"))
+    LshIndex.writeMeta(root, m.version, m.length, m.maskCount)
+    new LshIndex(spark, root, m.version, m.length, m.maskCount)
   }
 
   /** In-place [[IndexCompaction]] over the accumulated refresh files,
@@ -80,14 +86,16 @@ object LshIndex {
       Seq.empty[(Long, Int, Long, Long)].toDF("doc_id", "band", "h1", "h2")
         .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
     }
-    writeMeta(root, m.version, m.length)
-    new LshIndex(table.spark, root, m.version, m.length)
+    writeMeta(root, m.version, m.length, m.maskCount)
+    new LshIndex(table.spark, root, m.version, m.length, m.maskCount)
   }
 
   /** Open a previously built index (throws if absent). */
   def open(spark: SparkSession, root: String): LshIndex = {
-    val Array(v, len) = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
-    new LshIndex(spark, root, v.toLong, len.toLong)
+    // meta is "version,length" (pre-round-15) or "version,length,mask"
+    val parts = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
+    val mask = if (parts.length > 2) parts(2).toLong else 0L
+    new LshIndex(spark, root, parts(0).toLong, parts(1).toLong, mask)
   }
 
   private def writeSpan(table: VectorTable, start: Long, count: Long, root: String): Unit = {
@@ -100,9 +108,10 @@ object LshIndex {
       .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
   }
 
-  private def writeMeta(root: String, version: Long, length: Long): Unit = {
+  private def writeMeta(root: String, version: Long, length: Long,
+                        mask: Long = 0L): Unit = {
     val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, s"$version,$length".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    Files.write(tmp, s"$version,$length,$mask".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
     Files.move(tmp, Paths.get(root, "meta.txt"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

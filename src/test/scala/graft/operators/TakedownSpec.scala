@@ -111,6 +111,60 @@ class TakedownSpec extends SparkSpec {
     assert(idx.data.count() == t.liveCount)
   }
 
+  test("delta indexes: delete -> refresh rewrites only affected files; parity with a live-only rebuild") {
+    val dir = tmpDir("takedown-lsh")
+    val docs = graft.core.Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val t = graft.core.VectorTable.create(spark, s"$dir/t")
+    t.append(docs.where(col("doc_id") <= maxId / 2))
+    var idx = LshIndex.build(t, s"$dir/index")
+    t.append(docs.where(col("doc_id") > maxId / 2))
+    idx = idx.refresh(t)
+    // victims live in the FIRST span only, so the second span's file is
+    // unaffected and must be hard-linked verbatim
+    val victims = idx.bands.where(col("doc_id") <= maxId / 4)
+      .select("doc_id").distinct().orderBy("doc_id").limit(5)
+      .collect().map(_.getLong(0))
+    val filesBefore = liveFiles(idx.root)
+    assert(t.deleteWhere(col("doc_id").isin(victims: _*)) == victims.length.toLong)
+    idx = idx.refresh(t)
+    assert(idx.indexedMask == victims.length.toLong)
+    assert(idx.bands.where(col("doc_id").isin(victims: _*)).count() == 0,
+      "no deleted doc's band rows may survive")
+    // parity: post-delete index rows == a from-scratch build over live docs
+    val t2 = graft.core.VectorTable.create(spark, s"$dir/t2")
+    t2.append(t.liveScan().select("doc_id", "text"))
+    val fresh = LshIndex.build(t2, s"$dir/index2")
+    assert(idx.bands.exceptAll(fresh.bands).count() == 0 &&
+      fresh.bands.exceptAll(idx.bands).count() == 0,
+      "band-row set parity with a live-only rebuild")
+    // at least one original file (the span without victims) is kept
+    val filesAfter = liveFiles(idx.root)
+    assert(filesBefore.intersect(filesAfter).nonEmpty,
+      "unaffected files must be carried over (hard-linked), not rewritten")
+    assert(idx.refresh(t) eq idx, "second refresh is a no-op")
+    // and the same contract holds for a SpanIndex over the same history
+    val t3 = graft.core.VectorTable.create(spark, s"$dir/t3")
+    t3.append(docs)
+    var sidx = SpanIndex.build(t3, s"$dir/spanindex")
+    t3.deleteWhere(col("doc_id").isin(victims: _*))
+    sidx = sidx.refresh(t3)
+    assert(sidx.windows.where(col("doc_id").isin(victims: _*)).count() == 0)
+    assert(sidx.indexedMask == victims.length.toLong)
+  }
+
+  private def liveFiles(root: String): Set[String] = {
+    val d = IndexCompaction.dataDir(root)
+    val walk = java.nio.file.Files.walk(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(_.getFileName.toString).toSet
+    } finally walk.close()
+  }
+
   private def filesByCell(idx: IvfTableIndex): Map[Int, Set[String]] = {
     val d = IndexCompaction.dataDir(idx.root)
     val walk = java.nio.file.Files.walk(d)
