@@ -194,9 +194,9 @@ object Pipeline {
        |    - CAST(len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
        |      AS quality_score
        |  FROM (SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks FROM documents)),
-       | gated AS (
+       | gated AS MATERIALIZED (
        |  SELECT doc_id, text, n_tokens FROM scored WHERE quality_score >= $minQuality),
-       | exact_keep AS (
+       | exact_keep AS MATERIALIZED (
        |  SELECT doc_id, n_tokens FROM (
        |    SELECT doc_id, n_tokens,
        |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
@@ -230,7 +230,7 @@ object Pipeline {
     refineryRoots.computeIfAbsent(d, _ => {
       import java.nio.file.{Files, Paths, StandardOpenOption}
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$d#refinery".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest(s"$d#refinery#stages=6".getBytes("UTF-8")).map("%02x".format(_)).mkString
       val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-rowid-tables")
       Files.createDirectories(base)
       val pointer = base.resolve(s"refinery-$key.path")
@@ -268,9 +268,12 @@ object Pipeline {
         val docsTable = graft.core.VectorTable.create(s, s"$dir/docs")
         val hashStore = graft.core.VectorTable.create(s, s"$dir/hashes")
         val spanStore = graft.core.VectorTable.create(s, s"$dir/spans")
+        val lexStore = graft.core.VectorTable.create(s, s"$dir/lex")
         val embTable = graft.core.VectorTable.create(s, s"$dir/emb")
         val spanIdx = new java.util.concurrent.atomic.AtomicReference(
           graft.operators.SpanIndex.build(spanStore, s"$dir/spanindex"))
+        val lexIdx = new java.util.concurrent.atomic.AtomicReference(
+          graft.operators.LshIndex.build(lexStore, s"$dir/lexindex"))
         val idx = new java.util.concurrent.atomic.AtomicReference(
           IvfTableIndex.buildWith(embTable, s"$dir/index", Similarity.centroids(s, d)))
         val acc = new java.util.concurrent.atomic.AtomicReference(
@@ -278,7 +281,8 @@ object Pipeline {
         val stream = s.readStream.schema(fused.schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$dir/staging")
         val q = graft.streaming.RefineryIngest.start(stream, docsTable,
-          hashStore, spanStore, embTable, spanIdx, idx, evalIds, evalVecs,
+          hashStore, spanStore, lexStore, embTable, spanIdx, lexIdx, idx,
+          evalIds, evalVecs,
           minQuality,
           Similarity.nearDupThreshold, s"$dir/ckpt", acc,
           trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -286,7 +290,7 @@ object Pipeline {
         require(docsTable.length > 0, "refinery landed nothing")
         val c = acc.get()
         Files.write(dir.resolve("counts.txt"),
-          s"${c.input},${c.qualityDropped},${c.exactDropped},${c.spanDropped},${c.contamDropped},${c.semanticDropped},${c.landed}"
+          s"${c.input},${c.qualityDropped},${c.exactDropped},${c.spanDropped},${c.lexicalDropped},${c.contamDropped},${c.semanticDropped},${c.landed}"
             .getBytes("UTF-8"))
         try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
         catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -348,15 +352,21 @@ object Pipeline {
       .scan().select(col("doc_id").as("vec_id"))
       .localCheckpoint()
     val nSpanKeep = spanKeep.count()
-    // stage 4
+    // stage 4: lexical survivors from the persisted lexical store — the
+    // streamed truth the oracle's recurrence recomputes from raw text
+    val lexKeep = graft.core.VectorTable.open(s, s"$root/lex")
+      .scan().select(col("doc_id").as("vec_id"))
+      .localCheckpoint()
+    val nLexKeep = lexKeep.count()
+    // stage 5
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val evalRows = emb.where(col("vec_id") % refineryEvalMod === 0)
       .orderBy("vec_id").collect()
     val contaminated = Similarity.semanticContaminationOf(
-      emb.join(spanKeep, Seq("vec_id"), "left_semi"),
+      emb.join(lexKeep, Seq("vec_id"), "left_semi"),
       evalRows.map(_.getLong(0)), evalRows.map(_.getSeq[Float](1).toArray))
       .select(col("vec_id"))
-    val semInput = spanKeep.join(contaminated, Seq("vec_id"), "left_anti")
+    val semInput = lexKeep.join(contaminated, Seq("vec_id"), "left_anti")
       .join(Similarity.ivfAssign(s, d).select(col("vec_id"), col("cell")), Seq("vec_id"))
       .join(emb, Seq("vec_id"))
       .localCheckpoint()
@@ -387,19 +397,24 @@ object Pipeline {
       .toDF("n_input", "n_quality_dropped", "n_exact_dropped",
         "n_semantic_input", "dropped_dominated", "kept_independent")
       .withColumn("n_span_dropped", lit(nExact - nSpanKeep))
-      .withColumn("n_contam_dropped", lit(nSpanKeep - nSemInput))
+      .withColumn("n_lexical_dropped", lit(nSpanKeep - nLexKeep))
+      .withColumn("n_contam_dropped", lit(nLexKeep - nSemInput))
       .select("n_input", "n_quality_dropped", "n_exact_dropped",
-        "n_span_dropped", "n_contam_dropped", "n_semantic_input",
-        "kept_independent", "dropped_dominated")
+        "n_span_dropped", "n_lexical_dropped", "n_contam_dropped",
+        "n_semantic_input", "kept_independent", "dropped_dominated")
   }
 
-  /** Oracle twin: the four SQL-expressible counts replayed exactly —
+  /** Oracle twin: the five SQL-expressible counts replayed exactly —
     * quality/exact set-level, the span stage via the landedₖ recurrence
     * over the four deterministic id-quartile micro-batches (the same
     * unrolled shape as `dedup_span_ingest`'s oracle, restricted to
-    * quality+exact survivors) — and the semantic invariants asserted TRUE
-    * (measured honestly Spark-side, same stance as
-    * `dedup_semantic_ingest`).
+    * quality+exact survivors), the LEXICAL stage via the same recurrence
+    * over the `dedup_jaccard_verified` pair set (banding + Jaccard are
+    * symmetric per-pair functions, so the gate's bipartite candidates
+    * coincide with the all-docs pair set restricted to
+    * (survivor, batch-doc) endpoints — `dedup_lsh_ingest`'s argument) —
+    * and the semantic invariants asserted TRUE (measured honestly
+    * Spark-side, same stance as `dedup_semantic_ingest`).
     */
   lazy val ingestGatesSql: String = {
     val dim = Similarity.dim
@@ -414,18 +429,25 @@ object Pipeline {
     // from batches < k (committed-only — batch docs never charge each
     // other, exactly the streamed gate's arithmetic)
     def cov(k: Int, prevSpans: String): String =
-      s"""c$k AS (
+      s"""c$k AS MATERIALIZED (
          |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
          |  FROM grams g JOIN nw ON g.doc_id = nw.doc_id AND nw.batch = $k
          |  WHERE g.gram_hash IN (SELECT gram_hash FROM $prevSpans)
          |  GROUP BY g.doc_id),
-         | l$k AS (
+         | l$k AS MATERIALIZED (
          |  SELECT nw.doc_id FROM nw LEFT JOIN c$k ON nw.doc_id = c$k.doc_id
          |  WHERE nw.batch = $k AND (nw.n_windows = 0
          |    OR 1000 * COALESCE(c$k.n_dup, 0) // nw.n_windows < ${Dedup.spanScrubMaxPermille})),
-         | s$k AS (
+         | s$k AS MATERIALIZED (
          |  SELECT gram_hash FROM $prevSpans
          |  UNION SELECT DISTINCT g.gram_hash FROM grams g JOIN l$k ON g.doc_id = l$k.doc_id)""".stripMargin
+    def lex(k: Int, prev: String): String =
+      s"""lx$k AS MATERIALIZED (
+         |  SELECT skb.doc_id FROM skb
+         |  WHERE skb.batch = $k AND NOT EXISTS (
+         |    SELECT 1 FROM v JOIN $prev p ON v.doc_a = p.doc_id
+         |    WHERE v.doc_b = skb.doc_id)),
+         | sx$k AS MATERIALIZED (SELECT doc_id FROM $prev UNION ALL SELECT doc_id FROM lx$k)""".stripMargin
     s"""WITH scored AS (
        |  SELECT doc_id, text,
        |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 2.0
@@ -434,19 +456,19 @@ object Pipeline {
        |      AS quality_score
        |  FROM (SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks
        |        FROM documents WHERE doc_id % $refineryEvalMod <> 0)),
-       | gated AS (
+       | gated AS MATERIALIZED (
        |  SELECT doc_id, text FROM scored WHERE quality_score >= $minQuality),
-       | exact_keep AS (
+       | exact_keep AS MATERIALIZED (
        |  SELECT doc_id FROM (
        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
        |    FROM gated) WHERE doc_id = keep_id),
-       | ek AS (
+       | ek AS MATERIALIZED (
        |  SELECT g.doc_id, g.text FROM gated g JOIN exact_keep k ON g.doc_id = k.doc_id),
        | pos AS (
        |  SELECT doc_id, text,
        |    unnest(range(1, len(text) - $W + 2, $S)) AS i
        |  FROM ek WHERE len(text) >= $W),
-       | grams AS (
+       | grams AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(range(i, i + $W),
@@ -454,7 +476,7 @@ object Pipeline {
        |      (acc, c) -> (acc * $B + c) % $M) AS gram_hash
        |  FROM pos),
        | bm AS (SELECT MAX(doc_id) + 1 AS m FROM documents WHERE doc_id % $refineryEvalMod <> 0),
-       | nw AS (
+       | nw AS MATERIALIZED (
        |  SELECT e.doc_id,
        |    CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_windows,
        |    CASE WHEN e.doc_id < (SELECT m * 1 // 4 FROM bm) THEN 0
@@ -464,27 +486,38 @@ object Pipeline {
        |  FROM ek e LEFT JOIN
        |    (SELECT doc_id, COUNT(*) AS cnt FROM grams GROUP BY doc_id) g
        |    ON e.doc_id = g.doc_id),
-       | l0 AS (SELECT doc_id FROM nw WHERE batch = 0),
-       | s0 AS (SELECT DISTINCT g.gram_hash FROM grams g JOIN l0 ON g.doc_id = l0.doc_id),
+       | l0 AS MATERIALIZED (SELECT doc_id FROM nw WHERE batch = 0),
+       | s0 AS MATERIALIZED (SELECT DISTINCT g.gram_hash FROM grams g JOIN l0 ON g.doc_id = l0.doc_id),
        | ${cov(1, "s0")},
        | ${cov(2, "s1")},
        | ${cov(3, "s2")},
-       | span_keep AS (
+       | span_keep AS MATERIALIZED (
        |  SELECT doc_id FROM l0 UNION ALL SELECT doc_id FROM l1
        |  UNION ALL SELECT doc_id FROM l2 UNION ALL SELECT doc_id FROM l3),
+       | v AS MATERIALIZED (${Dedup.jaccardVerifiedPairsSql.replace("\n", "\n  ")}),
+       | skb AS MATERIALIZED (
+       |  SELECT k.doc_id, nw.batch FROM span_keep k JOIN nw ON k.doc_id = nw.doc_id),
+       | lx0 AS MATERIALIZED (SELECT doc_id FROM skb WHERE batch = 0),
+       | sx0 AS MATERIALIZED (SELECT doc_id FROM lx0),
+       | ${lex(1, "sx0")},
+       | ${lex(2, "sx1")},
+       | ${lex(3, "sx2")},
+       | lex_keep AS MATERIALIZED (
+       |  SELECT doc_id FROM lx0 UNION ALL SELECT doc_id FROM lx1
+       |  UNION ALL SELECT doc_id FROM lx2 UNION ALL SELECT doc_id FROM lx3),
        | ev AS (
        |  SELECT vec_id AS eid, list_transform(embedding, x -> x::DOUBLE) AS ee
        |  FROM embeddings WHERE vec_id % $refineryEvalMod = 0),
        | co AS (
        |  SELECT e.vec_id, list_transform(e.embedding, x -> x::DOUBLE) AS ed
-       |  FROM embeddings e JOIN span_keep k ON e.vec_id = k.doc_id),
-       | sc AS (
+       |  FROM embeddings e JOIN lex_keep k ON e.vec_id = k.doc_id),
+       | sc AS MATERIALIZED (
        |  SELECT co.vec_id, ev.eid,
        |   ${fold("ed[i] * ee[i]")} AS dot,
        |   ${fold("ed[i] * ed[i]")} AS na2,
        |   ${fold("ee[i] * ee[i]")} AS nb2
        |  FROM co, ev),
-       | contam AS (
+       | contam AS MATERIALIZED (
        |  SELECT vec_id FROM (
        |    SELECT vec_id, dot / (sqrt(na2) * sqrt(nb2)) AS sim
        |    FROM sc WHERE na2 > 0 AND nb2 > 0)
@@ -495,8 +528,9 @@ object Pipeline {
        |    - (SELECT COUNT(*) FROM gated) AS n_quality_dropped,
        |  (SELECT COUNT(*) FROM gated) - (SELECT COUNT(*) FROM exact_keep) AS n_exact_dropped,
        |  (SELECT COUNT(*) FROM exact_keep) - (SELECT COUNT(*) FROM span_keep) AS n_span_dropped,
+       |  (SELECT COUNT(*) FROM span_keep) - (SELECT COUNT(*) FROM lex_keep) AS n_lexical_dropped,
        |  (SELECT COUNT(*) FROM contam) AS n_contam_dropped,
-       |  (SELECT COUNT(*) FROM span_keep) - (SELECT COUNT(*) FROM contam) AS n_semantic_input,
+       |  (SELECT COUNT(*) FROM lex_keep) - (SELECT COUNT(*) FROM contam) AS n_semantic_input,
        |  TRUE AS kept_independent, TRUE AS dropped_dominated""".stripMargin
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.core.VectorTable
-import graft.operators.{Dedup, IvfTableIndex, Similarity, SpanIndex}
+import graft.operators.{Dedup, IvfTableIndex, LshIndex, Similarity, SpanIndex}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -33,17 +33,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *      boilerplate seen once gates every later recombination even if the
   *      doc itself later dies downstream, and the stage stays a pure
   *      function of (batch, survivors-so-far) the oracle can replay;
-  *   4. DECONTAMINATION (stateless, map-only): the fixed eval matrix
+  *   4. LEXICAL NEAR-DUP (MinHash-LSH state, round 15): a doc that bands
+  *      against the committed lexical index AND Jaccard-verifies ≥ 1/2
+  *      against an already-seen doc drops — [[LshDedupIngest]]'s gate
+  *      inside the composed path. The lexical store records every
+  *      LEXICAL-STAGE SURVIVOR (same stance as the hash and span
+  *      stores), keeping the stage a pure recurrence the oracle replays;
+  *   5. DECONTAMINATION (stateless, map-only): the fixed eval matrix
   *      rides through the fused kernel, one codegen pass, no join;
-  *   5. SEMANTIC DEDUP (committed-corpus state): the thinned batch lands
+  *   6. SEMANTIC DEDUP (committed-corpus state): the thinned batch lands
   *      through [[SemanticDedupIngest.appendDeduped]] unchanged — in-plan
   *      committed coverage, gated driver sweep, distributed MIS fallback;
-  *   6. the kept ids' text rows land in the docs table, keeping the two
+  *   7. the kept ids' text rows land in the docs table, keeping the two
   *      stores id-aligned.
   *
   * At 100 TB each batch's cost is dominated by the semantic stage's
-  * cell-bucketed candidate work on an already-thinned batch; stages 1–4
-  * are map-only, one hash join, one span semi-join and one kernel pass.
+  * cell-bucketed candidate work on an already-thinned batch; stages 1–5
+  * are map-only, one hash join, one span semi-join, one hot-bucket-capped
+  * banding join sized to candidates, and one kernel pass.
   */
 object RefineryIngest {
 
@@ -52,15 +59,15 @@ object RefineryIngest {
     */
   final case class Counts(input: Long, qualityDropped: Long,
                           exactDropped: Long, spanDropped: Long,
-                          contamDropped: Long,
+                          lexicalDropped: Long, contamDropped: Long,
                           semanticDropped: Long, landed: Long) {
     def +(o: Counts): Counts = Counts(input + o.input,
       qualityDropped + o.qualityDropped, exactDropped + o.exactDropped,
-      spanDropped + o.spanDropped,
+      spanDropped + o.spanDropped, lexicalDropped + o.lexicalDropped,
       contamDropped + o.contamDropped, semanticDropped + o.semanticDropped,
       landed + o.landed)
   }
-  object Counts { val zero: Counts = Counts(0L, 0L, 0L, 0L, 0L, 0L, 0L) }
+  object Counts { val zero: Counts = Counts(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L) }
 
   /** The quality gate's score column over (text, n_chars-free) rows —
     * n_chars is recomputed from the text so a fused stream needs no extra
@@ -83,28 +90,31 @@ object RefineryIngest {
 
   /** One fully-gated batch append; returns the stage [[Counts]].
     *
-    * REPLAY CONTRACT (round-15 ADVICE fix): the refinery mutates FOUR
-    * stores per batch (hash, span, embeddings, docs), and a stream restart
-    * after a partial batch (say, hash append committed, the rest not yet)
-    * must re-execute exactly the uncommitted appends. So there is NO
-    * whole-function replay guard — each [[VectorTable.append]] (and
-    * [[SemanticDedupIngest.appendDeduped]]) self-guards on ITS OWN
-    * table's `manifest.streamBatch`, and every stage is made
-    * replay-DETERMINISTIC:
+    * REPLAY CONTRACT (round-15 ADVICE fix): the refinery mutates FIVE
+    * stores per batch (hash, span, lexical, embeddings, docs), and a
+    * stream restart after a partial batch (say, hash append committed,
+    * the rest not yet) must re-execute exactly the uncommitted appends.
+    * So there is NO whole-function replay guard — each
+    * [[VectorTable.append]] (and [[SemanticDedupIngest.appendDeduped]])
+    * self-guards on ITS OWN table's `manifest.streamBatch`, and every
+    * stage is made replay-DETERMINISTIC:
     *   - the exact-dedup anti-join reads only hash rows with
     *     `vec_id < min(batch vec_id)` — the committed-BEFORE-this-batch
     *     view, identical whether or not this batch's own hash append has
     *     already landed (ids arrive ordered across batches, enforced
     *     below);
-    *   - the span-coverage semi-join reads only index windows with
-    *     `doc_id < min(batch vec_id)` — the same before-this-batch view;
+    *   - the span-coverage semi-join and the lexical banding join read
+    *     only index rows with `doc_id < min(batch vec_id)` — the same
+    *     before-this-batch view;
     *   - the kept-id set for the docs append derives from embTable
     *     MEMBERSHIP at `vec_id >= min(batch vec_id)` (footer-prunable),
     *     not from "the last appended span", which a replay would misread.
     */
   def appendRefined(docsTable: VectorTable, hashStore: VectorTable,
-                    spanStore: VectorTable, embTable: VectorTable,
+                    spanStore: VectorTable, lexStore: VectorTable,
+                    embTable: VectorTable,
                     spanIdx: java.util.concurrent.atomic.AtomicReference[SpanIndex],
+                    lexIdx: java.util.concurrent.atomic.AtomicReference[LshIndex],
                     idx: java.util.concurrent.atomic.AtomicReference[IvfTableIndex],
                     batch: DataFrame, evalIds: Array[Long],
                     evalVecs: Array[Array[Float]], minQuality: Double,
@@ -191,24 +201,63 @@ object RefineryIngest {
       spanIdx.set(spanIdx.get().refresh(spanStore))
     }
 
-    // 4. decontamination — map-only pass against the fixed eval matrix
+    // 4. lexical near-dup — batch bands × the committed lexical index
+    //    (rows below minBatchId only: the before-this-batch view), Jaccard
+    //    verification sized to the candidates; survivors are recorded in
+    //    the lexical store whatever later stages decide
+    val batchBands = Dedup.bandRowsFor(
+      spanKept.select(col("vec_id").as("doc_id"), col("text")))
+    val committedBands = lexIdx.get().bands.where(col("doc_id") < minBatchId)
+    val lexCand = Dedup.deltaPairsBlockedFor(
+      committedBands.select(col("band"), col("h1"), col("h2"), col("doc_id")),
+      batchBands.select(col("band"), col("h1"), col("h2"), col("doc_id")),
+      Seq("band", "h1", "h2")).localCheckpoint()
+    val shB = spanKept
+      .join(lexCand.select(col("doc_b").as("vec_id")).distinct(), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
+    val shA =
+      (if (lexStore.length == 0L)
+         spanKept.select(col("vec_id").as("doc_id"), col("text")).limit(0)
+       else lexStore.scan().select(col("doc_id"), col("text")))
+        .join(lexCand.select(col("doc_a").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
+    val lexDropped = lexCand
+      .join(shA.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(shB.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .withColumn("inter", graft.functions.TextFunctions
+        .sortedIntersectCount(col("sa"), col("sb")))
+      .withColumn("uni", expr("size(sa) + size(sb) - inter"))
+      .where(col("inter").cast("double") / col("uni").cast("double") >= LshDedupIngest.tau)
+      .select(col("doc_b").as("vec_id")).distinct()
+    val lexKept = spanKept.join(lexDropped, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val nLexKept = lexKept.count()
+    if (nLexKept > 0) {
+      lexStore.append(lexKept.select(col("vec_id").as("doc_id"), col("text")),
+        streamBatchId = streamBatchId)
+      lexIdx.set(lexIdx.get().refresh(lexStore))
+    }
+
+    // 5. decontamination — map-only pass against the fixed eval matrix
     val contaminated = Similarity.semanticContaminationOf(
-      spanKept.select(col("vec_id"), col("embedding")), evalIds, evalVecs)
+      lexKept.select(col("vec_id"), col("embedding")), evalIds, evalVecs)
       .select(col("vec_id"))
-    val clean = spanKept.join(contaminated, Seq("vec_id"), "left_anti")
+    val clean = lexKept.join(contaminated, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("text"), col("embedding"))
       .localCheckpoint()
     val nClean = clean.count()
 
-    // 5. semantic dedup landing (in-plan committed coverage, gated sweep;
+    // 6. semantic dedup landing (in-plan committed coverage, gated sweep;
     //    self-guards on embTable.manifest.streamBatch — a replay whose emb
-    //    append already committed returns (0,0) and stage 6 recovers the
+    //    append already committed returns (0,0) and stage 7 recovers the
     //    kept set from membership instead)
     SemanticDedupIngest.appendDeduped(embTable, idx,
       clean.select(col("vec_id"), col("embedding")), threshold,
       streamBatchId = streamBatchId)
 
-    // 6. the kept ids are this batch's clean ids that LANDED in embTable —
+    // 7. the kept ids are this batch's clean ids that LANDED in embTable —
     //    pure membership, valid on first run and on replay alike (ids are
     //    unique and ordered, so embTable rows at vec_id >= minBatchId are
     //    exactly this batch's kept rows); docs append self-guards
@@ -226,15 +275,16 @@ object RefineryIngest {
         streamBatchId = streamBatchId)
     }
     Counts(total, total - nScored, nScored - nNovel, nNovel - nSpanKept,
-      nSpanKept - nClean, nClean - kept, kept)
+      nSpanKept - nLexKept, nLexKept - nClean, nClean - kept, kept)
   }
 
   /** Streaming form: every micro-batch lands fully refined; per-batch
     * counts accumulate into `acc` for callers that pin totals.
     */
   def start(stream: DataFrame, docsTable: VectorTable, hashStore: VectorTable,
-            spanStore: VectorTable, embTable: VectorTable,
+            spanStore: VectorTable, lexStore: VectorTable, embTable: VectorTable,
             spanIdx: java.util.concurrent.atomic.AtomicReference[SpanIndex],
+            lexIdx: java.util.concurrent.atomic.AtomicReference[LshIndex],
             idx: java.util.concurrent.atomic.AtomicReference[IvfTableIndex],
             evalIds: Array[Long], evalVecs: Array[Array[Float]],
             minQuality: Double, threshold: Double, checkpointDir: String,
@@ -245,9 +295,9 @@ object RefineryIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val c = appendRefined(docsTable, hashStore, spanStore, embTable,
-          spanIdx, idx, batch, evalIds, evalVecs, minQuality, threshold,
-          streamBatchId = Some(batchId))
+        val c = appendRefined(docsTable, hashStore, spanStore, lexStore,
+          embTable, spanIdx, lexIdx, idx, batch, evalIds, evalVecs,
+          minQuality, threshold, streamBatchId = Some(batchId))
         acc.updateAndGet(_ + c); ()
       }
       .start()

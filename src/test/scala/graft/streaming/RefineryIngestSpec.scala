@@ -5,7 +5,8 @@ import graft.operators.Pipeline
 import org.apache.spark.sql.functions._
 
 /** The composed streaming refinery (quality → exact → span coverage →
-  * decontamination → semantic, one write path) against its batch replay:
+  * lexical near-dup → decontamination → semantic, one write path) against
+  * its batch replay:
   *   - the streamed per-batch stage counts sum EXACTLY to the batch
   *     face's global counts (set-level semantics survive micro-batching);
   *   - the two landed stores stay id-aligned (docs ids ≡ embedding ids);
@@ -17,23 +18,24 @@ class RefineryIngestSpec extends SparkSpec {
 
   private lazy val root = Pipeline.refineryRoot(spark, sf())
   private lazy val counts = {
-    val Array(in, q, x, sp, c, s, l) = java.nio.file.Files.readString(
+    val Array(in, q, x, sp, lx, c, s, l) = java.nio.file.Files.readString(
       java.nio.file.Paths.get(root, "counts.txt")).trim.split(",").map(_.toLong)
-    (in, q, x, sp, c, s, l)
+    (in, q, x, sp, lx, c, s, l)
   }
   private lazy val face = Pipeline.ingestGates(spark, sf()).head()
 
   test("streamed stage totals equal the batch replay's global counts") {
-    val (in, q, x, sp, c, _, _) = counts
+    val (in, q, x, sp, lx, c, _, _) = counts
     assert(in == face.getAs[Long]("n_input"))
     assert(q == face.getAs[Long]("n_quality_dropped"))
     assert(x == face.getAs[Long]("n_exact_dropped"))
     assert(sp == face.getAs[Long]("n_span_dropped"))
+    assert(lx == face.getAs[Long]("n_lexical_dropped"))
     assert(c == face.getAs[Long]("n_contam_dropped"))
   }
 
   test("accounting closes and the semantic invariants hold") {
-    val (_, _, _, _, _, semDropped, landed) = counts
+    val (_, _, _, _, _, _, semDropped, landed) = counts
     assert(face.getAs[Long]("n_semantic_input") == landed + semDropped)
     assert(face.getAs[Boolean]("kept_independent"))
     assert(face.getAs[Boolean]("dropped_dominated"))

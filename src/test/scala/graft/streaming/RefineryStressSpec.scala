@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.operators.{IvfTableIndex, SpanIndex}
+import graft.operators.{IvfTableIndex, LshIndex, SpanIndex}
 import org.apache.spark.sql.functions._
 
 /** Adversarial batch shapes through the composed refinery gate
@@ -35,22 +35,25 @@ class RefineryStressSpec extends SparkSpec {
     val docs = graft.core.VectorTable.create(spark, s"$dir/docs")
     val hashes = graft.core.VectorTable.create(spark, s"$dir/hashes")
     val spans = graft.core.VectorTable.create(spark, s"$dir/spans")
+    val lex = graft.core.VectorTable.create(spark, s"$dir/lex")
     val emb = graft.core.VectorTable.create(spark, s"$dir/emb")
     val spanIdx = new java.util.concurrent.atomic.AtomicReference(
       SpanIndex.build(spans, s"$dir/spanindex"))
+    val lexIdx = new java.util.concurrent.atomic.AtomicReference(
+      LshIndex.build(lex, s"$dir/lexindex"))
     val idx = new java.util.concurrent.atomic.AtomicReference(
       IvfTableIndex.buildWith(emb, s"$dir/index",
         Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f))))
-    (docs, hashes, spans, emb, spanIdx, idx)
+    (docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx)
   }
 
   private val evalIds = Array(999L)
   private val evalVecs = Array(Array(0f, 0f, 1f))
 
   test("boilerplate batch: N exact copies land exactly one row") {
-    val (docs, hashes, spans, emb, spanIdx, idx) = freshStores("clique")
+    val (docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx) = freshStores("clique")
     val rows = (0L until 50L).map(i => (i, goodText("x"), Array(1f, 0.1f * (i % 3), 0f)))
-    val c = RefineryIngest.appendRefined(docs, hashes, spans, emb, spanIdx, idx,
+    val c = RefineryIngest.appendRefined(docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx,
       fused(rows), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
       0.35, streamBatchId = Some(0L))
     assert(c.input == 50 && c.qualityDropped == 0)
@@ -59,9 +62,9 @@ class RefineryStressSpec extends SparkSpec {
   }
 
   test("all-contaminated batch lands nothing, charged to the contamination stage") {
-    val (docs, hashes, spans, emb, spanIdx, idx) = freshStores("contam")
+    val (docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx) = freshStores("contam")
     val rows = (0L until 10L).map(i => (i, goodText(i.toString), Array(0f, 0f, 1f + i * 0.1f)))
-    val c = RefineryIngest.appendRefined(docs, hashes, spans, emb, spanIdx, idx,
+    val c = RefineryIngest.appendRefined(docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx,
       fused(rows), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
       0.35, streamBatchId = Some(0L))
     assert(c.contamDropped == 10 && c.landed == 0, s"$c")
@@ -69,9 +72,9 @@ class RefineryStressSpec extends SparkSpec {
   }
 
   test("all-low-quality batch lands nothing at the quality stage") {
-    val (docs, hashes, spans, emb, spanIdx, idx) = freshStores("lowq")
+    val (docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx) = freshStores("lowq")
     val rows = (0L until 5L).map(i => (i, badText, Array(1f, 0f, 0f)))
-    val c = RefineryIngest.appendRefined(docs, hashes, spans, emb, spanIdx, idx,
+    val c = RefineryIngest.appendRefined(docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx,
       fused(rows), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
       0.35, streamBatchId = Some(0L))
     assert(c.qualityDropped == 5 && c.landed == 0, s"$c")
@@ -79,10 +82,10 @@ class RefineryStressSpec extends SparkSpec {
   }
 
   test("replayed streamBatchId mutates nothing and recomputes the same counts") {
-    val (docs, hashes, spans, emb, spanIdx, idx) = freshStores("replay")
+    val (docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx) = freshStores("replay")
     val rows = Seq((0L, goodText("a"), Array(1f, 0f, 0f)),
       (1L, goodText("b"), Array(0f, 1f, 0f)))
-    val c1 = RefineryIngest.appendRefined(docs, hashes, spans, emb, spanIdx, idx,
+    val c1 = RefineryIngest.appendRefined(docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx,
       fused(rows), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
       0.35, streamBatchId = Some(0L))
     assert(c1.landed == 2)
@@ -91,7 +94,7 @@ class RefineryStressSpec extends SparkSpec {
     // appends must re-execute only the uncommitted ones), and every stage
     // is replay-deterministic, so a full replay returns the SAME counts
     // while mutating nothing
-    val c2 = RefineryIngest.appendRefined(docs, hashes, spans, emb, spanIdx, idx,
+    val c2 = RefineryIngest.appendRefined(docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx,
       fused(rows), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
       0.35, streamBatchId = Some(0L))
     assert(c2 == c1, s"replay must recompute identical counts: $c2 vs $c1")
@@ -102,9 +105,9 @@ class RefineryStressSpec extends SparkSpec {
     // the round-15 ADVICE scenario: a stream restart after the hash append
     // committed but before the emb/docs appends — the replayed batch must
     // land the kept rows instead of silently returning and losing them
-    val (docs, hashes, spans, emb, spanIdx, idx) = freshStores("partial")
+    val (docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx) = freshStores("partial")
     val b0 = Seq((0L, goodText("a"), Array(1f, 0f, 0f)))
-    RefineryIngest.appendRefined(docs, hashes, spans, emb, spanIdx, idx, fused(b0),
+    RefineryIngest.appendRefined(docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx, fused(b0),
       evalIds, evalVecs, graft.operators.Pipeline.minQuality, 0.35,
       streamBatchId = Some(0L))
     // simulate the crash: commit ONLY batch 1's hash rows (exactly what
@@ -118,7 +121,7 @@ class RefineryStressSpec extends SparkSpec {
     // the replay: hash append must no-op (no duplicate hash rows), the
     // emb/docs appends must execute, and the counts must equal what an
     // uninterrupted run would have reported
-    val c = RefineryIngest.appendRefined(docs, hashes, spans, emb, spanIdx, idx, fused(b1),
+    val c = RefineryIngest.appendRefined(docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx, fused(b1),
       evalIds, evalVecs, graft.operators.Pipeline.minQuality, 0.35,
       streamBatchId = Some(1L))
     assert(c.input == 2 && c.qualityDropped == 0 && c.exactDropped == 0 &&
@@ -133,11 +136,11 @@ class RefineryStressSpec extends SparkSpec {
   }
 
   test("boilerplate recombination drops at the span stage (round 15)") {
-    val (docs, hashes, spans, emb, spanIdx, idx) = freshStores("spanstage")
+    val (docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx) = freshStores("spanstage")
     // long distinct-token boilerplate (clears quality; >> 40-char window)
     val boiler = (0 until 40).map(i => s"boilerword$i").mkString(" ")
     val b0 = Seq((0L, boiler, Array(1f, 0f, 0f)))
-    val c0 = RefineryIngest.appendRefined(docs, hashes, spans, emb, spanIdx, idx,
+    val c0 = RefineryIngest.appendRefined(docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx,
       fused(b0), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
       0.35, streamBatchId = Some(0L))
     assert(c0.landed == 1 && spans.length == 1)
@@ -149,7 +152,7 @@ class RefineryStressSpec extends SparkSpec {
     val recombined = "zq1 " + boiler
     val b1 = Seq((10L, recombined, Array(0f, 1f, 0f)),
       (11L, (0 until 40).map(i => s"novelterm$i").mkString(" "), Array(0f, 0f, 0f)))
-    val c1 = RefineryIngest.appendRefined(docs, hashes, spans, emb, spanIdx, idx,
+    val c1 = RefineryIngest.appendRefined(docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx,
       fused(b1), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
       0.35, streamBatchId = Some(1L))
     assert(c1.spanDropped == 1, s"recombination must drop at the span stage: $c1")
@@ -159,13 +162,39 @@ class RefineryStressSpec extends SparkSpec {
     assert(spanDocs == Set(0L, 11L))
   }
 
+  test("off-grid recombination passes the span gate and drops at the LEXICAL stage (round 15)") {
+    val (docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx) = freshStores("lexstage")
+    val boiler = (0 until 40).map(i => s"boilerword$i").mkString(" ")
+    val c0 = RefineryIngest.appendRefined(docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx,
+      fused(Seq((0L, boiler, Array(1f, 0f, 0f)))),
+      evalIds, evalVecs, graft.operators.Pipeline.minQuality,
+      0.35, streamBatchId = Some(0L))
+    assert(c0.landed == 1 && lex.length == 1)
+    // a 3-char head shifts every shared 40-char window OFF the stride-4
+    // sampling grid — invisible to the span gate by construction — while
+    // the word-3-gram shingles are untouched by a character shift, so the
+    // MinHash/Jaccard stage catches what the strided span gate cannot:
+    // this pairing is the lexical stage's reason to exist in the chain
+    val offGrid = "xq " + boiler
+    val c1 = RefineryIngest.appendRefined(docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx,
+      fused(Seq((10L, offGrid, Array(0f, 1f, 0f)))),
+      evalIds, evalVecs, graft.operators.Pipeline.minQuality,
+      0.35, streamBatchId = Some(1L))
+    assert(c1.spanDropped == 0, s"off-grid shift must evade the span gate: $c1")
+    assert(c1.lexicalDropped == 1 && c1.landed == 0,
+      s"the lexical stage must catch it: $c1")
+    // the lexical store records survivors only
+    val lexDocs = lex.scan().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lexDocs == Set(0L))
+  }
+
   test("exact dedup suppresses a copy of a doc the semantic stage dropped") {
-    val (docs, hashes, spans, emb, spanIdx, idx) = freshStores("crossbatch")
+    val (docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx) = freshStores("crossbatch")
     // batch 0: two near-identical vectors with DISTINCT texts — semantic
     // stage keeps the smaller id, drops vec 1
     val b0 = Seq((0L, goodText("a"), Array(1f, 0f, 0f)),
       (1L, goodText("b"), Array(0.999f, 0.001f, 0f)))
-    val c0 = RefineryIngest.appendRefined(docs, hashes, spans, emb, spanIdx, idx,
+    val c0 = RefineryIngest.appendRefined(docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx,
       fused(b0), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
       0.35, streamBatchId = Some(0L))
     assert(c0.semanticDropped == 1 && c0.landed == 1, s"$c0")
@@ -173,7 +202,7 @@ class RefineryStressSpec extends SparkSpec {
     // orthogonal embedding — must still drop at the EXACT stage (the hash
     // store saw doc 1 even though it never landed)
     val b1 = Seq((2L, goodText("b"), Array(0f, 1f, 0f)))
-    val c1 = RefineryIngest.appendRefined(docs, hashes, spans, emb, spanIdx, idx,
+    val c1 = RefineryIngest.appendRefined(docs, hashes, spans, lex, emb, spanIdx, lexIdx, idx,
       fused(b1), evalIds, evalVecs, graft.operators.Pipeline.minQuality,
       0.35, streamBatchId = Some(1L))
     assert(c1.exactDropped == 1 && c1.landed == 0, s"$c1")
