@@ -383,7 +383,7 @@ object Bench {
       "dedup_semantic", "dedup_semantic_stats", "dedup_semantic_delta",
       "dedup_semantic_delta_streamed",
       "dedup_semantic_trained", "text_global_shuffle", "text_shard_balance",
-      "text_quality_budget_cutoff", "text_subword_tokens", "text_subword_budget_cutoff", "dedup_semantic_ingest", "dedup_semantic_report",
+      "text_quality_budget_cutoff", "text_subword_tokens", "text_subword_budget_cutoff", "text_subword_pack", "dedup_semantic_ingest", "dedup_semantic_report",
       "dedup_semantic_recall", "dedup_semantic_multiprobe", "text_packed_export",
       "dedup_semantic_keep_best", "dedup_paraphrase_candidates",
       "semantic_contamination", "semantic_contamination_ingest", "text_mixture_export",

@@ -1058,6 +1058,64 @@ object TextOps {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM pack GROUP BY shard, bin""".stripMargin
 
+  /** Declared `text_subword_pack`: [[packSequences]] RE-PARAMETERIZED on
+    * SUBWORD masses — the greedy fixed-budget packing a training loader
+    * consumes, priced in the tokens a model actually sees instead of
+    * whitespace splits (the round-15 budget-honesty theme; whitespace
+    * under-counts by ~2.5× even on this corpus, so bins hold fewer docs
+    * and the budget invariant is real). Identical scale shape: one
+    * exchange, per-shard sort, O(1)-state streaming fold.
+    */
+  def subwordPackSequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.subwordTokens(col("text")).as("n_tokens"))
+      .withColumn("shard", (col("doc_id") % packShards).cast("int"))
+    val packed = docs
+      .repartition(packShards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .select(col("shard"), col("doc_id"), col("n_tokens"))
+      .as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        var shard = Int.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (sh, id, nt) =>
+          if (sh != shard) { shard = sh; bin = 0L; fill = nt }
+          else if (fill + nt > packBudget) { bin += 1; fill = nt }
+          else fill += nt
+          (sh, bin, id, nt)
+        }
+      }
+      .toDF("shard", "bin", "doc_id", "n_tokens")
+    packed.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_subword"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
+  lazy val subwordPackSequencesSql: String =
+    s"""WITH RECURSIVE $subwordCtes,
+       | d AS (
+       |  SELECT CAST(doc.doc_id % $packShards AS INTEGER) AS shard, doc.doc_id,
+       |         CAST(COALESCE(sd.n_subword, 0) AS BIGINT) AS n_tokens,
+       |         row_number() OVER (PARTITION BY doc.doc_id % $packShards ORDER BY doc.doc_id) AS rn
+       |  FROM documents doc LEFT JOIN sw_doc sd ON doc.doc_id = sd.doc_id),
+       | pack AS (
+       |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+       |    CASE WHEN p.fill + d.n_tokens > $packBudget THEN p.bin + 1 ELSE p.bin END,
+       |    CASE WHEN p.fill + d.n_tokens > $packBudget THEN d.n_tokens
+       |         ELSE p.fill + d.n_tokens END
+       |  FROM d JOIN pack p ON d.shard = p.shard AND d.rn = p.rn + 1)
+       |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_subword,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM pack GROUP BY shard, bin""".stripMargin
+
   // --------------------------------------------------- composed export
 
   /** THE COMPOSED TRAINING EXPORT (round-13 verdict missing #3): the
