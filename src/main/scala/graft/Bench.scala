@@ -389,7 +389,8 @@ object Bench {
       "semantic_contamination", "semantic_contamination_ingest", "text_mixture_export",
       "pipeline_clean_export",
       "ann_ivf_probe_tuning", "ann_refine_recall", "ann_ivfpq_refined_search",
-      "ann_ivf_compacted_search", "takedown_scan", "takedown_ivf_search", "takedown_lsh_delta", "text_chunk_windows", "text_chunk_udtf", "text_temperature_mixture",
+      "ann_ivf_compacted_search", "takedown_scan", "takedown_ivf_search", "takedown_lsh_delta", "takedown_everywhere", "text_chunk_windows", "text_chunk_udtf", "text_temperature_mixture",
+      "text_subword_vocab_tokens", "text_subword_vocab_budget_cutoff",
       "text_span_scrub", "dedup_span_ingest", "dedup_lsh_ingest", "pipeline_ingest_gates", "text_curriculum_export",
       "dedup_delta_candidates_compacted", "dedup_delta_simhash_compacted",
       "dedup_delta_containment_compacted", "dedup_delta_spans_compacted",
@@ -436,6 +437,7 @@ object Bench {
     dim("ivf_compacted_index_build")(graft.operators.Similarity.compactedIvfRoot(spark, sfDir))
     dim("takedown_corpus_build")(graft.operators.Similarity.prebuildTakedown(spark, sfDir))
     dim("takedown_lsh_corpus_build")(graft.operators.Dedup.prebuildTakedownLsh(spark, sfDir))
+    dim("takedown_everywhere_build")(graft.operators.Takedown.prebuildEverywhere(spark, sfDir))
     dim("sec_index_build")(graft.operators.Relational.prebuildCustkeyIndex(spark, sfDir))
     dim("upsert_table_build")(graft.operators.Relational.prebuildUpsertTable(spark, sfDir))
     dim("mv_view_build")(graft.operators.Relational.prebuildPricingSummaryView(spark, sfDir))

@@ -25,7 +25,7 @@ final case class Manifest(version: Long, length: Long, layout: String, batches: 
                           schemaJson: String = "", mixedSchema: Boolean = false,
                           zstats: Map[Long, Seq[ZoneMaps.ColStats]] = Map.empty,
                           maskPath: String = "", maskCount: Long = 0L,
-                          restores: Long = 0L) {
+                          restores: Long = 0L, purged: Long = 0L) {
   def serialize: String = {
     val header = Seq(s"version=$version", s"length=$length", s"layout=$layout",
         s"encoding=$encoding") ++
@@ -33,6 +33,10 @@ final case class Manifest(version: Long, length: Long, layout: String, batches: 
       (if (schemaJson.nonEmpty) Seq(s"schema=$schemaJson") else Nil) ++
       (if (mixedSchema) Seq("mixedSchema=true") else Nil) ++
       (if (maskPath.nonEmpty) Seq(s"maskPath=$maskPath", s"maskCount=$maskCount") else Nil) ++
+      // rows PHYSICALLY removed from current-version files by purge():
+      // length stays the rowid high-water mark (rowids are never reused),
+      // so the live count is length - maskCount - purged
+      (if (purged > 0L) Seq(s"purged=$purged") else Nil) ++
       // restore-epoch counter: bumped by every restore() commit so derived
       // artifacts (materialized views) can tell "head advanced" from "head
       // was rewound and regrown over a reused rowid range" — a length
@@ -84,9 +88,13 @@ object Manifest {
     val restores = kv.collectFirst {
       case l if l.startsWith("restores=") => l.drop("restores=".length).toLong
     }.getOrElse(0L)
+    // manifests predating purge() never physically removed a row
+    val purged = kv.collectFirst {
+      case l if l.startsWith("purged=") => l.drop("purged=".length).toLong
+    }.getOrElse(0L)
     Manifest(field("version").toLong, field("length").toLong, field("layout"), batches,
       streamBatch, encoding, schemaJson, mixedSchema, zstats, maskPath, maskCount,
-      restores)
+      restores, purged)
   }
 
   /** Latest committed manifest, or the empty v0 manifest for a new table. */
@@ -363,7 +371,7 @@ final class VectorTable(val spark: SparkSession, val root: String) {
     try Manifest.commit(root, Manifest(batchId, start + n, layout,
       m.batches :+ BatchInfo(batchId, start, start + n, rel),
       streamBatchId.getOrElse(m.streamBatch), encoding, widened.json, mixed, zstats,
-      m.maskPath, m.maskCount, m.restores))
+      m.maskPath, m.maskCount, m.restores, m.purged))
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(
@@ -405,7 +413,50 @@ final class VectorTable(val spark: SparkSession, val root: String) {
         Vector(BatchInfo(batchId, 0L, n, rel)), m.streamBatch, m.encoding,
         m.schemaJson, mixedSchema = false,
         if (zs.isEmpty) Map.empty else Map(batchId -> zs),
-        m.maskPath, m.maskCount, m.restores))
+        m.maskPath, m.maskCount, m.restores, m.purged))
+    }
+
+  /** INCREMENTAL tail compaction (round 16) — the scale-correct form of
+    * [[compact]] for a continuously-fed table: merge only the trailing run
+    * of SMALL batches (each under `targetRowsPerFile` rows — streaming
+    * micro-batches) into one batch, leaving every earlier full-size batch
+    * untouched. [[compact]] rewrites the whole table (O(n) per call —
+    * O(n²) total if a maintenance loop calls it), so it is a manual
+    * offline decision; compactTail costs O(tail) and is what the
+    * automatic ingest-maintenance policy runs ([[graft.operators.Maintenance]]):
+    * repeated tail merges amortize to O(n log n) over the table's life,
+    * the standard log-structured-merge shape. Rowids are preserved (the
+    * merged batch covers the tail's contiguous rowid span); returns true
+    * iff a merge happened (tail longer than `maxTailBatches`).
+    */
+  def compactTail(targetRowsPerFile: Long = 4_000_000L,
+                  maxTailBatches: Int = 8): Boolean =
+    VectorTable.commitLock.synchronized {
+      val m = manifest
+      val tail = m.batches.reverse
+        .takeWhile(b => b.end - b.start < targetRowsPerFile).reverse
+      if (tail.size <= maxTailBatches) return false
+      val prefix = m.batches.dropRight(tail.size)
+      val all = open(tail.map(b => s"$root/${b.relPath}"), m.mixedSchema)
+      val lo = tail.head.start
+      val hi = tail.last.end
+      val n = hi - lo
+      val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val batchId = m.version + 1
+      val rel = f"data/batch-$batchId%08d-tail"
+      all.repartitionByRange(files, col(ROWID))
+        .sortWithinPartitions(ROWID)
+        .write.mode("errorifexists")
+        .option("parquet.enable.dictionary", (m.encoding == "dictionary").toString)
+        .parquet(s"$root/$rel")
+      val zs = ZoneMaps.collect(s"$root/$rel")
+      val zstats = (m.zstats -- tail.map(_.id)) ++
+        (if (zs.isEmpty) Map.empty else Map(batchId -> zs))
+      Manifest.commit(root, Manifest(batchId, m.length, m.layout,
+        prefix :+ BatchInfo(batchId, lo, hi, rel), m.streamBatch, m.encoding,
+        m.schemaJson, m.mixedSchema, zstats,
+        m.maskPath, m.maskCount, m.restores, m.purged))
+      true
     }
 
   /** Storage reclamation after compaction: drop every batch directory not
@@ -564,13 +615,14 @@ final class VectorTable(val spark: SparkSession, val root: String) {
     * crash before the commit leaves an orphaned mask file vacuum()
     * reclaims, and re-running converges). The physical rowid surface
     * (`scan`/`range`/`point`) and every earlier version stay readable —
-    * [[vacuum]] is what makes the bytes unrecoverable, the usual
-    * two-step legal-delete discipline (logical tombstone now, physical
-    * erasure at the retention boundary). The commit bumps `version` and
-    * `maskCount`, which is the signal the incremental indexes' refresh
-    * checks to rewrite ONLY the affected cells/spans (see
-    * [[graft.operators.IvfTableIndex.refresh]]). Returns the number of
-    * newly deleted rows.
+    * physical erasure is the two-step [[purge]] (rewrite current-version
+    * files minus the mask) + [[vacuum]] (reclaim earlier versions'
+    * bytes), the usual legal-delete discipline: logical tombstone now,
+    * physical erasure at the retention boundary. The commit bumps
+    * `version` and `maskCount`, which is the signal the incremental
+    * indexes' refresh checks to rewrite ONLY the affected cells/spans
+    * (see [[graft.operators.IvfTableIndex.refresh]]). Returns the number
+    * of newly deleted rows.
     */
   def deleteWhere(cond: org.apache.spark.sql.Column): Long =
     VectorTable.commitLock.synchronized {
@@ -594,6 +646,121 @@ final class VectorTable(val spark: SparkSession, val root: String) {
         cnt - m.maskCount
       }
     }
+
+  /** PHYSICAL PURGE (round 16) — the erasure half of the takedown
+    * contract: rewrite exactly the mask-affected files of the CURRENT
+    * version minus the masked rowids, reset the delete-vector, commit a
+    * version. After purge + [[vacuum]] the masked rows' bytes exist in NO
+    * file the table owns — the property [[deleteWhere]] alone (a logical
+    * tombstone) cannot give, and the reference's own storage layer owns
+    * (src/services/ writes and rewrites its own bytes).
+    *
+    * Shape and cost: per affected batch, the files CONTAINING masked
+    * rowids are found with one `input_file_name` semi-join (at cluster
+    * scale a footer-stats pruning decision — rowids are sorted per file),
+    * only those files are rewritten (rowid-range partitioned + sorted, so
+    * pruning stats stay tight), and every unaffected file is HARD-LINKED
+    * into the fresh batch directory — O(1) per file, no data moved, the
+    * local-FS analog of a manifest-level file re-reference on object
+    * storage. Cost ∝ files the masked rows landed in, never the table.
+    *
+    * Contract pins (PurgeSpec):
+    *   - `length` stays the rowid HIGH-WATER mark (rowids are never
+    *     reused); the manifest's `purged` counter keeps [[liveCount]]
+    *     O(1)-correct: live = length - maskCount - purged;
+    *   - [[liveScan]] is IDENTICAL before and after (purge removes only
+    *     already-masked rows — and, the mask being reset, stops paying
+    *     the anti-join: purge is also the mask compactor that bounds the
+    *     unbounded-churn growth documented at [[liveScanOf]]);
+    *   - the physical surface serves the purged state: `point`/`range` of
+    *     a purged rowid return an EMPTY frame (the row is gone; "masked
+    *     view" semantics would require keeping the bytes purge exists to
+    *     destroy), a batch whose every row was purged disappears from the
+    *     manifest;
+    *   - earlier versions still read via [[scanAt]] until [[vacuum]]
+    *     drops their directories — run purge THEN vacuum for erasure;
+    *   - index refreshes consume the mask BEFORE it resets (refresh then
+    *     purge): after the reset, `maskedScan` is empty and a refresh
+    *     keyed on maskCount sees nothing to invalidate.
+    *
+    * Returns the number of rows physically removed.
+    */
+  def purge(): Long = VectorTable.commitLock.synchronized {
+    val m = manifest
+    if (m.maskPath.isEmpty || m.batches.isEmpty) return 0L
+    val mask = spark.read.parquet(s"$root/${m.maskPath}").select(col(ROWID))
+    // per-batch masked counts: one broadcast range join against the (tiny)
+    // manifest batch list — never a collect of the mask itself
+    val ranges = spark.createDataFrame(
+      m.batches.map(b => (b.id, b.start, b.end))).toDF("bid", "bstart", "bend")
+    val perBatch = mask
+      .join(broadcast(ranges),
+        col(ROWID) >= col("bstart") && col(ROWID) < col("bend"))
+      .groupBy("bid").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var newBatches = Vector.empty[BatchInfo]
+    var zstats = m.zstats
+    m.batches.foreach { b =>
+      if (!perBatch.contains(b.id)) newBatches :+= b
+      else {
+        val df = spark.read.parquet(s"$root/${b.relPath}")
+        val affectedUris = df.withColumn("__f", input_file_name())
+          .join(mask, Seq(ROWID), "left_semi")
+          .select("__f").distinct().collect().map(_.getString(0))
+        val affectedNames = affectedUris
+          .map(u => Paths.get(java.net.URI.create(u).getPath).getFileName.toString).toSet
+        val kept = df.withColumn("__f", input_file_name())
+          .where(col("__f").isin(affectedUris.toSeq: _*))
+          .join(mask, Seq(ROWID), "left_anti")
+          .drop("__f")
+        val keptCnt = kept.count()
+        val rel = f"data/batch-${b.id}%08d-purged-${java.util.UUID.randomUUID()}"
+        val dst = Paths.get(root, rel)
+        val srcFiles = {
+          val l = Files.list(Paths.get(root, b.relPath))
+          try l.iterator().asScala.toVector
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+          finally l.close()
+        }
+        val unaffected = srcFiles.filterNot(f => affectedNames.contains(f.getFileName.toString))
+        if (keptCnt == 0L && unaffected.isEmpty) {
+          // the whole batch was masked: it leaves the manifest entirely
+          // (an empty directory is unreadable and its rowid range serves
+          // nothing); range() pruning just stops finding it
+          zstats -= b.id
+        } else {
+          Files.createDirectories(dst)
+          if (keptCnt > 0L) {
+            val tmp = Paths.get(root, s".purge-${java.util.UUID.randomUUID()}")
+            kept.repartitionByRange(math.max(1, affectedUris.length), col(ROWID))
+              .sortWithinPartitions(ROWID)
+              .write.option("parquet.enable.dictionary",
+                (m.encoding == "dictionary").toString)
+              .parquet(tmp.toString)
+            val tl = Files.list(tmp)
+            try tl.iterator().asScala.toVector.foreach { p =>
+              if (p.getFileName.toString.endsWith(".parquet"))
+                Files.move(p, dst.resolve(p.getFileName.toString))
+            } finally tl.close()
+            deleteRecursively(tmp)
+          }
+          unaffected.foreach { f =>
+            try Files.createLink(dst.resolve(f.getFileName.toString), f)
+            catch { case _: UnsupportedOperationException =>
+              Files.copy(f, dst.resolve(f.getFileName.toString)) }
+          }
+          newBatches :+= b.copy(relPath = rel)
+          val zs = ZoneMaps.collect(s"$root/$rel")
+          zstats = if (zs.isEmpty) zstats - b.id else zstats.updated(b.id, zs)
+        }
+      }
+    }
+    Manifest.commit(root, Manifest(m.version + 1, m.length, m.layout, newBatches,
+      m.streamBatch, m.encoding, m.schemaJson, m.mixedSchema, zstats,
+      maskPath = "", maskCount = 0L, m.restores, m.purged + m.maskCount))
+    openCache.clear() // cached frames reference the replaced directories
+    m.maskCount
+  }
 
   /** The MASKED (deleted/superseded) rows with their data columns — what
     * an index refresh needs to invalidate exactly the affected entries.
@@ -625,8 +792,12 @@ final class VectorTable(val spark: SparkSession, val root: String) {
       Seq(ROWID), "left_anti")
   }
 
-  /** Logical row count after upserts: O(1) from the manifest. */
-  def liveCount: Long = { val m = manifest; m.length - m.maskCount }
+  /** Logical row count after upserts/deletes/purges: O(1) from the
+    * manifest (length is the rowid high-water mark; maskCount rows are
+    * logically tombstoned; purged rows were physically removed by
+    * [[purge]] after their tombstone).
+    */
+  def liveCount: Long = { val m = manifest; m.length - m.maskCount - m.purged }
 
   /** Full scan carrying `_rowid`; storage order ≡ insertion order. */
   def scan(): DataFrame = {

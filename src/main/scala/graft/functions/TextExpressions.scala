@@ -467,30 +467,44 @@ case class RollingHashes(child: Expression, k: Int, stride: Int) extends UnaryEx
   * code points would count per UTF-16 unit here vs per character in
   * DuckDB — a documented non-goal for the synthetic corpus.
   */
-object SubwordKernel {
-  /** Frozen vocab, no spaces, lowercase ASCII — common English affixes +
-    * frequent digraphs, deliberately WITHOUT single letters so the
-    * unknown-character fallback path is exercised on every rare word.
-    */
-  val vocab: Array[String] = Array(
-    "tion", "ment", "ness", "able", "ther", "with", "ight", "ound",
-    "ing", "ent", "ant", "ous", "ion", "pro", "pre", "com", "con",
-    "ver", "for", "est", "ate", "ive", "ere", "and", "the",
-    "er", "ed", "ly", "es", "re", "un", "in", "on", "at", "or", "an",
-    "en", "th", "he", "nd", "st", "ar", "al", "it", "is", "te", "se",
-    "le", "ra", "ri", "ro", "de", "co", "ce", "ne", "me", "ta", "ur",
-    "ou", "ea", "ti", "ni", "us")
+/** A RESOLVED subword vocabulary (round-16: the vocab is a PARAMETER, not
+  * a frozen constant — honest production token budgets price against the
+  * real tokenizer's merges table, broadcast with the expression). Entries
+  * must be non-empty, space-free (so a greedy match can never cross a
+  * word boundary — the property that makes per-word SQL replay equal the
+  * single-pass kernel) and ASCII-leading (the per-first-char dispatch
+  * table; the corpus contract, enforced loudly). Resolution stays
+  * O(candidates sharing the first char) per position — candidates are
+  * pre-grouped by first char and sorted longest-first, so a 10k-entry
+  * vocab costs the same per position as a 60-entry one except where
+  * candidates genuinely collide (SubwordVocabSpec prices a 10k vocab).
+  */
+final class SubwordVocab(val vocab: Array[String]) extends Serializable {
+  require(vocab.nonEmpty, "empty subword vocab")
+  vocab.foreach { v =>
+    require(v.nonEmpty && !v.contains(' '),
+      s"subword vocab entry '$v' must be non-empty and space-free")
+    require(v.forall(_ < 128),
+      s"subword vocab entry '$v' must be ASCII (two-char dispatch table)")
+  }
 
-  // per-first-char candidates, longest first — greedy resolution order
-  private val byFirst: Array[Array[String]] = {
-    val m = new Array[Array[String]](128)
-    vocab.groupBy(_.charAt(0)).foreach { case (c, vs) =>
-      m(c.toInt) = vs.sortBy(v => (-v.length, v))
-    }
+  // TWO-LEVEL dispatch: candidates grouped by their first TWO chars,
+  // longest first. A 10k-entry vocab over 26 letters has ~400 candidates
+  // per first char but only ~15 per (c0, c1) pair — the bucket walk stays
+  // near-constant as the vocab grows. Length-1 entries need no bucket at
+  // all: a single-char match consumes one char as one token, exactly what
+  // the unknown-char fallback does, so they cannot change a count.
+  @transient private lazy val byPair: Array[Array[String]] = {
+    val m = new Array[Array[String]](128 * 128)
+    vocab.filter(_.length >= 2)
+      .groupBy(v => v.charAt(0).toInt * 128 + v.charAt(1).toInt)
+      .foreach { case (k, vs) =>
+        m(k) = vs.distinct.sortBy(v => (-v.length, v))
+      }
     m
   }
 
-  def subwordCount(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+  def count(text: org.apache.spark.unsafe.types.UTF8String): Long = {
     val s = text.toString
     val n = s.length
     var i = 0
@@ -500,14 +514,19 @@ object SubwordKernel {
       if (c == ' ') i += 1
       else {
         var step = 1
-        if (c < 128 && byFirst(c.toInt) != null) {
-          val cands = byFirst(c.toInt)
-          var j = 0
-          var done = false
-          while (j < cands.length && !done) {
-            val v = cands(j)
-            if (i + v.length <= n && s.startsWith(v, i)) { step = v.length; done = true }
-            j += 1
+        if (c < 128 && i + 1 < n) {
+          val c1 = s.charAt(i + 1)
+          if (c1 < 128) {
+            val cands = byPair(c.toInt * 128 + c1.toInt)
+            if (cands != null) {
+              var j = 0
+              var done = false
+              while (j < cands.length && !done) {
+                val v = cands(j)
+                if (i + v.length <= n && s.startsWith(v, i)) { step = v.length; done = true }
+                j += 1
+              }
+            }
           }
         }
         cnt += 1
@@ -518,19 +537,53 @@ object SubwordKernel {
   }
 }
 
-/** subword_tokens(text): greedy longest-match subword count over the
-  * frozen [[SubwordKernel.vocab]] — one pass, codegen'd.
+object SubwordKernel {
+  /** The DEFAULT (frozen) vocab, no spaces, lowercase ASCII — common
+    * English affixes + frequent digraphs, deliberately WITHOUT single
+    * letters so the unknown-character fallback path is exercised on every
+    * rare word. Faces that want a corpus-sized vocab pass their own
+    * [[SubwordVocab]] (see `graft.operators.TextOps.corpusSubwordVocab`).
+    */
+  val vocab: Array[String] = Array(
+    "tion", "ment", "ness", "able", "ther", "with", "ight", "ound",
+    "ing", "ent", "ant", "ous", "ion", "pro", "pre", "com", "con",
+    "ver", "for", "est", "ate", "ive", "ere", "and", "the",
+    "er", "ed", "ly", "es", "re", "un", "in", "on", "at", "or", "an",
+    "en", "th", "he", "nd", "st", "ar", "al", "it", "is", "te", "se",
+    "le", "ra", "ri", "ro", "de", "co", "ce", "ne", "me", "ta", "ur",
+    "ou", "ea", "ti", "ni", "us")
+
+  val default: SubwordVocab = new SubwordVocab(vocab)
+
+  def subwordCount(text: org.apache.spark.unsafe.types.UTF8String): Long =
+    default.count(text)
+}
+
+/** subword_tokens(text): greedy longest-match subword count — one pass,
+  * codegen'd. `vocabOpt = None` uses the frozen default (a static call,
+  * no reference indirection in the generated code); a parameterized vocab
+  * rides into codegen as a reference object — the broadcast-merges-table
+  * shape: one resolved [[SubwordVocab]] per plan, shared by every task.
   */
-case class SubwordTokenCount(child: Expression) extends UnaryExpression {
+case class SubwordTokenCount(child: Expression,
+                             vocabOpt: Option[SubwordVocab] = None)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING argument")
   override def nullSafeEval(input: Any): Any =
-    SubwordKernel.subwordCount(input.asInstanceOf[UTF8String])
+    vocabOpt.getOrElse(SubwordKernel.default).count(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SubwordKernel.subwordCount($c)")
+    vocabOpt match {
+      case None =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.SubwordKernel.subwordCount($c)")
+      case Some(v) =>
+        val ref = ctx.addReferenceObj("subwordVocab", v,
+          classOf[SubwordVocab].getName)
+        defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+    }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -555,6 +608,13 @@ object TextFunctions {
 
   def subwordTokens(text: Column): Column =
     Bridge.column(SubwordTokenCount(Bridge.expression(text)))
+
+  /** Subword count against an EXPLICIT vocab (the parameterized form —
+    * pass the production tokenizer's merges/vocab table).
+    */
+  def subwordTokens(text: Column, vocab: Seq[String]): Column =
+    Bridge.column(SubwordTokenCount(Bridge.expression(text),
+      Some(new SubwordVocab(vocab.toArray))))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, "subword_tokens", args => SubwordTokenCount(args.head))

@@ -287,15 +287,22 @@ object Dedup {
     * exact int64 at ANY width (see [[graft.functions.ShingleKernel.minhash]]);
     * the kernel's require enforces the documented bound.
     */
-  private[operators] def signaturesOfK(docs: DataFrame, k: Int): DataFrame =
+  private[operators] def signaturesOfK(docs: DataFrame, k: Int): DataFrame = {
     // Native codegen'd kernel (graft.functions.MinHashSig): one tight loop
     // per row for split → shingle → md5 → k mixed minima. The declarative
     // HOF pipeline computes the same values ~20× slower (interpreted lambda
     // evaluation per array element); semantics and oracle SQL unchanged.
+    // A `_rowid` column, when present, rides through so the persisted
+    // index's rows stay addressable by PHYSICAL row (takedown propagation
+    // anti-joins on rowid, never on a reusable key — see LshIndex.refresh).
+    val keep = col("doc_id") +:
+      (if (docs.columns.contains(graft.core.VectorTable.ROWID))
+         Seq(col(graft.core.VectorTable.ROWID)) else Nil)
     docs
       .withColumn("mins", graft.functions.TextFunctions.minhashSig(col("text"), k))
       .where(size(col("mins")) > 0)
-      .select(col("doc_id") +: (0 until k).map(j => col("mins")(j).as(s"mh$j")): _*)
+      .select(keep ++ (0 until k).map(j => col("mins")(j).as(s"mh$j")): _*)
+  }
 
   /** Banding at arbitrary (bands, rowsPerBand) with r-wide ARRAY bucket
     * keys — variable arity without touching the persisted [[LshIndex]]'s
@@ -424,12 +431,20 @@ object Dedup {
        |FROM cfg""".stripMargin
   }
 
-  /** Banding stage: k-row signature → (doc_id, band, h1, h2) bucket rows. */
-  private[operators] def bandsOf(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"), explode(array(
+  /** Banding stage: k-row signature → (doc_id, band, h1, h2) bucket rows.
+    * A `_rowid` column on the signature frame rides through (see
+    * [[signaturesOfK]]).
+    */
+  private[operators] def bandsOf(sig: DataFrame): DataFrame = {
+    val keep = col("doc_id") +:
+      (if (sig.columns.contains(graft.core.VectorTable.ROWID))
+         Seq(col(graft.core.VectorTable.ROWID)) else Nil)
+    sig.select(keep :+ explode(array(
       (0 until numHashes / 2).map(b =>
         struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))): _*
-    )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.h1"), col("bb.h2"))
+    )).as("bb"): _*)
+      .select(keep ++ Seq(col("bb.band"), col("bb.h1"), col("bb.h2")): _*)
+  }
 
   /** Bucket-occupancy cap for in-row pair expansion: buckets at or below
     * it expand inside their aggregation row (the measured-4×-cheaper form
@@ -1054,7 +1069,9 @@ object Dedup {
           })
         q.awaitTermination()
         val expect = bandsOf(signaturesOf(docs))
-        val got = idx.get().bands
+        // logical band rows only: the stored layout additionally carries
+        // `_rowid` (physical-row addressing for takedown propagation)
+        val got = idx.get().bands.select("doc_id", "band", "h1", "h2")
         val missing = expect.exceptAll(got).count()
         val extra = got.exceptAll(expect).count()
         if (missing != 0 || extra != 0 || refreshes.get() < 2)
@@ -1274,7 +1291,8 @@ object Dedup {
         q.awaitTermination()
         val expect = docs.select(col("doc_id"), explode(graft.functions.TextFunctions
           .rollingHashes(col("text"), repeatedSpanWindow, repeatedSpanStride)).as("gram_hash"))
-        val got = idx.get().windows
+        // logical window rows only (the layout also carries `_rowid`)
+        val got = idx.get().windows.select("doc_id", "gram_hash")
         val missing = expect.exceptAll(got).count()
         val extra = got.exceptAll(expect).count()
         if (missing != 0 || extra != 0 || refreshes.get() < 2)

@@ -34,14 +34,21 @@ final class SimHashIndex private (
   def isStale(table: VectorTable): Boolean =
     table.manifest.version > builtFromVersion
 
+  /** Takedown propagation anti-joins on `_rowid` (round-16 ADVICE — see
+    * [[LshIndex.refresh]]); a legacy layout without the column falls back
+    * to doc_id and must not be refreshed over an upserted table.
+    */
   def refresh(table: VectorTable): SimHashIndex = {
     val m = table.manifest
     if (m.length <= indexedLength && m.maskCount == indexedMask) return this
     if (m.length > indexedLength)
       SimHashIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
-    if (m.maskCount != indexedMask)
-      IndexCompaction.applyDeletesFiles(spark, root, "doc_id",
-        table.maskedScan().select(col("doc_id")), sortWithin = Seq("simhash"))
+    if (m.maskCount != indexedMask) {
+      val key = if (IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID))
+        VectorTable.ROWID else "doc_id"
+      IndexCompaction.applyDeletesFiles(spark, root, key,
+        table.maskedScan().select(col(key)), sortWithin = Seq("simhash"))
+    }
     SimHashIndex.writeMeta(root, m.version, m.length, m.maskCount)
     new SimHashIndex(spark, root, m.version, m.length, m.maskCount)
   }
@@ -67,7 +74,7 @@ object SimHashIndex {
       // path-not-found before the first refresh — same contract as
       // ContainmentIndex.build, whose freq/entry frames always exist
       import table.spark.implicits._
-      Seq.empty[(Long, Long)].toDF("doc_id", "simhash")
+      Seq.empty[(Long, Long, Long)].toDF("doc_id", VectorTable.ROWID, "simhash")
         .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
     }
     writeMeta(root, m.version, m.length, m.maskCount)
@@ -83,7 +90,7 @@ object SimHashIndex {
 
   private def writeSpan(table: VectorTable, start: Long, count: Long, root: String): Unit =
     table.range(start, count)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col(VectorTable.ROWID),
         graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
       .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
 
@@ -141,9 +148,14 @@ final class ContainmentIndex private (
     // takedown: the frozen freq table keeps the deleted docs' counts —
     // frequency drift only degrades prefix SELECTIVITY, never correctness
     // (losslessness holds under ANY shared total order; see class doc)
-    if (m.maskCount != indexedMask)
-      IndexCompaction.applyDeletesFiles(spark, root, "doc_id",
-        table.maskedScan().select(col("doc_id")), sortWithin = Seq("doc_id"))
+    if (m.maskCount != indexedMask) {
+      // anti-join on _rowid, never the reusable key (round-16 ADVICE —
+      // see LshIndex.refresh); legacy layouts fall back to doc_id
+      val key = if (IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID))
+        VectorTable.ROWID else "doc_id"
+      IndexCompaction.applyDeletesFiles(spark, root, key,
+        table.maskedScan().select(col(key)), sortWithin = Seq("doc_id"))
+    }
     ContainmentIndex.writeMeta(root, m.version, m.length, m.maskCount)
     new ContainmentIndex(spark, root, m.version, m.length, m.maskCount)
   }
@@ -171,7 +183,8 @@ object ContainmentIndex {
       import table.spark.implicits._
       Seq.empty[(Long, Long)].toDF("g", "cnt")
         .write.mode("overwrite").parquet(s"$root/freq")
-      Seq.empty[(Long, Seq[Long], Seq[Long], Int)].toDF("doc_id", "sg", "sh", "n")
+      Seq.empty[(Long, Long, Seq[Long], Seq[Long], Int)]
+        .toDF("doc_id", VectorTable.ROWID, "sg", "sh", "n")
         .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
     } else {
       val sh = shOf(table, 0L, m.length)
@@ -194,7 +207,7 @@ object ContainmentIndex {
 
   private def shOf(table: VectorTable, start: Long, count: Long): DataFrame =
     table.range(start, count)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col(VectorTable.ROWID),
         graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
       .where(size(col("sh")) > 0)
 
@@ -216,7 +229,7 @@ object ContainmentIndex {
       .agg(expr("transform(array_sort(collect_list(struct(cnt, g))), x -> x.g)").as("sg"))
     sg.join(sh, Seq("doc_id"))
       .withColumn("n", size(col("sg")))
-      .select("doc_id", "sg", "sh", "n")
+      .select("doc_id", VectorTable.ROWID, "sg", "sh", "n")
       .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
   }
 
@@ -259,9 +272,14 @@ final class SpanIndex private (
     if (m.length <= indexedLength && m.maskCount == indexedMask) return this
     if (m.length > indexedLength)
       SpanIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
-    if (m.maskCount != indexedMask)
-      IndexCompaction.applyDeletesFiles(spark, root, "doc_id",
-        table.maskedScan().select(col("doc_id")), sortWithin = Seq("gram_hash"))
+    if (m.maskCount != indexedMask) {
+      // anti-join on _rowid, never the reusable key (round-16 ADVICE —
+      // see LshIndex.refresh); legacy layouts fall back to doc_id
+      val key = if (IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID))
+        VectorTable.ROWID else "doc_id"
+      IndexCompaction.applyDeletesFiles(spark, root, key,
+        table.maskedScan().select(col(key)), sortWithin = Seq("gram_hash"))
+    }
     SpanIndex.writeMeta(root, m.version, m.length, m.maskCount)
     new SpanIndex(spark, root, m.version, m.length, m.maskCount)
   }
@@ -285,7 +303,7 @@ object SpanIndex {
       // empty index stays readable before the first refresh (round-12
       // ADVICE contract, same as SimHashIndex.build)
       import table.spark.implicits._
-      Seq.empty[(Long, Long)].toDF("doc_id", "gram_hash")
+      Seq.empty[(Long, Long, Long)].toDF("doc_id", VectorTable.ROWID, "gram_hash")
         .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
     }
     writeMeta(root, m.version, m.length, m.maskCount)
@@ -301,9 +319,10 @@ object SpanIndex {
 
   private def writeSpan(table: VectorTable, start: Long, count: Long, root: String): Unit =
     table.range(start, count)
-      .select(col("doc_id"), explode(graft.functions.TextFunctions
-        .rollingHashes(col("text"), Dedup.repeatedSpanWindow, Dedup.repeatedSpanStride))
-        .as("gram_hash"))
+      .select(col("doc_id"), col(VectorTable.ROWID),
+        explode(graft.functions.TextFunctions
+          .rollingHashes(col("text"), Dedup.repeatedSpanWindow, Dedup.repeatedSpanStride))
+          .as("gram_hash"))
       .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
 
   private def writeMeta(root: String, version: Long, length: Long,

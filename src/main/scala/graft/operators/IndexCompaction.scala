@@ -60,6 +60,44 @@ object IndexCompaction {
       finally walk.close()
     }
 
+  /** True iff the live layout's rows carry `name` — the legacy-layout
+    * probe for takedown propagation: indexes written since round 16 carry
+    * `_rowid` (physical-row addressing; deletes anti-join on it), while a
+    * pre-round-16 layout only has its key column and falls back to key
+    * addressing (documented caveat: key addressing must not be mixed with
+    * `upsertBy`, whose replacement rows share the key).
+    */
+  private[operators] def liveHasColumn(spark: SparkSession, root: String,
+                                       name: String): Boolean = {
+    val d = dataDir(root)
+    hasParquet(d) && spark.read.parquet(d.toString).columns.contains(name)
+  }
+
+  /** The byte-sized compaction target for the layout at `root` — what
+    * [[compact]] aims for and what [[Maintenance]]'s trigger compares the
+    * live file count against.
+    */
+  def targetFiles(root: String): Long =
+    math.max(1L, (liveBytes(root) + targetBytesPerFile - 1) / targetBytesPerFile)
+
+  /** Max parquet files in any single leaf directory of the live layout —
+    * the partitioned-layout fragmentation measure ([[compact]]'s no-op
+    * check: a hive-partitioned index with at most one file per partition
+    * has nothing to compact).
+    */
+  private[operators] def maxFilesPerLeafDir(root: String): Long = {
+    val d = dataDir(root)
+    if (!Files.isDirectory(d)) return 0L
+    val walk = Files.walk(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.groupBy(_.getParent).map(_._2.size.toLong)
+        .maxOption.getOrElse(0L)
+    } finally walk.close()
+  }
+
   /** Parquet files currently in the live dir (compaction's fragmentation
     * measure; specs pin it to the post-compaction target).
     */
@@ -90,8 +128,10 @@ object IndexCompaction {
     * ceil(bytes / targetBytesPerFile) files, each sorted within by
     * `sortWithin` so file-level column stats stay tight for the keyed
     * scans the delta faces run. No-op (returns false) when the live dir
-    * already holds at most the target file count and no orphans need
-    * sweeping.
+    * already holds at most the target file count — for a hive-partitioned
+    * layout, when no partition dir holds more than one file (round-16
+    * ADVICE: the partitioned path previously rewrote the whole index on
+    * every call). Orphan sweeping runs either way.
     */
   def compact(spark: SparkSession, root: String,
               partitionCols: Seq[String] = Nil,
@@ -99,9 +139,12 @@ object IndexCompaction {
     sweepOrphans(root)
     val live = dataDir(root)
     if (!hasParquet(live)) return false
-    val targetFiles =
-      math.max(1L, (liveBytes(root) + targetBytesPerFile - 1) / targetBytesPerFile).toInt
-    if (partitionCols.isEmpty && liveFileCount(root) <= targetFiles) return false
+    val target = targetFiles(root).toInt
+    if (partitionCols.isEmpty && liveFileCount(root) <= target) return false
+    // partitioned no-op (round-16 ADVICE): one file per partition dir is
+    // already the compacted layout — rewriting it would be a full-index
+    // rewrite on every maintenance tick
+    if (partitionCols.nonEmpty && maxFilesPerLeafDir(root) <= 1L) return false
     val df = spark.read.parquet(live.toString)
     val fresh = Paths.get(root, s"data-${java.util.UUID.randomUUID()}")
     val sortCols: Seq[Column] = sortWithin.map(org.apache.spark.sql.functions.col)
@@ -111,7 +154,7 @@ object IndexCompaction {
         .sortWithinPartitions((parts ++ sortCols): _*)
         .write.partitionBy(partitionCols: _*).parquet(fresh.toString)
     } else {
-      val c = df.coalesce(targetFiles)
+      val c = df.coalesce(target)
       (if (sortCols.nonEmpty) c.sortWithinPartitions(sortCols: _*) else c)
         .write.parquet(fresh.toString)
     }

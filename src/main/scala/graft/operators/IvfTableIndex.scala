@@ -43,13 +43,19 @@ final class IvfTableIndex private (
   def data: DataFrame = {
     val d = IndexCompaction.dataDir(root)
     if (IndexCompaction.hasParquet(d)) spark.read.parquet(d.toString)
-    else if (indexedLength > 0L)
+    else if (indexedLength - indexedMask > 0L)
+      // gate on LIVE rows (round-16 ADVICE): a takedown that deletes every
+      // indexed row legitimately leaves an empty layout (partitionBy of an
+      // empty rewrite writes no files) — that is a healthy empty index,
+      // not data loss
       throw new IllegalStateException(
-        s"IVF index at $root records $indexedLength indexed rows but its " +
-          s"live data dir $d holds no parquet files — index data lost")
+        s"IVF index at $root records ${indexedLength - indexedMask} live " +
+          s"indexed rows but its live data dir $d holds no parquet files — " +
+          "index data lost")
     else {
       import spark.implicits._
-      Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "cell")
+      Seq.empty[(Long, Long, Seq[Float], Int)]
+        .toDF("vec_id", VectorTable.ROWID, "embedding", "cell")
     }
   }
 
@@ -89,12 +95,20 @@ final class IvfTableIndex private (
   private def applyDeletes(table: VectorTable): Unit = {
     val live = IndexCompaction.dataDir(root)
     if (!IndexCompaction.hasParquet(live)) return
-    val deleted = table.maskedScan().select(col("vec_id")).localCheckpoint()
-    val affected = data.join(deleted, Seq("vec_id"), "left_semi")
+    // anti-join on `_rowid` (round-16 ADVICE): the mask also holds rows
+    // `upsertBy` superseded, whose LIVE replacement shares vec_id — a
+    // vec_id anti-join would delete the replacement's just-written index
+    // entry too. Physical-row addressing deletes exactly the masked rows;
+    // a pre-round-16 layout without the column falls back to vec_id (and
+    // must not be refreshed over an upserted table).
+    val key = if (IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID))
+      VectorTable.ROWID else "vec_id"
+    val deleted = table.maskedScan().select(col(key)).localCheckpoint()
+    val affected = data.join(deleted, Seq(key), "left_semi")
       .select("cell").distinct().collect().map(_.getInt(0)).toSet
     if (affected.isEmpty) return
     val rewritten = data.where(col("cell").isin(affected.toSeq: _*))
-      .join(deleted, Seq("vec_id"), "left_anti")
+      .join(deleted, Seq(key), "left_anti")
     val tmp = Paths.get(root, s".rewrite-${java.util.UUID.randomUUID()}")
     rewritten.repartition(col("cell"))
       .write.partitionBy("cell").parquet(tmp.toString)
@@ -265,11 +279,11 @@ object IvfTableIndex {
     // at high (cellsFor-scaled) cell counts, bit-identical either way
     val sims = Similarity.centroidSimsColumn(cs)
     table.range(start, count)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col(VectorTable.ROWID), col("embedding"))
       .withColumn("sims", sims)
       .withColumn("centroid_sim", array_max(col("sims")))
       .withColumn("cell", (array_position(col("sims"), col("centroid_sim")) - 1).cast("int"))
-      .select("vec_id", "embedding", "cell")
+      .select("vec_id", VectorTable.ROWID, "embedding", "cell")
       // one file per (span, cell): partitionBy alone writes task×cell
       // files (see Similarity.buildIvfIndex). Incremental refreshes still
       // add a file per cell per span — that growth is inherent to

@@ -46,16 +46,27 @@ final class LshIndex private (
 
   /** Index only the appended span [indexedLength, len); returns the
     * refreshed handle (a no-op returns `this`).
+    *
+    * Takedown propagation anti-joins on `_rowid` (round-16 ADVICE): the
+    * mask holds every row ever superseded, including rows `upsertBy`
+    * replaced — anti-joining by doc_id would also delete the LIVE
+    * replacement's band rows the span write just added (they share the
+    * key). Physical-row addressing deletes exactly the masked rows; a
+    * legacy layout without `_rowid` falls back to doc_id and must not be
+    * refreshed over an upserted table.
     */
   def refresh(table: VectorTable): LshIndex = {
     val m = table.manifest
     if (m.length <= indexedLength && m.maskCount == indexedMask) return this
     if (m.length > indexedLength)
       LshIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
-    if (m.maskCount != indexedMask)
-      IndexCompaction.applyDeletesFiles(spark, root, "doc_id",
-        table.maskedScan().select(col("doc_id")),
+    if (m.maskCount != indexedMask) {
+      val key = if (IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID))
+        VectorTable.ROWID else "doc_id"
+      IndexCompaction.applyDeletesFiles(spark, root, key,
+        table.maskedScan().select(col(key)),
         sortWithin = Seq("band", "h1", "h2"))
+    }
     LshIndex.writeMeta(root, m.version, m.length, m.maskCount)
     new LshIndex(spark, root, m.version, m.length, m.maskCount)
   }
@@ -83,7 +94,8 @@ object LshIndex {
       // ingest gate builds over an empty table and bands batch 0 against
       // the empty committed side
       import table.spark.implicits._
-      Seq.empty[(Long, Int, Long, Long)].toDF("doc_id", "band", "h1", "h2")
+      Seq.empty[(Long, Long, Int, Long, Long)]
+        .toDF("doc_id", VectorTable.ROWID, "band", "h1", "h2")
         .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
     }
     writeMeta(root, m.version, m.length, m.maskCount)
@@ -99,7 +111,10 @@ object LshIndex {
   }
 
   private def writeSpan(table: VectorTable, start: Long, count: Long, root: String): Unit = {
-    val slice = table.range(start, count).select(col("doc_id"), col("text"))
+    // `_rowid` rides through signatures → bands so every stored band row
+    // addresses its physical source row (takedown deletes by rowid)
+    val slice = table.range(start, count)
+      .select(col(VectorTable.ROWID), col("doc_id"), col("text"))
     Dedup.bandsOf(Dedup.signaturesOf(slice))
       // sorted bucket-key layout keeps file stats tight for bucket-range
       // scans; at cluster scale this directory would also be hive-

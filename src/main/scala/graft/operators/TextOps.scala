@@ -34,22 +34,31 @@ object TextOps {
       | len(string_split_regex(text, '[a-z]+')) - 1 AS n_nonword_splits
       |FROM documents""".stripMargin
 
+  /** THE quality-score arithmetic, single source of truth (round-16
+    * ADVICE: the refinery's ingest gate had re-implemented this inline —
+    * two copies of a formula WILL drift on the next tweak, silently
+    * diverging the streamed counts from the batch face). Input frame must
+    * carry `toks` (the whitespace token array) and `n_chars`; appends
+    * n_tokens/ttr/mean_token_len/stop_ratio/quality_score in a FIXED
+    * expression order so the oracle reproduces the exact bits.
+    */
+  private[graft] def withQualityColumns(df: DataFrame): DataFrame = df
+    .withColumn("n_tokens", size(col("toks")))
+    .withColumn("ttr",
+      size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
+    .withColumn("mean_token_len",
+      (col("n_chars").cast("double") - (col("n_tokens").cast("double") - 1.0)) / col("n_tokens").cast("double"))
+    .withColumn("stop_ratio",
+      expr("CAST(size(filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)") / col("n_tokens").cast("double"))
+    .withColumn("quality_score",
+      col("ttr") * lit(2.0) + col("mean_token_len") * lit(0.1) - col("stop_ratio"))
+
   /** Quality scoring: type-token ratio, mean token length, stopword ratio,
-    * and a combined score. Pure double arithmetic in a fixed expression
-    * order so the oracle reproduces the exact bits.
+    * and a combined score ([[withQualityColumns]] over the documents
+    * table).
     */
   def qualityScores(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("toks", tokens("text"))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("ttr",
-        size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
-      .withColumn("mean_token_len",
-        (col("n_chars").cast("double") - (col("n_tokens").cast("double") - 1.0)) / col("n_tokens").cast("double"))
-      .withColumn("stop_ratio",
-        expr("CAST(size(filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)") / col("n_tokens").cast("double"))
-      .withColumn("quality_score",
-        col("ttr") * lit(2.0) + col("mean_token_len") * lit(0.1) - col("stop_ratio"))
+    withQualityColumns(Tables.documents(s, d).withColumn("toks", tokens("text")))
       .select("doc_id", "n_tokens", "ttr", "mean_token_len", "stop_ratio", "quality_score")
 
   val qualityScoresSql: String =
@@ -122,20 +131,21 @@ object TextOps {
   private lazy val subwordVocabSql: String =
     graft.functions.SubwordKernel.vocab.map(v => s"'$v'").mkString("[", ", ", "]")
 
-  /** Shared oracle CTEs: greedy longest-match replayed as a RECURSIVE walk
-    * over each DISTINCT word (max matching vocab length at each position,
-    * else one character as one unknown token — exactly the kernel), then
-    * summed per doc. Matching never crosses a space (the vocab has none),
-    * so per-word replay equals the kernel's single pass.
+  /** The greedy longest-match walk replayed as RECURSIVE SQL over each
+    * DISTINCT word (max matching vocab length at each position, else one
+    * character as one unknown token — exactly the kernel), then summed
+    * per doc. Matching never crosses a space (vocab entries have none),
+    * so per-word replay equals the kernel's single pass. Parameterized
+    * over the vocab CTE name (round 16): the frozen list and the
+    * corpus-DERIVED vocab table replay through the same walk.
     */
-  private lazy val subwordCtes: String =
+  private def subwordWalkCtes(vocabCte: String): String =
     s"""sw_words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
-       | sw_vocab(tok) AS (SELECT unnest($subwordVocabSql)),
        | sw_walk(w, pos, cnt) AS (
        |   SELECT w, 1, 0 FROM sw_words WHERE len(w) > 0
        |   UNION ALL
        |   SELECT w,
-       |     pos + COALESCE((SELECT MAX(len(tok)) FROM sw_vocab
+       |     pos + COALESCE((SELECT MAX(len(tok)) FROM $vocabCte
        |                     WHERE tok = substr(w, pos, len(tok))), 1),
        |     cnt + 1
        |   FROM sw_walk WHERE pos <= len(w)),
@@ -144,6 +154,134 @@ object TextOps {
        |   SELECT dt.doc_id, CAST(SUM(wc.n) AS BIGINT) AS n_subword
        |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) dt
        |   JOIN sw_wc wc ON dt.w = wc.w GROUP BY dt.doc_id)""".stripMargin
+
+  /** Shared oracle CTEs for the FROZEN-vocab faces. */
+  private lazy val subwordCtes: String =
+    s"""sw_vocab(tok) AS (SELECT unnest($subwordVocabSql)),
+       | ${subwordWalkCtes("sw_vocab")}""".stripMargin
+
+  // ----- round-16: corpus-derived (parameterized) vocab ------------------
+
+  /** Size of the corpus-derived vocab — deliberately larger than the
+    * frozen list (the parameterization point) while keeping the DuckDB
+    * walk's correlated lookup affordable at sf0.01. The kernel itself is
+    * priced at 10k+ entries in SubwordVocabSpec.
+    */
+  val corpusVocabSize = 512
+
+  private val corpusVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  /** Corpus-DERIVED subword vocab — the one-shot "training" job of a
+    * BPE-ish tokenizer re-expressed declaratively: the corpus's words'
+    * character n-grams (n = 2..4) counted once, top [[corpusVocabSize]]
+    * by (count DESC, gram ASC — a total order, so the vocab is
+    * deterministic and the DuckDB oracle derives the IDENTICAL table from
+    * the same parquet). Scale shape: one explode + one hash aggregation
+    * over the corpus, a top-K on ~thousands of gram keys, and a driver
+    * collect of exactly `corpusVocabSize` strings that then broadcasts
+    * into the codegen'd kernel — the merges-table shape of a real
+    * tokenizer deployment.
+    */
+  def corpusSubwordVocab(s: SparkSession, d: String): Array[String] =
+    corpusVocabCache.computeIfAbsent(d, _ => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+      val grams = (2 to 4).map { n =>
+        words.where(length(col("w")) >= n)
+          .select(explode(expr(
+            s"transform(sequence(1, length(w) - $n + 1), i -> substring(w, i, $n))")).as("g"))
+      }.reduce(_ unionAll _)
+      grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("g"))
+        .limit(corpusVocabSize)
+        .select("g").collect().map(_.getString(0))
+    })
+
+  /** Oracle CTEs deriving the SAME vocab table in DuckDB, then walking it:
+    * the vocab is a TABLE both engines compute from the corpus, not a
+    * literal either could get wrong independently.
+    */
+  private lazy val subwordCorpusCtes: String =
+    s"""sw_cwords AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       | sw_cgrams AS (
+       |   SELECT substr(w, unnest(generate_series(1, len(w) - n + 1)), n) AS g
+       |   FROM sw_cwords CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) ns
+       |   WHERE len(w) >= n),
+       | sw_cvocab(tok) AS (
+       |   SELECT g FROM (SELECT g, COUNT(*) AS cnt FROM sw_cgrams GROUP BY g)
+       |   ORDER BY cnt DESC, g LIMIT $corpusVocabSize),
+       | ${subwordWalkCtes("sw_cvocab")}""".stripMargin
+
+  /** Declared `text_subword_vocab_tokens`: per-doc whitespace vs subword
+    * counts under the CORPUS-DERIVED vocab — the parameterized twin of
+    * `text_subword_tokens` (round 16): same codegen'd kernel, vocab
+    * supplied as data. The oracle re-derives the vocab table and replays
+    * the walk from it.
+    */
+  def subwordVocabTokenStats(s: SparkSession, d: String): DataFrame = {
+    val vocab = corpusSubwordVocab(s, d).toSeq
+    Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      graft.functions.TextFunctions.subwordTokens(col("text"), vocab).as("n_subword"))
+  }
+
+  lazy val subwordVocabTokenStatsSql: String =
+    s"""WITH RECURSIVE $subwordCorpusCtes
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(p.n_subword, 0) AS BIGINT) AS n_subword
+       |FROM documents d LEFT JOIN sw_doc p ON d.doc_id = p.doc_id""".stripMargin
+
+  /** Declared `text_subword_vocab_budget_cutoff`: the budget-calibration
+    * face RE-PRICED on the corpus-derived vocab's token masses — proof the
+    * whole budget family consumes a parameterized vocab end to end (the
+    * round-15 gap: the mechanism was proven only against the frozen
+    * list). Same bucket-resolution windowed shape, same exact integer
+    * arithmetic as [[qualityBudgetCutoff]].
+    */
+  def subwordVocabBudgetCutoff(s: SparkSession, d: String): DataFrame = {
+    val vocab = corpusSubwordVocab(s, d).toSeq
+    val sub = Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.TextFunctions.subwordTokens(col("text"), vocab).as("n_sub"))
+    val q = qualityScores(s, d)
+      .select(col("doc_id"), floor(col("quality_score") * 1000).cast("long").as("qb"))
+      .join(sub, Seq("doc_id"))
+    val byBucket = q.groupBy("qb")
+      .agg(sum("n_sub").as("bt"), count(lit(1)).as("bd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("qb").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byBucket
+      .withColumn("cum_t", sum(col("bt")).over(w))
+      .withColumn("cum_d", sum(col("bd")).over(w))
+      .crossJoin(broadcast(
+        q.agg(expr("CAST(sum(n_sub) * 2 DIV 5 AS BIGINT)").as("budget"))))
+      .where(col("cum_t") <= col("budget"))
+      .agg(min(col("budget")).as("budget_subword"),
+        min(col("qb")).as("cutoff_bucket"),
+        max(col("cum_d")).as("kept_docs"),
+        max(col("cum_t")).as("kept_subword"))
+  }
+
+  lazy val subwordVocabBudgetCutoffSql: String =
+    s"""WITH RECURSIVE $subwordCorpusCtes,
+       | qs AS (${qualityScoresSql.replace("\n", "\n  ")}),
+       | q AS (
+       |  SELECT qs.doc_id, CAST(floor(qs.quality_score * 1000) AS BIGINT) AS qb,
+       |    sd.n_subword AS n_sub
+       |  FROM qs JOIN sw_doc sd ON qs.doc_id = sd.doc_id),
+       | b AS (SELECT qb, CAST(SUM(n_sub) AS BIGINT) AS bt, COUNT(*) AS bd
+       |       FROM q GROUP BY qb),
+       | c AS (SELECT qb,
+       |   CAST(SUM(bt) OVER (ORDER BY qb DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_t,
+       |   CAST(SUM(bd) OVER (ORDER BY qb DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_d
+       |  FROM b),
+       | g AS (SELECT CAST((SUM(n_sub) * 2) // 5 AS BIGINT) AS budget FROM q)
+       |SELECT MIN(budget) AS budget_subword, MIN(qb) AS cutoff_bucket,
+       |  MAX(cum_d) AS kept_docs, MAX(cum_t) AS kept_subword
+       |FROM c, g WHERE cum_t <= budget""".stripMargin
 
   /** Declared `text_subword_tokens`: per-doc whitespace vs SUBWORD token
     * counts from the codegen'd greedy longest-match kernel

@@ -72,6 +72,8 @@ object DedupIngest {
       val m = table.manifest
       m.batches.last.end - m.batches.last.start
     }
+    // automatic threshold maintenance (graft.operators.Maintenance)
+    graft.operators.Maintenance.maintainTable(table)
     (novelCount, total - novelCount)
   }
 

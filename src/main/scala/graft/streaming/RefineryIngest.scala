@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.core.VectorTable
-import graft.operators.{Dedup, IvfTableIndex, LshIndex, Similarity, SpanIndex}
+import graft.operators.{Dedup, IvfTableIndex, LshIndex, Maintenance, Similarity, SpanIndex}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -72,21 +72,16 @@ object RefineryIngest {
   /** The quality gate's score column over (text, n_chars-free) rows —
     * n_chars is recomputed from the text so a fused stream needs no extra
     * column; `length(text)` equals the generator's `n_chars` for the
-    * corpus (single-byte tokens), and the arithmetic below is otherwise
-    * the exact [[graft.operators.TextOps.qualityScores]] expression.
+    * corpus (single-byte tokens). The ARITHMETIC is
+    * [[graft.operators.TextOps.withQualityColumns]] itself — one shared
+    * builder, so the batch face and this gate cannot drift (round-16
+    * ADVICE; QualityFormulaSpec pins the equality).
     */
-  private def withQuality(df: DataFrame): DataFrame = df
-    .withColumn("toks", split(col("text"), " "))
-    .withColumn("n_tokens", size(col("toks")))
-    .withColumn("ttr",
-      size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
-    .withColumn("mean_token_len",
-      (length(col("text")).cast("double") - (col("n_tokens").cast("double") - 1.0)) / col("n_tokens").cast("double"))
-    .withColumn("stop_ratio",
-      expr("CAST(size(filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)") / col("n_tokens").cast("double"))
-    .withColumn("quality_score",
-      col("ttr") * lit(2.0) + col("mean_token_len") * lit(0.1) - col("stop_ratio"))
-    .drop("toks", "n_tokens", "ttr", "mean_token_len", "stop_ratio")
+  private def withQuality(df: DataFrame): DataFrame =
+    graft.operators.TextOps.withQualityColumns(
+        df.withColumn("toks", split(col("text"), " "))
+          .withColumn("n_chars", length(col("text"))))
+      .drop("toks", "n_chars", "n_tokens", "ttr", "mean_token_len", "stop_ratio")
 
   /** One fully-gated batch append; returns the stage [[Counts]].
     *
@@ -274,8 +269,55 @@ object RefineryIngest {
           .join(keptIds, Seq("vec_id"), "left_semi"),
         streamBatchId = streamBatchId)
     }
+    // 8. AUTOMATIC maintenance (round 16): threshold-triggered compaction
+    //    keeps a continuously-fed refinery's file counts bounded without
+    //    operator intervention — cheap metadata checks per batch; fired
+    //    work is the existing byte-sized compactions (policy and cost
+    //    story in [[graft.operators.Maintenance]]). Runs AFTER the
+    //    landings, in the same single-writer maintenance slot.
+    Seq(docsTable, hashStore, spanStore, lexStore, embTable)
+      .foreach(t => Maintenance.maintainTable(t))
+    Maintenance.maintainIndex(spanIdx.get().root, () => { spanIdx.get().compact(); () })
+    Maintenance.maintainIndex(lexIdx.get().root, () => { lexIdx.get().compact(); () })
+    Maintenance.maintainPartitionedIndex(idx.get().root, () => { idx.get().compact(); () })
+
     Counts(total, total - nScored, nScored - nNovel, nNovel - nSpanKept,
       nSpanKept - nLexKept, nLexKept - nClean, nClean - kept, kept)
+  }
+
+  /** COMPOSED takedown across the refinery's FIVE stores (round 16): one
+    * call masks the doc ids in docs/hash/span/lex/emb, refreshes every
+    * dependent index (consuming the masks — rowid-addressed affected-file
+    * rewrites), then physically purges each store so the documents' text,
+    * hashes, spans and vectors leave every current-version file. The gate
+    * stores intentionally FORGET the documents: a future near-copy of a
+    * taken-down doc re-admits, which is what a right-to-be-forgotten
+    * delete means for a dedup gate. `purge = true` is the default because
+    * the refinery's gates read the stores' PHYSICAL surface (`scan()` —
+    * the replay-deterministic view); without the purge the gates would
+    * keep consulting masked rows. Run between batches (the same
+    * single-writer maintenance slot as compaction). Returns newly-masked
+    * counts per store.
+    */
+  def takedown(ids: Seq[Long], docsTable: VectorTable, hashStore: VectorTable,
+               spanStore: VectorTable, lexStore: VectorTable,
+               embTable: VectorTable,
+               spanIdx: java.util.concurrent.atomic.AtomicReference[SpanIndex],
+               lexIdx: java.util.concurrent.atomic.AtomicReference[LshIndex],
+               idx: java.util.concurrent.atomic.AtomicReference[IvfTableIndex],
+               purge: Boolean = true): Map[String, Long] = {
+    import graft.operators.Takedown
+    Takedown.everywhere(ids,
+      Seq(Takedown.Store("docs", docsTable, "vec_id"),
+        Takedown.Store("hash", hashStore, "vec_id"),
+        Takedown.Store("span", spanStore, "doc_id"),
+        Takedown.Store("lex", lexStore, "doc_id"),
+        Takedown.Store("emb", embTable, "vec_id")),
+      propagate = Seq(
+        () => { spanIdx.set(spanIdx.get().refresh(spanStore)); () },
+        () => { lexIdx.set(lexIdx.get().refresh(lexStore)); () },
+        () => { idx.set(idx.get().refresh(embTable)); () }),
+      purge = purge)
   }
 
   /** Streaming form: every micro-batch lands fully refined; per-batch
@@ -289,7 +331,13 @@ object RefineryIngest {
             evalIds: Array[Long], evalVecs: Array[Array[Float]],
             minQuality: Double, threshold: Double, checkpointDir: String,
             acc: java.util.concurrent.atomic.AtomicReference[Counts],
-            trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+            trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    // batchId-guarded accumulation (round-16 ADVICE): a within-process
+    // query restart replays the last uncommitted batch, and appendRefined
+    // intentionally recomputes its full Counts on the replay (the store
+    // appends self-guard) — adding the replayed Counts again would
+    // double-count them in `acc`. One add per batch id.
+    val lastAccumulated = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -298,7 +346,12 @@ object RefineryIngest {
         val c = appendRefined(docsTable, hashStore, spanStore, lexStore,
           embTable, spanIdx, lexIdx, idx, batch, evalIds, evalVecs,
           minQuality, threshold, streamBatchId = Some(batchId))
-        acc.updateAndGet(_ + c); ()
+        if (batchId > lastAccumulated.get()) {
+          acc.updateAndGet(_ + c)
+          lastAccumulated.set(batchId)
+        }
+        ()
       }
       .start()
+  }
 }

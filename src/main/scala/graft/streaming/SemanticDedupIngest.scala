@@ -57,20 +57,37 @@ object SemanticDedupIngest {
     */
   val defaultSmallEdgeLimit: Long = 1000000L
 
-  /** Telemetry: in-batch survivor edges the LAST `appendDeduped` call
-    * collected to the driver (-1 when the distributed path ran instead).
-    * Read by the ScaleProbe ingest leg and the stress spec to prove the
-    * driver's share is bounded by the batch, not the corpus.
+  /** PER-TABLE sweep telemetry, keyed by table root (round-16 ADVICE:
+    * the former global AtomicLongs interleaved when two streams ingested
+    * concurrently in one JVM — per-root scoping makes each stream's
+    * numbers its own). `driverEdges`: in-batch survivor edges the last
+    * `appendDeduped` on that table collected to the driver (-1 when the
+    * distributed path ran). `oversizedComponents`: how many
+    * INDIVIDUALLY-oversized components that sweep routed through the
+    * round loop (everything else was component-decomposed and
+    * driver-swept exactly). Read by the ScaleProbe ingest leg and the
+    * stress spec to prove the driver's share is bounded by the batch,
+    * not the corpus.
     */
-  val lastDriverEdges = new java.util.concurrent.atomic.AtomicLong(-1L)
+  final case class SweepTelemetry(driverEdges: Long, oversizedComponents: Long)
 
-  /** Telemetry: how many INDIVIDUALLY-oversized components the last
-    * distributed sweep routed through the round loop (everything else was
-    * component-decomposed and driver-swept exactly). The stress spec pins
-    * that shape-aware routing keeps this at 0 for many-small-component
-    * graphs and 1 for a single oversized chain.
-    */
-  val lastOversizedComponents = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private val sweepTelemetry =
+    new java.util.concurrent.ConcurrentHashMap[String, SweepTelemetry]()
+
+  def telemetryFor(root: String): SweepTelemetry =
+    sweepTelemetry.getOrDefault(root, SweepTelemetry(-1L, -1L))
+
+  private def recordDriverEdges(root: String, n: Long): Unit = {
+    sweepTelemetry.compute(root, (_, old) =>
+      SweepTelemetry(n, Option(old).map(_.oversizedComponents).getOrElse(-1L)))
+    ()
+  }
+
+  private def recordOversized(root: String, n: Long): Unit = {
+    sweepTelemetry.compute(root, (_, old) =>
+      SweepTelemetry(Option(old).map(_.driverEdges).getOrElse(-1L), n))
+    ()
+  }
 
   /** One semantically-gated batch append; returns (kept, dropped). */
   def appendDeduped(table: VectorTable, idx: java.util.concurrent.atomic.AtomicReference[IvfTableIndex],
@@ -168,12 +185,13 @@ object SemanticDedupIngest {
     val nSurvivorEdges = inBatchEdges.count()
     val droppedSweep: DataFrame =
       if (nSurvivorEdges <= smallEdgeLimit) {
-        lastDriverEdges.set(nSurvivorEdges)
+        recordDriverEdges(table.root, nSurvivorEdges)
         val pairs = inBatchEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
         greedySweepDropped(pairs).toDF("vec_id")
       } else {
-        lastDriverEdges.set(-1L)
-        distributedGreedyDropped(inBatchEdges, smallEdgeLimit)
+        recordDriverEdges(table.root, -1L)
+        distributedGreedyDropped(inBatchEdges, smallEdgeLimit,
+          telemetryRoot = table.root)
       }
 
     val keptIds = assigned.select(col("vec_id"))
@@ -188,6 +206,11 @@ object SemanticDedupIngest {
       table.append(keptRows, streamBatchId = streamBatchId)
       idx.set(idx.get().refresh(table))
     }
+    // automatic threshold maintenance (graft.operators.Maintenance); the
+    // IVF layout is hive-partitioned, so the trigger is files-per-cell
+    graft.operators.Maintenance.maintainTable(table)
+    graft.operators.Maintenance.maintainPartitionedIndex(idx.get().root,
+      () => { idx.get().compact(); () })
     (nKept, total - nKept)
   }
 
@@ -231,7 +254,8 @@ object SemanticDedupIngest {
     */
   private[streaming] def distributedGreedyDropped(
       edgesIn: DataFrame,
-      smallEdgeLimit: Long = defaultSmallEdgeLimit): DataFrame = {
+      smallEdgeLimit: Long = defaultSmallEdgeLimit,
+      telemetryRoot: String = ""): DataFrame = {
     val spark = edgesIn.sparkSession
     import spark.implicits._
     // select BY NAME — the (doc_a < doc_b) orientation carries the greedy
@@ -268,7 +292,7 @@ object SemanticDedupIngest {
 
     // oversized components: the round loop, each alone, capped
     val oversized = sizes.filter(_._2 > smallEdgeLimit)
-    lastOversizedComponents.set(oversized.length.toLong)
+    recordOversized(telemetryRoot, oversized.length.toLong)
     oversized.foreach { case (lbl, n) =>
       droppedParts += roundLoopDropped(
         labeled.where(col("cluster_id") === lbl).select(col("doc_a"), col("doc_b")),

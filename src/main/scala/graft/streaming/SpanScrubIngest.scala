@@ -61,6 +61,10 @@ object SpanScrubIngest {
       table.append(keptRows, streamBatchId = streamBatchId)
       idx.set(idx.get().refresh(table))
     }
+    // automatic threshold maintenance (graft.operators.Maintenance)
+    graft.operators.Maintenance.maintainTable(table)
+    graft.operators.Maintenance.maintainIndex(idx.get().root,
+      () => { idx.get().compact(); () })
     (nKept, total - nKept)
   }
 

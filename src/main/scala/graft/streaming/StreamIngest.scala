@@ -65,6 +65,11 @@ object StreamIngest {
         if (!batch.isEmpty) { table.append(batch, streamBatchId = Some(batchId)); () }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
           table.manifest.batches.size > 1) { table.compact(); () }
+        // automatic threshold maintenance (round 16): merge the
+        // small-batch tail when it exceeds policy — O(tail), never the
+        // O(table) full rewrite, so it is safe to leave ON for every
+        // long-running ingest (graft.operators.Maintenance)
+        graft.operators.Maintenance.maintainTable(table)
         // Streaming IVM: bring maintained rollups up to the new head inside
         // the micro-batch loop. refresh() is a basis-version no-op for
         // replayed batches (idempotent append → unchanged head), so the

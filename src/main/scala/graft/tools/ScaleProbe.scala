@@ -391,7 +391,7 @@ object ScaleProbe {
       val (kept, dropped) = graft.streaming.SemanticDedupIngest.appendDeduped(
         t, idx, batch, graft.operators.Similarity.nearDupThreshold, Some(0L))
       val dt = (System.nanoTime() - t0) / 1e9
-      val drv = graft.streaming.SemanticDedupIngest.lastDriverEdges.get()
+      val drv = graft.streaming.SemanticDedupIngest.telemetryFor(t.root).driverEdges
       println(f"sem_ingest     $n%9d $kept%5d $dropped%8d $drv%9d  $dt%.2f")
     }
     }

@@ -78,7 +78,8 @@ class DeltaIndexSpec extends SparkSpec {
     val idx = SimHashIndex.build(table, tmpDir("simhash-empty") + "/idx")
     // before the fix, `signatures` threw path-not-found on an empty build
     assert(idx.signatures.count() == 0L)
-    assert(idx.signatures.columns.toSeq == Seq("doc_id", "simhash"))
+    assert(idx.signatures.columns.toSeq ==
+      Seq("doc_id", graft.core.VectorTable.ROWID, "simhash"))
     table.append(Seq((0L, "alpha beta gamma"), (1L, "delta epsilon zeta"))
       .toDF("doc_id", "text"))
     val fresh = idx.refresh(table)

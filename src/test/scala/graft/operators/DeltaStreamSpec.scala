@@ -62,7 +62,8 @@ class DeltaStreamSpec extends SparkSpec {
       s"expected ≥2 incremental refreshes (one per non-empty micro-batch), got ${refreshes.get()}")
     val all = (base ++ delta).toDF("doc_id", "text")
     val expect = Dedup.bandsOf(Dedup.signaturesOf(all))
-    val got = idx.get().bands
+    // logical band rows only — the layout also carries `_rowid`
+    val got = idx.get().bands.select("doc_id", "band", "h1", "h2")
     assert(expect.exceptAll(got).isEmpty && got.exceptAll(expect).isEmpty,
       "stream-maintained band rows differ from a from-scratch build")
     // and the maintained index serves the right delta candidates

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * landing in a dense region of a large committed corpus can match
   * arbitrarily many committed vectors, so only in-batch survivor edges may
   * reach the driver, and even those only under the edge-count gate.
-  * [[SemanticDedupIngest.lastDriverEdges]] is the witness.
+  * [[SemanticDedupIngest.telemetryFor]] (per-table, round 16) is the witness.
   */
 @graft.SlowTest
 class SemanticIngestStressSpec extends SparkSpec {
@@ -50,8 +50,8 @@ class SemanticIngestStressSpec extends SparkSpec {
     // ~20000 committed×batch edges exist; every batch vector is covered
     // by a committed neighbor, and none of those edges may hit the driver
     assert(kept == 0L && dropped == 10L, s"expected all covered: ($kept, $dropped)")
-    assert(SemanticDedupIngest.lastDriverEdges.get() == 0L,
-      s"driver saw ${SemanticDedupIngest.lastDriverEdges.get()} edges; " +
+    assert(SemanticDedupIngest.telemetryFor(t.root).driverEdges == 0L,
+      s"driver saw ${SemanticDedupIngest.telemetryFor(t.root).driverEdges} edges; " +
         "committed coverage must stay in-plan")
     assert(t.length == 2000L, "covered batch must land nothing")
   }
@@ -76,17 +76,19 @@ class SemanticIngestStressSpec extends SparkSpec {
     val (k1, d1) = SemanticDedupIngest.appendDeduped(t1, idx1, batch,
       Similarity.nearDupThreshold, Some(0L))
     assert(k1 == 1L && d1 == 59L, s"greedy over a near-clique keeps exactly the min id: ($k1, $d1)")
-    assert(SemanticDedupIngest.lastDriverEdges.get() == 60L * 59L / 2L,
+    assert(SemanticDedupIngest.telemetryFor(t1.root).driverEdges == 60L * 59L / 2L,
       s"driver share should be the C(60,2) survivor graph, " +
-        s"saw ${SemanticDedupIngest.lastDriverEdges.get()}")
+        s"saw ${SemanticDedupIngest.telemetryFor(t1.root).driverEdges}")
     val landed1 = t1.scan().select("vec_id").collect().map(_.getLong(0)).toSet
 
     // same batch through the DISTRIBUTED sweep (edge gate forced to 0)
     val (t2, idx2) = build()
     val (k2, d2) = SemanticDedupIngest.appendDeduped(t2, idx2, batch,
       Similarity.nearDupThreshold, Some(0L), smallEdgeLimit = 0L)
-    assert(SemanticDedupIngest.lastDriverEdges.get() == -1L,
+    assert(SemanticDedupIngest.telemetryFor(t2.root).driverEdges == -1L,
       "forced distributed sweep must not collect edges")
+    assert(SemanticDedupIngest.telemetryFor(t1.root).driverEdges == 60L * 59L / 2L,
+      "per-table telemetry: the first table's record must survive the second stream")
     val landed2 = t2.scan().select("vec_id").collect().map(_.getLong(0)).toSet
     assert((k2, d2) == (k1, d1) && landed2 == landed1,
       s"distributed sweep diverges: ($k2, $d2) vs ($k1, $d1)")
@@ -98,11 +100,12 @@ class SemanticIngestStressSpec extends SparkSpec {
     // round-14 verdict's latent worst case: one oversized component that
     // the round loop must finish, not hang on (the 2²⁰ cap is now 10³)
     val chain = (0L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val dropped = SemanticDedupIngest.distributedGreedyDropped(chain, smallEdgeLimit = 5L)
+    val dropped = SemanticDedupIngest.distributedGreedyDropped(chain,
+        smallEdgeLimit = 5L, telemetryRoot = "spec-chain")
       .collect().map(_.getLong(0)).toSet
     assert(dropped == (1L to 19L by 2).toSet,
       s"greedy over a chain drops exactly the odd nodes: $dropped")
-    assert(SemanticDedupIngest.lastOversizedComponents.get() == 1L,
+    assert(SemanticDedupIngest.telemetryFor("spec-chain").oversizedComponents == 1L,
       "a single 20-edge component above the 5-edge gate routes to the round loop")
   }
 
@@ -115,11 +118,12 @@ class SemanticIngestStressSpec extends SparkSpec {
       val b = t * 10L
       Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
     }.toDF("doc_a", "doc_b")
-    val dropped = SemanticDedupIngest.distributedGreedyDropped(tris, smallEdgeLimit = 9L)
+    val dropped = SemanticDedupIngest.distributedGreedyDropped(tris,
+        smallEdgeLimit = 9L, telemetryRoot = "spec-tris")
       .collect().map(_.getLong(0)).toSet
     val expected = (0 until 40).flatMap { t => Seq(t * 10L + 1, t * 10L + 2) }.toSet
     assert(dropped == expected)
-    assert(SemanticDedupIngest.lastOversizedComponents.get() == 0L,
+    assert(SemanticDedupIngest.telemetryFor("spec-tris").oversizedComponents == 0L,
       "no component is oversized — the round loop must not run")
   }
 
