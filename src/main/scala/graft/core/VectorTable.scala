@@ -703,26 +703,36 @@ final class VectorTable(val spark: SparkSession, val root: String) {
     m.batches.foreach { b =>
       if (!perBatch.contains(b.id)) newBatches :+= b
       else {
-        val df = spark.read.parquet(s"$root/${b.relPath}")
-        val affectedUris = df.withColumn("__f", input_file_name())
-          .join(mask, Seq(ROWID), "left_semi")
-          .select("__f").distinct().collect().map(_.getString(0))
-        val affectedNames = affectedUris
-          .map(u => Paths.get(java.net.URI.create(u).getPath).getFileName.toString).toSet
-        val kept = df.withColumn("__f", input_file_name())
-          .where(col("__f").isin(affectedUris.toSeq: _*))
+        // affected-FILE discovery from parquet footer rowid spans — a few
+        // driver-side footer reads joined against the mask, NEVER a scan
+        // of the batch's data (files are rowid-range partitioned, so a
+        // span overlap IS containment; a file whose footer span can't be
+        // read is conservatively treated as affected)
+        val srcAll = DirectParquetRead.partFiles(s"$root/${b.relPath}")
+        val spanned = srcAll.map(f => f -> DirectParquetRead.rowidSpan(f))
+        val spanRows = spanned.collect { case (f, Some((lo, hi))) => (f, lo, hi) }
+        val unknowable = spanned.collect { case (f, None) => f }
+        val affectedKnown =
+          if (spanRows.isEmpty) Nil
+          else mask
+            .join(broadcast(spark.createDataFrame(spanRows).toDF("__f", "__lo", "__hi")),
+              col(ROWID) >= col("__lo") && col(ROWID) <= col("__hi"))
+            .select("__f").distinct().collect().map(_.getString(0)).toSeq
+        val affectedFiles = {
+          val a = (affectedKnown ++ unknowable).distinct
+          // a batch the range join marked affected must yield files; an
+          // empty result would mean footer stats lie — rewrite everything
+          if (a.isEmpty) srcAll else a
+        }
+        val affectedNames =
+          affectedFiles.map(f => Paths.get(f).getFileName.toString).toSet
+        val kept = spark.read.parquet(affectedFiles: _*)
           .join(mask, Seq(ROWID), "left_anti")
-          .drop("__f")
         val keptCnt = kept.count()
         val rel = f"data/batch-${b.id}%08d-purged-${java.util.UUID.randomUUID()}"
         val dst = Paths.get(root, rel)
-        val srcFiles = {
-          val l = Files.list(Paths.get(root, b.relPath))
-          try l.iterator().asScala.toVector
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-          finally l.close()
-        }
-        val unaffected = srcFiles.filterNot(f => affectedNames.contains(f.getFileName.toString))
+        val unaffected = srcAll.map(Paths.get(_))
+          .filterNot(f => affectedNames.contains(f.getFileName.toString))
         if (keptCnt == 0L && unaffected.isEmpty) {
           // the whole batch was masked: it leaves the manifest entirely
           // (an empty directory is unreadable and its rowid range serves
@@ -732,7 +742,7 @@ final class VectorTable(val spark: SparkSession, val root: String) {
           Files.createDirectories(dst)
           if (keptCnt > 0L) {
             val tmp = Paths.get(root, s".purge-${java.util.UUID.randomUUID()}")
-            kept.repartitionByRange(math.max(1, affectedUris.length), col(ROWID))
+            kept.repartitionByRange(math.max(1, affectedFiles.length), col(ROWID))
               .sortWithinPartitions(ROWID)
               .write.option("parquet.enable.dictionary",
                 (m.encoding == "dictionary").toString)

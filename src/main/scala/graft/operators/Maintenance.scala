@@ -27,6 +27,14 @@ import graft.core.VectorTable
   * the table's life. Factor 8 keeps probe tax bounded (~20% was measured
   * at 8 files/cell on the IVF layout, ProfileCompaction) while letting
   * micro-batches accumulate enough to be worth one rewrite.
+  *
+  * DELIBERATELY NOT automated here: [[VectorTable.purge]]. Purge resets
+  * the delete-vector, and the mask is the signal every dependent index's
+  * refresh consumes to invalidate affected entries — an auto-fired purge
+  * racing an index that has not refreshed yet would erase the signal and
+  * leave stale index rows serving deleted docs forever. Erasure therefore
+  * belongs to the composed takedown ([[Takedown.everywhere]]), which
+  * sequences mask → every index refresh → purge explicitly.
   */
 object Maintenance {
 
