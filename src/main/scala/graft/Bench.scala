@@ -438,6 +438,9 @@ object Bench {
     dim("takedown_corpus_build")(graft.operators.Similarity.prebuildTakedown(spark, sfDir))
     dim("takedown_lsh_corpus_build")(graft.operators.Dedup.prebuildTakedownLsh(spark, sfDir))
     dim("takedown_everywhere_build")(graft.operators.Takedown.prebuildEverywhere(spark, sfDir))
+    // one-time corpus-vocab derivation (driver-collected top-K), memoized —
+    // the text_subword_vocab_* dims then price tokenization, not training
+    dim("subword_vocab_build")(graft.operators.TextOps.corpusSubwordVocab(spark, sfDir))
     dim("sec_index_build")(graft.operators.Relational.prebuildCustkeyIndex(spark, sfDir))
     dim("upsert_table_build")(graft.operators.Relational.prebuildUpsertTable(spark, sfDir))
     dim("mv_view_build")(graft.operators.Relational.prebuildPricingSummaryView(spark, sfDir))
