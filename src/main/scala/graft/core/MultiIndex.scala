@@ -20,9 +20,11 @@ final class MultiIndex private (
     val root: String,
     val keyCols: Seq[String],
     val builtFromVersion: Long,
-    val indexedLength: Long) {
+    val indexedLength: Long,
+    val indexedMask: Long = 0L) {
 
-  private lazy val df: DataFrame = spark.read.parquet(s"$root/data")
+  private lazy val df: DataFrame =
+    spark.read.parquet(graft.operators.IndexCompaction.dataDir(root).toString)
 
   private def kcol(i: Int): Column = col(s"k$i")
 
@@ -51,14 +53,22 @@ final class MultiIndex private (
     table.manifest.version > builtFromVersion
 
   /** Index only the appended span; the indexed prefix is immutable and
-    * never re-scanned. Returns the refreshed handle (no-op → `this`).
+    * never re-scanned. Takedown deletes committed since the last refresh
+    * apply by ROWID anti-join on exactly the affected files (round 16 —
+    * the index stores rowids, so propagation is physically addressed and
+    * upsert-safe). Returns the refreshed handle (no-op → `this`).
     */
   def refresh(table: VectorTable): MultiIndex = {
     val m = table.manifest
-    if (m.length <= indexedLength) return this
-    MultiIndex.writeSpan(table, keyCols, indexedLength, m.length - indexedLength, root, append = true)
-    MultiIndex.writeMeta(root, keyCols, m.version, m.length)
-    new MultiIndex(spark, root, keyCols, m.version, m.length)
+    if (m.length <= indexedLength && m.maskCount == indexedMask) return this
+    if (m.length > indexedLength)
+      MultiIndex.writeSpan(table, keyCols, indexedLength, m.length - indexedLength, root, append = true)
+    if (m.maskCount != indexedMask)
+      graft.operators.IndexCompaction.applyDeletesFiles(spark, root, "r",
+        table.maskedScan().select(col(VectorTable.ROWID).as("r")),
+        sortWithin = keyCols.indices.map(i => s"k$i"))
+    MultiIndex.writeMeta(root, keyCols, m.version, m.length, m.maskCount)
+    new MultiIndex(spark, root, keyCols, m.version, m.length, m.maskCount)
   }
 }
 
@@ -69,32 +79,48 @@ object MultiIndex {
     require(keyCols.nonEmpty)
     val m = table.manifest
     Files.createDirectories(Paths.get(root))
-    if (m.length > 0) writeSpan(table, keyCols, 0L, m.length, root, append = false)
-    writeMeta(root, keyCols, m.version, m.length)
-    new MultiIndex(table.spark, root, keyCols, m.version, m.length)
+    // LIVE rows only: rows already masked by upsert/delete never enter a
+    // fresh index (the recorded mask keeps the refresh protocol aligned)
+    if (m.length > 0)
+      writeRows(table.liveScan(), table.spark, keyCols, m.length, root, append = false)
+    // a rebuild over a pointer-flipped layout must re-point at "data"
+    graft.operators.IndexCompaction.publish(root, "data")
+    writeMeta(root, keyCols, m.version, m.length, m.maskCount)
+    new MultiIndex(table.spark, root, keyCols, m.version, m.length, m.maskCount)
   }
 
   /** Open a previously built index (key columns come from the metadata). */
   def open(spark: SparkSession, root: String): MultiIndex = {
     val lines = Files.readString(Paths.get(root, "meta.txt")).trim.linesIterator.toSeq
-    val Array(v, len) = lines.head.split(",")
-    new MultiIndex(spark, root, lines.tail, v.toLong, len.toLong)
+    // head is "version,length" (pre-round-16) or "version,length,mask"
+    val parts = lines.head.split(",")
+    val mask = if (parts.length > 2) parts(2).toLong else 0L
+    new MultiIndex(spark, root, lines.tail, parts(0).toLong, parts(1).toLong, mask)
   }
 
   private def writeSpan(table: VectorTable, keyCols: Seq[String], start: Long,
+                        count: Long, root: String, append: Boolean): Unit =
+    writeRows(table.range(start, count), table.spark, keyCols, count, root, append)
+
+  private def writeRows(rows: org.apache.spark.sql.DataFrame,
+                        spark: SparkSession, keyCols: Seq[String],
                         count: Long, root: String, append: Boolean): Unit = {
-    val slim = table.range(start, count).select(
+    val slim = rows.select(
       keyCols.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") } :+
         col(VectorTable.ROWID).as("r"): _*)
-    val parts = math.max(1, math.min(table.spark.sparkContext.defaultParallelism,
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (count / 4000000L + 1L).toInt))
     slim
       .repartitionByRange(parts, keyCols.indices.map(i => col(s"k$i")): _*)
       .sortWithinPartitions(keyCols.indices.map(i => col(s"k$i")): _*)
-      .write.mode(if (append) "append" else "overwrite").parquet(s"$root/data")
+      .write.mode(if (append) "append" else "overwrite")
+      .parquet(if (append)
+        graft.operators.IndexCompaction.dataDir(root).toString
+      else s"$root/data")
   }
 
-  private def writeMeta(root: String, keyCols: Seq[String], version: Long, length: Long): Unit =
+  private def writeMeta(root: String, keyCols: Seq[String], version: Long,
+                        length: Long, mask: Long = 0L): Unit =
     Files.write(Paths.get(root, "meta.txt"),
-      (s"$version,$length" +: keyCols).mkString("\n").getBytes("UTF-8"))
+      (s"$version,$length,$mask" +: keyCols).mkString("\n").getBytes("UTF-8"))
 }

@@ -21,9 +21,11 @@ final class SecondaryIndex private (
     val root: String,
     val keyCol: String,
     val builtFromVersion: Long,
-    val indexedLength: Long) {
+    val indexedLength: Long,
+    val indexedMask: Long = 0L) {
 
-  private lazy val df: DataFrame = spark.read.parquet(s"$root/data")
+  private lazy val df: DataFrame =
+    spark.read.parquet(graft.operators.IndexCompaction.dataDir(root).toString)
 
   /** Rowids whose `keyCol` equals `value` (pushed-filter pruned scan). */
   def lookup(value: Any): Seq[Long] =
@@ -43,19 +45,30 @@ final class SecondaryIndex private (
   /** Incremental maintenance: index ONLY the rows appended since this
     * index was built (one pruned range read of the new rowid span — the
     * indexed prefix is append-only and immutable, so it is never
-    * re-scanned), appended as additional sorted files. Returns the
+    * re-scanned), appended as additional sorted files; then apply any
+    * takedown deletes the table committed since the last refresh
+    * (round 16 — the index stores rowids directly, so the anti-join is
+    * physically addressed by construction and upsert-safe: only the
+    * masked rows' files rewrite, see
+    * [[graft.operators.IndexCompaction.applyDeletesFiles]]). Returns the
     * refreshed handle; a no-op returns `this`.
     */
   def refresh(table: VectorTable): SecondaryIndex = {
     val m = table.manifest
-    if (m.length <= indexedLength) return this
+    if (m.length <= indexedLength && m.maskCount == indexedMask) return this
     import org.apache.spark.sql.functions.col
-    table.range(indexedLength, m.length - indexedLength)
-      .select(col(keyCol).as("k"), col(VectorTable.ROWID).as("r"))
-      .sortWithinPartitions("k")
-      .write.mode("append").parquet(s"$root/data")
-    SecondaryIndex.writeMeta(root, m.version, m.length)
-    new SecondaryIndex(spark, root, keyCol, m.version, m.length)
+    if (m.length > indexedLength)
+      table.range(indexedLength, m.length - indexedLength)
+        .select(col(keyCol).as("k"), col(VectorTable.ROWID).as("r"))
+        .sortWithinPartitions("k")
+        .write.mode("append")
+        .parquet(graft.operators.IndexCompaction.dataDir(root).toString)
+    if (m.maskCount != indexedMask)
+      graft.operators.IndexCompaction.applyDeletesFiles(spark, root, "r",
+        table.maskedScan().select(col(VectorTable.ROWID).as("r")),
+        sortWithin = Seq("k"))
+    SecondaryIndex.writeMeta(root, m.version, m.length, m.maskCount)
+    new SecondaryIndex(spark, root, keyCol, m.version, m.length, m.maskCount)
   }
 }
 
@@ -64,7 +77,9 @@ object SecondaryIndex {
   def build(table: VectorTable, keyCol: String, root: String,
             partitions: Int = 0): SecondaryIndex = {
     val m = table.manifest
-    val pairs = table.scan().select(col(keyCol).as("k"), col(VectorTable.ROWID).as("r"))
+    // LIVE rows only: rows already masked by upsert/delete never enter a
+    // fresh index (the recorded mask keeps the refresh protocol aligned)
+    val pairs = table.liveScan().select(col(keyCol).as("k"), col(VectorTable.ROWID).as("r"))
     val parts =
       if (partitions > 0) partitions
       else math.max(1, math.min(table.spark.sparkContext.defaultParallelism,
@@ -72,8 +87,10 @@ object SecondaryIndex {
     pairs.repartitionByRange(parts, col("k"))
       .sortWithinPartitions("k")
       .write.mode("overwrite").parquet(s"$root/data")
-    writeMeta(root, m.version, m.length)
-    new SecondaryIndex(table.spark, root, keyCol, m.version, m.length)
+    // a rebuild over a pointer-flipped layout must re-point at "data"
+    graft.operators.IndexCompaction.publish(root, "data")
+    writeMeta(root, m.version, m.length, m.maskCount)
+    new SecondaryIndex(table.spark, root, keyCol, m.version, m.length, m.maskCount)
   }
 
   /** Open a previously built index. */
@@ -82,10 +99,13 @@ object SecondaryIndex {
       java.nio.file.Paths.get(root, "version.txt")).trim.linesIterator.toSeq
     val v = lines.head.toLong
     val len = lines.lift(1).map(_.toLong).getOrElse(0L)
-    new SecondaryIndex(spark, root, keyCol, v, len)
+    // pre-round-16 metadata has no mask line
+    val mask = lines.lift(2).map(_.toLong).getOrElse(0L)
+    new SecondaryIndex(spark, root, keyCol, v, len, mask)
   }
 
-  private[core] def writeMeta(root: String, version: Long, length: Long): Unit =
+  private[core] def writeMeta(root: String, version: Long, length: Long,
+                              mask: Long = 0L): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "version.txt"),
-      s"$version\n$length".getBytes("UTF-8"))
+      s"$version\n$length\n$mask".getBytes("UTF-8"))
 }

@@ -174,9 +174,9 @@ object IndexCompaction {
     * to the files they landed in, never the index. Returns false when no
     * file is affected (nothing published).
     */
-  private[operators] def applyDeletesFiles(spark: SparkSession, root: String,
-                                           idCol: String, deleted: DataFrame,
-                                           sortWithin: Seq[String] = Nil): Boolean = {
+  private[graft] def applyDeletesFiles(spark: SparkSession, root: String,
+                                       idCol: String, deleted: DataFrame,
+                                       sortWithin: Seq[String] = Nil): Boolean = {
     val live = dataDir(root)
     if (!hasParquet(live)) return false
     import org.apache.spark.sql.functions.{col, input_file_name}
@@ -226,7 +226,7 @@ object IndexCompaction {
     * the IVF delete path publishes its affected-cells rewrite the same
     * way.
     */
-  private[operators] def publish(root: String, dirName: String): Unit = {
+  private[graft] def publish(root: String, dirName: String): Unit = {
     val tmp = Paths.get(root, s".current-${java.util.UUID.randomUUID()}")
     Files.write(tmp, dirName.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
     Files.move(tmp, pointer(root),

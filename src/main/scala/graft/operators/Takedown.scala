@@ -74,7 +74,8 @@ object Takedown {
     roots.computeIfAbsent(d, _ => {
       import java.nio.file.{Files, Paths, StandardOpenOption}
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$d#takedown-everywhere#m=$takedownEverywhereMod".getBytes("UTF-8"))
+        // v2: + secondary-index surface (round-16 second wave)
+        .digest(s"$d#takedown-everywhere#v2#m=$takedownEverywhereMod".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-takedown")
       Files.createDirectories(base)
@@ -87,6 +88,7 @@ object Takedown {
         embT.append(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
         var lsh = LshIndex.build(docsT, s"$dir/lsh")
         var ivf = IvfTableIndex.build(embT, s"$dir/ivf")
+        var sec = graft.core.SecondaryIndex.build(docsT, "doc_id", s"$dir/sec")
         // the victim id set spans BOTH id spaces (doc ids and vec ids can
         // cover different ranges; the takedown names documents, and each
         // store drops the ids it holds)
@@ -100,7 +102,8 @@ object Takedown {
           Seq(Store("docs", docsT, "doc_id"), Store("emb", embT, "vec_id")),
           propagate = Seq(
             () => { lsh = lsh.refresh(docsT); () },
-            () => { ivf = ivf.refresh(embT); () }))
+            () => { ivf = ivf.refresh(embT); () },
+            () => { sec = sec.refresh(docsT); () }))
         require(counts("docs") > 0, "takedown_everywhere must delete rows")
         try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
         catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -127,6 +130,8 @@ object Takedown {
     val embT = VectorTable.open(s, s"$root/emb")
     val lsh = LshIndex.open(s, s"$root/lsh")
     val ivf = IvfTableIndex.open(s, s"$root/ivf")
+    // the secondary index's raw (k -> rowid) rows are read directly: the
+    // surface being verified is the stored bytes, not a lookup API
     def victims(c: org.apache.spark.sql.Column) = c % takedownEverywhereMod === 0
     def row(surface: String, df: DataFrame, idCol: String): DataFrame =
       df.agg(count(lit(1)).as("rows"),
@@ -141,6 +146,9 @@ object Takedown {
       .unionAll(row("lsh_index",
         lsh.bands.select("doc_id").distinct(), "doc_id"))
       .unionAll(row("ivf_index", ivf.data, "vec_id"))
+      .unionAll(row("sec_index",
+        s.read.parquet(IndexCompaction.dataDir(s"$root/sec").toString)
+          .select(col("k").as("doc_id")), "doc_id"))
       .orderBy("surface")
   }
 
@@ -172,6 +180,9 @@ object Takedown {
        | UNION ALL
        | SELECT 'ivf_index',
        |   (SELECT COUNT(*) FROM embeddings WHERE vec_id % $m <> 0), 0
+       | UNION ALL
+       | SELECT 'sec_index',
+       |   (SELECT COUNT(*) FROM documents WHERE doc_id % $m <> 0), 0
        |) ORDER BY surface""".stripMargin
   }
 }

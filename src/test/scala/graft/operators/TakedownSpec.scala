@@ -159,6 +159,38 @@ class TakedownSpec extends SparkSpec {
     assert(sidx.indexedMask == victims.length.toLong)
   }
 
+  test("secondary + composite key indexes consume takedown masks (round 16)") {
+    val dir = tmpDir("takedown-keyidx")
+    val docs = graft.core.Tables.documents(spark, sf())
+      .select(col("doc_id"), col("source"), col("text"))
+    val t = graft.core.VectorTable.create(spark, s"$dir/t")
+    t.append(docs)
+    var sec = graft.core.SecondaryIndex.build(t, "doc_id", s"$dir/sec")
+    var multi = graft.core.MultiIndex.build(t, Seq("source", "doc_id"), s"$dir/multi")
+    val victims = docs.orderBy("doc_id").limit(4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(t.deleteWhere(col("doc_id").isin(victims.map(_._1): _*)) == 4L)
+    sec = sec.refresh(t)
+    multi = multi.refresh(t)
+    victims.foreach { case (id, src) =>
+      assert(sec.lookup(id).isEmpty, s"secondary index still serves deleted $id")
+      assert(multi.lookup(Seq(src, id)).isEmpty,
+        s"composite index still serves deleted ($src, $id)")
+    }
+    // a live doc keeps serving, and a fresh append refreshes normally
+    val liveId = docs.orderBy(col("doc_id").desc).limit(1).head().getLong(0)
+    assert(sec.lookup(liveId).nonEmpty)
+    import spark.implicits._
+    t.append(Seq((9999999L, "zz", "late arrival")).toDF("doc_id", "source", "text"))
+    sec = sec.refresh(t); multi = multi.refresh(t)
+    assert(sec.lookup(9999999L).nonEmpty && multi.lookup(Seq("zz", 9999999L)).nonEmpty)
+    // a rebuild over the deleted table never contains the victims
+    val sec2 = graft.core.SecondaryIndex.build(t, "doc_id", s"$dir/sec2")
+    victims.foreach { case (id, _) => assert(sec2.lookup(id).isEmpty) }
+    // refresh after the rebuild is a no-op (mask already excluded)
+    assert(sec2.refresh(t) eq sec2)
+  }
+
   private def liveFiles(root: String): Set[String] = {
     val d = IndexCompaction.dataDir(root)
     val walk = java.nio.file.Files.walk(d)
