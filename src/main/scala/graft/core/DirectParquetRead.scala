@@ -69,6 +69,51 @@ object DirectParquetRead {
   def rowidSpan(file: String): Option[(Long, Long)] =
     metaCache.computeIfAbsent(file, openMeta).map(m => (m.rowidMin, m.rowidMax))
 
+  private val colSpanCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Long)]]()
+
+  /** The file's [min, max] footer stats for INT64 column `colName` — NO
+    * density requirement (unlike [[rowidSpan]]): the span is a sound
+    * superset bound for ANY row set, which is all affected-file takedown
+    * discovery needs (a masked id inside the file is necessarily inside
+    * [min, max]; an overlap that holds no masked row only costs a harmless
+    * rewrite). None = can't prove (missing column, nulls, non-INT64, or an
+    * unreadable footer) and the caller must treat the file as affected.
+    * Parquet files here are immutable once written (rewrites land under
+    * fresh names), so the per-(file, column) cache never staleness-lies.
+    */
+  def longColSpan(file: String, colName: String): Option[(Long, Long)] =
+    colSpanCache.computeIfAbsent(colName + "\u0000" + file, _ => readLongColSpan(file, colName))
+
+  private def readLongColSpan(file: String, colName: String): Option[(Long, Long)] =
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        if (blocks.isEmpty) None
+        else {
+          var min = Long.MaxValue
+          var max = Long.MinValue
+          var ok = true
+          val it = blocks.iterator
+          while (ok && it.hasNext) {
+            val b = it.next()
+            b.getColumns.asScala.find(_.getPath.toDotString == colName) match {
+              case Some(c) if c.getPrimitiveType.getPrimitiveTypeName == INT64 =>
+                val st = c.getStatistics
+                if (st == null || !st.hasNonNullValue || st.getNumNulls != 0) ok = false
+                else {
+                  min = math.min(min, st.genericGetMin.asInstanceOf[java.lang.Long])
+                  max = math.max(max, st.genericGetMax.asInstanceOf[java.lang.Long])
+                }
+              case _ => ok = false
+            }
+          }
+          if (ok) Some((min, max)) else None
+        }
+      } finally reader.close()
+    } catch { case _: Throwable => None }
+
   /** Part files of a batch directory, each with a provably-dense rowid span. */
   def partFiles(batchDir: String): Seq[String] = {
     val dir = Paths.get(batchDir)

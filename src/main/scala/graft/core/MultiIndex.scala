@@ -60,15 +60,23 @@ final class MultiIndex private (
     */
   def refresh(table: VectorTable): MultiIndex = {
     val m = table.manifest
-    if (m.length <= indexedLength && m.maskCount == indexedMask) return this
+    // monotonic tombstone-total gate (round-16 ADVICE) — see
+    // SecondaryIndex.refresh / LshIndex.refresh
+    val tomb = m.maskCount + m.purged
+    if (m.length <= indexedLength && tomb == indexedMask) return this
     if (m.length > indexedLength)
       MultiIndex.writeSpan(table, keyCols, indexedLength, m.length - indexedLength, root, append = true)
-    if (m.maskCount != indexedMask)
+    if (tomb != indexedMask) {
+      val maskOnly = tomb >= indexedMask && tomb - indexedMask <= m.maskCount
       graft.operators.IndexCompaction.applyDeletesFiles(spark, root, "r",
-        table.maskedScan().select(col(VectorTable.ROWID).as("r")),
+        graft.operators.IndexCompaction.deletedKeys(table, VectorTable.ROWID, "r",
+          () => spark.read.parquet(
+            graft.operators.IndexCompaction.dataDir(root).toString).select("r"),
+          maskOnly),
         sortWithin = keyCols.indices.map(i => s"k$i"))
-    MultiIndex.writeMeta(root, keyCols, m.version, m.length, m.maskCount)
-    new MultiIndex(spark, root, keyCols, m.version, m.length, m.maskCount)
+    }
+    MultiIndex.writeMeta(root, keyCols, m.version, m.length, tomb)
+    new MultiIndex(spark, root, keyCols, m.version, m.length, tomb)
   }
 }
 
@@ -85,8 +93,9 @@ object MultiIndex {
       writeRows(table.liveScan(), table.spark, keyCols, m.length, root, append = false)
     // a rebuild over a pointer-flipped layout must re-point at "data"
     graft.operators.IndexCompaction.publish(root, "data")
-    writeMeta(root, keyCols, m.version, m.length, m.maskCount)
-    new MultiIndex(table.spark, root, keyCols, m.version, m.length, m.maskCount)
+    writeMeta(root, keyCols, m.version, m.length, m.maskCount + m.purged)
+    new MultiIndex(table.spark, root, keyCols, m.version, m.length,
+      m.maskCount + m.purged)
   }
 
   /** Open a previously built index (key columns come from the metadata). */

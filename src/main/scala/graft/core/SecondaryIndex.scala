@@ -55,7 +55,11 @@ final class SecondaryIndex private (
     */
   def refresh(table: VectorTable): SecondaryIndex = {
     val m = table.manifest
-    if (m.length <= indexedLength && m.maskCount == indexedMask) return this
+    // staleness gates on the MONOTONIC tombstone total (maskCount +
+    // purged, round-16 ADVICE): purge() resets maskCount, so raw equality
+    // could silently skip delete propagation — see LshIndex.refresh
+    val tomb = m.maskCount + m.purged
+    if (m.length <= indexedLength && tomb == indexedMask) return this
     import org.apache.spark.sql.functions.col
     if (m.length > indexedLength)
       table.range(indexedLength, m.length - indexedLength)
@@ -63,12 +67,17 @@ final class SecondaryIndex private (
         .sortWithinPartitions("k")
         .write.mode("append")
         .parquet(graft.operators.IndexCompaction.dataDir(root).toString)
-    if (m.maskCount != indexedMask)
+    if (tomb != indexedMask) {
+      val maskOnly = tomb >= indexedMask && tomb - indexedMask <= m.maskCount
       graft.operators.IndexCompaction.applyDeletesFiles(spark, root, "r",
-        table.maskedScan().select(col(VectorTable.ROWID).as("r")),
+        graft.operators.IndexCompaction.deletedKeys(table, VectorTable.ROWID, "r",
+          () => spark.read.parquet(
+            graft.operators.IndexCompaction.dataDir(root).toString).select("r"),
+          maskOnly),
         sortWithin = Seq("k"))
-    SecondaryIndex.writeMeta(root, m.version, m.length, m.maskCount)
-    new SecondaryIndex(spark, root, keyCol, m.version, m.length, m.maskCount)
+    }
+    SecondaryIndex.writeMeta(root, m.version, m.length, tomb)
+    new SecondaryIndex(spark, root, keyCol, m.version, m.length, tomb)
   }
 }
 
@@ -89,8 +98,9 @@ object SecondaryIndex {
       .write.mode("overwrite").parquet(s"$root/data")
     // a rebuild over a pointer-flipped layout must re-point at "data"
     graft.operators.IndexCompaction.publish(root, "data")
-    writeMeta(root, m.version, m.length, m.maskCount)
-    new SecondaryIndex(table.spark, root, keyCol, m.version, m.length, m.maskCount)
+    writeMeta(root, m.version, m.length, m.maskCount + m.purged)
+    new SecondaryIndex(table.spark, root, keyCol, m.version, m.length,
+      m.maskCount + m.purged)
   }
 
   /** Open a previously built index. */

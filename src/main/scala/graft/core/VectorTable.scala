@@ -423,18 +423,39 @@ final class VectorTable(val spark: SparkSession, val root: String) {
     * untouched. [[compact]] rewrites the whole table (O(n) per call —
     * O(n²) total if a maintenance loop calls it), so it is a manual
     * offline decision; compactTail costs O(tail) and is what the
-    * automatic ingest-maintenance policy runs ([[graft.operators.Maintenance]]):
-    * repeated tail merges amortize to O(n log n) over the table's life,
-    * the standard log-structured-merge shape. Rowids are preserved (the
-    * merged batch covers the tail's contiguous rowid span); returns true
-    * iff a merge happened (tail longer than `maxTailBatches`).
+    * automatic ingest-maintenance policy runs ([[graft.operators.Maintenance]]).
+    *
+    * SIZE-TIERED selection (round-16 ADVICE): naively re-merging the whole
+    * small-batch tail re-includes the previously merged batch in every
+    * subsequent merge until it reaches `targetRowsPerFile` — each row then
+    * rewrites ~target/(factor×batchRows) times, quadratic write
+    * amplification. Instead the merge set is the maximal trailing suffix
+    * in which every older batch is no larger than the accumulated newer
+    * mass: a previously merged batch only re-merges once the NEW batches
+    * alone match it in rows, so each row participates in O(log n) merges
+    * over the table's life — the standard LSM geometric-tier amortization.
+    * The cost is a slightly looser steady-state batch count
+    * (maxTailBatches + one batch per tier, tiers ≤ log₂ n) instead of
+    * maxTailBatches + 1. Rowids are preserved (the merged suffix covers a
+    * contiguous rowid span); returns true iff a merge happened (suffix
+    * longer than `maxTailBatches`).
     */
   def compactTail(targetRowsPerFile: Long = 4_000_000L,
                   maxTailBatches: Int = 8): Boolean =
     VectorTable.commitLock.synchronized {
       val m = manifest
-      val tail = m.batches.reverse
-        .takeWhile(b => b.end - b.start < targetRowsPerFile).reverse
+      val small = m.batches.reverse
+        .takeWhile(b => b.end - b.start < targetRowsPerFile)
+      // geometric suffix: walk newest → oldest, admitting an older batch
+      // only while its rows don't exceed the newer mass already admitted
+      var acc = 0L
+      var k = 0
+      while (k < small.size &&
+        (acc == 0L || small(k).end - small(k).start <= acc)) {
+        acc += small(k).end - small(k).start
+        k += 1
+      }
+      val tail = small.take(k).reverse
       if (tail.size <= maxTailBatches) return false
       val prefix = m.batches.dropRight(tail.size)
       val all = open(tail.map(b => s"$root/${b.relPath}"), m.mixedSchema)
@@ -628,24 +649,56 @@ final class VectorTable(val spark: SparkSession, val root: String) {
     VectorTable.commitLock.synchronized {
       val m = manifest
       if (m.batches.isEmpty) return 0L
-      val hits = liveScanOf(m).where(cond).select(col(ROWID))
-      val mask = (m.maskPath match {
-        case "" => hits
-        case p  => spark.read.parquet(s"$root/$p").unionByName(hits)
-      }).distinct()
-      val rel = f"data/mask-${m.version + 1}%08d-${java.util.UUID.randomUUID()}"
-      mask.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel")
-      val cnt = spark.read.parquet(s"$root/$rel").count()
-      if (cnt == m.maskCount) {
-        // nothing matched: drop the redundant file, commit nothing
-        deleteRecursively(Paths.get(root, rel))
-        0L
-      } else {
-        Manifest.commit(root, m.copy(version = m.version + 1,
-          maskPath = rel, maskCount = cnt))
-        cnt - m.maskCount
-      }
+      commitMask(m, liveScanOf(m).where(cond).select(col(ROWID)))
     }
+
+  /** TAKEDOWN at GDPR-BATCH scale (round 17): delete every live row whose
+    * `keyCol` appears in `ids` — the DataFrame-shaped id-set form of
+    * [[deleteWhere]]. A batch erasure routinely names 10⁵–10⁶ ids, which
+    * must reach the plan as a JOIN operand (AQE broadcasts a small id set
+    * at runtime and shuffle-joins a huge one), never an `isInCollection`
+    * literal the driver has to inline into every task. `ids` may have any
+    * single column name; extra columns are ignored beyond the first.
+    * Returns the number of newly deleted rows.
+    */
+  def deleteWhereKeysIn(keyCol: String, ids: DataFrame): Long =
+    VectorTable.commitLock.synchronized {
+      val m = manifest
+      if (m.batches.isEmpty) return 0L
+      commitMask(m, deleteHitsFrame(m, keyCol, ids))
+    }
+
+  /** The rowids a keyed batch delete masks — a semi-join of the live view
+    * against the id set (package-visible so the scale spec can pin the
+    * plan: a join, never a giant IN literal).
+    */
+  private[graft] def deleteHitsFrame(m: Manifest, keyCol: String, ids: DataFrame): DataFrame = {
+    val keys = ids.select(ids.columns.head).toDF(keyCol).distinct()
+    liveScanOf(m).join(keys, Seq(keyCol), "left_semi").select(col(ROWID))
+  }
+
+  /** Shared mask-commit for [[deleteWhere]]/[[deleteWhereKeysIn]]: union
+    * `hits` into the delete-vector, write it versioned, commit — or drop
+    * the redundant file when nothing new matched. Caller holds the lock.
+    */
+  private def commitMask(m: Manifest, hits: DataFrame): Long = {
+    val mask = (m.maskPath match {
+      case "" => hits
+      case p  => spark.read.parquet(s"$root/$p").unionByName(hits)
+    }).distinct()
+    val rel = f"data/mask-${m.version + 1}%08d-${java.util.UUID.randomUUID()}"
+    mask.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel")
+    val cnt = spark.read.parquet(s"$root/$rel").count()
+    if (cnt == m.maskCount) {
+      // nothing matched: drop the redundant file, commit nothing
+      deleteRecursively(Paths.get(root, rel))
+      0L
+    } else {
+      Manifest.commit(root, m.copy(version = m.version + 1,
+        maskPath = rel, maskCount = cnt))
+      cnt - m.maskCount
+    }
+  }
 
   /** PHYSICAL PURGE (round 16) — the erasure half of the takedown
     * contract: rewrite exactly the mask-affected files of the CURRENT
@@ -754,11 +807,7 @@ final class VectorTable(val spark: SparkSession, val root: String) {
             } finally tl.close()
             deleteRecursively(tmp)
           }
-          unaffected.foreach { f =>
-            try Files.createLink(dst.resolve(f.getFileName.toString), f)
-            catch { case _: UnsupportedOperationException =>
-              Files.copy(f, dst.resolve(f.getFileName.toString)) }
-          }
+          unaffected.foreach(f => Fs.linkOrCopy(f, dst.resolve(f.getFileName.toString)))
           newBatches :+= b.copy(relPath = rel)
           val zs = ZoneMaps.collect(s"$root/$rel")
           zstats = if (zs.isEmpty) zstats - b.id else zstats.updated(b.id, zs)

@@ -34,23 +34,28 @@ final class SimHashIndex private (
   def isStale(table: VectorTable): Boolean =
     table.manifest.version > builtFromVersion
 
-  /** Takedown propagation anti-joins on `_rowid` (round-16 ADVICE — see
-    * [[LshIndex.refresh]]); a legacy layout without the column falls back
-    * to doc_id and must not be refreshed over an upserted table.
+  /** Takedown propagation anti-joins on `_rowid`, the staleness gate is
+    * the monotonic tombstone total, and the layout is probed BEFORE the
+    * span append — see [[LshIndex.refresh]] for the full rationale.
     */
   def refresh(table: VectorTable): SimHashIndex = {
     val m = table.manifest
-    if (m.length <= indexedLength && m.maskCount == indexedMask) return this
+    val tomb = m.maskCount + m.purged
+    if (m.length <= indexedLength && tomb == indexedMask) return this
+    val legacy = IndexCompaction.hasParquet(IndexCompaction.dataDir(root)) &&
+      !IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID)
     if (m.length > indexedLength)
-      SimHashIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
-    if (m.maskCount != indexedMask) {
-      val key = if (IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID))
-        VectorTable.ROWID else "doc_id"
+      SimHashIndex.writeSpan(table, indexedLength, m.length - indexedLength, root,
+        withRowid = !legacy)
+    if (tomb != indexedMask) {
+      val maskOnly = tomb >= indexedMask && tomb - indexedMask <= m.maskCount
+      val key = if (legacy) "doc_id" else VectorTable.ROWID
       IndexCompaction.applyDeletesFiles(spark, root, key,
-        table.maskedScan().select(col(key)), sortWithin = Seq("simhash"))
+        IndexCompaction.deletedKeys(table, key, key, () => signatures.select(key), maskOnly),
+        sortWithin = Seq("simhash"))
     }
-    SimHashIndex.writeMeta(root, m.version, m.length, m.maskCount)
-    new SimHashIndex(spark, root, m.version, m.length, m.maskCount)
+    SimHashIndex.writeMeta(root, m.version, m.length, tomb)
+    new SimHashIndex(spark, root, m.version, m.length, tomb)
   }
 
   /** In-place [[IndexCompaction]] over the accumulated refresh files —
@@ -67,7 +72,7 @@ object SimHashIndex {
   def build(table: VectorTable, root: String): SimHashIndex = {
     val m = table.manifest
     Files.createDirectories(Paths.get(root))
-    if (m.length > 0) writeSpan(table, 0L, m.length, root)
+    if (m.length > 0) writeSpan(table, 0L, m.length, root, withRowid = true)
     else {
       // an EMPTY index must still be readable (round-12 ADVICE): write the
       // (doc_id, simhash) schema frame so `signatures` never throws
@@ -77,8 +82,8 @@ object SimHashIndex {
       Seq.empty[(Long, Long, Long)].toDF("doc_id", VectorTable.ROWID, "simhash")
         .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
     }
-    writeMeta(root, m.version, m.length, m.maskCount)
-    new SimHashIndex(table.spark, root, m.version, m.length, m.maskCount)
+    writeMeta(root, m.version, m.length, m.maskCount + m.purged)
+    new SimHashIndex(table.spark, root, m.version, m.length, m.maskCount + m.purged)
   }
 
   def open(spark: SparkSession, root: String): SimHashIndex = {
@@ -88,11 +93,14 @@ object SimHashIndex {
     new SimHashIndex(spark, root, parts(0).toLong, parts(1).toLong, mask)
   }
 
-  private def writeSpan(table: VectorTable, start: Long, count: Long, root: String): Unit =
-    table.range(start, count)
+  private def writeSpan(table: VectorTable, start: Long, count: Long, root: String,
+                        withRowid: Boolean): Unit = {
+    val rows = table.range(start, count)
       .select(col("doc_id"), col(VectorTable.ROWID),
         graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
+    (if (withRowid) rows else rows.drop(VectorTable.ROWID))
       .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
+  }
 
   private def writeMeta(root: String, version: Long, length: Long,
                         mask: Long = 0L): Unit = {
@@ -142,22 +150,27 @@ final class ContainmentIndex private (
 
   def refresh(table: VectorTable): ContainmentIndex = {
     val m = table.manifest
-    if (m.length <= indexedLength && m.maskCount == indexedMask) return this
+    val tomb = m.maskCount + m.purged
+    if (m.length <= indexedLength && tomb == indexedMask) return this
+    // layout probe BEFORE the span append; tombstone-total gate — see
+    // LshIndex.refresh for the rationale
+    val legacy = IndexCompaction.hasParquet(IndexCompaction.dataDir(root)) &&
+      !IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID)
     if (m.length > indexedLength)
-      ContainmentIndex.writeSpan(table, indexedLength, m.length - indexedLength, root, freq)
+      ContainmentIndex.writeSpan(table, indexedLength, m.length - indexedLength, root,
+        freq, withRowid = !legacy)
     // takedown: the frozen freq table keeps the deleted docs' counts —
     // frequency drift only degrades prefix SELECTIVITY, never correctness
     // (losslessness holds under ANY shared total order; see class doc)
-    if (m.maskCount != indexedMask) {
-      // anti-join on _rowid, never the reusable key (round-16 ADVICE —
-      // see LshIndex.refresh); legacy layouts fall back to doc_id
-      val key = if (IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID))
-        VectorTable.ROWID else "doc_id"
+    if (tomb != indexedMask) {
+      val maskOnly = tomb >= indexedMask && tomb - indexedMask <= m.maskCount
+      val key = if (legacy) "doc_id" else VectorTable.ROWID
       IndexCompaction.applyDeletesFiles(spark, root, key,
-        table.maskedScan().select(col(key)), sortWithin = Seq("doc_id"))
+        IndexCompaction.deletedKeys(table, key, key, () => entries.select(key), maskOnly),
+        sortWithin = Seq("doc_id"))
     }
-    ContainmentIndex.writeMeta(root, m.version, m.length, m.maskCount)
-    new ContainmentIndex(spark, root, m.version, m.length, m.maskCount)
+    ContainmentIndex.writeMeta(root, m.version, m.length, tomb)
+    new ContainmentIndex(spark, root, m.version, m.length, tomb)
   }
 
   /** In-place [[IndexCompaction]] over the accumulated refresh files —
@@ -192,10 +205,10 @@ object ContainmentIndex {
         .groupBy("g").agg(count(lit(1)).as("cnt"))
       freq.write.mode("overwrite").parquet(s"$root/freq")
       val frozen = table.spark.read.parquet(s"$root/freq")
-      writeEntries(sh, frozen, root)
+      writeEntries(sh, frozen, root, withRowid = true)
     }
-    writeMeta(root, m.version, m.length, m.maskCount)
-    new ContainmentIndex(table.spark, root, m.version, m.length, m.maskCount)
+    writeMeta(root, m.version, m.length, m.maskCount + m.purged)
+    new ContainmentIndex(table.spark, root, m.version, m.length, m.maskCount + m.purged)
   }
 
   def open(spark: SparkSession, root: String): ContainmentIndex = {
@@ -212,24 +225,26 @@ object ContainmentIndex {
       .where(size(col("sh")) > 0)
 
   private def writeSpan(table: VectorTable, start: Long, count: Long,
-                        root: String, frozenFreq: DataFrame): Unit =
-    writeEntries(shOf(table, start, count), frozenFreq, root)
+                        root: String, frozenFreq: DataFrame, withRowid: Boolean): Unit =
+    writeEntries(shOf(table, start, count), frozenFreq, root, withRowid)
 
   /** Sort each doc's elements by the (frozen) frequency order — unseen
     * elements coalesce to cnt 0 — and append (doc_id, sg, sh, n) rows.
     * The rarity sort runs on exploded (doc_id, g) rows and joins the ASC
     * set back by doc_id, so the sh array never replicates per element.
     */
-  private def writeEntries(shIn: DataFrame, frozenFreq: DataFrame, root: String): Unit = {
+  private def writeEntries(shIn: DataFrame, frozenFreq: DataFrame, root: String,
+                           withRowid: Boolean): Unit = {
     val sh = shIn.localCheckpoint()
     val sg = sh.select(col("doc_id"), explode(col("sh")).as("g"))
       .join(frozenFreq, Seq("g"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(cnt, g))), x -> x.g)").as("sg"))
-    sg.join(sh, Seq("doc_id"))
+    val rows = sg.join(sh, Seq("doc_id"))
       .withColumn("n", size(col("sg")))
       .select("doc_id", VectorTable.ROWID, "sg", "sh", "n")
+    (if (withRowid) rows else rows.drop(VectorTable.ROWID))
       .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
   }
 
@@ -269,19 +284,24 @@ final class SpanIndex private (
 
   def refresh(table: VectorTable): SpanIndex = {
     val m = table.manifest
-    if (m.length <= indexedLength && m.maskCount == indexedMask) return this
+    val tomb = m.maskCount + m.purged
+    if (m.length <= indexedLength && tomb == indexedMask) return this
+    // layout probe BEFORE the span append; tombstone-total gate — see
+    // LshIndex.refresh for the rationale
+    val legacy = IndexCompaction.hasParquet(IndexCompaction.dataDir(root)) &&
+      !IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID)
     if (m.length > indexedLength)
-      SpanIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
-    if (m.maskCount != indexedMask) {
-      // anti-join on _rowid, never the reusable key (round-16 ADVICE —
-      // see LshIndex.refresh); legacy layouts fall back to doc_id
-      val key = if (IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID))
-        VectorTable.ROWID else "doc_id"
+      SpanIndex.writeSpan(table, indexedLength, m.length - indexedLength, root,
+        withRowid = !legacy)
+    if (tomb != indexedMask) {
+      val maskOnly = tomb >= indexedMask && tomb - indexedMask <= m.maskCount
+      val key = if (legacy) "doc_id" else VectorTable.ROWID
       IndexCompaction.applyDeletesFiles(spark, root, key,
-        table.maskedScan().select(col(key)), sortWithin = Seq("gram_hash"))
+        IndexCompaction.deletedKeys(table, key, key, () => windows.select(key), maskOnly),
+        sortWithin = Seq("gram_hash"))
     }
-    SpanIndex.writeMeta(root, m.version, m.length, m.maskCount)
-    new SpanIndex(spark, root, m.version, m.length, m.maskCount)
+    SpanIndex.writeMeta(root, m.version, m.length, tomb)
+    new SpanIndex(spark, root, m.version, m.length, tomb)
   }
 
   /** In-place [[IndexCompaction]] over the accumulated refresh files —
@@ -298,7 +318,7 @@ object SpanIndex {
   def build(table: VectorTable, root: String): SpanIndex = {
     val m = table.manifest
     Files.createDirectories(Paths.get(root))
-    if (m.length > 0) writeSpan(table, 0L, m.length, root)
+    if (m.length > 0) writeSpan(table, 0L, m.length, root, withRowid = true)
     else {
       // empty index stays readable before the first refresh (round-12
       // ADVICE contract, same as SimHashIndex.build)
@@ -306,8 +326,8 @@ object SpanIndex {
       Seq.empty[(Long, Long, Long)].toDF("doc_id", VectorTable.ROWID, "gram_hash")
         .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
     }
-    writeMeta(root, m.version, m.length, m.maskCount)
-    new SpanIndex(table.spark, root, m.version, m.length, m.maskCount)
+    writeMeta(root, m.version, m.length, m.maskCount + m.purged)
+    new SpanIndex(table.spark, root, m.version, m.length, m.maskCount + m.purged)
   }
 
   def open(spark: SparkSession, root: String): SpanIndex = {
@@ -317,13 +337,16 @@ object SpanIndex {
     new SpanIndex(spark, root, parts(0).toLong, parts(1).toLong, mask)
   }
 
-  private def writeSpan(table: VectorTable, start: Long, count: Long, root: String): Unit =
-    table.range(start, count)
+  private def writeSpan(table: VectorTable, start: Long, count: Long, root: String,
+                        withRowid: Boolean): Unit = {
+    val rows = table.range(start, count)
       .select(col("doc_id"), col(VectorTable.ROWID),
         explode(graft.functions.TextFunctions
           .rollingHashes(col("text"), Dedup.repeatedSpanWindow, Dedup.repeatedSpanStride))
           .as("gram_hash"))
+    (if (withRowid) rows else rows.drop(VectorTable.ROWID))
       .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
+  }
 
   private def writeMeta(root: String, version: Long, length: Long,
                         mask: Long = 0L): Unit = {

@@ -163,35 +163,79 @@ object IndexCompaction {
     true
   }
 
+  /** All parquet data files under the live layout at `root`. */
+  private def liveParquetFiles(live: Path): Seq[Path] = {
+    if (!Files.isDirectory(live)) return Nil
+    val walk = Files.walk(live)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .toVector.sortBy(_.toString)
+    } finally walk.close()
+  }
+
+  /** AFFECTED-FILE discovery for takedown propagation — O(affected), not
+    * O(index) (round-16 verdict #1): instead of scanning the whole live
+    * index through an `input_file_name` semi-join, read each file's
+    * [min, max] span of `idCol` from its parquet FOOTER (a few driver-side
+    * footer reads, cached per immutable file — the same technique
+    * [[graft.core.VectorTable.purge]] uses for table files) and join the
+    * spans against the deleted-id set. A span overlap that holds no masked
+    * id only costs a harmless extra rewrite (false positives are safe;
+    * false negatives are impossible — footer min/max bound every row), and
+    * every index span-append covers a contiguous `_rowid` range, so rowid
+    * spans stay tight per file even though files sort internally by their
+    * key columns. Files whose span can't be proven (missing stats, nulls)
+    * are conservatively treated as affected. Returns absolute file paths.
+    */
+  private[graft] def affectedFilesBySpan(spark: SparkSession, files: Seq[Path],
+                                         idCol: String, deleted: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val spanned = files.map(f =>
+      f.toString -> graft.core.DirectParquetRead.longColSpan(f.toString, idCol))
+    val known = spanned.collect { case (f, Some((lo, hi))) => (f, lo, hi) }
+    val unknowable = spanned.collect { case (f, None) => f }
+    val affectedKnown =
+      if (known.isEmpty) Nil
+      else deleted.select(col(idCol))
+        .join(broadcast(spark.createDataFrame(known).toDF("__f", "__lo", "__hi")),
+          col(idCol) >= col("__lo") && col(idCol) <= col("__hi"))
+        .select("__f").distinct().collect().map(_.getString(0)).toSeq
+    (affectedKnown ++ unknowable).distinct
+  }
+
   /** TAKEDOWN propagation for the UNPARTITIONED index layouts (the delta
-    * family: LSH / SimHash / containment / span) — the file-granular twin
-    * of [[IvfTableIndex]]'s affected-cells rewrite: find the live files
-    * that contain masked ids (`input_file_name` join — at cluster scale
-    * this is a footer-stats pruning decision), rewrite ONLY those files'
-    * rows minus the deleted ids, HARD-LINK every unaffected file into the
-    * fresh layout, and publish behind the atomic pointer flip. A takedown
-    * touches a handful of documents, so the rewrite cost is proportional
-    * to the files they landed in, never the index. Returns false when no
-    * file is affected (nothing published).
+    * family: LSH / SimHash / containment / span, and the key indexes) —
+    * the file-granular twin of [[IvfTableIndex]]'s affected-cells rewrite:
+    * find the live files that may contain masked ids from driver-side
+    * FOOTER spans ([[affectedFilesBySpan]] — never a scan of the index),
+    * rewrite ONLY those files' rows minus the deleted ids, HARD-LINK every
+    * unaffected file into the fresh layout, and publish behind the atomic
+    * pointer flip. A takedown touches a handful of documents, so both the
+    * discovery and the rewrite cost are proportional to the files they
+    * landed in, never the index. Returns false when no file is affected
+    * (nothing published).
     */
   private[graft] def applyDeletesFiles(spark: SparkSession, root: String,
                                        idCol: String, deleted: DataFrame,
                                        sortWithin: Seq[String] = Nil): Boolean = {
     val live = dataDir(root)
     if (!hasParquet(live)) return false
-    import org.apache.spark.sql.functions.{col, input_file_name}
-    val df = spark.read.parquet(live.toString)
-    val affectedUris = df.withColumn("__f", input_file_name())
-      .join(deleted.select(col(idCol)), Seq(idCol), "left_semi")
-      .select("__f").distinct().collect().map(_.getString(0))
-    if (affectedUris.isEmpty) return false
-    val affectedNames = affectedUris
-      .map(u => Paths.get(java.net.URI.create(u).getPath).getFileName.toString).toSet
+    import org.apache.spark.sql.functions.col
+    val files = liveParquetFiles(live)
+    val affectedFiles = affectedFilesBySpan(spark, files, idCol, deleted)
+    if (affectedFiles.isEmpty) return false
+    val affectedNames =
+      affectedFiles.map(f => Paths.get(f).getFileName.toString).toSet
     val tmp = Paths.get(root, s".rewrite-${java.util.UUID.randomUUID()}")
-    val kept = df.withColumn("__f", input_file_name())
-      .where(col("__f").isin(affectedUris.toSeq: _*))
+    // only the affected files are read — the anti-join may drop every row
+    // (kept is then empty and the fresh layout holds just the links)
+    val kept = spark.read.parquet(affectedFiles: _*)
       .join(deleted.select(col(idCol)), Seq(idCol), "left_anti")
-      .drop("__f")
       .coalesce(math.max(1, affectedNames.size))
     val sortCols = sortWithin.map(org.apache.spark.sql.functions.col)
     (if (sortCols.nonEmpty) kept.sortWithinPartitions(sortCols: _*) else kept)
@@ -203,22 +247,43 @@ object IndexCompaction {
       if (p.getFileName.toString.endsWith(".parquet"))
         Files.move(p, fresh.resolve(p.getFileName.toString))
     } finally tmpList.close()
-    val liveList = Files.walk(live)
-    try {
-      import scala.jdk.CollectionConverters._
-      liveList.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .filterNot(p => affectedNames.contains(p.getFileName.toString))
-        .foreach { f =>
-          try Files.createLink(fresh.resolve(f.getFileName.toString), f)
-          catch { case _: UnsupportedOperationException =>
-            Files.copy(f, fresh.resolve(f.getFileName.toString)) }
-        }
-    } finally liveList.close()
+    files.filterNot(p => affectedNames.contains(p.getFileName.toString))
+      .foreach(f => graft.core.Fs.linkOrCopy(f, fresh.resolve(f.getFileName.toString)))
     publish(root, fresh.getFileName.toString)
     Dedup.deleteRecursively(tmp)
     Dedup.deleteRecursively(live)
     true
+  }
+
+  /** The deleted-key frame an index refresh must anti-join away, given how
+    * far the table's MONOTONIC tombstone total (maskCount + purged) has
+    * advanced past what the index last consumed (round-16 ADVICE: gating
+    * on raw maskCount equality is unsound once [[graft.core.VectorTable.purge]]
+    * resets the mask — see each index's `refresh`).
+    *
+    *   - `maskOnly` (the normal flow — every tombstone since the last
+    *     consumption is still in the mask): the masked rows' keys, one
+    *     cheap pruned read;
+    *   - otherwise (a purge erased masks the index never consumed — a flow
+    *     violation of the propagate-before-purge order
+    *     [[Takedown.everywhere]] enforces): RECONCILE against physical
+    *     existence — index keys that no longer exist in the table's
+    *     physical surface, unioned with the current mask. This pays one
+    *     slim-column pass over index + table keys; it is the self-healing
+    *     recovery path, not the steady-state cost.
+    *
+    * `tableCol` names the key in the table, `idxKey` its name in the index
+    * rows (the key indexes store rowid as `r`).
+    */
+  private[graft] def deletedKeys(table: graft.core.VectorTable, tableCol: String,
+                                 idxKey: String, liveIndexKeys: () => DataFrame,
+                                 maskOnly: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val masked = table.maskedScan().select(col(tableCol).as(idxKey))
+    if (maskOnly) masked
+    else liveIndexKeys().select(col(idxKey)).distinct()
+      .join(table.scan().select(col(tableCol).as(idxKey)), Seq(idxKey), "left_anti")
+      .unionByName(masked).distinct().localCheckpoint()
   }
 
   /** Atomically flip the pointer to `dirName` (tmp + ATOMIC_MOVE — the

@@ -64,19 +64,30 @@ final class IvfTableIndex private (
 
   /** Assign only the appended span to the FIXED centroids; apply any
     * takedown deletes the table committed since the last refresh (the
-    * manifest's maskCount is the signal — [[VectorTable.deleteWhere]]
-    * bumps it); no-op → `this`. Order matters: the appended span lands
-    * first so [[applyDeletes]] also scrubs rows that were appended and
-    * deleted between refreshes.
+    * manifest's MONOTONIC tombstone total maskCount + purged is the
+    * signal — [[VectorTable.deleteWhere]] bumps maskCount, [[VectorTable.purge]]
+    * moves it into purged without changing the sum, so gating on the raw
+    * count would be unsound post-purge, round-16 ADVICE); no-op → `this`.
+    * Order matters twice: the layout is probed BEFORE the span append
+    * (appending `_rowid`-carrying files into a legacy layout would leave
+    * a mixed schema whose old rows dodge the anti-join), and the appended
+    * span lands before [[applyDeletes]] so rows appended-then-deleted
+    * between refreshes are scrubbed too.
     */
   def refresh(table: VectorTable): IvfTableIndex = {
     val m = table.manifest
-    if (m.length <= indexedLength && m.maskCount == indexedMask) return this
+    val tomb = m.maskCount + m.purged
+    if (m.length <= indexedLength && tomb == indexedMask) return this
+    val legacy = IndexCompaction.hasParquet(IndexCompaction.dataDir(root)) &&
+      !IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID)
     if (m.length > indexedLength)
-      IvfTableIndex.writeSpan(table, centroids, indexedLength, m.length - indexedLength, root)
-    if (m.maskCount != indexedMask) applyDeletes(table)
-    IvfTableIndex.writeMeta(root, m.version, m.length, m.maskCount)
-    new IvfTableIndex(spark, root, m.version, m.length, m.maskCount)
+      IvfTableIndex.writeSpan(table, centroids, indexedLength, m.length - indexedLength,
+        root, withRowid = !legacy)
+    if (tomb != indexedMask)
+      applyDeletes(table, legacy,
+        maskOnly = tomb >= indexedMask && tomb - indexedMask <= m.maskCount)
+    IvfTableIndex.writeMeta(root, m.version, m.length, tomb)
+    new IvfTableIndex(spark, root, m.version, m.length, tomb)
   }
 
   /** TAKEDOWN propagation — rewrite ONLY the cells that contain masked
@@ -92,7 +103,7 @@ final class IvfTableIndex private (
     * affected. A cell whose every member is deleted disappears from the
     * layout entirely.
     */
-  private def applyDeletes(table: VectorTable): Unit = {
+  private def applyDeletes(table: VectorTable, legacy: Boolean, maskOnly: Boolean): Unit = {
     val live = IndexCompaction.dataDir(root)
     if (!IndexCompaction.hasParquet(live)) return
     // anti-join on `_rowid` (round-16 ADVICE): the mask also holds rows
@@ -101,11 +112,33 @@ final class IvfTableIndex private (
     // entry too. Physical-row addressing deletes exactly the masked rows;
     // a pre-round-16 layout without the column falls back to vec_id (and
     // must not be refreshed over an upserted table).
-    val key = if (IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID))
-      VectorTable.ROWID else "vec_id"
-    val deleted = table.maskedScan().select(col(key)).localCheckpoint()
-    val affected = data.join(deleted, Seq(key), "left_semi")
-      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val key = if (legacy) "vec_id" else VectorTable.ROWID
+    val deleted = IndexCompaction
+      .deletedKeys(table, key, key, () => data.select(key), maskOnly)
+      .localCheckpoint()
+    // affected-CELL discovery is O(mask), not O(index) (round-17 verdict
+    // #1): the masked rows still carry their embeddings, and the cell an
+    // index row lives in is the DETERMINISTIC argmax of those embeddings
+    // against the index's FIXED centroids — recomputing the assignment on
+    // the mask names the affected cells without reading the index at all.
+    // (Footer rowid spans — the technique the flat layouts use — don't
+    // prune here: cells partition by content, so every cell's span file
+    // covers the whole span's rowid range.) The reconciliation path (a
+    // purge this index never consumed — a rare flow violation) has no
+    // embeddings left to assign (the rows are physically gone) and falls
+    // back to the index-side semi-join, the documented recovery cost.
+    val affected: Set[Int] =
+      if (maskOnly) {
+        val sims = Similarity.centroidSimsColumn(centroids)
+        table.maskedScan()
+          .withColumn("sims", sims)
+          .withColumn("centroid_sim", array_max(col("sims")))
+          .withColumn("cell",
+            (array_position(col("sims"), col("centroid_sim")) - 1).cast("int"))
+          .select("cell").distinct().collect().map(_.getInt(0)).toSet
+      } else
+        data.join(deleted, Seq(key), "left_semi")
+          .select("cell").distinct().collect().map(_.getInt(0)).toSet
     if (affected.isEmpty) return
     val rewritten = data.where(col("cell").isin(affected.toSeq: _*))
       .join(deleted, Seq(key), "left_anti")
@@ -130,9 +163,7 @@ final class IvfTableIndex private (
         val cellFiles = Files.list(p)
         try cellFiles.iterator().forEachRemaining { f =>
           if (f.getFileName.toString.endsWith(".parquet"))
-            try Files.createLink(dst.resolve(f.getFileName.toString), f)
-            catch { case _: UnsupportedOperationException =>
-              Files.copy(f, dst.resolve(f.getFileName.toString)) }
+            graft.core.Fs.linkOrCopy(f, dst.resolve(f.getFileName.toString))
         } finally cellFiles.close()
       }
     } finally liveList.close()
@@ -249,9 +280,9 @@ object IvfTableIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
     // an EMPTY table fixes centroids only — range(0,0) has no data
     // columns to assign; the first refresh writes the first real span
-    if (m.length > 0) writeSpan(table, cs, 0L, m.length, root)
-    writeMeta(root, m.version, m.length, m.maskCount)
-    new IvfTableIndex(spark, root, m.version, m.length, m.maskCount)
+    if (m.length > 0) writeSpan(table, cs, 0L, m.length, root, withRowid = true)
+    writeMeta(root, m.version, m.length, m.maskCount + m.purged)
+    new IvfTableIndex(spark, root, m.version, m.length, m.maskCount + m.purged)
   }
 
   def open(spark: SparkSession, root: String): IvfTableIndex = {
@@ -274,16 +305,20 @@ object IvfTableIndex {
   }
 
   private def writeSpan(table: VectorTable, cs: Array[Array[Float]],
-                        start: Long, count: Long, root: String): Unit = {
+                        start: Long, count: Long, root: String,
+                        withRowid: Boolean): Unit = {
     // kernel-or-inline per Similarity.inlineCellCap: constant-size codegen
     // at high (cellsFor-scaled) cell counts, bit-identical either way
     val sims = Similarity.centroidSimsColumn(cs)
-    table.range(start, count)
+    val rows = table.range(start, count)
       .select(col("vec_id"), col(VectorTable.ROWID), col("embedding"))
       .withColumn("sims", sims)
       .withColumn("centroid_sim", array_max(col("sims")))
       .withColumn("cell", (array_position(col("sims"), col("centroid_sim")) - 1).cast("int"))
       .select("vec_id", VectorTable.ROWID, "embedding", "cell")
+    // spans appended into a pre-round-16 layout drop `_rowid` so the
+    // layout stays schema-homogeneous (refresh probes BEFORE appending)
+    (if (withRowid) rows else rows.drop(VectorTable.ROWID))
       // one file per (span, cell): partitionBy alone writes task×cell
       // files (see Similarity.buildIvfIndex). Incremental refreshes still
       // add a file per cell per span — that growth is inherent to

@@ -52,23 +52,39 @@ final class LshIndex private (
     * replaced — anti-joining by doc_id would also delete the LIVE
     * replacement's band rows the span write just added (they share the
     * key). Physical-row addressing deletes exactly the masked rows; a
-    * legacy layout without `_rowid` falls back to doc_id and must not be
-    * refreshed over an upserted table.
+    * legacy layout without `_rowid` stays legacy (spans keep the legacy
+    * shape — probing AFTER an append would leave a mixed schema whose old
+    * rows read `_rowid` as NULL and dodge the anti-join, round-16 ADVICE),
+    * falls back to doc_id addressing, and must not be refreshed over an
+    * upserted table.
+    *
+    * Staleness gates on the MONOTONIC tombstone total (maskCount + purged,
+    * round-16 ADVICE): [[VectorTable.purge]] resets maskCount, so raw
+    * equality could silently skip delete propagation once later deletes
+    * grow the count back. A purge moves tombstones between the two terms
+    * without changing the sum, so a consumed-then-purged mask stays quiet;
+    * if the drift EXCEEDS the current mask, a purge erased masks this
+    * index never consumed and [[IndexCompaction.deletedKeys]] reconciles
+    * against physical existence.
     */
   def refresh(table: VectorTable): LshIndex = {
     val m = table.manifest
-    if (m.length <= indexedLength && m.maskCount == indexedMask) return this
+    val tomb = m.maskCount + m.purged
+    if (m.length <= indexedLength && tomb == indexedMask) return this
+    val legacy = IndexCompaction.hasParquet(IndexCompaction.dataDir(root)) &&
+      !IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID)
     if (m.length > indexedLength)
-      LshIndex.writeSpan(table, indexedLength, m.length - indexedLength, root)
-    if (m.maskCount != indexedMask) {
-      val key = if (IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID))
-        VectorTable.ROWID else "doc_id"
+      LshIndex.writeSpan(table, indexedLength, m.length - indexedLength, root,
+        withRowid = !legacy)
+    if (tomb != indexedMask) {
+      val maskOnly = tomb >= indexedMask && tomb - indexedMask <= m.maskCount
+      val key = if (legacy) "doc_id" else VectorTable.ROWID
       IndexCompaction.applyDeletesFiles(spark, root, key,
-        table.maskedScan().select(col(key)),
+        IndexCompaction.deletedKeys(table, key, key, () => bands.select(key), maskOnly),
         sortWithin = Seq("band", "h1", "h2"))
     }
-    LshIndex.writeMeta(root, m.version, m.length, m.maskCount)
-    new LshIndex(spark, root, m.version, m.length, m.maskCount)
+    LshIndex.writeMeta(root, m.version, m.length, tomb)
+    new LshIndex(spark, root, m.version, m.length, tomb)
   }
 
   /** In-place [[IndexCompaction]] over the accumulated refresh files,
@@ -87,7 +103,7 @@ object LshIndex {
   def build(table: VectorTable, root: String): LshIndex = {
     val m = table.manifest
     Files.createDirectories(Paths.get(root))
-    if (m.length > 0) writeSpan(table, 0L, m.length, root)
+    if (m.length > 0) writeSpan(table, 0L, m.length, root, withRowid = true)
     else {
       // an EMPTY index must still be readable before its first refresh
       // (round-12 ADVICE contract, same as SimHashIndex.build) — the LSH
@@ -98,8 +114,8 @@ object LshIndex {
         .toDF("doc_id", VectorTable.ROWID, "band", "h1", "h2")
         .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
     }
-    writeMeta(root, m.version, m.length, m.maskCount)
-    new LshIndex(table.spark, root, m.version, m.length, m.maskCount)
+    writeMeta(root, m.version, m.length, m.maskCount + m.purged)
+    new LshIndex(table.spark, root, m.version, m.length, m.maskCount + m.purged)
   }
 
   /** Open a previously built index (throws if absent). */
@@ -110,12 +126,16 @@ object LshIndex {
     new LshIndex(spark, root, parts(0).toLong, parts(1).toLong, mask)
   }
 
-  private def writeSpan(table: VectorTable, start: Long, count: Long, root: String): Unit = {
+  private def writeSpan(table: VectorTable, start: Long, count: Long, root: String,
+                        withRowid: Boolean): Unit = {
     // `_rowid` rides through signatures → bands so every stored band row
-    // addresses its physical source row (takedown deletes by rowid)
+    // addresses its physical source row (takedown deletes by rowid);
+    // spans appended into a pre-round-16 layout DROP it so the layout
+    // stays schema-homogeneous (see refresh's legacy probe)
     val slice = table.range(start, count)
       .select(col(VectorTable.ROWID), col("doc_id"), col("text"))
-    Dedup.bandsOf(Dedup.signaturesOf(slice))
+    val rows = Dedup.bandsOf(Dedup.signaturesOf(slice))
+    (if (withRowid) rows else rows.drop(VectorTable.ROWID))
       // sorted bucket-key layout keeps file stats tight for bucket-range
       // scans; at cluster scale this directory would also be hive-
       // partitioned by band

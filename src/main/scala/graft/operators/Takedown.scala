@@ -34,13 +34,26 @@ import org.apache.spark.sql.functions._
   */
 object Takedown {
 
-  /** One store participating in a composed takedown: the table and the
-    * column its documents are identified by.
+  /** One store participating in a composed takedown: the table, the
+    * column its documents are identified by, and — REGISTER THESE — the
+    * refresh hooks of every index maintained over the table. Purge resets
+    * the delete-vector, so an index that has not consumed the mask before
+    * erasure loses its invalidation signal; registering indexes on the
+    * store (rather than remembering to list them in `propagate`) is what
+    * lets the composition guarantee the refresh-before-purge order per
+    * store (round-16 ADVICE). An index omitted from BOTH `refreshIndexes`
+    * and `propagate` self-heals on its next refresh (the tombstone-total
+    * gate detects the missed purge and reconciles against physical
+    * existence, [[IndexCompaction.deletedKeys]]) — but that recovery pays
+    * an index-sized pass, so registration is the contract, reconciliation
+    * the safety net.
     */
-  final case class Store(name: String, table: VectorTable, idCol: String)
+  final case class Store(name: String, table: VectorTable, idCol: String,
+                         refreshIndexes: Seq[() => Unit] = Nil)
 
-  /** Execute the composed takedown of `ids` over `stores`; `propagate`
-    * hooks refresh dependent indexes between masking and erasure. Returns
+  /** Execute the composed takedown of `ids` over `stores`; each store's
+    * registered `refreshIndexes` hooks and then the cross-store
+    * `propagate` hooks run between masking and erasure. Returns
     * newly-masked row counts per store name (a doc absent from a store
     * contributes 0 — takedowns are idempotent end to end).
     */
@@ -48,9 +61,29 @@ object Takedown {
                  propagate: Seq[() => Unit] = Nil,
                  purge: Boolean = true): Map[String, Long] = {
     require(ids.nonEmpty, "takedown of an empty id set")
-    val masked = stores.map { st =>
-      st.name -> st.table.deleteWhere(col(st.idCol).isInCollection(ids))
-    }.toMap
+    compose(stores, propagate, purge) { st =>
+      st.table.deleteWhere(col(st.idCol).isInCollection(ids))
+    }
+  }
+
+  /** DataFrame-scale ids (round 17): the same composed takedown for a
+    * GDPR-batch id set (10⁵–10⁶ ids, routine at 100 TB) — `ids`' first
+    * column is the id, and it reaches each store's delete as a JOIN
+    * operand ([[VectorTable.deleteWhereKeysIn]]: AQE broadcasts a small
+    * set, shuffle-joins a huge one), never an `isInCollection` literal
+    * inlined into every task.
+    */
+  def everywhere(ids: DataFrame, stores: Seq[Store],
+                 propagate: Seq[() => Unit],
+                 purge: Boolean): Map[String, Long] =
+    compose(stores, propagate, purge) { st =>
+      st.table.deleteWhereKeysIn(st.idCol, ids)
+    }
+
+  private def compose(stores: Seq[Store], propagate: Seq[() => Unit],
+                      purge: Boolean)(mask: Store => Long): Map[String, Long] = {
+    val masked = stores.map(st => st.name -> mask(st)).toMap
+    stores.foreach(_.refreshIndexes.foreach(_.apply()))
     propagate.foreach(_.apply())
     if (purge) stores.foreach(_.table.purge())
     masked
@@ -98,12 +131,15 @@ object Takedown {
         val embVictims = Tables.embeddings(s, d)
           .where(col("vec_id") % takedownEverywhereMod === 0)
           .select("vec_id").collect().map(_.getLong(0))
+        // each store REGISTERS its dependent indexes — the composition
+        // then owns the refresh-before-purge order per store
         val counts = everywhere((docVictims ++ embVictims).distinct.toSeq,
-          Seq(Store("docs", docsT, "doc_id"), Store("emb", embT, "vec_id")),
-          propagate = Seq(
-            () => { lsh = lsh.refresh(docsT); () },
-            () => { ivf = ivf.refresh(embT); () },
-            () => { sec = sec.refresh(docsT); () }))
+          Seq(
+            Store("docs", docsT, "doc_id", refreshIndexes = Seq(
+              () => { lsh = lsh.refresh(docsT); () },
+              () => { sec = sec.refresh(docsT); () })),
+            Store("emb", embT, "vec_id", refreshIndexes = Seq(
+              () => { ivf = ivf.refresh(embT); () }))))
         require(counts("docs") > 0, "takedown_everywhere must delete rows")
         try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
         catch { case _: java.nio.file.FileAlreadyExistsException =>
