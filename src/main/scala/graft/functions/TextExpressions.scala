@@ -587,6 +587,109 @@ case class SubwordTokenCount(child: Expression,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** A RESOLVED BPE merges table (round 17) — the merge-ORDER half of the
+  * token-budget story the greedy longest-match [[SubwordVocab]] lacks:
+  * real pipelines budget in GPT-2/Llama-family BPE tokens, where a ranked
+  * (left, right) → rank merges table — not greedy length — decides the
+  * segmentation, and the two diverge on exactly the high-frequency fused
+  * grams a corpus-derived vocab surfaces (BpeSpec pins a divergent count
+  * and merge-order sensitivity).
+  *
+  * ENCODE WALK (identical in the DuckDB oracle's recursive replay): start
+  * from single characters; repeatedly merge the LEFTMOST occurrence of
+  * the LOWEST-RANKED adjacent token pair present in the table; stop when
+  * no adjacent pair is mergeable. Whitespace separates words and is never
+  * a token, so per-word replay equals the kernel's single pass — the same
+  * boundary contract as [[SubwordVocab]].
+  *
+  * Deployment shape: one resolved object per plan (a codegen reference
+  * object — the broadcast-merges-table shape); rank lookup is one hash
+  * probe per adjacent pair per iteration, O(word² · log-ish) per word on
+  * words of ordinary length.
+  */
+final class BpeMerges(val pairs: Array[(String, String)]) extends Serializable {
+  require(pairs.nonEmpty, "empty BPE merges table")
+  pairs.foreach { case (l, r) =>
+    require(l.nonEmpty && r.nonEmpty && !l.contains(' ') && !r.contains(' '),
+      s"BPE merge ('$l','$r') must be non-empty and space-free")
+  }
+
+  // rank = first index of the pair (duplicates keep the best rank)
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](pairs.length * 2)
+    var i = 0
+    while (i < pairs.length) {
+      m.putIfAbsent(pairs(i)._1 + " " + pairs(i)._2, Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+
+  def count(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val s = text.toString
+    val n = s.length
+    var total = 0L
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) total += countWord(s, start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    total
+  }
+
+  private def countWord(s: String, lo: Int, hi: Int): Long = {
+    val len = hi - lo
+    if (len == 1) return 1L
+    val toks = new Array[String](len)
+    var k = 0
+    while (k < len) { toks(k) = String.valueOf(s.charAt(lo + k)); k += 1 }
+    var m = len
+    var merged = true
+    while (merged && m > 1) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var j = 0
+      while (j < m - 1) {
+        val r = rank.get(toks(j) + " " + toks(j + 1))
+        // strict < keeps the LEFTMOST occurrence of the best rank
+        if (r != null && r.intValue() < bestRank) { bestRank = r.intValue(); bestI = j }
+        j += 1
+      }
+      if (bestI < 0) merged = false
+      else {
+        toks(bestI) = toks(bestI) + toks(bestI + 1)
+        var t = bestI + 1
+        while (t < m - 1) { toks(t) = toks(t + 1); t += 1 }
+        m -= 1
+      }
+    }
+    m.toLong
+  }
+}
+
+/** bpe_tokens(text): merge-order BPE token count against a resolved
+  * [[BpeMerges]] table — codegen'd via a reference object, same shape as
+  * the parameterized [[SubwordTokenCount]].
+  */
+case class BpeTokenCount(child: Expression, merges: BpeMerges) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING argument")
+  override def nullSafeEval(input: Any): Any =
+    merges.count(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", merges, classOf[BpeMerges].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
   def minhashSig(text: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(text), k))
@@ -615,6 +718,13 @@ object TextFunctions {
   def subwordTokens(text: Column, vocab: Seq[String]): Column =
     Bridge.column(SubwordTokenCount(Bridge.expression(text),
       Some(new SubwordVocab(vocab.toArray))))
+
+  /** Merge-order BPE token count against an explicit ranked merges table
+    * (round 17 — the segmentation real token budgets use).
+    */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeTokenCount(Bridge.expression(text),
+      new BpeMerges(merges.toArray)))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, "subword_tokens", args => SubwordTokenCount(args.head))

@@ -162,12 +162,17 @@ object TextOps {
 
   // ----- round-16: corpus-derived (parameterized) vocab ------------------
 
-  /** Size of the corpus-derived vocab — deliberately larger than the
-    * frozen list (the parameterization point) while keeping the DuckDB
-    * walk's correlated lookup affordable at sf0.01. The kernel itself is
-    * priced at 10k+ entries in SubwordVocabSpec.
+  /** Size cap of the corpus-derived vocab — PRODUCTION size (round-17
+    * verdict #7 lifted it from 512). Measurement: the synthetic corpus
+    * holds only 204 distinct 2–4-grams in total (31 distinct words), so
+    * the 512 cap was never binding and lifting it to 10k changes no face
+    * result on this corpus while removing the artificial ceiling — the
+    * derivation takes min(cap, available). The kernel's 10k-entry price
+    * (two-level dispatch near-constant per position) is pinned in
+    * SubwordVocabSpec with a synthetic 10k vocab, since no test corpus
+    * can surface that many real grams.
     */
-  val corpusVocabSize = 512
+  val corpusVocabSize = 10000
 
   private val corpusVocabCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
@@ -281,6 +286,164 @@ object TextOps {
        | g AS (SELECT CAST((SUM(n_sub) * 2) // 5 AS BIGINT) AS budget FROM q)
        |SELECT MIN(budget) AS budget_subword, MIN(qb) AS cutoff_bucket,
        |  MAX(cum_d) AS kept_docs, MAX(cum_t) AS kept_subword
+       |FROM c, g WHERE cum_t <= budget""".stripMargin
+
+  // ----- round-17: merge-order BPE tokens ---------------------------------
+
+  /** Merges-table tier sizes: level 1 = character pairs, level 2 =
+    * pair-of-pairs (4-grams whose halves are both level-1 tokens).
+    */
+  val bpeLevel1 = 192
+  val bpeLevel2 = 64
+
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, String)]]()
+
+  /** Corpus-DERIVED ranked BPE merges table (round-17 verdict #3) — the
+    * merge-ORDER substrate real token budgets run on. True BPE training
+    * iteratively re-tokenizes the corpus after every merge, which no
+    * declarative engine replays; this derivation keeps what the budget
+    * faces need — a ranked (left, right) → rank table whose ORDER, not
+    * greedy length, decides segmentation — while staying a deterministic
+    * TABLE both engines compute from the same parquet (count DESC, gram
+    * ASC — a total order): level-1 merges are the top [[bpeLevel1]]
+    * character pairs; level-2 merges are the top [[bpeLevel2]] 4-grams
+    * whose halves are both level-1 tokens (composition, ranked after all
+    * level-1 merges). Scale shape: two gram aggregations over the corpus
+    * and a driver collect of exactly level1+level2 pairs that broadcasts
+    * into the codegen'd kernel ([[graft.functions.BpeMerges]]).
+    */
+  def corpusBpeMerges(s: SparkSession, d: String): Array[(String, String)] =
+    bpeMergesCache.computeIfAbsent(d, _ => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+      def grams(n: Int) = words.where(length(col("w")) >= n)
+        .select(explode(expr(
+          s"transform(sequence(1, length(w) - $n + 1), i -> substring(w, i, $n))")).as("g"))
+      val m1 = grams(2).groupBy("g").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("g")).limit(bpeLevel1)
+        .select("g").collect().map(_.getString(0))
+      // the level-1 token set is merges-table-sized (driver-known), so the
+      // membership filter is a literal predicate, like the centroid panels
+      val m2 = grams(4).groupBy("g").agg(count(lit(1)).as("cnt"))
+        .where(substring(col("g"), 1, 2).isInCollection(m1.toSeq) &&
+          substring(col("g"), 3, 2).isInCollection(m1.toSeq))
+        .orderBy(col("cnt").desc, col("g")).limit(bpeLevel2)
+        .select("g").collect().map(_.getString(0))
+      m1.map(g => (g.substring(0, 1), g.substring(1))) ++
+        m2.map(g => (g.substring(0, 2), g.substring(2)))
+    })
+
+  /** Oracle CTEs deriving the SAME ranked merges table in DuckDB and
+    * replaying the ENCODE WALK itself recursively: token-list state per
+    * distinct word, each step merging the LEFTMOST occurrence of the
+    * LOWEST-RANKED adjacent pair (ORDER BY rnk, i LIMIT 1 — exactly
+    * [[graft.functions.BpeMerges.countWord]]); the fixpoint token count is
+    * MIN(len(toks)) since every merge shrinks the list by one.
+    */
+  private lazy val bpeCtes: String =
+    s"""bpe_words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       | bpe_m1 AS (
+       |   SELECT g, ROW_NUMBER() OVER (ORDER BY cnt DESC, g) - 1 AS rnk
+       |   FROM (SELECT g, COUNT(*) AS cnt
+       |         FROM (SELECT substr(w, unnest(generate_series(1, len(w) - 1)), 2) AS g
+       |               FROM bpe_words WHERE len(w) >= 2) GROUP BY g
+       |         ORDER BY cnt DESC, g LIMIT $bpeLevel1)),
+       | bpe_m2 AS (
+       |   SELECT g, $bpeLevel1 + ROW_NUMBER() OVER (ORDER BY cnt DESC, g) - 1 AS rnk
+       |   FROM (SELECT g, COUNT(*) AS cnt
+       |         FROM (SELECT substr(w, unnest(generate_series(1, len(w) - 3)), 4) AS g
+       |               FROM bpe_words WHERE len(w) >= 4)
+       |         WHERE substr(g, 1, 2) IN (SELECT g FROM bpe_m1)
+       |           AND substr(g, 3, 2) IN (SELECT g FROM bpe_m1)
+       |         GROUP BY g ORDER BY cnt DESC, g LIMIT $bpeLevel2)),
+       | bpe_m(lt, rt, rnk) AS (
+       |   SELECT substr(g, 1, 1), substr(g, 2, 1), rnk FROM bpe_m1
+       |   UNION ALL
+       |   SELECT substr(g, 1, 2), substr(g, 3, 2), rnk FROM bpe_m2),
+       | bpe_wd AS (SELECT DISTINCT w FROM bpe_words WHERE len(w) > 0),
+       | bpe_walk(w, toks) AS (
+       |   SELECT w, list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)) FROM bpe_wd
+       |   UNION ALL
+       |   SELECT w, list_concat(list_concat(toks[1:bi-1], [toks[bi] || toks[bi+1]]), toks[bi+2:])
+       |   FROM (
+       |     SELECT w, toks,
+       |       (SELECT i FROM (
+       |          SELECT i, rnk FROM (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+       |          JOIN bpe_m ON bpe_m.lt = toks[i] AND bpe_m.rt = toks[i+1]
+       |        ) ORDER BY rnk, i LIMIT 1) AS bi
+       |     FROM bpe_walk) WHERE bi IS NOT NULL),
+       | bpe_wc AS (SELECT w, CAST(MIN(len(toks)) AS BIGINT) AS n FROM bpe_walk GROUP BY w),
+       | bpe_doc AS (
+       |   SELECT dt.doc_id, CAST(SUM(wc.n) AS BIGINT) AS n_bpe
+       |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) dt
+       |   JOIN bpe_wc wc ON dt.w = wc.w GROUP BY dt.doc_id)""".stripMargin
+
+  /** Declared `text_bpe_tokens`: per-doc whitespace vs merge-order BPE
+    * token counts under the corpus-derived ranked merges table — the
+    * merge-order twin of `text_subword_vocab_tokens`. The oracle
+    * re-derives the merges table AND replays the walk.
+    */
+  def bpeTokenStats(s: SparkSession, d: String): DataFrame = {
+    val merges = corpusBpeMerges(s, d).toSeq
+    Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      graft.functions.TextFunctions.bpeTokens(col("text"), merges).as("n_bpe"))
+  }
+
+  lazy val bpeTokenStatsSql: String =
+    s"""WITH RECURSIVE $bpeCtes
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe
+       |FROM documents d LEFT JOIN bpe_doc p ON d.doc_id = p.doc_id""".stripMargin
+
+  /** Declared `text_bpe_budget_cutoff`: the budget-calibration face priced
+    * in merge-order BPE tokens — proof the budget family consumes the
+    * production segmentation end to end. Same bucket-resolution windowed
+    * shape and exact integer arithmetic as [[qualityBudgetCutoff]].
+    */
+  def bpeBudgetCutoff(s: SparkSession, d: String): DataFrame = {
+    val merges = corpusBpeMerges(s, d).toSeq
+    val sub = Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.TextFunctions.bpeTokens(col("text"), merges).as("n_sub"))
+    val q = qualityScores(s, d)
+      .select(col("doc_id"), floor(col("quality_score") * 1000).cast("long").as("qb"))
+      .join(sub, Seq("doc_id"))
+    val byBucket = q.groupBy("qb")
+      .agg(sum("n_sub").as("bt"), count(lit(1)).as("bd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("qb").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byBucket
+      .withColumn("cum_t", sum(col("bt")).over(w))
+      .withColumn("cum_d", sum(col("bd")).over(w))
+      .crossJoin(broadcast(
+        q.agg(expr("CAST(sum(n_sub) * 2 DIV 5 AS BIGINT)").as("budget"))))
+      .where(col("cum_t") <= col("budget"))
+      .agg(min(col("budget")).as("budget_bpe"),
+        min(col("qb")).as("cutoff_bucket"),
+        max(col("cum_d")).as("kept_docs"),
+        max(col("cum_t")).as("kept_bpe"))
+  }
+
+  lazy val bpeBudgetCutoffSql: String =
+    s"""WITH RECURSIVE $bpeCtes,
+       | qs AS (${qualityScoresSql.replace("\n", "\n  ")}),
+       | q AS (
+       |  SELECT qs.doc_id, CAST(floor(qs.quality_score * 1000) AS BIGINT) AS qb,
+       |    sd.n_bpe AS n_sub
+       |  FROM qs JOIN bpe_doc sd ON qs.doc_id = sd.doc_id),
+       | b AS (SELECT qb, CAST(SUM(n_sub) AS BIGINT) AS bt, COUNT(*) AS bd
+       |       FROM q GROUP BY qb),
+       | c AS (SELECT qb,
+       |   CAST(SUM(bt) OVER (ORDER BY qb DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_t,
+       |   CAST(SUM(bd) OVER (ORDER BY qb DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_d
+       |  FROM b),
+       | g AS (SELECT CAST((SUM(n_sub) * 2) // 5 AS BIGINT) AS budget FROM q)
+       |SELECT MIN(budget) AS budget_bpe, MIN(qb) AS cutoff_bucket,
+       |  MAX(cum_d) AS kept_docs, MAX(cum_t) AS kept_bpe
        |FROM c, g WHERE cum_t <= budget""".stripMargin
 
   /** Declared `text_subword_tokens`: per-doc whitespace vs SUBWORD token
