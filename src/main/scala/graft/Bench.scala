@@ -391,6 +391,7 @@ object Bench {
       "ann_ivf_probe_tuning", "ann_refine_recall", "ann_ivfpq_refined_search",
       "ann_ivf_compacted_search", "takedown_scan", "takedown_ivf_search", "takedown_lsh_delta", "takedown_everywhere", "text_chunk_windows", "text_chunk_udtf", "text_temperature_mixture",
       "text_subword_vocab_tokens", "text_subword_vocab_budget_cutoff",
+      "text_bpe_tokens", "text_bpe_budget_cutoff",
       "text_span_scrub", "dedup_span_ingest", "dedup_lsh_ingest", "pipeline_ingest_gates", "text_curriculum_export",
       "dedup_delta_candidates_compacted", "dedup_delta_simhash_compacted",
       "dedup_delta_containment_compacted", "dedup_delta_spans_compacted",
@@ -441,6 +442,16 @@ object Bench {
     // one-time corpus-vocab derivation (driver-collected top-K), memoized —
     // the text_subword_vocab_* dims then price tokenization, not training
     dim("subword_vocab_build")(graft.operators.TextOps.corpusSubwordVocab(spark, sfDir))
+    dim("bpe_merges_build")(graft.operators.TextOps.corpusBpeMerges(spark, sfDir))
+    // --- maintenance & purge pricing (round-17 verdict #6) ---
+    // the fixture memoizes two states; check dim = 100 steady-state
+    // per-batch probes (must be ~ms each); fired dims clone the
+    // fragmented state per run so a second sample re-pays the real work
+    dim("maint_fixture_build")(graft.operators.MaintenancePricing.prebuild(spark, sfDir))
+    dim("maint_check_100x")(graft.operators.MaintenancePricing.check100(spark, sfDir))
+    dim("maint_fired_tail_merge")(graft.operators.MaintenancePricing.firedTailMerge(spark, sfDir))
+    dim("maint_fired_index_compaction")(graft.operators.MaintenancePricing.firedIndexCompaction(spark, sfDir))
+    dim("takedown_purge")(graft.operators.MaintenancePricing.maskAndPurge(spark, sfDir))
     dim("sec_index_build")(graft.operators.Relational.prebuildCustkeyIndex(spark, sfDir))
     dim("upsert_table_build")(graft.operators.Relational.prebuildUpsertTable(spark, sfDir))
     dim("mv_view_build")(graft.operators.Relational.prebuildPricingSummaryView(spark, sfDir))

@@ -307,16 +307,17 @@ object RefineryIngest {
                idx: java.util.concurrent.atomic.AtomicReference[IvfTableIndex],
                purge: Boolean = true): Map[String, Long] = {
     import graft.operators.Takedown
+    // each store REGISTERS its dependent index (round 17): the composition
+    // owns the refresh-before-purge order per store
     Takedown.everywhere(ids,
       Seq(Takedown.Store("docs", docsTable, "vec_id"),
         Takedown.Store("hash", hashStore, "vec_id"),
-        Takedown.Store("span", spanStore, "doc_id"),
-        Takedown.Store("lex", lexStore, "doc_id"),
-        Takedown.Store("emb", embTable, "vec_id")),
-      propagate = Seq(
-        () => { spanIdx.set(spanIdx.get().refresh(spanStore)); () },
-        () => { lexIdx.set(lexIdx.get().refresh(lexStore)); () },
-        () => { idx.set(idx.get().refresh(embTable)); () }),
+        Takedown.Store("span", spanStore, "doc_id", refreshIndexes = Seq(
+          () => { spanIdx.set(spanIdx.get().refresh(spanStore)); () })),
+        Takedown.Store("lex", lexStore, "doc_id", refreshIndexes = Seq(
+          () => { lexIdx.set(lexIdx.get().refresh(lexStore)); () })),
+        Takedown.Store("emb", embTable, "vec_id", refreshIndexes = Seq(
+          () => { idx.set(idx.get().refresh(embTable)); () }))),
       purge = purge)
   }
 
