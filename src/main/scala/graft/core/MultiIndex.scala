@@ -21,7 +21,8 @@ final class MultiIndex private (
     val keyCols: Seq[String],
     val builtFromVersion: Long,
     val indexedLength: Long,
-    val indexedMask: Long = 0L) {
+    val indexedMask: Long = 0L,
+    val indexedRestores: Long = 0L) {
 
   private lazy val df: DataFrame =
     spark.read.parquet(graft.operators.IndexCompaction.dataDir(root).toString)
@@ -60,6 +61,7 @@ final class MultiIndex private (
     */
   def refresh(table: VectorTable): MultiIndex = {
     val m = table.manifest
+    graft.operators.IndexCompaction.guardRestores(root, m, indexedRestores)
     // monotonic tombstone-total gate (round-16 ADVICE) — see
     // SecondaryIndex.refresh / LshIndex.refresh
     val tomb = m.maskCount + m.purged
@@ -75,8 +77,8 @@ final class MultiIndex private (
           maskOnly),
         sortWithin = keyCols.indices.map(i => s"k$i"))
     }
-    MultiIndex.writeMeta(root, keyCols, m.version, m.length, tomb)
-    new MultiIndex(spark, root, keyCols, m.version, m.length, tomb)
+    MultiIndex.writeMeta(root, keyCols, m.version, m.length, tomb, m.restores)
+    new MultiIndex(spark, root, keyCols, m.version, m.length, tomb, m.restores)
   }
 }
 
@@ -93,18 +95,22 @@ object MultiIndex {
       writeRows(table.liveScan(), table.spark, keyCols, m.length, root, append = false)
     // a rebuild over a pointer-flipped layout must re-point at "data"
     graft.operators.IndexCompaction.publish(root, "data")
-    writeMeta(root, keyCols, m.version, m.length, m.maskCount + m.purged)
+    writeMeta(root, keyCols, m.version, m.length, m.maskCount + m.purged,
+      m.restores)
     new MultiIndex(table.spark, root, keyCols, m.version, m.length,
-      m.maskCount + m.purged)
+      m.maskCount + m.purged, m.restores)
   }
 
   /** Open a previously built index (key columns come from the metadata). */
   def open(spark: SparkSession, root: String): MultiIndex = {
     val lines = Files.readString(Paths.get(root, "meta.txt")).trim.linesIterator.toSeq
-    // head is "version,length" (pre-round-16) or "version,length,mask"
+    // head is "version,length" (pre-round-16), "version,length,mask", or
+    // "version,length,mask,restores" (round 17)
     val parts = lines.head.split(",")
     val mask = if (parts.length > 2) parts(2).toLong else 0L
-    new MultiIndex(spark, root, lines.tail, parts(0).toLong, parts(1).toLong, mask)
+    val restores = if (parts.length > 3) parts(3).toLong else 0L
+    new MultiIndex(spark, root, lines.tail, parts(0).toLong, parts(1).toLong,
+      mask, restores)
   }
 
   private def writeSpan(table: VectorTable, keyCols: Seq[String], start: Long,
@@ -129,7 +135,7 @@ object MultiIndex {
   }
 
   private def writeMeta(root: String, keyCols: Seq[String], version: Long,
-                        length: Long, mask: Long = 0L): Unit =
+                        length: Long, mask: Long = 0L, restores: Long = 0L): Unit =
     Files.write(Paths.get(root, "meta.txt"),
-      (s"$version,$length,$mask" +: keyCols).mkString("\n").getBytes("UTF-8"))
+      (s"$version,$length,$mask,$restores" +: keyCols).mkString("\n").getBytes("UTF-8"))
 }

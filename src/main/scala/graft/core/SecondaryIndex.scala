@@ -22,7 +22,8 @@ final class SecondaryIndex private (
     val keyCol: String,
     val builtFromVersion: Long,
     val indexedLength: Long,
-    val indexedMask: Long = 0L) {
+    val indexedMask: Long = 0L,
+    val indexedRestores: Long = 0L) {
 
   private lazy val df: DataFrame =
     spark.read.parquet(graft.operators.IndexCompaction.dataDir(root).toString)
@@ -55,6 +56,7 @@ final class SecondaryIndex private (
     */
   def refresh(table: VectorTable): SecondaryIndex = {
     val m = table.manifest
+    graft.operators.IndexCompaction.guardRestores(root, m, indexedRestores)
     // staleness gates on the MONOTONIC tombstone total (maskCount +
     // purged, round-16 ADVICE): purge() resets maskCount, so raw equality
     // could silently skip delete propagation — see LshIndex.refresh
@@ -76,8 +78,8 @@ final class SecondaryIndex private (
           maskOnly),
         sortWithin = Seq("k"))
     }
-    SecondaryIndex.writeMeta(root, m.version, m.length, tomb)
-    new SecondaryIndex(spark, root, keyCol, m.version, m.length, tomb)
+    SecondaryIndex.writeMeta(root, m.version, m.length, tomb, m.restores)
+    new SecondaryIndex(spark, root, keyCol, m.version, m.length, tomb, m.restores)
   }
 }
 
@@ -98,9 +100,9 @@ object SecondaryIndex {
       .write.mode("overwrite").parquet(s"$root/data")
     // a rebuild over a pointer-flipped layout must re-point at "data"
     graft.operators.IndexCompaction.publish(root, "data")
-    writeMeta(root, m.version, m.length, m.maskCount + m.purged)
+    writeMeta(root, m.version, m.length, m.maskCount + m.purged, m.restores)
     new SecondaryIndex(table.spark, root, keyCol, m.version, m.length,
-      m.maskCount + m.purged)
+      m.maskCount + m.purged, m.restores)
   }
 
   /** Open a previously built index. */
@@ -109,13 +111,14 @@ object SecondaryIndex {
       java.nio.file.Paths.get(root, "version.txt")).trim.linesIterator.toSeq
     val v = lines.head.toLong
     val len = lines.lift(1).map(_.toLong).getOrElse(0L)
-    // pre-round-16 metadata has no mask line
+    // pre-round-16 metadata has no mask line; pre-round-17 no restores
     val mask = lines.lift(2).map(_.toLong).getOrElse(0L)
-    new SecondaryIndex(spark, root, keyCol, v, len, mask)
+    val restores = lines.lift(3).map(_.toLong).getOrElse(0L)
+    new SecondaryIndex(spark, root, keyCol, v, len, mask, restores)
   }
 
   private[core] def writeMeta(root: String, version: Long, length: Long,
-                              mask: Long = 0L): Unit =
+                              mask: Long = 0L, restores: Long = 0L): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "version.txt"),
-      s"$version\n$length\n$mask".getBytes("UTF-8"))
+      s"$version\n$length\n$mask\n$restores".getBytes("UTF-8"))
 }

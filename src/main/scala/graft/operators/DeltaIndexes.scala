@@ -25,7 +25,8 @@ final class SimHashIndex private (
     val root: String,
     val builtFromVersion: Long,
     val indexedLength: Long,
-    val indexedMask: Long = 0L) {
+    val indexedMask: Long = 0L,
+    val indexedRestores: Long = 0L) {
 
   /** The stored (doc_id, simhash) signature rows. */
   def signatures: DataFrame =
@@ -40,6 +41,7 @@ final class SimHashIndex private (
     */
   def refresh(table: VectorTable): SimHashIndex = {
     val m = table.manifest
+    IndexCompaction.guardRestores(root, m, indexedRestores)
     val tomb = m.maskCount + m.purged
     if (m.length <= indexedLength && tomb == indexedMask) return this
     val legacy = IndexCompaction.hasParquet(IndexCompaction.dataDir(root)) &&
@@ -54,8 +56,8 @@ final class SimHashIndex private (
         IndexCompaction.deletedKeys(table, key, key, () => signatures.select(key), maskOnly),
         sortWithin = Seq("simhash"))
     }
-    SimHashIndex.writeMeta(root, m.version, m.length, tomb)
-    new SimHashIndex(spark, root, m.version, m.length, tomb)
+    SimHashIndex.writeMeta(root, m.version, m.length, tomb, m.restores)
+    new SimHashIndex(spark, root, m.version, m.length, tomb, m.restores)
   }
 
   /** In-place [[IndexCompaction]] over the accumulated refresh files —
@@ -82,15 +84,17 @@ object SimHashIndex {
       Seq.empty[(Long, Long, Long)].toDF("doc_id", VectorTable.ROWID, "simhash")
         .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
     }
-    writeMeta(root, m.version, m.length, m.maskCount + m.purged)
-    new SimHashIndex(table.spark, root, m.version, m.length, m.maskCount + m.purged)
+    writeMeta(root, m.version, m.length, m.maskCount + m.purged, m.restores)
+    new SimHashIndex(table.spark, root, m.version, m.length,
+      m.maskCount + m.purged, m.restores)
   }
 
   def open(spark: SparkSession, root: String): SimHashIndex = {
     // meta is "version,length" (pre-round-15) or "version,length,mask"
     val parts = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
     val mask = if (parts.length > 2) parts(2).toLong else 0L
-    new SimHashIndex(spark, root, parts(0).toLong, parts(1).toLong, mask)
+    val restores = if (parts.length > 3) parts(3).toLong else 0L
+    new SimHashIndex(spark, root, parts(0).toLong, parts(1).toLong, mask, restores)
   }
 
   private def writeSpan(table: VectorTable, start: Long, count: Long, root: String,
@@ -103,9 +107,9 @@ object SimHashIndex {
   }
 
   private def writeMeta(root: String, version: Long, length: Long,
-                        mask: Long = 0L): Unit = {
+                        mask: Long = 0L, restores: Long = 0L): Unit = {
     val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, s"$version,$length,$mask".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    Files.write(tmp, s"$version,$length,$mask,$restores".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
     Files.move(tmp, Paths.get(root, "meta.txt"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -136,7 +140,8 @@ final class ContainmentIndex private (
     val root: String,
     val builtFromVersion: Long,
     val indexedLength: Long,
-    val indexedMask: Long = 0L) {
+    val indexedMask: Long = 0L,
+    val indexedRestores: Long = 0L) {
 
   /** Stored (doc_id, sg frozen-rarity-order, sh ASC, n) rows. */
   def entries: DataFrame =
@@ -150,6 +155,7 @@ final class ContainmentIndex private (
 
   def refresh(table: VectorTable): ContainmentIndex = {
     val m = table.manifest
+    IndexCompaction.guardRestores(root, m, indexedRestores)
     val tomb = m.maskCount + m.purged
     if (m.length <= indexedLength && tomb == indexedMask) return this
     // layout probe BEFORE the span append; tombstone-total gate — see
@@ -169,8 +175,8 @@ final class ContainmentIndex private (
         IndexCompaction.deletedKeys(table, key, key, () => entries.select(key), maskOnly),
         sortWithin = Seq("doc_id"))
     }
-    ContainmentIndex.writeMeta(root, m.version, m.length, tomb)
-    new ContainmentIndex(spark, root, m.version, m.length, tomb)
+    ContainmentIndex.writeMeta(root, m.version, m.length, tomb, m.restores)
+    new ContainmentIndex(spark, root, m.version, m.length, tomb, m.restores)
   }
 
   /** In-place [[IndexCompaction]] over the accumulated refresh files —
@@ -207,15 +213,17 @@ object ContainmentIndex {
       val frozen = table.spark.read.parquet(s"$root/freq")
       writeEntries(sh, frozen, root, withRowid = true)
     }
-    writeMeta(root, m.version, m.length, m.maskCount + m.purged)
-    new ContainmentIndex(table.spark, root, m.version, m.length, m.maskCount + m.purged)
+    writeMeta(root, m.version, m.length, m.maskCount + m.purged, m.restores)
+    new ContainmentIndex(table.spark, root, m.version, m.length,
+      m.maskCount + m.purged, m.restores)
   }
 
   def open(spark: SparkSession, root: String): ContainmentIndex = {
     // meta is "version,length" (pre-round-15) or "version,length,mask"
     val parts = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
     val mask = if (parts.length > 2) parts(2).toLong else 0L
-    new ContainmentIndex(spark, root, parts(0).toLong, parts(1).toLong, mask)
+    val restores = if (parts.length > 3) parts(3).toLong else 0L
+    new ContainmentIndex(spark, root, parts(0).toLong, parts(1).toLong, mask, restores)
   }
 
   private def shOf(table: VectorTable, start: Long, count: Long): DataFrame =
@@ -249,9 +257,9 @@ object ContainmentIndex {
   }
 
   private def writeMeta(root: String, version: Long, length: Long,
-                        mask: Long = 0L): Unit = {
+                        mask: Long = 0L, restores: Long = 0L): Unit = {
     val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, s"$version,$length,$mask".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    Files.write(tmp, s"$version,$length,$mask,$restores".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
     Files.move(tmp, Paths.get(root, "meta.txt"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -273,7 +281,8 @@ final class SpanIndex private (
     val root: String,
     val builtFromVersion: Long,
     val indexedLength: Long,
-    val indexedMask: Long = 0L) {
+    val indexedMask: Long = 0L,
+    val indexedRestores: Long = 0L) {
 
   /** The stored (doc_id, gram_hash) window rows. */
   def windows: DataFrame =
@@ -284,6 +293,7 @@ final class SpanIndex private (
 
   def refresh(table: VectorTable): SpanIndex = {
     val m = table.manifest
+    IndexCompaction.guardRestores(root, m, indexedRestores)
     val tomb = m.maskCount + m.purged
     if (m.length <= indexedLength && tomb == indexedMask) return this
     // layout probe BEFORE the span append; tombstone-total gate — see
@@ -300,8 +310,8 @@ final class SpanIndex private (
         IndexCompaction.deletedKeys(table, key, key, () => windows.select(key), maskOnly),
         sortWithin = Seq("gram_hash"))
     }
-    SpanIndex.writeMeta(root, m.version, m.length, tomb)
-    new SpanIndex(spark, root, m.version, m.length, tomb)
+    SpanIndex.writeMeta(root, m.version, m.length, tomb, m.restores)
+    new SpanIndex(spark, root, m.version, m.length, tomb, m.restores)
   }
 
   /** In-place [[IndexCompaction]] over the accumulated refresh files —
@@ -326,15 +336,17 @@ object SpanIndex {
       Seq.empty[(Long, Long, Long)].toDF("doc_id", VectorTable.ROWID, "gram_hash")
         .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
     }
-    writeMeta(root, m.version, m.length, m.maskCount + m.purged)
-    new SpanIndex(table.spark, root, m.version, m.length, m.maskCount + m.purged)
+    writeMeta(root, m.version, m.length, m.maskCount + m.purged, m.restores)
+    new SpanIndex(table.spark, root, m.version, m.length,
+      m.maskCount + m.purged, m.restores)
   }
 
   def open(spark: SparkSession, root: String): SpanIndex = {
     // meta is "version,length" (pre-round-15) or "version,length,mask"
     val parts = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
     val mask = if (parts.length > 2) parts(2).toLong else 0L
-    new SpanIndex(spark, root, parts(0).toLong, parts(1).toLong, mask)
+    val restores = if (parts.length > 3) parts(3).toLong else 0L
+    new SpanIndex(spark, root, parts(0).toLong, parts(1).toLong, mask, restores)
   }
 
   private def writeSpan(table: VectorTable, start: Long, count: Long, root: String,
@@ -349,9 +361,9 @@ object SpanIndex {
   }
 
   private def writeMeta(root: String, version: Long, length: Long,
-                        mask: Long = 0L): Unit = {
+                        mask: Long = 0L, restores: Long = 0L): Unit = {
     val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, s"$version,$length,$mask".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    Files.write(tmp, s"$version,$length,$mask,$restores".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
     Files.move(tmp, Paths.get(root, "meta.txt"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

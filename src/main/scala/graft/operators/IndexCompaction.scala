@@ -255,6 +255,25 @@ object IndexCompaction {
     true
   }
 
+  /** RESTORE guard for incremental refresh (round 17 — the same epoch
+    * protocol [[graft.core.MaterializedAggView]] uses): a
+    * [[graft.core.VectorTable.restore]] rewinds the head and later appends
+    * REUSE the dropped rowid range with different content, which an
+    * append-only span refresh cannot see (`length <= indexedLength` reads
+    * as "nothing new" while the indexed prefix's content changed under
+    * it). The manifest's restore-epoch counter detects this; the only
+    * sound continuation is a REBUILD, so refresh fails loudly instead of
+    * silently serving pre-restore rows.
+    */
+  private[graft] def guardRestores(root: String, m: graft.core.Manifest,
+                                   indexedRestores: Long): Unit =
+    if (m.restores != indexedRestores)
+      throw new IllegalStateException(
+        s"index at $root was built at restore-epoch $indexedRestores but the " +
+          s"table is at epoch ${m.restores}: a restore reuses rowid ranges " +
+          "with different content, which an incremental refresh cannot " +
+          "reconcile — rebuild the index")
+
   /** The deleted-key frame an index refresh must anti-join away, given how
     * far the table's MONOTONIC tombstone total (maskCount + purged) has
     * advanced past what the index last consumed (round-16 ADVICE: gating

@@ -22,7 +22,8 @@ final class IvfTableIndex private (
     val root: String,
     val builtFromVersion: Long,
     val indexedLength: Long,
-    val indexedMask: Long = 0L) {
+    val indexedMask: Long = 0L,
+    val indexedRestores: Long = 0L) {
 
   /** Fixed cell centroids, persisted at build time. */
   lazy val centroids: Array[Array[Float]] =
@@ -76,6 +77,7 @@ final class IvfTableIndex private (
     */
   def refresh(table: VectorTable): IvfTableIndex = {
     val m = table.manifest
+    IndexCompaction.guardRestores(root, m, indexedRestores)
     val tomb = m.maskCount + m.purged
     if (m.length <= indexedLength && tomb == indexedMask) return this
     val legacy = IndexCompaction.hasParquet(IndexCompaction.dataDir(root)) &&
@@ -86,8 +88,8 @@ final class IvfTableIndex private (
     if (tomb != indexedMask)
       applyDeletes(table, legacy,
         maskOnly = tomb >= indexedMask && tomb - indexedMask <= m.maskCount)
-    IvfTableIndex.writeMeta(root, m.version, m.length, tomb)
-    new IvfTableIndex(spark, root, m.version, m.length, tomb)
+    IvfTableIndex.writeMeta(root, m.version, m.length, tomb, m.restores)
+    new IvfTableIndex(spark, root, m.version, m.length, tomb, m.restores)
   }
 
   /** TAKEDOWN propagation — rewrite ONLY the cells that contain masked
@@ -281,15 +283,17 @@ object IvfTableIndex {
     // an EMPTY table fixes centroids only — range(0,0) has no data
     // columns to assign; the first refresh writes the first real span
     if (m.length > 0) writeSpan(table, cs, 0L, m.length, root, withRowid = true)
-    writeMeta(root, m.version, m.length, m.maskCount + m.purged)
-    new IvfTableIndex(spark, root, m.version, m.length, m.maskCount + m.purged)
+    writeMeta(root, m.version, m.length, m.maskCount + m.purged, m.restores)
+    new IvfTableIndex(spark, root, m.version, m.length,
+      m.maskCount + m.purged, m.restores)
   }
 
   def open(spark: SparkSession, root: String): IvfTableIndex = {
     // meta is "version,length" (pre-round-15) or "version,length,mask"
     val parts = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
     val mask = if (parts.length > 2) parts(2).toLong else 0L
-    new IvfTableIndex(spark, root, parts(0).toLong, parts(1).toLong, mask)
+    val restores = if (parts.length > 3) parts(3).toLong else 0L
+    new IvfTableIndex(spark, root, parts(0).toLong, parts(1).toLong, mask, restores)
   }
 
   /** Cells ranked by cosine(q, centroid) desc, ties to the lower id —
@@ -330,9 +334,9 @@ object IvfTableIndex {
   }
 
   private def writeMeta(root: String, version: Long, length: Long,
-                        mask: Long = 0L): Unit = {
+                        mask: Long = 0L, restores: Long = 0L): Unit = {
     val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, s"$version,$length,$mask".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    Files.write(tmp, s"$version,$length,$mask,$restores".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
     Files.move(tmp, Paths.get(root, "meta.txt"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

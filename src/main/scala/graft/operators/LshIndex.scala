@@ -29,7 +29,8 @@ final class LshIndex private (
     val root: String,
     val builtFromVersion: Long,
     val indexedLength: Long,
-    val indexedMask: Long = 0L) {
+    val indexedMask: Long = 0L,
+    val indexedRestores: Long = 0L) {
 
   /** The stored band rows (doc_id, band, h1, h2). */
   def bands: DataFrame =
@@ -69,6 +70,7 @@ final class LshIndex private (
     */
   def refresh(table: VectorTable): LshIndex = {
     val m = table.manifest
+    IndexCompaction.guardRestores(root, m, indexedRestores)
     val tomb = m.maskCount + m.purged
     if (m.length <= indexedLength && tomb == indexedMask) return this
     val legacy = IndexCompaction.hasParquet(IndexCompaction.dataDir(root)) &&
@@ -83,8 +85,8 @@ final class LshIndex private (
         IndexCompaction.deletedKeys(table, key, key, () => bands.select(key), maskOnly),
         sortWithin = Seq("band", "h1", "h2"))
     }
-    LshIndex.writeMeta(root, m.version, m.length, tomb)
-    new LshIndex(spark, root, m.version, m.length, tomb)
+    LshIndex.writeMeta(root, m.version, m.length, tomb, m.restores)
+    new LshIndex(spark, root, m.version, m.length, tomb, m.restores)
   }
 
   /** In-place [[IndexCompaction]] over the accumulated refresh files,
@@ -114,16 +116,19 @@ object LshIndex {
         .toDF("doc_id", VectorTable.ROWID, "band", "h1", "h2")
         .write.mode("append").parquet(IndexCompaction.dataDir(root).toString)
     }
-    writeMeta(root, m.version, m.length, m.maskCount + m.purged)
-    new LshIndex(table.spark, root, m.version, m.length, m.maskCount + m.purged)
+    writeMeta(root, m.version, m.length, m.maskCount + m.purged, m.restores)
+    new LshIndex(table.spark, root, m.version, m.length,
+      m.maskCount + m.purged, m.restores)
   }
 
   /** Open a previously built index (throws if absent). */
   def open(spark: SparkSession, root: String): LshIndex = {
-    // meta is "version,length" (pre-round-15) or "version,length,mask"
+    // meta is "version,length" (pre-round-15), "version,length,mask", or
+    // "version,length,mask,restores" (round 17)
     val parts = Files.readString(Paths.get(root, "meta.txt")).trim.split(",")
     val mask = if (parts.length > 2) parts(2).toLong else 0L
-    new LshIndex(spark, root, parts(0).toLong, parts(1).toLong, mask)
+    val restores = if (parts.length > 3) parts(3).toLong else 0L
+    new LshIndex(spark, root, parts(0).toLong, parts(1).toLong, mask, restores)
   }
 
   private def writeSpan(table: VectorTable, start: Long, count: Long, root: String,
@@ -144,9 +149,10 @@ object LshIndex {
   }
 
   private def writeMeta(root: String, version: Long, length: Long,
-                        mask: Long = 0L): Unit = {
+                        mask: Long = 0L, restores: Long = 0L): Unit = {
     val tmp = Paths.get(root, s".meta-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, s"$version,$length,$mask".getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    Files.write(tmp, s"$version,$length,$mask,$restores".getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW)
     Files.move(tmp, Paths.get(root, "meta.txt"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
