@@ -391,7 +391,7 @@ object Bench {
       "ann_ivf_probe_tuning", "ann_refine_recall", "ann_ivfpq_refined_search",
       "ann_ivf_compacted_search", "takedown_scan", "takedown_ivf_search", "takedown_lsh_delta", "takedown_everywhere", "text_chunk_windows", "text_chunk_udtf", "text_temperature_mixture",
       "text_subword_vocab_tokens", "text_subword_vocab_budget_cutoff",
-      "text_bpe_tokens", "text_bpe_budget_cutoff",
+      "text_bpe_tokens", "text_bpe_budget_cutoff", "text_bpe_pack",
       "text_span_scrub", "dedup_span_ingest", "dedup_lsh_ingest", "pipeline_ingest_gates", "text_curriculum_export",
       "dedup_delta_candidates_compacted", "dedup_delta_simhash_compacted",
       "dedup_delta_containment_compacted", "dedup_delta_spans_compacted",

@@ -1367,12 +1367,19 @@ object TextOps {
     * and the budget invariant is real). Identical scale shape: one
     * exchange, per-shard sort, O(1)-state streaming fold.
     */
-  def subwordPackSequences(s: SparkSession, d: String): DataFrame = {
+  def subwordPackSequences(s: SparkSession, d: String): DataFrame =
+    packSequencesOver(s,
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextFunctions.subwordTokens(col("text")).as("n_tokens")),
+      "bin_subword")
+
+  /** Shared doc_id-ordered greedy bin packing over a (doc_id, n_tokens)
+    * frame — the O(1)-state per-shard fold both token bases feed.
+    */
+  private def packSequencesOver(s: SparkSession, docsIn: DataFrame,
+                                massCol: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.subwordTokens(col("text")).as("n_tokens"))
-      .withColumn("shard", (col("doc_id") % packShards).cast("int"))
+    val docs = docsIn.withColumn("shard", (col("doc_id") % packShards).cast("int"))
     val packed = docs
       .repartition(packShards, col("shard"))
       .sortWithinPartitions("shard", "doc_id")
@@ -1392,9 +1399,42 @@ object TextOps {
       .toDF("shard", "bin", "doc_id", "n_tokens")
     packed.groupBy("shard", "bin")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("bin_subword"),
+        sum(col("n_tokens")).as(massCol),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
+
+  /** Declared `text_bpe_pack`: the packing face priced in merge-order BPE
+    * tokens (round 17 — with tokens and budget both BPE-denominated, the
+    * whole budget→pack family now runs on the production segmentation).
+    */
+  def bpePackSequences(s: SparkSession, d: String): DataFrame = {
+    val merges = corpusBpeMerges(s, d).toSeq
+    packSequencesOver(s,
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextFunctions.bpeTokens(col("text"), merges).as("n_tokens")),
+      "bin_bpe")
+  }
+
+  lazy val bpePackSequencesSql: String =
+    s"""WITH RECURSIVE $bpeCtes,
+       | d AS (
+       |  SELECT CAST(doc.doc_id % $packShards AS INTEGER) AS shard, doc.doc_id,
+       |         CAST(COALESCE(sd.n_bpe, 0) AS BIGINT) AS n_tokens,
+       |         row_number() OVER (PARTITION BY doc.doc_id % $packShards ORDER BY doc.doc_id) AS rn
+       |  FROM documents doc LEFT JOIN bpe_doc sd ON doc.doc_id = sd.doc_id),
+       | pack AS (
+       |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+       |    CASE WHEN p.fill + d.n_tokens > $packBudget THEN p.bin + 1 ELSE p.bin END,
+       |    CASE WHEN p.fill + d.n_tokens > $packBudget THEN d.n_tokens
+       |         ELSE p.fill + d.n_tokens END
+       |  FROM d JOIN pack p ON d.shard = p.shard AND d.rn = p.rn + 1)
+       |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_bpe,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM pack GROUP BY shard, bin""".stripMargin
 
   lazy val subwordPackSequencesSql: String =
     s"""WITH RECURSIVE $subwordCtes,
