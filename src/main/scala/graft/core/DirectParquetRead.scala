@@ -69,8 +69,19 @@ object DirectParquetRead {
   def rowidSpan(file: String): Option[(Long, Long)] =
     metaCache.computeIfAbsent(file, openMeta).map(m => (m.rowidMin, m.rowidMax))
 
+  /** Access-ordered LRU, bounded: every applyDeletesFiles rewrite publishes
+    * fresh UUID-named files whose spans get cached, so an UNBOUNDED map
+    * grows driver memory monotonically across a long-running maintenance
+    * loop (round-17 advice). 64k entries ≈ a few MB, far above any live
+    * layout's file count; evicted entries just re-read one footer.
+    */
+  private val colSpanCacheLimit = 65536
   private val colSpanCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Long)]]()
+    new java.util.LinkedHashMap[String, Option[(Long, Long)]](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[(Long, Long)]]): Boolean =
+        size() > colSpanCacheLimit
+    }
 
   /** The file's [min, max] footer stats for INT64 column `colName` — NO
     * density requirement (unlike [[rowidSpan]]): the span is a sound
@@ -82,8 +93,18 @@ object DirectParquetRead {
     * Parquet files here are immutable once written (rewrites land under
     * fresh names), so the per-(file, column) cache never staleness-lies.
     */
-  def longColSpan(file: String, colName: String): Option[(Long, Long)] =
-    colSpanCache.computeIfAbsent(colName + "\u0000" + file, _ => readLongColSpan(file, colName))
+  def longColSpan(file: String, colName: String): Option[(Long, Long)] = {
+    val key = colName + "\u0000" + file
+    colSpanCache.synchronized {
+      val hit = colSpanCache.get(key)
+      if (hit != null) return hit
+    }
+    // footer read outside the lock: spans are pure functions of immutable
+    // files, so a racing double-read is benign and last-put wins
+    val span = readLongColSpan(file, colName)
+    colSpanCache.synchronized { colSpanCache.put(key, span) }
+    span
+  }
 
   private def readLongColSpan(file: String, colName: String): Option[(Long, Long)] =
     try {

@@ -608,10 +608,14 @@ case class SubwordTokenCount(child: Expression,
   * words of ordinary length.
   */
 final class BpeMerges(val pairs: Array[(String, String)]) extends Serializable {
-  require(pairs.nonEmpty, "empty BPE merges table")
   pairs.foreach { case (l, r) =>
     require(l.nonEmpty && r.nonEmpty && !l.contains(' ') && !r.contains(' '),
       s"BPE merge ('$l','$r') must be non-empty and space-free")
+    // NUL is the rank-key separator below; a pair containing it could
+    // alias another pair's key (and would make this source binary again
+    // if ever embedded literally)
+    require(!l.contains('\u0000') && !r.contains('\u0000'),
+      "BPE merge tokens must not contain NUL")
   }
 
   // rank = first index of the pair (duplicates keep the best rank)
@@ -619,7 +623,7 @@ final class BpeMerges(val pairs: Array[(String, String)]) extends Serializable {
     val m = new java.util.HashMap[String, Integer](pairs.length * 2)
     var i = 0
     while (i < pairs.length) {
-      m.putIfAbsent(pairs(i)._1 + " " + pairs(i)._2, Integer.valueOf(i))
+      m.putIfAbsent(pairs(i)._1 + "\u0000" + pairs(i)._2, Integer.valueOf(i))
       i += 1
     }
     m
@@ -654,7 +658,7 @@ final class BpeMerges(val pairs: Array[(String, String)]) extends Serializable {
       var bestI = -1
       var j = 0
       while (j < m - 1) {
-        val r = rank.get(toks(j) + " " + toks(j + 1))
+        val r = rank.get(toks(j) + "\u0000" + toks(j + 1))
         // strict < keeps the LEFTMOST occurrence of the best rank
         if (r != null && r.intValue() < bestRank) { bestRank = r.intValue(); bestI = j }
         j += 1

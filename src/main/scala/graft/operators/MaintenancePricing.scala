@@ -81,10 +81,18 @@ object MaintenancePricing {
     require(fired == 0, s"check-only dim fired $fired maintenance actions")
   }
 
-  /** Hard-link clone of one fixture store dir into a fresh tmp dir. */
+  /** Hard-link clone of one fixture store dir into a REUSED per-(fixture,
+    * dim) scratch dir — wiped before each copy, so repeated bench samples
+    * never accumulate clones in /tmp (round-17 advice: the old
+    * createTempDirectory-per-invocation leaked one clone per sample on a
+    * long-lived host). The wipe is inside the timed region but bounded by
+    * the fixture's own size — noise next to the fired work it precedes.
+    */
   private def clone(s: SparkSession, d: String, which: String): String = {
-    val src = Paths.get(fixtureRoot(s, d), which)
-    val dst = Files.createTempDirectory("graft-maint-run")
+    val root = Paths.get(fixtureRoot(s, d))
+    val src = root.resolve(which)
+    val dst = root.resolve(s"run-$which")
+    if (Files.exists(dst)) Dedup.deleteRecursively(dst)
     copyTree(src, dst.resolve(which))
     dst.resolve(which).toString
   }
