@@ -587,20 +587,37 @@ case class SubwordTokenCount(child: Expression,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** A RESOLVED BPE merges table (round 17) — the merge-ORDER half of the
-  * token-budget story the greedy longest-match [[SubwordVocab]] lacks:
-  * real pipelines budget in GPT-2/Llama-family BPE tokens, where a ranked
+/** A RESOLVED BPE merges table — BYTE-seeded (round 18): the walk runs on
+  * the GPT-2/Llama alphabet, the text's UTF-8 BYTES, not Java chars. Real
+  * pipelines budget in BPE tokens over a byte vocabulary, where a ranked
   * (left, right) → rank merges table — not greedy length — decides the
-  * segmentation, and the two diverge on exactly the high-frequency fused
-  * grams a corpus-derived vocab surfaces (BpeSpec pins a divergent count
-  * and merge-order sensitivity).
+  * segmentation; char-seeded masses diverge from real budgets on exactly
+  * the multibyte text the reference exercises (CJK literal,
+  * tests/tests/sample_data_test.rs:87) — BpeSpec pins the divergence
+  * ("日本" is 2 chars but 6 byte-tokens under an empty table).
   *
-  * ENCODE WALK (identical in the DuckDB oracle's recursive replay): start
-  * from single characters; repeatedly merge the LEFTMOST occurrence of
-  * the LOWEST-RANKED adjacent token pair present in the table; stop when
-  * no adjacent pair is mergeable. Whitespace separates words and is never
-  * a token, so per-word replay equals the kernel's single pass — the same
-  * boundary contract as [[SubwordVocab]].
+  * ENCODE WALK (replayed by the DuckDB oracle's recursive CTE): start
+  * from single BYTES; repeatedly merge the LEFTMOST occurrence of the
+  * LOWEST-RANKED adjacent token pair present in the table; stop when no
+  * adjacent pair is mergeable. 0x20 separates words and is never a token
+  * — UTF-8 never uses 0x20 inside a multibyte sequence, so byte-splitting
+  * equals word-splitting. An EMPTY table is legal (round-17 advice): no
+  * merges, every byte is its own token.
+  *
+  * TOKEN IDS (GPT-2-style byte vocab): id 0–255 = the raw byte; id
+  * 256 + k = the token merge k produces (first producer wins on the —
+  * theoretical — duplicate result, same first-wins rule as rank).
+  * [[encode]] emits the id array a trainer consumes; [[count]] is its
+  * length.
+  *
+  * Byte↔char bridge: tokens live as ISO-8859-1 strings (one char per
+  * byte, bijective), so the walk's string machinery IS byte machinery,
+  * and `pairs` are likewise latin-1-coded byte strings
+  * ([[graft.operators.TextOps.corpusBpeMerges]] derives them from binary
+  * grams). On pure-ASCII text this coincides with the round-17
+  * char-seeded behavior — which keeps the DuckDB oracle's codepoint-based
+  * replay exact on the ASCII test corpus — while multibyte text gets the
+  * honest byte segmentation.
   *
   * Deployment shape: one resolved object per plan (a codegen reference
   * object — the broadcast-merges-table shape); rank lookup is one hash
@@ -629,15 +646,30 @@ final class BpeMerges(val pairs: Array[(String, String)]) extends Serializable {
     m
   }
 
+  // id of the byte string merge i PRODUCES = 256 + i (first producer wins)
+  @transient private lazy val idOf: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](pairs.length * 2)
+    var i = 0
+    while (i < pairs.length) {
+      m.putIfAbsent(pairs(i)._1 + pairs(i)._2, Integer.valueOf(256 + i))
+      i += 1
+    }
+    m
+  }
+
+  // the byte↔char bridge: one latin-1 char per UTF-8 byte, bijective
+  private def latin1(text: org.apache.spark.unsafe.types.UTF8String): String =
+    new String(text.getBytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+
   def count(text: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val s = text.toString
+    val s = latin1(text)
     val n = s.length
     var total = 0L
     var start = 0
     var i = 0
     while (i <= n) {
       if (i == n || s.charAt(i) == ' ') {
-        if (i > start) total += countWord(s, start, i)
+        if (i > start) total += mergeWord(s, start, i)._2
         start = i + 1
       }
       i += 1
@@ -645,12 +677,42 @@ final class BpeMerges(val pairs: Array[(String, String)]) extends Serializable {
     total
   }
 
-  private def countWord(s: String, lo: Int, hi: Int): Long = {
+  /** GPT-2-style token ids for the whole text, word by word in order. */
+  def encode(text: org.apache.spark.unsafe.types.UTF8String): GenericArrayData = {
+    val s = latin1(text)
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    out.sizeHint(n)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) {
+          val (toks, m) = mergeWord(s, start, i)
+          var k = 0
+          while (k < m) {
+            val t = toks(k)
+            // a 1-char token is a raw byte; anything longer was produced
+            // by a merge, so idOf is total over fixpoint tokens
+            if (t.length == 1) out += t.charAt(0).toInt
+            else out += idOf.get(t).intValue()
+            k += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+
+  /** The merge fixpoint of one word: (token buffer, live token count). */
+  private def mergeWord(s: String, lo: Int, hi: Int): (Array[String], Int) = {
     val len = hi - lo
-    if (len == 1) return 1L
     val toks = new Array[String](len)
     var k = 0
     while (k < len) { toks(k) = String.valueOf(s.charAt(lo + k)); k += 1 }
+    if (len == 1) return (toks, 1)
     var m = len
     var merged = true
     while (merged && m > 1) {
@@ -671,7 +733,7 @@ final class BpeMerges(val pairs: Array[(String, String)]) extends Serializable {
         m -= 1
       }
     }
-    m.toLong
+    (toks, m)
   }
 }
 
@@ -690,6 +752,26 @@ case class BpeTokenCount(child: Expression, merges: BpeMerges) extends UnaryExpr
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeMerges", merges, classOf[BpeMerges].getName)
     defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** bpe_encode(text): the byte-level BPE token-ID array (GPT-2-style byte
+  * vocab: 0–255 raw bytes, 256+k = merge k's result) — the payload a
+  * trainer actually consumes; [[BpeTokenCount]] is its length. Same
+  * reference-object codegen shape as the count.
+  */
+case class BpeEncodeIds(child: Expression, merges: BpeMerges) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING argument")
+  override def nullSafeEval(input: Any): Any =
+    merges.encode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", merges, classOf[BpeMerges].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -728,6 +810,13 @@ object TextFunctions {
     */
   def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeTokenCount(Bridge.expression(text),
+      new BpeMerges(merges.toArray)))
+
+  /** Byte-level BPE token-id arrays against an explicit ranked merges
+    * table (round 18 — the encoded payload, not just its mass).
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncodeIds(Bridge.expression(text),
       new BpeMerges(merges.toArray)))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

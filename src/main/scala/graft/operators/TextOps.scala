@@ -315,23 +315,34 @@ object TextOps {
     */
   def corpusBpeMerges(s: SparkSession, d: String): Array[(String, String)] =
     bpeMergesCache.computeIfAbsent(d, _ => {
+      // BYTE grams (round 18): gram extraction, ordering and the collected
+      // pairs all live in UTF-8 byte space — binary slices in the plan,
+      // latin-1 byte strings (one char per byte) in the kernel. On the
+      // ASCII test corpus this is char-identical to the round-17
+      // derivation, which keeps the DuckDB oracle's codepoint-based
+      // re-derivation exact; on multibyte corpora the byte alphabet is
+      // the honest one (and byte-lexicographic ORDER = the oracle's
+      // UTF-8 collation order either way).
       val words = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
+        .select(explode(split(col("text"), " ")).as("ws"))
+        .select(encode(col("ws"), "UTF-8").as("w"))
       def grams(n: Int) = words.where(length(col("w")) >= n)
         .select(explode(expr(
           s"transform(sequence(1, length(w) - $n + 1), i -> substring(w, i, $n))")).as("g"))
+      def latin1(b: Array[Byte], from: Int, until: Int): String =
+        new String(b, from, until - from, java.nio.charset.StandardCharsets.ISO_8859_1)
       val m1 = grams(2).groupBy("g").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("g")).limit(bpeLevel1)
-        .select("g").collect().map(_.getString(0))
+        .select("g").collect().map(_.getAs[Array[Byte]](0))
       // the level-1 token set is merges-table-sized (driver-known), so the
       // membership filter is a literal predicate, like the centroid panels
       val m2 = grams(4).groupBy("g").agg(count(lit(1)).as("cnt"))
         .where(substring(col("g"), 1, 2).isInCollection(m1.toSeq) &&
           substring(col("g"), 3, 2).isInCollection(m1.toSeq))
         .orderBy(col("cnt").desc, col("g")).limit(bpeLevel2)
-        .select("g").collect().map(_.getString(0))
-      m1.map(g => (g.substring(0, 1), g.substring(1))) ++
-        m2.map(g => (g.substring(0, 2), g.substring(2)))
+        .select("g").collect().map(_.getAs[Array[Byte]](0))
+      m1.map(g => (latin1(g, 0, 1), latin1(g, 1, 2))) ++
+        m2.map(g => (latin1(g, 0, 2), latin1(g, 2, 4)))
     })
 
   /** Oracle CTEs deriving the SAME ranked merges table in DuckDB and
@@ -350,7 +361,8 @@ object TextOps {
        |               FROM bpe_words WHERE len(w) >= 2) GROUP BY g
        |         ORDER BY cnt DESC, g LIMIT $bpeLevel1)),
        | bpe_m2 AS (
-       |   SELECT g, $bpeLevel1 + ROW_NUMBER() OVER (ORDER BY cnt DESC, g) - 1 AS rnk
+       |   SELECT g, (SELECT COUNT(*) FROM bpe_m1)
+       |             + ROW_NUMBER() OVER (ORDER BY cnt DESC, g) - 1 AS rnk
        |   FROM (SELECT g, COUNT(*) AS cnt
        |         FROM (SELECT substr(w, unnest(generate_series(1, len(w) - 3)), 4) AS g
        |               FROM bpe_words WHERE len(w) >= 4)
@@ -433,8 +445,8 @@ object TextOps {
        | qs AS (${qualityScoresSql.replace("\n", "\n  ")}),
        | q AS (
        |  SELECT qs.doc_id, CAST(floor(qs.quality_score * 1000) AS BIGINT) AS qb,
-       |    sd.n_bpe AS n_sub
-       |  FROM qs JOIN bpe_doc sd ON qs.doc_id = sd.doc_id),
+       |    CAST(COALESCE(sd.n_bpe, 0) AS BIGINT) AS n_sub
+       |  FROM qs LEFT JOIN bpe_doc sd ON qs.doc_id = sd.doc_id),
        | b AS (SELECT qb, CAST(SUM(n_sub) AS BIGINT) AS bt, COUNT(*) AS bd
        |       FROM q GROUP BY qb),
        | c AS (SELECT qb,
@@ -445,6 +457,66 @@ object TextOps {
        |SELECT MIN(budget) AS budget_bpe, MIN(qb) AS cutoff_bucket,
        |  MAX(cum_d) AS kept_docs, MAX(cum_t) AS kept_bpe
        |FROM c, g WHERE cum_t <= budget""".stripMargin
+
+  /** Declared `text_bpe_encode` (round 18): the encoded token-ID streams
+    * themselves — the payload a trainer consumes, not just its mass. The
+    * Spark side computes the REAL id arrays (one codegen'd
+    * [[graft.functions.BpeEncodeIds]] pass per doc, GPT-2-style byte
+    * vocab: 0–255 = raw byte, 256+k = merge k's result, k the index in
+    * the CONCATENATED m1++m2 table) and posexplodes them to
+    * (doc_id, pos, token_id) rows — the driver's comparator sorts row
+    * tuples with pandas, where raw array cells crash, so the face ships
+    * the arrays in their bijective exploded encoding with `pos` pinning
+    * order. The oracle extends the recursive walk to carry ids: the
+    * fixpoint token list per word (min-length walk row), exploded in word
+    * order, each token mapped to ord(byte) or 256 + its merge rank.
+    *
+    * Scale shape: map-side encode + explode, no shuffle — the output is a
+    * flat token stream partitioned exactly like its documents.
+    */
+  def bpeEncodeTokens(s: SparkSession, d: String): DataFrame = {
+    val merges = corpusBpeMerges(s, d).toSeq
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.bpeEncode(col("text"), merges)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").cast("long").as("token_id"))
+  }
+
+  /** Oracle CTEs extending [[bpeCtes]]' walk to carry token IDENTITY:
+    * the fixpoint row per word (every merge shrinks the list by one, so
+    * min length = the unique final state), the per-doc word stream with
+    * ordinality, and the rank half of the id mapping. Shared contract
+    * with the kernel: id = ord for single bytes, 256 + rank for merge
+    * results (rank = index in the concatenated table — which is why
+    * [[bpeCtes]] ranks m2 from COUNT(m1), not the level-1 CAP: on a
+    * corpus with fewer than [[bpeLevel1]] distinct pairs the cap-offset
+    * rank would still ORDER correctly but would no longer BE the vocab
+    * index).
+    */
+  private lazy val bpeEncodeCtes: String =
+    s"""bpe_rnk(g, rnk) AS (
+       |   SELECT g, rnk FROM bpe_m1 UNION ALL SELECT g, rnk FROM bpe_m2),
+       | bpe_final AS (
+       |   SELECT w, toks FROM (
+       |     SELECT w, toks, row_number() OVER (PARTITION BY w ORDER BY len(toks)) AS rn
+       |     FROM bpe_walk) WHERE rn = 1),
+       | bpe_dt AS (
+       |   SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |          unnest(generate_series(1, len(string_split(text, ' ')))) AS widx
+       |   FROM documents),
+       | bpe_tok AS (
+       |   SELECT dt.doc_id, dt.widx, unnest(f.toks) AS t,
+       |          unnest(generate_series(1, len(f.toks))) AS tidx
+       |   FROM bpe_dt dt JOIN bpe_final f ON dt.w = f.w)""".stripMargin
+
+  lazy val bpeEncodeSql: String =
+    s"""WITH RECURSIVE $bpeCtes,
+       | $bpeEncodeCtes
+       |SELECT k.doc_id,
+       |  CAST(row_number() OVER (PARTITION BY k.doc_id ORDER BY k.widx, k.tidx) AS BIGINT) AS pos,
+       |  CAST(CASE WHEN len(k.t) = 1 THEN ord(k.t) ELSE 256 + r.rnk END AS BIGINT) AS token_id
+       |FROM bpe_tok k LEFT JOIN bpe_rnk r ON r.g = k.t""".stripMargin
 
   /** Declared `text_subword_tokens`: per-doc whitespace vs SUBWORD token
     * counts from the codegen'd greedy longest-match kernel

@@ -68,6 +68,54 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("byte-seeded (round 18): char- and byte-seeding diverge on multibyte text") {
+    // empty table = no merges (round-17 advice): the count is the raw
+    // alphabet length, which for the byte alphabet is UTF-8 byte count.
+    // A char-seeded walk would say 2 for the CJK string and 5 for the
+    // accented one; the byte walk is GPT-2's.
+    val none = bpe()
+    assert(cnt(none, "\u65e5\u672c") == 6L, "CJK: 2 chars, 6 UTF-8 bytes")
+    assert(cnt(none, "h\u00e9llo") == 6L, "é is 2 bytes")
+    assert(cnt(none, "\ud834\udd1e") == 4L,
+      "astral char: 4 UTF-8 bytes (a UTF-16-unit walk would see 2 lone surrogates)")
+    assert(cnt(none, "ascii") == 5L)
+    // merges address BYTES via their latin-1 bridge chars: merging the two
+    // UTF-8 bytes of é (0xC3, 0xA9) fuses it back into one token
+    val eAcc = bpe(("\u00c3", "\u00a9"))
+    assert(cnt(eAcc, "h\u00e9llo") == 5L)
+  }
+
+  test("encode emits GPT-2-style ids: raw bytes 0-255, merge k = 256+k, word order") {
+    def ids(m: BpeMerges, s: String): Seq[Int] = {
+      val a = m.encode(UTF8String.fromString(s))
+      (0 until a.numElements()).map(a.getInt)
+    }
+    val m = bpe(("a", "b"), ("c", "d"), ("ab", "cd"))
+    assert(ids(m, "abcd") == Seq(258), "fully merged word = the level-2 id")
+    assert(ids(m, "abx cd") == Seq(256, 'x'.toInt, 257))
+    assert(ids(bpe(), "hi") == Seq('h'.toInt, 'i'.toInt))
+    // multibyte raw bytes surface as their byte values
+    assert(ids(bpe(), "h\u00e9") == Seq('h'.toInt, 0xC3, 0xA9))
+    // count ≡ encode length on every case
+    Seq("abcd", "abx cd", "hi", "h\u00e9", "  ab  ").foreach { t =>
+      assert(ids(m, t).length.toLong == cnt(m, t), s"count vs encode length on '$t'")
+    }
+  }
+
+  test("expression parity: bpeEncode column = kernel.encode (codegen'd)") {
+    val texts = Seq("abcd", "abx cd", "the merge", "", " a ")
+    val m = Seq(("a", "b"), ("c", "d"), ("ab", "cd"))
+    val df = texts.toDF("text")
+      .withColumn("ids", TextFunctions.bpeEncode(col("text"), m))
+    val kernel = new BpeMerges(m.toArray)
+    val got = df.collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    texts.foreach { t =>
+      val a = kernel.encode(UTF8String.fromString(t))
+      val want = (0 until a.numElements()).map(a.getInt)
+      assert(got(t) == want, s"expression vs kernel mismatch on '$t'")
+    }
+  }
+
   test("corpus-derived merges: ranks are a total order and the faces agree with a hand walk") {
     val d = sf()
     val merges = graft.operators.TextOps.corpusBpeMerges(spark, d)
