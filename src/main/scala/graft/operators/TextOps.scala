@@ -1567,10 +1567,16 @@ object TextOps {
   private def packedFold(s: SparkSession, d: String, nShards: Int): DataFrame =
     packedFoldOf(s, Tables.documents(s, d), nShards)
 
-  private[operators] def packedFoldOf(s: SparkSession, docs: DataFrame, nShards: Int): DataFrame = {
+  /** The fold over ANY token basis (round 18): `nTokens` is the per-doc
+    * mass expression — whitespace by default, merge-order BPE for the
+    * `text_bpe_*_export` faces. Same exchange, same sort, same O(1)
+    * fold; only the priced column changes.
+    */
+  private[operators] def packedFoldOf(s: SparkSession, docs: DataFrame, nShards: Int,
+                                      nTokens: Column = size(tokens("text")).cast("long")): DataFrame = {
     import s.implicits._
     docs
-      .select(col("doc_id"), size(tokens("text")).as("n_tokens"),
+      .select(col("doc_id"), nTokens.cast("long").as("n_tokens"),
         md5(concat(lit(shuffleSeed + ":"), col("doc_id").cast("string"))).as("skey"))
       .withColumn("shard",
         pmod(expr("CAST(conv(substr(skey, 1, 8), 16, 10) AS BIGINT)"),
@@ -1578,17 +1584,17 @@ object TextOps {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("skey"), col("doc_id"))
       .select(col("shard"), col("doc_id"), col("n_tokens"))
-      .as[(Int, Long, Int)]
+      .as[(Int, Long, Long)]
       .mapPartitions { it =>
         var shard = Int.MinValue
         var bin = 0L
         var fill = 0L
         var pos = 0
         it.map { case (sh, id, nt) =>
-          if (sh != shard) { shard = sh; bin = 0L; fill = nt.toLong; pos = 1 }
+          if (sh != shard) { shard = sh; bin = 0L; fill = nt; pos = 1 }
           else {
             pos += 1
-            if (fill + nt > packBudget) { bin += 1; fill = nt.toLong }
+            if (fill + nt > packBudget) { bin += 1; fill = nt }
             else fill += nt
           }
           (sh, bin, id, pos, nt)
@@ -1723,7 +1729,11 @@ object TextOps {
       .withColumn("n_shards", lit(nShards))
   }
 
-  lazy val mixtureExportSql: String = packedManifestSqlOver(
+  /** The mixture sample as a SQL body — shared by the whitespace- and
+    * BPE-based manifest oracles (the SAMPLE is char-budget-defined in
+    * both; only the manifest math basis differs).
+    */
+  private lazy val mixtureSampledSql: String =
     s"""SELECT d.doc_id, d.text
        |FROM documents d JOIN (
        |  SELECT source, least(1000, 1000 * budget_chars // avail_chars) AS rate_permille
@@ -1732,7 +1742,9 @@ object TextOps {
        |          CAST(SUM(SUM(n_chars)) OVER () * 3 // (10 * COUNT(*) OVER ()) AS BIGINT) AS budget_chars
        |        FROM documents GROUP BY source)) mix
        |  ON d.source = mix.source
-       |WHERE (('0x' || substr(md5(d.text), 1, 13))::BIGINT) % 1000 < mix.rate_permille""".stripMargin)
+       |WHERE (('0x' || substr(md5(d.text), 1, 13))::BIGINT) % 1000 < mix.rate_permille""".stripMargin
+
+  lazy val mixtureExportSql: String = packedManifestSqlOver(mixtureSampledSql)
 
   /** CURRICULUM-ORDERED packed export — the ordering lever between the
     * pure shuffle ([[packedExportManifest]]) and a deterministic schedule:
@@ -1930,6 +1942,236 @@ object TextOps {
        |              FROM documents GROUP BY source))) mix
        |  ON d.source = mix.source
        |WHERE (('0x' || substr(md5(d.text), 1, 13))::BIGINT) % 1000 < mix.rate_permille""".stripMargin)
+
+  // ----- round-18: exports re-based on the BPE token basis (verdict #2) ---
+
+  /** BPE token-mass of a (doc_id, text) doc set — the shard-count basis
+    * the BPE-denominated export manifests derive from (exact integer ceil
+    * over [[shardTokenBudget]], like [[shardCountFor]] on whitespace).
+    */
+  private def bpeMassOf(docs: DataFrame, merges: Seq[(String, String)]): Long =
+    docs.agg(coalesce(
+      sum(graft.functions.TextFunctions.bpeTokens(col("text"), merges)), lit(0L)))
+      .head().getLong(0)
+
+  private def bpeShardsOf(mass: Long): Int =
+    math.max(1L, (mass + shardTokenBudget - 1) / shardTokenBudget).toInt
+
+  private def bpeManifestOf(s: SparkSession, docs: DataFrame,
+                            merges: Seq[(String, String)], nShards: Int): DataFrame =
+    packedFoldOf(s, docs, nShards,
+      graft.functions.TextFunctions.bpeTokens(col("text"), merges))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_bpe"),
+        min("pos").as("first_pos"), max("pos").as("last_pos"))
+      .withColumn("n_shards", lit(nShards))
+
+  /** Declared `text_bpe_mixture_export` (round 18): the mixture-weighted
+    * packed export with its MANIFEST MATH on the merge-order BPE basis.
+    * The SAMPLE is unchanged — the mixture plan budgets chars by
+    * definition — but the shard count is the exact integer ceil of the
+    * SAMPLED corpus's BPE token mass and the bins price BPE tokens, so
+    * the manifest finally agrees with the packed masses `text_bpe_pack`
+    * reports (round-17 verdict: the exports still priced whitespace
+    * n_tokens while packing spoke BPE). Same one-broadcast + one-exchange
+    * + O(1)-fold plan; only the priced column changes.
+    */
+  def bpeMixtureExportManifest(s: SparkSession, d: String): DataFrame = {
+    val merges = corpusBpeMerges(s, d).toSeq
+    val sampled = mixtureSampledDocs(s, d)
+      .localCheckpoint() // sampled twice below (shard count + fold)
+    bpeManifestOf(s, sampled, merges, bpeShardsOf(bpeMassOf(sampled, merges)))
+  }
+
+  /** Declared `text_bpe_temperature_export` (round 18): the α = 1/2
+    * temperature export END-TO-END on the BPE basis — here the basis
+    * reaches the RATES too (temperature flattening is defined over token
+    * mass, so w = floor(1000·sqrt(bpe mass)), the epoch budget is 3/10 of
+    * BPE mass, and the sampling permilles follow), then the sampled docs
+    * run the BPE-denominated manifest math.
+    */
+  def bpeTemperatureExportManifest(s: SparkSession, d: String): DataFrame = {
+    val merges = corpusBpeMerges(s, d).toSeq
+    val sampled = bpeTemperatureSampledDocs(s, d, merges)
+      .localCheckpoint() // sampled twice below (shard count + fold)
+    bpeManifestOf(s, sampled, merges, bpeShardsOf(bpeMassOf(sampled, merges)))
+  }
+
+  private[operators] def bpeTemperatureSampledDocs(s: SparkSession, d: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val everything = Window.partitionBy()
+    val rates = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(graft.functions.TextFunctions.bpeTokens(col("text"), merges)).as("mass"))
+      .withColumn("w", floor(lit(1000.0) * sqrt(col("mass").cast("double"))).cast("long"))
+      .withColumn("tm", sum(col("mass")).over(everything))
+      .withColumn("tw", sum(col("w")).over(everything))
+      .withColumn("rate_permille",
+        least(lit(1000L), expr("1000 * ((tm * 3 DIV 10) * w DIV tw) DIV mass")))
+      .select("source", "rate_permille")
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("source"))
+      .where(expr("pmod(CAST(conv(substr(md5(text), 1, 13), 16, 10) AS BIGINT), 1000)")
+        < col("rate_permille"))
+      .select(col("doc_id"), col("text"))
+  }
+
+  /** Declared `text_bpe_curriculum_export` (round 18): the
+    * curriculum-ordered export on the BPE basis — ckey stays the quality
+    * bucket (the curriculum is defined over quality, not mass), while the
+    * shard count and bin masses price BPE tokens. Same single exchange +
+    * per-shard sort + O(1) fold as [[curriculumExportManifest]].
+    */
+  def bpeCurriculumExportManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val merges = corpusBpeMerges(s, d).toSeq
+    val nShards = bpeShardsOf(bpeMassOf(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), merges))
+    Tables.documents(s, d)
+      .withColumn("toks", tokens("text"))
+      .withColumn("wt", size(col("toks")))
+      .withColumn("ttr",
+        size(array_distinct(col("toks"))).cast("double") / col("wt").cast("double"))
+      .withColumn("mean_token_len",
+        (col("n_chars").cast("double") - (col("wt").cast("double") - 1.0)) / col("wt").cast("double"))
+      .withColumn("stop_ratio",
+        expr("CAST(size(filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)") / col("wt").cast("double"))
+      .withColumn("ckey",
+        floor((col("ttr") * lit(2.0) + col("mean_token_len") * lit(0.1) - col("stop_ratio")) * lit(1000.0)).cast("long"))
+      .withColumn("n_tokens",
+        graft.functions.TextFunctions.bpeTokens(col("text"), merges))
+      .select(col("doc_id"), col("n_tokens"), col("ckey"),
+        md5(concat(lit(shuffleSeed + ":"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("shard",
+        pmod(expr("CAST(conv(substr(skey, 1, 8), 16, 10) AS BIGINT)"),
+          lit(nShards.toLong)).cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ckey"), col("skey"), col("doc_id"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"), col("ckey"))
+      .as[(Int, Long, Long, Long)]
+      .mapPartitions { it =>
+        var shard = Int.MinValue
+        var bin = 0L
+        var fill = 0L
+        var pos = 0
+        it.map { case (sh, id, nt, ck) =>
+          if (sh != shard) { shard = sh; bin = 0L; fill = nt; pos = 1 }
+          else {
+            pos += 1
+            if (fill + nt > packBudget) { bin += 1; fill = nt }
+            else fill += nt
+          }
+          (sh, bin, id, pos, nt, ck)
+        }
+      }
+      .toDF("shard", "bin", "doc_id", "pos", "n_tokens", "ckey")
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_bpe"),
+        min("pos").as("first_pos"), max("pos").as("last_pos"),
+        min("ckey").as("ckey_lo"), max("ckey").as("ckey_hi"))
+      .withColumn("n_shards", lit(nShards))
+  }
+
+  /** The BPE-basis packed-manifest oracle over ANY (doc_id, text) body:
+    * [[packedManifestSqlOver]] with per-doc masses from the recursive
+    * walk's bpe_doc (LEFT JOIN + COALESCE 0 — a no-word doc still packs,
+    * at zero mass) and the shard count the exact integer ceil of the
+    * body's BPE mass.
+    */
+  private def bpeManifestSqlOver(docsCte: String): String =
+    s"""WITH RECURSIVE $bpeCtes,
+       | sd AS (${docsCte.replace("\n", "\n  ")}),
+       | sb AS (
+       |  SELECT sd.doc_id, CAST(COALESCE(bd.n_bpe, 0) AS BIGINT) AS n_tokens
+       |  FROM sd LEFT JOIN bpe_doc bd ON sd.doc_id = bd.doc_id),
+       | sc AS (
+       |  SELECT GREATEST(1, (CAST(SUM(n_tokens) AS BIGINT)
+       |    + ${shardTokenBudget - 1}) // $shardTokenBudget) AS n FROM sb),
+       | k AS (
+       |  SELECT doc_id, n_tokens,
+       |    md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR)) AS skey
+       |  FROM sb),
+       | sh AS (
+       |  SELECT doc_id, n_tokens, skey,
+       |    CAST((('0x' || substr(skey, 1, 8))::BIGINT) % (SELECT n FROM sc) AS INTEGER) AS shard
+       |  FROM k),
+       | po AS (
+       |  SELECT doc_id, n_tokens, shard,
+       |    CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INTEGER) AS pos
+       |  FROM sh),
+       | pack AS (
+       |  SELECT shard, pos, n_tokens, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+       |  FROM po WHERE pos = 1
+       |  UNION ALL
+       |  SELECT p.shard, p.pos, p.n_tokens,
+       |    CASE WHEN q.fill + p.n_tokens > $packBudget THEN q.bin + 1 ELSE q.bin END,
+       |    CASE WHEN q.fill + p.n_tokens > $packBudget THEN p.n_tokens
+       |         ELSE q.fill + p.n_tokens END
+       |  FROM po p JOIN pack q ON p.shard = q.shard AND p.pos = q.pos + 1)
+       |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_bpe,
+       |  MIN(pos) AS first_pos, MAX(pos) AS last_pos,
+       |  CAST((SELECT n FROM sc) AS INTEGER) AS n_shards
+       |FROM pack GROUP BY shard, bin""".stripMargin
+
+  lazy val bpeMixtureExportSql: String = bpeManifestSqlOver(mixtureSampledSql)
+
+  lazy val bpeTemperatureExportSql: String = bpeManifestSqlOver(
+    s"""SELECT d.doc_id, d.text
+       |FROM documents d JOIN (
+       |  SELECT source,
+       |    LEAST(1000, 1000 * ((tm * 3 // 10) * w // tw) // mass) AS rate_permille
+       |  FROM (SELECT source, mass, w,
+       |          CAST(SUM(mass) OVER () AS BIGINT) AS tm,
+       |          CAST(SUM(w) OVER () AS BIGINT) AS tw
+       |        FROM (SELECT source, CAST(SUM(nb) AS BIGINT) AS mass,
+       |                CAST(FLOOR(1000.0 * sqrt(CAST(SUM(nb) AS DOUBLE))) AS BIGINT) AS w
+       |              FROM (SELECT d2.source, CAST(COALESCE(bd.n_bpe, 0) AS BIGINT) AS nb
+       |                    FROM documents d2 LEFT JOIN bpe_doc bd ON d2.doc_id = bd.doc_id)
+       |              GROUP BY source))) mix
+       |  ON d.source = mix.source
+       |WHERE (('0x' || substr(md5(d.text), 1, 13))::BIGINT) % 1000 < mix.rate_permille""".stripMargin)
+
+  lazy val bpeCurriculumExportSql: String =
+    s"""WITH RECURSIVE $bpeCtes,
+       | q AS (${qualityScoresSql.replace("\n", "\n  ")}),
+       | sc AS (
+       |  SELECT GREATEST(1, (CAST(SUM(COALESCE(bd.n_bpe, 0)) AS BIGINT)
+       |    + ${shardTokenBudget - 1}) // $shardTokenBudget) AS n
+       |  FROM documents d LEFT JOIN bpe_doc bd ON d.doc_id = bd.doc_id),
+       | k AS (
+       |  SELECT d.doc_id, CAST(COALESCE(bd.n_bpe, 0) AS BIGINT) AS n_tokens,
+       |    CAST(FLOOR(q.quality_score * 1000) AS BIGINT) AS ckey,
+       |    md5('$shuffleSeed:' || CAST(d.doc_id AS VARCHAR)) AS skey
+       |  FROM documents d
+       |  JOIN q ON d.doc_id = q.doc_id
+       |  LEFT JOIN bpe_doc bd ON d.doc_id = bd.doc_id),
+       | sh AS (
+       |  SELECT doc_id, n_tokens, ckey, skey,
+       |    CAST((('0x' || substr(skey, 1, 8))::BIGINT) % (SELECT n FROM sc) AS INTEGER) AS shard
+       |  FROM k),
+       | po AS (
+       |  SELECT doc_id, n_tokens, ckey, shard,
+       |    CAST(row_number() OVER (PARTITION BY shard ORDER BY ckey, skey, doc_id) AS INTEGER) AS pos
+       |  FROM sh),
+       | pack AS (
+       |  SELECT shard, pos, n_tokens, ckey, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+       |  FROM po WHERE pos = 1
+       |  UNION ALL
+       |  SELECT p.shard, p.pos, p.n_tokens, p.ckey,
+       |    CASE WHEN r.fill + p.n_tokens > $packBudget THEN r.bin + 1 ELSE r.bin END,
+       |    CASE WHEN r.fill + p.n_tokens > $packBudget THEN p.n_tokens
+       |         ELSE r.fill + p.n_tokens END
+       |  FROM po p JOIN pack r ON p.shard = r.shard AND p.pos = r.pos + 1)
+       |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_bpe,
+       |  MIN(pos) AS first_pos, MAX(pos) AS last_pos,
+       |  MIN(ckey) AS ckey_lo, MAX(ckey) AS ckey_hi,
+       |  CAST((SELECT n FROM sc) AS INTEGER) AS n_shards
+       |FROM pack GROUP BY shard, bin""".stripMargin
 
   /** Overlapping token-window CHUNKING — the long-document splitter every
     * context-bounded training pipeline runs before packing: each doc's

@@ -35,6 +35,37 @@ class PackedExportSpec extends SparkSpec {
     }
   }
 
+  test("BPE-basis exports (round 18): shard count = exact integer ceil of BPE mass") {
+    val d = sf()
+    val merges = TextOps.corpusBpeMerges(spark, d).toSeq
+    // independent mass: the kernel applied doc by doc on the driver
+    val kernel = new graft.functions.BpeMerges(merges.toArray)
+    val sampledMass = TextOps.mixtureSampledDocs(spark, d).collect()
+      .map(r => kernel.count(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))).sum
+    val wantShards =
+      math.max(1L, (sampledMass + TextOps.shardTokenBudget - 1) / TextOps.shardTokenBudget).toInt
+    val m = TextOps.bpeMixtureExportManifest(spark, d).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      assert(r.getInt(6) == wantShards,
+        s"n_shards ${r.getInt(6)} != ceil(BPE mass $sampledMass / ${TextOps.shardTokenBudget})")
+      assert(r.getLong(3) <= TextOps.packBudget || r.getLong(2) == 1L,
+        "bin_bpe overfilled")
+    }
+    // the BPE bins really price the BPE basis: total bin mass = sampled mass
+    assert(m.map(_.getLong(3)).sum == sampledMass, "bin masses must sum to BPE mass")
+    // curriculum twin derives its count from the FULL corpus's BPE mass
+    val fullMass = graft.core.Tables.documents(spark, d).select("text").collect()
+      .map(r => kernel.count(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))).sum
+    val wantFull =
+      math.max(1L, (fullMass + TextOps.shardTokenBudget - 1) / TextOps.shardTokenBudget).toInt
+    val cm = TextOps.bpeCurriculumExportManifest(spark, d).collect()
+    assert(cm.nonEmpty && cm.forall(_.getInt(8) == wantFull))
+    assert(cm.map(_.getLong(3)).sum == fullMass)
+  }
+
   test("cleaned export: manifest covers exactly the clean-corpus survivors") {
     val cleaned = Pipeline.cleanCorpus(spark, sf())
       .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
