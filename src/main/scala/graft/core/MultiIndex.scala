@@ -61,15 +61,20 @@ final class MultiIndex private (
     */
   def refresh(table: VectorTable): MultiIndex = {
     val m = table.manifest
-    graft.operators.IndexCompaction.guardRestores(root, m, indexedRestores)
+    val cu = graft.operators.IndexCompaction.restoreCatchUp(spark, root, table, m,
+      builtFromVersion, indexedLength, indexedMask, indexedRestores,
+      rowidCol = "r")
+    val effLen = cu.map(_.newLength).getOrElse(indexedLength)
+    val effMask = cu.map(_.maskFloor).getOrElse(indexedMask)
     // monotonic tombstone-total gate (round-16 ADVICE) — see
     // SecondaryIndex.refresh / LshIndex.refresh
     val tomb = m.maskCount + m.purged
-    if (m.length <= indexedLength && tomb == indexedMask) return this
-    if (m.length > indexedLength)
-      MultiIndex.writeSpan(table, keyCols, indexedLength, m.length - indexedLength, root, append = true)
-    if (tomb != indexedMask) {
-      val maskOnly = tomb >= indexedMask && tomb - indexedMask <= m.maskCount
+    if (cu.isEmpty && m.length <= effLen && tomb == effMask) return this
+    if (m.length > effLen)
+      MultiIndex.writeSpan(table, keyCols, effLen, m.length - effLen, root, append = true)
+    // a catch-up FORCES the delete pass (re-spanned masked rows scrub here)
+    if (cu.isDefined || tomb != effMask) {
+      val maskOnly = tomb >= effMask && tomb - effMask <= m.maskCount
       graft.operators.IndexCompaction.applyDeletesFiles(spark, root, "r",
         graft.operators.IndexCompaction.deletedKeys(table, VectorTable.ROWID, "r",
           () => spark.read.parquet(

@@ -56,21 +56,26 @@ final class SecondaryIndex private (
     */
   def refresh(table: VectorTable): SecondaryIndex = {
     val m = table.manifest
-    graft.operators.IndexCompaction.guardRestores(root, m, indexedRestores)
+    val cu = graft.operators.IndexCompaction.restoreCatchUp(spark, root, table, m,
+      builtFromVersion, indexedLength, indexedMask, indexedRestores,
+      rowidCol = "r")
+    val effLen = cu.map(_.newLength).getOrElse(indexedLength)
+    val effMask = cu.map(_.maskFloor).getOrElse(indexedMask)
     // staleness gates on the MONOTONIC tombstone total (maskCount +
     // purged, round-16 ADVICE): purge() resets maskCount, so raw equality
     // could silently skip delete propagation — see LshIndex.refresh
     val tomb = m.maskCount + m.purged
-    if (m.length <= indexedLength && tomb == indexedMask) return this
+    if (cu.isEmpty && m.length <= effLen && tomb == effMask) return this
     import org.apache.spark.sql.functions.col
-    if (m.length > indexedLength)
-      table.range(indexedLength, m.length - indexedLength)
+    if (m.length > effLen)
+      table.range(effLen, m.length - effLen)
         .select(col(keyCol).as("k"), col(VectorTable.ROWID).as("r"))
         .sortWithinPartitions("k")
         .write.mode("append")
         .parquet(graft.operators.IndexCompaction.dataDir(root).toString)
-    if (tomb != indexedMask) {
-      val maskOnly = tomb >= indexedMask && tomb - indexedMask <= m.maskCount
+    // a catch-up FORCES the delete pass (re-spanned masked rows scrub here)
+    if (cu.isDefined || tomb != effMask) {
+      val maskOnly = tomb >= effMask && tomb - effMask <= m.maskCount
       graft.operators.IndexCompaction.applyDeletesFiles(spark, root, "r",
         graft.operators.IndexCompaction.deletedKeys(table, VectorTable.ROWID, "r",
           () => spark.read.parquet(

@@ -41,16 +41,19 @@ final class SimHashIndex private (
     */
   def refresh(table: VectorTable): SimHashIndex = {
     val m = table.manifest
-    IndexCompaction.guardRestores(root, m, indexedRestores)
+    val cu = IndexCompaction.restoreCatchUp(spark, root, table, m,
+      builtFromVersion, indexedLength, indexedMask, indexedRestores)
+    val effLen = cu.map(_.newLength).getOrElse(indexedLength)
+    val effMask = cu.map(_.maskFloor).getOrElse(indexedMask)
     val tomb = m.maskCount + m.purged
-    if (m.length <= indexedLength && tomb == indexedMask) return this
+    if (cu.isEmpty && m.length <= effLen && tomb == effMask) return this
     val legacy = IndexCompaction.hasParquet(IndexCompaction.dataDir(root)) &&
       !IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID)
-    if (m.length > indexedLength)
-      SimHashIndex.writeSpan(table, indexedLength, m.length - indexedLength, root,
+    if (m.length > effLen)
+      SimHashIndex.writeSpan(table, effLen, m.length - effLen, root,
         withRowid = !legacy)
-    if (tomb != indexedMask) {
-      val maskOnly = tomb >= indexedMask && tomb - indexedMask <= m.maskCount
+    if (cu.isDefined || tomb != effMask) {
+      val maskOnly = tomb >= effMask && tomb - effMask <= m.maskCount
       val key = if (legacy) "doc_id" else VectorTable.ROWID
       IndexCompaction.applyDeletesFiles(spark, root, key,
         IndexCompaction.deletedKeys(table, key, key, () => signatures.select(key), maskOnly),
@@ -155,21 +158,24 @@ final class ContainmentIndex private (
 
   def refresh(table: VectorTable): ContainmentIndex = {
     val m = table.manifest
-    IndexCompaction.guardRestores(root, m, indexedRestores)
+    val cu = IndexCompaction.restoreCatchUp(spark, root, table, m,
+      builtFromVersion, indexedLength, indexedMask, indexedRestores)
+    val effLen = cu.map(_.newLength).getOrElse(indexedLength)
+    val effMask = cu.map(_.maskFloor).getOrElse(indexedMask)
     val tomb = m.maskCount + m.purged
-    if (m.length <= indexedLength && tomb == indexedMask) return this
+    if (cu.isEmpty && m.length <= effLen && tomb == effMask) return this
     // layout probe BEFORE the span append; tombstone-total gate — see
     // LshIndex.refresh for the rationale
     val legacy = IndexCompaction.hasParquet(IndexCompaction.dataDir(root)) &&
       !IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID)
-    if (m.length > indexedLength)
-      ContainmentIndex.writeSpan(table, indexedLength, m.length - indexedLength, root,
+    if (m.length > effLen)
+      ContainmentIndex.writeSpan(table, effLen, m.length - effLen, root,
         freq, withRowid = !legacy)
     // takedown: the frozen freq table keeps the deleted docs' counts —
     // frequency drift only degrades prefix SELECTIVITY, never correctness
     // (losslessness holds under ANY shared total order; see class doc)
-    if (tomb != indexedMask) {
-      val maskOnly = tomb >= indexedMask && tomb - indexedMask <= m.maskCount
+    if (cu.isDefined || tomb != effMask) {
+      val maskOnly = tomb >= effMask && tomb - effMask <= m.maskCount
       val key = if (legacy) "doc_id" else VectorTable.ROWID
       IndexCompaction.applyDeletesFiles(spark, root, key,
         IndexCompaction.deletedKeys(table, key, key, () => entries.select(key), maskOnly),
@@ -293,18 +299,21 @@ final class SpanIndex private (
 
   def refresh(table: VectorTable): SpanIndex = {
     val m = table.manifest
-    IndexCompaction.guardRestores(root, m, indexedRestores)
+    val cu = IndexCompaction.restoreCatchUp(spark, root, table, m,
+      builtFromVersion, indexedLength, indexedMask, indexedRestores)
+    val effLen = cu.map(_.newLength).getOrElse(indexedLength)
+    val effMask = cu.map(_.maskFloor).getOrElse(indexedMask)
     val tomb = m.maskCount + m.purged
-    if (m.length <= indexedLength && tomb == indexedMask) return this
+    if (cu.isEmpty && m.length <= effLen && tomb == effMask) return this
     // layout probe BEFORE the span append; tombstone-total gate — see
     // LshIndex.refresh for the rationale
     val legacy = IndexCompaction.hasParquet(IndexCompaction.dataDir(root)) &&
       !IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID)
-    if (m.length > indexedLength)
-      SpanIndex.writeSpan(table, indexedLength, m.length - indexedLength, root,
+    if (m.length > effLen)
+      SpanIndex.writeSpan(table, effLen, m.length - effLen, root,
         withRowid = !legacy)
-    if (tomb != indexedMask) {
-      val maskOnly = tomb >= indexedMask && tomb - indexedMask <= m.maskCount
+    if (cu.isDefined || tomb != effMask) {
+      val maskOnly = tomb >= effMask && tomb - effMask <= m.maskCount
       val key = if (legacy) "doc_id" else VectorTable.ROWID
       IndexCompaction.applyDeletesFiles(spark, root, key,
         IndexCompaction.deletedKeys(table, key, key, () => windows.select(key), maskOnly),

@@ -255,24 +255,164 @@ object IndexCompaction {
     true
   }
 
-  /** RESTORE guard for incremental refresh (round 17 — the same epoch
-    * protocol [[graft.core.MaterializedAggView]] uses): a
-    * [[graft.core.VectorTable.restore]] rewinds the head and later appends
-    * REUSE the dropped rowid range with different content, which an
-    * append-only span refresh cannot see (`length <= indexedLength` reads
-    * as "nothing new" while the indexed prefix's content changed under
-    * it). The manifest's restore-epoch counter detects this; the only
-    * sound continuation is a REBUILD, so refresh fails loudly instead of
-    * silently serving pre-restore rows.
+  /** The outcome of a restore catch-up: refresh must re-span from
+    * `newLength` and gate its delete pass against `maskFloor` (and must
+    * RUN that pass — re-spanned rows include currently-masked ones, which
+    * the pass scrubs like any appended-then-deleted span).
     */
-  private[graft] def guardRestores(root: String, m: graft.core.Manifest,
-                                   indexedRestores: Long): Unit =
-    if (m.restores != indexedRestores)
+  private[graft] final case class RestoreCatchUp(newLength: Long, maskFloor: Long,
+                                                 droppedFiles: Int)
+
+  /** RESTORE CATCH-UP for incremental refresh (round 18, replacing the
+    * round-17 loud-fail guard): a [[graft.core.VectorTable.restore]]
+    * rewinds the head and later appends REUSE the dropped rowid range
+    * with different content, which an append-only span refresh cannot see
+    * (`length <= indexedLength` reads as "nothing new" while the indexed
+    * prefix's content changed under it). The manifest's restore-epoch
+    * counter detects it; instead of demanding a rebuild, refresh now
+    * catches up in O(affected spans):
+    *
+    *   1. walk the manifest versions committed since the index's last
+    *      consumption and find every restore commit (the version whose
+    *      `restores` bumped IS the restored-to manifest, so its `length`
+    *      is the reused-rowid floor); the catch-up floor is the MIN over
+    *      those, capped at the indexed length;
+    *   2. drop exactly the index span files whose footer rowid span
+    *      intersects [floor, ∞) — every span append covers a contiguous
+    *      rowid range, so the footer [min, max] is tight; a dropped file
+    *      reaching below the floor lowers it (fixpoint), so re-spanning
+    *      can never duplicate a kept row. Kept files HARD-LINK into a
+    *      fresh dir behind the atomic pointer flip (crash-safe: the old
+    *      layout stays live until publish, and meta still carries the old
+    *      epoch, so a crashed catch-up simply re-runs);
+    *   3. the caller re-spans [newLength, head) — reindexing the restored
+    *      range from current content — records the new epoch in its meta
+    *      write, and resumes normal incremental refresh.
+    *
+    * Falls back to newLength = 0 — an IN-PLACE re-derive, cost O(table),
+    * never a manual rebuild — when the walk can't prove the cheap path
+    * sound: vacuumed/missing manifest versions, or a restore that rewound
+    * MASK state the index had already consumed (`maskCount + purged` at
+    * some bump below the index's consumed total — anti-joined rows would
+    * need resurrecting, which dropped-span arithmetic can't do; dropping
+    * everything re-derives them).
+    *
+    * Legacy layouts (no rowid column) still fail loudly: nothing
+    * addresses their rows physically, so only a rebuild is sound there.
+    *
+    * Returns None when no restore happened (the common path — ZERO cost:
+    * one long comparison).
+    */
+  private[graft] def restoreCatchUp(spark: SparkSession, root: String,
+                                    table: graft.core.VectorTable,
+                                    m: graft.core.Manifest,
+                                    indexedVersion: Long, indexedLength: Long,
+                                    indexedMask: Long, indexedRestores: Long,
+                                    rowidCol: String = graft.core.VectorTable.ROWID):
+      Option[RestoreCatchUp] = {
+    if (m.restores == indexedRestores) return None
+    val live = dataDir(root)
+    if (hasParquet(live) && !liveHasColumn(spark, root, rowidCol))
       throw new IllegalStateException(
         s"index at $root was built at restore-epoch $indexedRestores but the " +
-          s"table is at epoch ${m.restores}: a restore reuses rowid ranges " +
-          "with different content, which an incremental refresh cannot " +
-          "reconcile — rebuild the index")
+          s"table is at epoch ${m.restores}: its legacy layout has no " +
+          s"$rowidCol column to span-address, so the restored range cannot " +
+          "be dropped incrementally — rebuild the index")
+    // the restored-to lengths: every version whose restore counter bumped
+    // is the restore commit itself (a copy of the target manifest), so its
+    // length is the floor below which rowids may have been reused. The
+    // walk needs every intermediate version — a vacuumed gap or a missing
+    // file falls back to the full re-derive.
+    val versions = table.versions.filter(v => v > indexedVersion && v <= m.version)
+    val contiguous = versions.nonEmpty && versions.head == indexedVersion + 1 &&
+      versions.zip(versions.drop(1)).forall { case (a, b) => b == a + 1 }
+    val bumps: Option[Vector[graft.core.Manifest]] =
+      if (!contiguous) None
+      else try {
+        var prev = indexedRestores
+        val out = Vector.newBuilder[graft.core.Manifest]
+        versions.foreach { v =>
+          val mv = graft.core.Manifest.loadVersion(table.root, v)
+          if (mv.restores > prev) out += mv
+          prev = mv.restores
+        }
+        Some(out.result())
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val (floor, maskFloor) = bumps match {
+      // the cheap path also needs every bump's tombstone total at or above
+      // what the index consumed: a restore that rewound consumed mask
+      // state resurrects rows the kept prefix already anti-joined away
+      case Some(bs) if bs.nonEmpty &&
+          bs.forall(b => b.maskCount + b.purged >= indexedMask) =>
+        (math.min(bs.map(_.length).min, indexedLength), indexedMask)
+      case _ => (0L, 0L)
+    }
+    var cut = floor
+    var dropped = 0
+    // the re-span floor additionally bounds by what the KEPT layout
+    // actually covers: a catch-up that crashed after its pointer flip but
+    // before re-span/meta re-runs here with the already-truncated layout,
+    // and the bump floor alone would then overstate the indexed prefix.
+    var keptHi = -1L
+    if (hasParquet(live)) {
+      val files = liveParquetFiles(live)
+      // fixpoint: dropping a file that dips below the cut lowers the cut
+      // (span files are contiguous-rowid, so one pass usually suffices)
+      val drop = scala.collection.mutable.Set[Path]()
+      var changed = true
+      while (changed) {
+        changed = false
+        files.filterNot(drop.contains).foreach { f =>
+          val span = graft.core.DirectParquetRead.longColSpan(f.toString, rowidCol)
+          val affected = span match {
+            case Some((_, hi)) => hi >= cut
+            // no usable span: affected unless provably EMPTY (a 0-row
+            // schema-carrier file holds nothing stale)
+            case None => parquetRowCount(f) != 0L
+          }
+          if (affected) {
+            drop += f
+            span.foreach { case (lo, _) => if (lo < cut) { cut = lo; changed = true } }
+          }
+        }
+      }
+      files.filterNot(drop.contains).foreach { f =>
+        graft.core.DirectParquetRead.longColSpan(f.toString, rowidCol)
+          .foreach { case (_, hi) => if (hi > keptHi) keptHi = hi }
+      }
+      if (drop.nonEmpty) {
+        dropped = drop.size
+        // kept files hard-link into a fresh layout, RELATIVE paths kept
+        // (the IVF layout is hive-partitioned by cell), published behind
+        // the pointer flip — same crash discipline as compact()
+        val fresh = Paths.get(root, s"data-${java.util.UUID.randomUUID()}")
+        Files.createDirectories(fresh)
+        files.filterNot(drop.contains).foreach { f =>
+          val dst = fresh.resolve(live.relativize(f).toString)
+          Files.createDirectories(dst.getParent)
+          graft.core.Fs.linkOrCopy(f, dst)
+        }
+        publish(root, fresh.getFileName.toString)
+        Dedup.deleteRecursively(live)
+      }
+    }
+    // rows in (keptHi, cut) absent from the kept files are exactly the
+    // scrubbed-masked (or purged) ones; re-spanning them re-adds masked
+    // rows that the forced delete pass scrubs again — never a live-row
+    // duplicate, never a loss
+    Some(RestoreCatchUp(math.min(cut, keptHi + 1L), maskFloor, dropped))
+  }
+
+  /** Footer row count (0 when unreadable — treat as empty-safe only for
+    * files we would otherwise drop on a missing span).
+    */
+  private def parquetRowCount(f: Path): Long =
+    try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString), new org.apache.hadoop.conf.Configuration()))
+      try reader.getRecordCount finally reader.close()
+    } catch { case _: Throwable => -1L }
 
   /** The deleted-key frame an index refresh must anti-join away, given how
     * far the table's MONOTONIC tombstone total (maskCount + purged) has

@@ -77,17 +77,21 @@ final class IvfTableIndex private (
     */
   def refresh(table: VectorTable): IvfTableIndex = {
     val m = table.manifest
-    IndexCompaction.guardRestores(root, m, indexedRestores)
+    val cu = IndexCompaction.restoreCatchUp(spark, root, table, m,
+      builtFromVersion, indexedLength, indexedMask, indexedRestores)
+    val effLen = cu.map(_.newLength).getOrElse(indexedLength)
+    val effMask = cu.map(_.maskFloor).getOrElse(indexedMask)
     val tomb = m.maskCount + m.purged
-    if (m.length <= indexedLength && tomb == indexedMask) return this
+    if (cu.isEmpty && m.length <= effLen && tomb == effMask) return this
     val legacy = IndexCompaction.hasParquet(IndexCompaction.dataDir(root)) &&
       !IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID)
-    if (m.length > indexedLength)
-      IvfTableIndex.writeSpan(table, centroids, indexedLength, m.length - indexedLength,
+    if (m.length > effLen)
+      IvfTableIndex.writeSpan(table, centroids, effLen, m.length - effLen,
         root, withRowid = !legacy)
-    if (tomb != indexedMask)
+    // a catch-up FORCES the delete pass (re-spanned masked rows scrub here)
+    if (cu.isDefined || tomb != effMask)
       applyDeletes(table, legacy,
-        maskOnly = tomb >= indexedMask && tomb - indexedMask <= m.maskCount)
+        maskOnly = tomb >= effMask && tomb - effMask <= m.maskCount)
     IvfTableIndex.writeMeta(root, m.version, m.length, tomb, m.restores)
     new IvfTableIndex(spark, root, m.version, m.length, tomb, m.restores)
   }

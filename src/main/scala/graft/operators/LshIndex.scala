@@ -70,16 +70,21 @@ final class LshIndex private (
     */
   def refresh(table: VectorTable): LshIndex = {
     val m = table.manifest
-    IndexCompaction.guardRestores(root, m, indexedRestores)
+    val cu = IndexCompaction.restoreCatchUp(spark, root, table, m,
+      builtFromVersion, indexedLength, indexedMask, indexedRestores)
+    val effLen = cu.map(_.newLength).getOrElse(indexedLength)
+    val effMask = cu.map(_.maskFloor).getOrElse(indexedMask)
     val tomb = m.maskCount + m.purged
-    if (m.length <= indexedLength && tomb == indexedMask) return this
+    if (cu.isEmpty && m.length <= effLen && tomb == effMask) return this
     val legacy = IndexCompaction.hasParquet(IndexCompaction.dataDir(root)) &&
       !IndexCompaction.liveHasColumn(spark, root, VectorTable.ROWID)
-    if (m.length > indexedLength)
-      LshIndex.writeSpan(table, indexedLength, m.length - indexedLength, root,
+    if (m.length > effLen)
+      LshIndex.writeSpan(table, effLen, m.length - effLen, root,
         withRowid = !legacy)
-    if (tomb != indexedMask) {
-      val maskOnly = tomb >= indexedMask && tomb - indexedMask <= m.maskCount
+    // a catch-up FORCES the delete pass: the re-spanned range re-included
+    // currently-masked rows (range() is unfiltered), which it scrubs
+    if (cu.isDefined || tomb != effMask) {
+      val maskOnly = tomb >= effMask && tomb - effMask <= m.maskCount
       val key = if (legacy) "doc_id" else VectorTable.ROWID
       IndexCompaction.applyDeletesFiles(spark, root, key,
         IndexCompaction.deletedKeys(table, key, key, () => bands.select(key), maskOnly),
