@@ -392,6 +392,8 @@ object Bench {
       "ann_ivf_compacted_search", "takedown_scan", "takedown_ivf_search", "takedown_lsh_delta", "takedown_everywhere", "text_chunk_windows", "text_chunk_udtf", "text_temperature_mixture",
       "text_subword_vocab_tokens", "text_subword_vocab_budget_cutoff",
       "text_bpe_tokens", "text_bpe_budget_cutoff", "text_bpe_pack",
+      "text_bpe_encode", "text_bpe_mixture_export", "text_bpe_temperature_export",
+      "text_bpe_curriculum_export", "takedown_batch_1e5",
       "text_span_scrub", "dedup_span_ingest", "dedup_lsh_ingest", "pipeline_ingest_gates", "text_curriculum_export",
       "dedup_delta_candidates_compacted", "dedup_delta_simhash_compacted",
       "dedup_delta_containment_compacted", "dedup_delta_spans_compacted",
@@ -452,6 +454,9 @@ object Bench {
     dim("maint_fired_tail_merge")(graft.operators.MaintenancePricing.firedTailMerge(spark, sfDir))
     dim("maint_fired_index_compaction")(graft.operators.MaintenancePricing.firedIndexCompaction(spark, sfDir))
     dim("takedown_purge")(graft.operators.MaintenancePricing.maskAndPurge(spark, sfDir))
+    // GDPR-batch erasure (round-17 verdict #6): 1e5 ids as a join operand
+    // through mask -> registered index refresh -> purge
+    dim("takedown_batch_1e5")(graft.operators.MaintenancePricing.takedownBatch1e5(spark, sfDir))
     dim("sec_index_build")(graft.operators.Relational.prebuildCustkeyIndex(spark, sfDir))
     dim("upsert_table_build")(graft.operators.Relational.prebuildUpsertTable(spark, sfDir))
     dim("mv_view_build")(graft.operators.Relational.prebuildPricingSummaryView(spark, sfDir))

@@ -128,6 +128,27 @@ object MaintenancePricing {
       "fragmented fixture must fire an index compaction")
   }
 
+  /** GDPR-BATCH erasure end to end (round-17 verdict #6): a ~10⁵-id batch
+    * as a DataFrame driven through [[Takedown.everywhere]] — mask via a
+    * JOIN operand ([[graft.core.VectorTable.deleteWhereKeysIn]];
+    * TakedownScaleSpec pins that no In/InSet literal appears at this
+    * scale), REGISTERED index refresh, physical purge — over clones of
+    * the maintained twin. The id batch is fixed-size while the store is
+    * SF-sized: most ids miss, the realistic GDPR shape (one batch
+    * serviced by every store in the deployment), and the store-side cost
+    * is ∝ affected files, which is what the dim prices.
+    */
+  def takedownBatch1e5(s: SparkSession, d: String): Unit = {
+    val t = VectorTable.open(s, clone(s, d, "maint"))
+    var lsh = LshIndex.open(s, clone(s, d, "maintlsh"))
+    val ids = s.range(100000L).select((col("id") * lit(20L)).as("doc_id"))
+    val counts = Takedown.everywhere(ids,
+      Seq(Takedown.Store("docs", t, "doc_id",
+        refreshIndexes = Seq(() => { lsh = lsh.refresh(t); () }))),
+      propagate = Nil, purge = true)
+    require(counts("docs") > 0L, "batch takedown must mask rows")
+  }
+
   /** One mask + PHYSICAL PURGE over a clone of the maintained table — the
     * erasure path as a per-round priced dim (ProfilePurge remains the
     * offline deep-dive; this keeps the price in every committed record

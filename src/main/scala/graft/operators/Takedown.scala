@@ -56,6 +56,11 @@ object Takedown {
     * `propagate` hooks run between masking and erasure. Returns
     * newly-masked row counts per store name (a doc absent from a store
     * contributes 0 — takedowns are idempotent end to end).
+    *
+    * The id set becomes an `isInCollection` literal inlined into every
+    * task, which is right for takedown-sized sets only — above ~10⁴ ids
+    * use the [[everywhere(ids:org\.apache\.spark\.sql\.DataFrame* DataFrame overload]],
+    * which routes the set as a join operand instead.
     */
   def everywhere(ids: Seq[Long], stores: Seq[Store],
                  propagate: Seq[() => Unit] = Nil,
