@@ -393,7 +393,7 @@ object Bench {
       "text_subword_vocab_tokens", "text_subword_vocab_budget_cutoff",
       "text_bpe_tokens", "text_bpe_budget_cutoff", "text_bpe_pack",
       "text_bpe_encode", "text_bpe_mixture_export", "text_bpe_temperature_export",
-      "text_bpe_curriculum_export", "takedown_batch_1e5",
+      "text_bpe_curriculum_export", "text_bpe_payload_export", "takedown_batch_1e5",
       "text_span_scrub", "dedup_span_ingest", "dedup_lsh_ingest", "pipeline_ingest_gates", "text_curriculum_export",
       "dedup_delta_candidates_compacted", "dedup_delta_simhash_compacted",
       "dedup_delta_containment_compacted", "dedup_delta_spans_compacted",

@@ -518,6 +518,137 @@ object TextOps {
        |  CAST(CASE WHEN len(k.t) = 1 THEN ord(k.t) ELSE 256 + r.rnk END AS BIGINT) AS token_id
        |FROM bpe_tok k LEFT JOIN bpe_rnk r ON r.g = k.t""".stripMargin
 
+  /** The packed TOKEN-ID doc stream: docs hash-exchanged on shard, sorted
+    * by doc_id within, each encoded ONCE by the kernel's exact walk and
+    * bin-assigned by the same greedy fold every packed face uses — the
+    * one layout both [[bpePayloadExport]] (the certifying manifest) and
+    * [[writeBpeTokenShards]] (the trainer-consumable write) consume, so
+    * the checksum face certifies byte-for-byte the stream the writer
+    * lands. Scale shape: ONE exchange + per-shard sort; the encode is
+    * map-side within it; O(1) fold state.
+    */
+  private def bpePackedDocStream(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[(Int, Long, Long, Array[Int])] = {
+    import s.implicits._
+    val mergesArr = corpusBpeMerges(s, d)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("shard", (col("doc_id") % packShards).cast("int"))
+      .repartition(packShards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .select(col("shard"), col("doc_id"), col("text"))
+      .as[(Int, Long, String)]
+      .mapPartitions { it =>
+        val bpe = new graft.functions.BpeMerges(mergesArr)
+        var sh = Int.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (s0, id, text) =>
+          val ids = bpe.encode(
+            org.apache.spark.unsafe.types.UTF8String.fromString(text)).toIntArray()
+          val nt = ids.length.toLong
+          if (s0 != sh) { sh = s0; bin = 0L; fill = nt }
+          else if (fill + nt > packBudget) { bin += 1; fill = nt }
+          else fill += nt
+          (s0, bin, id, ids)
+        }
+      }
+  }
+
+  /** Declared `text_bpe_payload_export` (round 18): the packed export at
+    * PAYLOAD grain — per (shard, bin): doc count, the bin's actual token
+    * count, and an ORDER-SENSITIVE checksum of the id stream
+    * (Σ token_id · position-in-bin, 1-based, docs in pack order, token
+    * order within doc). Masses alone can't certify an export — two
+    * engines can agree on every bin mass while packing different ids in
+    * different orders; the position-weighted sum pins stream identity,
+    * and it is exactly re-derivable from [[writeBpeTokenShards]]' parquet
+    * (BpePayloadExportSpec does) and from DuckDB's recursive walk.
+    *
+    * Scale shape: the second fold runs over [[bpePackedDocStream]]'s
+    * already-sorted partitions — bins are CONTIGUOUS in the stream, so
+    * per-bin rows emit on boundary crossings with O(1) state; no join,
+    * no window, no second shuffle over the token stream.
+    */
+  def bpePayloadExport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpePackedDocStream(s, d)
+      .mapPartitions { it =>
+        var sh = Int.MinValue
+        var bin = 0L
+        var nDocs = 0L
+        var nToks = 0L
+        var cks = 0L
+        var open = false
+        def row = (sh, bin, nDocs, nToks, cks)
+        val folded = it.flatMap { case (s0, b, _, ids) =>
+          val boundary = open && (s0 != sh || b != bin)
+          val out = if (boundary) Some(row) else None
+          if (!open || boundary) {
+            sh = s0; bin = b; nDocs = 0L; nToks = 0L; cks = 0L; open = true
+          }
+          nDocs += 1
+          var k = 0
+          while (k < ids.length) { nToks += 1; cks += ids(k).toLong * nToks; k += 1 }
+          out
+        }
+        folded ++ (if (open) Iterator.single(row) else Iterator.empty)
+      }
+      .toDF("shard", "bin", "n_docs", "bin_tokens", "payload_checksum")
+  }
+
+  /** The write [[bpePayloadExport]] certifies: one parquet file per shard
+    * (hash layout of the stream above), rows (bin, doc_id, token_ids) in
+    * pack order — the sequences a training data loader consumes directly,
+    * in the unit the budget/cutoff/mixture faces priced.
+    */
+  def writeBpeTokenShards(s: SparkSession, d: String, out: String): Unit =
+    bpePackedDocStream(s, d)
+      .toDF("shard", "bin", "doc_id", "token_ids")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+
+  /** Oracle: the pack recursion at doc grain (same CTE as the pack faces),
+    * the id walk at token grain (same CTEs as `text_bpe_encode`), joined
+    * and position-numbered within (shard, bin) by (doc_id, pos) — the
+    * SQL restatement of the fold's accumulation order. Bins whose docs
+    * are all empty keep n_docs and COALESCE to zero masses.
+    */
+  lazy val bpePayloadExportSql: String =
+    s"""WITH RECURSIVE $bpeCtes,
+       | $bpeEncodeCtes,
+       | d AS (
+       |  SELECT CAST(doc.doc_id % $packShards AS INTEGER) AS shard, doc.doc_id,
+       |         CAST(COALESCE(sd.n_bpe, 0) AS BIGINT) AS n_tokens,
+       |         row_number() OVER (PARTITION BY doc.doc_id % $packShards ORDER BY doc.doc_id) AS rn
+       |  FROM documents doc LEFT JOIN bpe_doc sd ON doc.doc_id = sd.doc_id),
+       | pack AS (
+       |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+       |    CASE WHEN p.fill + d.n_tokens > $packBudget THEN p.bin + 1 ELSE p.bin END,
+       |    CASE WHEN p.fill + d.n_tokens > $packBudget THEN d.n_tokens
+       |         ELSE p.fill + d.n_tokens END
+       |  FROM d JOIN pack p ON d.shard = p.shard AND d.rn = p.rn + 1),
+       | ptok AS (
+       |  SELECT k.doc_id,
+       |    row_number() OVER (PARTITION BY k.doc_id ORDER BY k.widx, k.tidx) AS pos,
+       |    CAST(CASE WHEN len(k.t) = 1 THEN ord(k.t) ELSE 256 + r.rnk END AS BIGINT) AS token_id
+       |  FROM bpe_tok k LEFT JOIN bpe_rnk r ON r.g = k.t),
+       | pt AS (
+       |  SELECT p.shard, p.bin, t.token_id,
+       |    row_number() OVER (PARTITION BY p.shard, p.bin ORDER BY p.doc_id, t.pos) AS pib
+       |  FROM pack p JOIN ptok t ON p.doc_id = t.doc_id),
+       | pagg AS (
+       |  SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS bin_tokens,
+       |         CAST(SUM(token_id * pib) AS BIGINT) AS payload_checksum
+       |  FROM pt GROUP BY shard, bin)
+       |SELECT p.shard, p.bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(MIN(a.bin_tokens), 0) AS BIGINT) AS bin_tokens,
+       |  CAST(COALESCE(MIN(a.payload_checksum), 0) AS BIGINT) AS payload_checksum
+       |FROM pack p LEFT JOIN pagg a ON p.shard = a.shard AND p.bin = a.bin
+       |GROUP BY p.shard, p.bin""".stripMargin
+
   /** Declared `text_subword_tokens`: per-doc whitespace vs SUBWORD token
     * counts from the codegen'd greedy longest-match kernel
     * ([[graft.functions.SubwordTokenCount]]) — the honest budget basis

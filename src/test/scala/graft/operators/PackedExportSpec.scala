@@ -137,4 +137,52 @@ class PackedExportSpec extends SparkSpec {
     }
     assert(seen == manifest.keySet, "written bins != manifest bins")
   }
+
+  test("BPE payload export (round 18): written id shards replay the checksum face") {
+    val d = sf()
+    val face = TextOps.bpePayloadExport(spark, d).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap // (shard, bin) -> (n_docs, bin_tokens, payload_checksum)
+    assert(face.nonEmpty)
+    face.foreach { case ((shard, bin), (nDocs, binToks, _)) =>
+      assert(binToks <= TextOps.packBudget || nDocs == 1L,
+        s"shard $shard bin $bin overfilled: $binToks BPE tokens across $nDocs docs")
+    }
+    // the face's total mass is the kernel's corpus mass (count ≡ encode length)
+    val kernel = new graft.functions.BpeMerges(TextOps.corpusBpeMerges(spark, d))
+    val corpusMass = graft.core.Tables.documents(spark, d).select("text").collect()
+      .map(r => kernel.count(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))).sum
+    assert(face.values.map(_._2).sum == corpusMass,
+      "bin token masses must sum to the kernel's corpus mass")
+
+    val out = tmpDir("bpe-packed") + "/export"
+    TextOps.writeBpeTokenShards(spark, d, out)
+    // one file per shard, and the written id streams re-derive the face
+    val shards = face.keySet.map(_._1)
+    var replayed = Map.empty[(Int, Long), (Long, Long, Long)]
+    shards.foreach { shard =>
+      val dir = java.nio.file.Paths.get(out, s"shard=$shard")
+      val listing = java.nio.file.Files.list(dir)
+      val parquets = new scala.collection.mutable.ArrayBuffer[String]()
+      try listing.iterator().forEachRemaining(p =>
+        if (p.getFileName.toString.endsWith(".parquet")) parquets += p.toString)
+      finally listing.close()
+      assert(parquets.size == 1, s"shard $shard has ${parquets.size} files, want 1")
+      spark.read.parquet(parquets.head)
+        .select("bin", "doc_id", "token_ids").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2)))
+        .groupBy(_._1).foreach { case (bin, rows) =>
+          var pos = 0L
+          var cks = 0L
+          var toks = 0L
+          rows.sortBy(_._2).foreach { case (_, _, ids) =>
+            ids.foreach { id => pos += 1; toks += 1; cks += id.toLong * pos }
+          }
+          replayed += (shard, bin) -> (rows.length.toLong, toks, cks)
+        }
+    }
+    assert(replayed == face,
+      "(n_docs, bin_tokens, payload_checksum) re-derived from written shards != face")
+  }
 }
