@@ -393,7 +393,8 @@ object Bench {
       "text_subword_vocab_tokens", "text_subword_vocab_budget_cutoff",
       "text_bpe_tokens", "text_bpe_budget_cutoff", "text_bpe_pack",
       "text_bpe_encode", "text_bpe_mixture_export", "text_bpe_temperature_export",
-      "text_bpe_curriculum_export", "text_bpe_payload_export", "takedown_batch_1e5",
+      "text_bpe_curriculum_export", "text_bpe_payload_export",
+      "takedown_bpe_export", "takedown_batch_1e5",
       "text_span_scrub", "dedup_span_ingest", "dedup_lsh_ingest", "pipeline_ingest_gates", "text_curriculum_export",
       "dedup_delta_candidates_compacted", "dedup_delta_simhash_compacted",
       "dedup_delta_containment_compacted", "dedup_delta_spans_compacted",
@@ -441,6 +442,7 @@ object Bench {
     dim("takedown_corpus_build")(graft.operators.Similarity.prebuildTakedown(spark, sfDir))
     dim("takedown_lsh_corpus_build")(graft.operators.Dedup.prebuildTakedownLsh(spark, sfDir))
     dim("takedown_everywhere_build")(graft.operators.Takedown.prebuildEverywhere(spark, sfDir))
+    dim("takedown_bpe_export_build")(graft.operators.TextOps.prebuildTakedownBpeExport(spark, sfDir))
     // one-time corpus-vocab derivation (driver-collected top-K), memoized —
     // the text_subword_vocab_* dims then price tokenization, not training
     dim("subword_vocab_build")(graft.operators.TextOps.corpusSubwordVocab(spark, sfDir))

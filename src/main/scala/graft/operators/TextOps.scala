@@ -528,11 +528,19 @@ object TextOps {
     * map-side within it; O(1) fold state.
     */
   private def bpePackedDocStream(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[(Int, Long, Long, Array[Int])] =
+    bpePackedDocStreamOf(s, d, Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** The stream over an ARBITRARY (doc_id, text) doc set. The merges
+    * table still derives from the FULL corpus at `d` — the vocabulary is
+    * frozen at derivation time, and a doc-set change (erasure, cleaning)
+    * must never retokenize the surviving stream.
+    */
+  private def bpePackedDocStreamOf(s: SparkSession, d: String, docsIn: DataFrame)
       : org.apache.spark.sql.Dataset[(Int, Long, Long, Array[Int])] = {
     import s.implicits._
     val mergesArr = corpusBpeMerges(s, d)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
+    docsIn
       .withColumn("shard", (col("doc_id") % packShards).cast("int"))
       .repartition(packShards, col("shard"))
       .sortWithinPartitions("shard", "doc_id")
@@ -603,7 +611,16 @@ object TextOps {
     * in the unit the budget/cutoff/mixture faces priced.
     */
   def writeBpeTokenShards(s: SparkSession, d: String, out: String): Unit =
-    bpePackedDocStream(s, d)
+    writeBpeTokenShardsOf(s, d,
+      Tables.documents(s, d).select(col("doc_id"), col("text")), out)
+
+  /** The id-shard writer over ANY (doc_id, text) source — cleaned or
+    * scrubbed doc sets write through this with the corpus-frozen merges
+    * (the [[writePackedShardsOf]] convention, in token-id units).
+    */
+  def writeBpeTokenShardsOf(s: SparkSession, d: String, docsIn: DataFrame,
+                            out: String): Unit =
+    bpePackedDocStreamOf(s, d, docsIn)
       .toDF("shard", "bin", "doc_id", "token_ids")
       .write.mode("overwrite").partitionBy("shard").parquet(out)
 
@@ -613,14 +630,22 @@ object TextOps {
     * SQL restatement of the fold's accumulation order. Bins whose docs
     * are all empty keep n_docs and COALESCE to zero masses.
     */
-  lazy val bpePayloadExportSql: String =
+  lazy val bpePayloadExportSql: String = bpePayloadSqlWhere("TRUE")
+
+  /** The payload manifest over a FILTERED doc set. Only the pack-side `d`
+    * CTE filters: the merges/walk CTEs stay full-corpus (frozen
+    * vocabulary), and the token stream `ptok` is inner-joined to the pack
+    * rows, so excluded docs drop out of it for free.
+    */
+  private def bpePayloadSqlWhere(where: String): String =
     s"""WITH RECURSIVE $bpeCtes,
        | $bpeEncodeCtes,
        | d AS (
        |  SELECT CAST(doc.doc_id % $packShards AS INTEGER) AS shard, doc.doc_id,
        |         CAST(COALESCE(sd.n_bpe, 0) AS BIGINT) AS n_tokens,
        |         row_number() OVER (PARTITION BY doc.doc_id % $packShards ORDER BY doc.doc_id) AS rn
-       |  FROM documents doc LEFT JOIN bpe_doc sd ON doc.doc_id = sd.doc_id),
+       |  FROM documents doc LEFT JOIN bpe_doc sd ON doc.doc_id = sd.doc_id
+       |  WHERE $where),
        | pack AS (
        |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
        |  FROM d WHERE rn = 1
@@ -648,6 +673,132 @@ object TextOps {
        |  CAST(COALESCE(MIN(a.payload_checksum), 0) AS BIGINT) AS payload_checksum
        |FROM pack p LEFT JOIN pagg a ON p.shard = a.shard AND p.bin = a.bin
        |GROUP BY p.shard, p.bin""".stripMargin
+
+  // ------------------------------------------- erasure of derived exports
+
+  /** ERASURE FOR DERIVED ARTIFACTS (round 18): scrub a victim set out of a
+    * [[writeBpeTokenShards]] export by re-packing ONLY the shards the
+    * victims land in — shard membership is `doc_id % packShards`, so the
+    * affected set is plain driver arithmetic over the victim ids, zero
+    * export reads. Affected shard dirs are deleted then rewritten from the
+    * surviving docs of those shards (the pack fold is per-shard
+    * independent, so the rewrite equals a from-scratch survivor export
+    * there, and untouched shards already equal it — no victims, same
+    * docs). A shard whose docs are ALL victims stays deleted: an absent
+    * partition is an empty shard to every reader. The merges vocabulary is
+    * FROZEN (full-corpus derivation): erasure must remove the victims'
+    * tokens, never retokenize the survivors.
+    *
+    * This is the takedown story ([[Takedown.everywhere]]) extended past
+    * the stores to their exports: register
+    * `() => TextOps.scrubBpeTokenShards(...)` as a `propagate` hook and
+    * the composed erasure reaches the training shards in the same call.
+    * Returns the affected shard ids. Victim sets here are takedown-sized
+    * (the id-list route); at GDPR-batch scale route the ids through a
+    * DataFrame like [[graft.core.VectorTable.deleteWhereKeysIn]].
+    */
+  def scrubBpeTokenShards(s: SparkSession, d: String, out: String,
+                          victims: Seq[Long]): Seq[Int] = {
+    val affected = victims.map(v => (((v % packShards) + packShards) % packShards).toInt)
+      .distinct.sorted
+    if (affected.isEmpty) return Nil
+    affected.foreach { sh =>
+      val dir = java.nio.file.Paths.get(out, s"shard=$sh")
+      if (java.nio.file.Files.exists(dir)) Dedup.deleteRecursively(dir)
+    }
+    val survivors = Tables.documents(s, d)
+      .where((col("doc_id") % packShards).isInCollection(affected.map(_.toLong)) &&
+        !col("doc_id").isInCollection(victims))
+      .select(col("doc_id"), col("text"))
+    bpePackedDocStreamOf(s, d, survivors)
+      .toDF("shard", "bin", "doc_id", "token_ids")
+      .write.mode("append").partitionBy("shard").parquet(out)
+    affected
+  }
+
+  /** The manifest an export's FILES answer for: (shard, bin, n_docs,
+    * bin_tokens, payload_checksum) re-derived from the written parquet —
+    * the audit read that certifies what is actually on disk, as opposed to
+    * [[bpePayloadExport]]'s plan-side fold. Window-based because the input
+    * is whatever the reader returns, not the fold's sorted stream; audits
+    * run at manifest grain, not corpus grain.
+    */
+  def readBpeShardManifest(s: SparkSession, out: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "bin").orderBy("doc_id", "pos")
+    val rows = s.read.parquet(out)
+      .select(col("shard").cast("int").as("shard"), col("bin"), col("doc_id"),
+        posexplode_outer(col("token_ids")))
+      .select(col("shard"), col("bin"), col("doc_id"), col("pos"),
+        col("col").cast("long").as("token_id"))
+    // position-in-bin numbers REAL tokens only: a zero-token doc's
+    // null explode row keeps the doc in n_docs but must not shift the
+    // positions the checksum weights (the fold and the oracle both skip it)
+    val toks = rows.where(col("token_id").isNotNull)
+      .withColumn("pib", row_number().over(w).cast("long"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("bin_tokens"),
+        sum(col("token_id") * col("pib")).as("payload_checksum"))
+    rows.groupBy("shard", "bin")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .join(toks, Seq("shard", "bin"), "left")
+      .select(col("shard"), col("bin"), col("n_docs"),
+        coalesce(col("bin_tokens"), lit(0L)).as("bin_tokens"),
+        coalesce(col("payload_checksum"), lit(0L)).as("payload_checksum"))
+  }
+
+  /** Every `doc_id % takedownBpeExportMod == 0` is scrubbed in the face's
+    * fixture — the same deterministic victim arithmetic the composed
+    * takedown face uses, replayable by the oracle as a WHERE clause.
+    */
+  val takedownBpeExportMod = 37L
+
+  private val bpeScrubRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Declared `takedown_bpe_export`: the post-scrub export's FILE-derived
+    * manifest. Green means the scrubbed-on-disk payload is byte-for-byte
+    * the export of the SURVIVOR corpus (the oracle packs survivors from
+    * scratch; the checksums pin stream identity, not just masses) — while
+    * the scrub itself only rewrote the affected shards
+    * (PackedExportSpec pins untouched files by mtime and the
+    * all-victims-shard edge).
+    */
+  def takedownBpeExport(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val out = bpeScrubRoots.computeIfAbsent(d, _ => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d#takedown-bpe-export#v1#m=$takedownBpeExportMod".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-takedown")
+      Files.createDirectories(base)
+      val pointer = base.resolve(s"bpe-export-$key.path")
+      if (!Files.exists(pointer)) {
+        val dir = base.resolve(s"bpe-export-$key-${java.util.UUID.randomUUID()}")
+        writeBpeTokenShards(s, d, dir.toString)
+        val victims = Tables.documents(s, d)
+          .where(col("doc_id") % takedownBpeExportMod === 0)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        require(victims.nonEmpty, "takedown_bpe_export fixture needs victims")
+        scrubBpeTokenShards(s, d, dir.toString, victims)
+        try Files.write(pointer, dir.toString.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          Dedup.deleteRecursively(dir) } // racer won; adopt theirs
+      }
+      Files.readString(pointer)
+    })
+    readBpeShardManifest(s, out)
+  }
+
+  lazy val takedownBpeExportSql: String =
+    bpePayloadSqlWhere(s"doc.doc_id % $takedownBpeExportMod <> 0")
+
+  /** Bench prebuild hook: pays the one-time fixture (full export + scrub)
+    * outside the timed face, the `takedown_corpus_build` convention.
+    */
+  def prebuildTakedownBpeExport(s: SparkSession, d: String): Unit = {
+    takedownBpeExport(s, d); ()
+  }
 
   /** Declared `text_subword_tokens`: per-doc whitespace vs SUBWORD token
     * counts from the codegen'd greedy longest-match kernel

@@ -185,4 +185,68 @@ class PackedExportSpec extends SparkSpec {
     assert(replayed == face,
       "(n_docs, bin_tokens, payload_checksum) re-derived from written shards != face")
   }
+
+  test("export scrub (round 18): only affected shards rewritten; result = survivor export") {
+    val d = sf()
+    val base = tmpDir("bpe-scrub")
+    val out = base + "/export"
+    TextOps.writeBpeTokenShards(spark, d, out)
+    val all = graft.core.Tables.documents(spark, d).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    // victims confined to exactly two shards
+    val victims = (all.filter(_ % TextOps.packShards == 3).take(3) ++
+      all.filter(_ % TextOps.packShards == 7).take(2)).toSeq
+    assert(victims.size == 5)
+
+    def snapshot(): Map[String, Long] = {
+      val seen = scala.collection.mutable.Map.empty[String, Long]
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      try walk.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          seen += p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis
+      } finally walk.close()
+      seen.toMap
+    }
+    def unaffected(m: Map[String, Long]) =
+      m.filterNot(e => e._1.contains("shard=3/") || e._1.contains("shard=7/"))
+
+    val before = snapshot()
+    val affected = TextOps.scrubBpeTokenShards(spark, d, out, victims)
+    assert(affected == Seq(3, 7), s"affected shards $affected, want Seq(3, 7)")
+    assert(unaffected(snapshot()) == unaffected(before),
+      "scrub must not touch (or even re-stat-change) unaffected shard files")
+
+    // no victim survives on disk
+    val onDisk = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !onDisk.contains(v)), "victim ids still on disk")
+
+    // the scrubbed export IS the from-scratch survivor export
+    val fresh = base + "/fresh"
+    TextOps.writeBpeTokenShardsOf(spark, d,
+      graft.core.Tables.documents(spark, d)
+        .where(!col("doc_id").isInCollection(victims))
+        .select(col("doc_id"), col("text")), fresh)
+    def manifest(dir: String) = TextOps.readBpeShardManifest(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(manifest(out) == manifest(fresh),
+      "scrubbed export manifest != survivor-corpus export manifest")
+  }
+
+  test("export scrub: a shard losing ALL its docs reads back as an empty shard") {
+    val d = sf()
+    val out = tmpDir("bpe-scrub-all") + "/export"
+    TextOps.writeBpeTokenShards(spark, d, out)
+    val all = graft.core.Tables.documents(spark, d).select("doc_id")
+      .collect().map(_.getLong(0))
+    val victims = all.filter(_ % TextOps.packShards == 5).toSeq
+    assert(victims.nonEmpty)
+    assert(TextOps.scrubBpeTokenShards(spark, d, out, victims) == Seq(5))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "shard=5")),
+      "an all-victims shard must stay deleted (absent partition = empty shard)")
+    val shards = spark.read.parquet(out).select("shard")
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(!shards.contains(5) && shards.nonEmpty, "readers must see the shard as empty")
+  }
 }
