@@ -341,12 +341,35 @@ object Dedup {
     bandedPairsAdaptive(sig, bandsOfK(_, bands, rowsPerBand),
       Seq("band", "bkey")).count()
 
+  /** First-k projection of a wider signature frame — EXACT by the shared
+    * hash-family construction: component j of any minhash signature is
+    * min over shingles of `(h%p · mixA(j) + mixB(j)) % p`, a function of
+    * j alone, so columns mh0..mh{k-1} of a k'-wide signature (k' ≥ k)
+    * ARE the k-wide signature bit for bit (the emptiness filter upstream
+    * is k-independent too — empty iff the doc has no shingles).
+    * SignaturePrefixSpec pins the identity. Lets ONE shingle pass serve
+    * every sweep width instead of one pass per distinct k (optimization
+    * guide §2.3 "don't compute things twice": the shingle loop is the
+    * dominant signature cost and was previously paid per k).
+    */
+  private[operators] def sigPrefixK(sig: DataFrame, k: Int): DataFrame =
+    if (sig.columns.count(_.startsWith("mh")) == k) sig
+    else sig.select(col("doc_id") +: (0 until k).map(j => col(s"mh$j")): _*)
+
   def lshTuning(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sigs = lshTuningConfigs.map(_._1).distinct
-      .map(k => k -> signaturesOfK(Tables.documents(s, d), k).localCheckpoint()).toMap
-    lshTuningConfigs.map { case (k, b, r) =>
-      (k, b, r, lshCandidateCountFor(sigs(k), b, r), pDetectX1e6(b, r))
+    // ONE signature pass at the max sweep width (k-prefix projection is
+    // exact — [[sigPrefixK]]), checkpointed once; the six per-config
+    // candidate counts are INDEPENDENT actions overlapped from a small
+    // pool (guide §2.6: FIFO back-fill — each count's straggler tail no
+    // longer serializes the whole sweep).
+    val kMax = lshTuningConfigs.map(_._1).max
+    val sigMax = signaturesOfK(Tables.documents(s, d), kMax).localCheckpoint()
+    val counts = graft.core.Par.tasks(lshTuningConfigs.map { case (k, b, r) =>
+      () => lshCandidateCountFor(sigPrefixK(sigMax, k), b, r)
+    })
+    lshTuningConfigs.zip(counts).map { case ((k, b, r), n) =>
+      (k, b, r, n, pDetectX1e6(b, r))
     }.toDF("k", "bands", "rows_per_band", "n_candidates", "p_detect_x1e6")
   }
 
@@ -388,16 +411,42 @@ object Dedup {
   def lshRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val truth = exactJaccardJoinOf(
-      docs.select(col("doc_id"), graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
-        .where(size(col("sh")) > 0))
-      .select("doc_a", "doc_b").localCheckpoint()
-    val nTrue = truth.count()
-    lshRecallConfigs.map { case (k, b, r) =>
-      val cands = bandedPairsAdaptive(signaturesOfK(docs, k),
-        bandsOfK(_, b, r), Seq("band", "bkey")).localCheckpoint()
-      val nCand = cands.count()
-      val found = cands.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
+    // ONE signature pass at the max config width (exact k-prefix
+    // projection, [[sigPrefixK]] — previously one shingle pass per k),
+    // then the four independent builds — the exact-truth PPJoin and one
+    // banding chain per config — overlap from a small pool (guide §2.6);
+    // the truth join is the longest chain and the banding chains
+    // back-fill its tail instead of queueing behind it.
+    val kMax = lshRecallConfigs.map(_._1).max
+    val sigMax = signaturesOfK(docs, kMax).localCheckpoint()
+    val truthTask: () => Either[(DataFrame, Long), DataFrame] = () => {
+      val t = exactJaccardJoinOf(
+        docs.select(col("doc_id"),
+          graft.functions.TextFunctions.shingleHashes(col("text")).as("sh"))
+          .where(size(col("sh")) > 0))
+        .select("doc_a", "doc_b").localCheckpoint()
+      Left((t, t.count()))
+    }
+    val candTasks: Seq[() => Either[(DataFrame, Long), DataFrame]] =
+      lshRecallConfigs.map { case (k, b, r) =>
+        () => Right(bandedPairsAdaptive(sigPrefixK(sigMax, k),
+          bandsOfK(_, b, r), Seq("band", "bkey")).localCheckpoint())
+      }
+    val built = graft.core.Par.tasks(truthTask +: candTasks)
+    val (truth, nTrue) = built.head.swap.getOrElse(sys.error("truth task"))
+    val cands = built.tail.map(_.getOrElse(sys.error("cand task")))
+    // per config ONE action yields (n_candidates, found): truth pairs are
+    // unique by construction, so the left join preserves candidate
+    // cardinality and count(hit) ≡ the previous left-semi count — two
+    // scheduler round-trips fused into one, again overlapped
+    val stats = graft.core.Par.tasks(cands.map { c =>
+      () => {
+        val r = c.join(truth.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("nc"), count(col("hit")).as("nf")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    })
+    lshRecallConfigs.zip(stats).map { case ((k, b, r), (nCand, found)) =>
       (k, b, r, nTrue, nCand, found,
         if (nTrue == 0L) 0L else 1000L * found / nTrue,
         if (nCand == 0L) 0L else 1000L * found / nCand)

@@ -2024,20 +2024,38 @@ object Similarity {
   def semanticDedupTrained(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val v = semanticVerdictsWith(
-      assignWith(s, d, trainedCentroids(s, d)), emb).localCheckpoint()
-    val n = emb.count()
-    val anchorKept = semanticDedup(s, d).where(col("keep")).count()
-    val perCluster = v.groupBy("cluster_id").agg(
-      count(when(col("keep"), lit(1))).as("keepers"),
-      min(col("vec_id")).as("mn"),
-      min(when(col("keep"), col("vec_id"))).as("keeper"),
-      countDistinct(col("cell")).as("ncells"))
+    // The three independent chains — corpus count, the anchor dedup's
+    // kept count, the trained verdicts build — overlap from a small pool
+    // (guide §2.6); the four validation booleans then come from ONE
+    // rollup over the checkpointed verdicts instead of four separate
+    // driver actions (v.count + three isEmpty probes each paid a full
+    // scheduler round-trip over the same checkpointed rows). Null
+    // semantics preserved: `keeper =!= mn` is null when a cluster has no
+    // keeper, and a null condition counts nothing — exactly the rows the
+    // old `.where(...)` dropped.
+    val built = graft.core.Par.tasks[Either[Long, DataFrame]](Seq(
+      () => Left(emb.count()),
+      () => Left(semanticDedup(s, d).where(col("keep")).count()),
+      () => Right(semanticVerdictsWith(
+        assignWith(s, d, trainedCentroids(s, d)), emb).localCheckpoint())))
+    val n = built(0).swap.getOrElse(sys.error("count task"))
+    val anchorKept = built(1).swap.getOrElse(sys.error("anchor task"))
+    val v = built(2).getOrElse(sys.error("verdicts task"))
+    val r = v.groupBy("cluster_id").agg(
+        count(lit(1)).as("sz"),
+        count(when(col("keep"), lit(1))).as("keepers"),
+        min(col("vec_id")).as("mn"),
+        min(when(col("keep"), col("vec_id"))).as("keeper"),
+        countDistinct(col("cell")).as("ncells"))
+      .agg(coalesce(sum(col("sz")), lit(0L)).as("rows"),
+        count(when(col("keepers") =!= 1, lit(1))).as("bad_keepers"),
+        count(when(col("keeper") =!= col("mn"), lit(1))).as("bad_min"),
+        count(when(col("ncells") =!= 1, lit(1))).as("bad_cells")).head()
     Seq((n, anchorKept,
-        v.count() == n,
-        perCluster.where(col("keepers") =!= 1).isEmpty,
-        perCluster.where(col("keeper") =!= col("mn")).isEmpty,
-        perCluster.where(col("ncells") =!= 1).isEmpty))
+        r.getLong(0) == n,
+        r.getLong(1) == 0L,
+        r.getLong(2) == 0L,
+        r.getLong(3) == 0L))
       .toDF("n", "anchor_kept", "covers_corpus", "one_keeper_per_cluster",
         "keeper_is_min_id", "clusters_within_cells")
   }
