@@ -1974,6 +1974,16 @@ object Dedup {
     // through the adaptive collapse — identical pair set, clique-safe plan.
     val pairs = bandedPairsAdaptive(signaturesOf(docs),
       bandsOf, Seq("band", "h1", "h2")).localCheckpoint()
+    jaccardVerifyCandidates(docs, pairs)
+  }
+
+  /** Verification body over a PREBUILT (checkpointed) candidate-pair frame
+    * — split out (round-18 optimization) so the report funnels can count
+    * the candidate stage and feed verification from ONE materialization
+    * instead of running the signature→banding chain twice per funnel.
+    */
+  private[operators] def jaccardVerifyCandidates(docs: DataFrame,
+                                                 pairs: DataFrame): DataFrame = {
     // Verification work is sized to the CANDIDATES, not the corpus: only
     // docs that appear in some LSH pair need their shingle set, so a
     // semi-join prunes the corpus before the (expensive) shingle-hash
@@ -2258,7 +2268,7 @@ object Dedup {
     * chain.
     */
   private val verifiedPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
   // Sessions that already have an eviction listener: ONE listener per
   // session covers every dataset key (it sweeps the whole sid prefix), so
   // registering per (session, dataset) would only pile redundant
@@ -2287,11 +2297,26 @@ object Dedup {
     sid
   }
 
-  private def verifiedPairsCached(s: SparkSession, d: String): DataFrame = {
+  /** The (candidates, verified) pair of the shared graph build — BOTH
+    * stages checkpointed from ONE signature→banding execution (round-18
+    * optimization: `dedup_report`'s stage-4 count previously re-ran the
+    * whole chain that the cached verified graph had already executed; the
+    * candidate frame is pair-count-sized, so keeping it costs nothing).
+    */
+  private def pairGraphCached(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val sid = ensureEvictionListener(s)
-    verifiedPairsCache.computeIfAbsent(sid + ":" + d, _ =>
-      jaccardVerifiedPairs(s, d).select("doc_a", "doc_b").localCheckpoint())
+    verifiedPairsCache.computeIfAbsent(sid + ":" + d, _ => {
+      val docs = Tables.documents(s, d)
+      val cands = bandedPairsAdaptive(signaturesOf(docs),
+        bandsOf, Seq("band", "h1", "h2")).localCheckpoint()
+      val verified = jaccardVerifyCandidates(docs, cands)
+        .select("doc_a", "doc_b").localCheckpoint()
+      (cands, verified)
+    })
   }
+
+  private def verifiedPairsCached(s: SparkSession, d: String): DataFrame =
+    pairGraphCached(s, d)._2
 
   /** Bench entry: materialize the shared verified-pair graph as its own
     * build dimension, so the graph analytics' per-query timings stay
@@ -3027,14 +3052,17 @@ object Dedup {
   def dedupReport(s: SparkSession, d: String): DataFrame = {
     def stage(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    // stages 4 AND 5 both counted off the shared pair-graph
+    // materialization (round-18: stage 4 previously re-ran the whole
+    // signature→banding chain the cached graph had already executed; the
+    // checkpointed candidate frame carries identical rows by construction
+    // — same bandedPairsAdaptive invocation lshCandidatePairs makes)
+    val (cands, verified) = pairGraphCached(s, d)
     stage("1_docs", Tables.documents(s, d))
       .unionAll(stage("2_exact_groups", exactDedup(s, d)))
       .unionAll(stage("3_normalized_groups", normalizedDedup(s, d)))
-      .unionAll(stage("4_lsh_candidates", lshCandidatePairs(s, d)))
-      // counted off the shared pair-graph materialization (same rows as
-      // jaccardVerifiedPairs — RowidPropertiesSpec-style equivalence by
-      // construction; clusters below reuse the same build)
-      .unionAll(stage("5_verified_pairs", verifiedPairsCached(s, d)))
+      .unionAll(stage("4_lsh_candidates", cands))
+      .unionAll(stage("5_verified_pairs", verified))
       .unionAll(stage("6_clusters",
         duplicateClusters(s, d).select("cluster_id").distinct()))
       .unionAll(stage("7_clustered_docs", duplicateClusters(s, d)))
@@ -3048,13 +3076,18 @@ object Dedup {
   private[graft] def dedupReportOver(docs: DataFrame): DataFrame = {
     def stage(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
-    val verified = jaccardVerifiedPairsOf(docs).select("doc_a", "doc_b").localCheckpoint()
+    // ONE signature→banding execution feeds BOTH the stage-4 count and
+    // verification (round-18: stage 4 previously re-ran the whole chain
+    // inside the final union job while stage 5 read the checkpoint)
+    val cands = bandedPairsAdaptive(signaturesOf(docs),
+      bandsOf, Seq("band", "h1", "h2")).localCheckpoint()
+    val verified = jaccardVerifyCandidates(docs, cands)
+      .select("doc_a", "doc_b").localCheckpoint()
     val clusters = connectedComponentsOf(verified, smallGraphLimit = 1000000L)
     stage("1_docs", docs)
       .unionAll(stage("2_exact_groups", exactDedupOf(docs)))
       .unionAll(stage("3_normalized_groups", normalizedDedupOf(docs)))
-      .unionAll(stage("4_lsh_candidates",
-        bandedPairsAdaptive(signaturesOf(docs), bandsOf, Seq("band", "h1", "h2"))))
+      .unionAll(stage("4_lsh_candidates", cands))
       .unionAll(stage("5_verified_pairs", verified))
       .unionAll(stage("6_clusters", clusters.select("cluster_id").distinct()))
       .unionAll(stage("7_clustered_docs", clusters))

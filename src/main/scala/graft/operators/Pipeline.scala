@@ -322,46 +322,67 @@ object Pipeline {
     import s.implicits._
     val root = refineryRoot(s, d)
     val nonEval = Tables.documents(s, d).where(col("doc_id") % refineryEvalMod =!= 0)
-    val nInput = nonEval.count()
-    // stage 1-2 (batch replay of the stream's set-level semantics)
-    val gated = nonEval
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("ttr",
-        size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
-      .withColumn("mean_token_len",
-        (col("n_chars").cast("double") - (col("n_tokens").cast("double") - 1.0)) / col("n_tokens").cast("double"))
-      .withColumn("stop_ratio",
-        expr("CAST(size(filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)") / col("n_tokens").cast("double"))
-      .withColumn("quality_score",
-        col("ttr") * lit(2.0) + col("mean_token_len") * lit(0.1) - col("stop_ratio"))
-      .where(col("quality_score") >= minQuality)
-      .select(col("doc_id"), col("text"))
-      .localCheckpoint()
-    val nGated = gated.count()
-    val exactKeep = gated
-      .withColumn("keep_id", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
-      .where(col("doc_id") === col("keep_id"))
-      .select(col("doc_id").as("vec_id"))
-      .localCheckpoint()
-    val nExact = exactKeep.count()
-    // stage 3: span-stage survivors from the persisted span store — the
-    // streamed truth the oracle's recurrence recomputes from raw text
-    val spanKeep = graft.core.VectorTable.open(s, s"$root/spans")
-      .scan().select(col("doc_id").as("vec_id"))
-      .localCheckpoint()
-    val nSpanKeep = spanKeep.count()
-    // stage 4: lexical survivors from the persisted lexical store — the
-    // streamed truth the oracle's recurrence recomputes from raw text
-    val lexKeep = graft.core.VectorTable.open(s, s"$root/lex")
-      .scan().select(col("doc_id").as("vec_id"))
-      .localCheckpoint()
-    val nLexKeep = lexKeep.count()
-    // stage 5
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val evalRows = emb.where(col("vec_id") % refineryEvalMod === 0)
-      .orderBy("vec_id").collect()
+    // Round-18: the face is a driver program of ~13 serial actions whose
+    // first tier (input count, quality→exact chain, the two persisted
+    // store reads, the eval-row collect, the landed read) is mutually
+    // independent — overlapped from a small pool (guide §2.6), as are the
+    // later kept/dropped materializations and the two invariant counts.
+    // Every count and row set is unchanged; only submission order moved.
+    final case class T1(nInput: Long = -1, nGated: Long = -1, nExact: Long = -1,
+                        nSpanKeep: Long = -1, lexKeep: DataFrame = null,
+                        nLexKeep: Long = -1,
+                        evalRows: Array[org.apache.spark.sql.Row] = null,
+                        landed: DataFrame = null)
+    val t1 = graft.core.Par.tasks[T1](Seq(
+      () => T1(nInput = nonEval.count()),
+      () => {
+        // stage 1-2 (batch replay of the stream's set-level semantics)
+        val gated = nonEval
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("ttr",
+            size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
+          .withColumn("mean_token_len",
+            (col("n_chars").cast("double") - (col("n_tokens").cast("double") - 1.0)) / col("n_tokens").cast("double"))
+          .withColumn("stop_ratio",
+            expr("CAST(size(filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)") / col("n_tokens").cast("double"))
+          .withColumn("quality_score",
+            col("ttr") * lit(2.0) + col("mean_token_len") * lit(0.1) - col("stop_ratio"))
+          .where(col("quality_score") >= minQuality)
+          .select(col("doc_id"), col("text"))
+          .localCheckpoint()
+        val exactKeep = gated
+          .withColumn("keep_id", min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+          .where(col("doc_id") === col("keep_id"))
+          .select(col("doc_id").as("vec_id"))
+        T1(nGated = gated.count(), nExact = exactKeep.count())
+      },
+      // stage 3: span-stage survivors from the persisted span store — the
+      // streamed truth the oracle's recurrence recomputes from raw text
+      () => T1(nSpanKeep = graft.core.VectorTable.open(s, s"$root/spans")
+        .scan().select(col("doc_id")).count()),
+      // stage 4: lexical survivors from the persisted lexical store
+      () => {
+        val lk = graft.core.VectorTable.open(s, s"$root/lex")
+          .scan().select(col("doc_id").as("vec_id"))
+          .localCheckpoint()
+        T1(lexKeep = lk, nLexKeep = lk.count())
+      },
+      () => T1(evalRows = emb.where(col("vec_id") % refineryEvalMod === 0)
+        .orderBy("vec_id").collect()),
+      () => T1(landed = graft.core.VectorTable.open(s, s"$root/docs")
+        .scan().select(col("vec_id")).localCheckpoint())))
+    val nInput = t1(0).nInput
+    val nGated = t1(1).nGated
+    val nExact = t1(1).nExact
+    val nSpanKeep = t1(2).nSpanKeep
+    val lexKeep = t1(3).lexKeep
+    val nLexKeep = t1(3).nLexKeep
+    val evalRows = t1(4).evalRows
+    val landed = t1(5).landed
+    // stage 5
     val contaminated = Similarity.semanticContaminationOf(
       emb.join(lexKeep, Seq("vec_id"), "left_semi"),
       evalRows.map(_.getLong(0)), evalRows.map(_.getSeq[Float](1).toArray))
@@ -372,10 +393,9 @@ object Pipeline {
       .localCheckpoint()
     val nSemInput = semInput.count()
     // stage 4 characterization over the landed set
-    val landed = graft.core.VectorTable.open(s, s"$root/docs")
-      .scan().select(col("vec_id")).localCheckpoint()
-    val kept = semInput.join(landed, Seq("vec_id"), "left_semi").localCheckpoint()
-    val dropped = semInput.join(landed, Seq("vec_id"), "left_anti").localCheckpoint()
+    val Seq(kept, dropped) = graft.core.Par.tasks[DataFrame](Seq(
+      () => semInput.join(landed, Seq("vec_id"), "left_semi").localCheckpoint(),
+      () => semInput.join(landed, Seq("vec_id"), "left_anti").localCheckpoint()))
     val embAll = semInput.select(col("vec_id"), col("embedding"))
     def scored(cand: DataFrame): DataFrame = cand
       .join(embAll.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
@@ -383,15 +403,18 @@ object Pipeline {
       .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
       .where(!isnan(col("sim")) && col("sim") >= Similarity.nearDupThreshold)
       .select("doc_a", "doc_b")
-    val keptPairs = scored(Dedup.pairsFromBucketedRowsRaw(
-      kept.select(col("cell"), col("vec_id").as("doc_id")),
-      Seq("cell"), Dedup.bucketExpandCap)).count()
-    val coveredDropped = scored(Dedup.deltaPairsBlockedFor(
+    val Seq(keptPairs, uncovered) = graft.core.Par.tasks[Long](Seq(
+      () => scored(Dedup.pairsFromBucketedRowsRaw(
         kept.select(col("cell"), col("vec_id").as("doc_id")),
-        dropped.select(col("cell"), col("vec_id").as("doc_id")), Seq("cell")))
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("vec_id"))
-      .join(dropped.select(col("vec_id")), Seq("vec_id"), "left_semi").distinct()
-    val uncovered = dropped.join(coveredDropped, Seq("vec_id"), "left_anti").count()
+        Seq("cell"), Dedup.bucketExpandCap)).count(),
+      () => {
+        val coveredDropped = scored(Dedup.deltaPairsBlockedFor(
+            kept.select(col("cell"), col("vec_id").as("doc_id")),
+            dropped.select(col("cell"), col("vec_id").as("doc_id")), Seq("cell")))
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("vec_id"))
+          .join(dropped.select(col("vec_id")), Seq("vec_id"), "left_semi").distinct()
+        dropped.join(coveredDropped, Seq("vec_id"), "left_anti").count()
+      }))
     Seq((nInput, nInput - nGated, nGated - nExact, nSemInput,
       uncovered == 0L, keptPairs == 0L))
       .toDF("n_input", "n_quality_dropped", "n_exact_dropped",

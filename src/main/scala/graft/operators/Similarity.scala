@@ -1528,23 +1528,37 @@ object Similarity {
     import s.implicits._
     val assign = ivfAssign(s, d).select(col("vec_id"), col("cell")).localCheckpoint()
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val cand = Dedup.pairsFromBucketedRowsRaw(
-      assign.select(col("cell"), col("vec_id").as("doc_id")),
-      Seq("cell"), Dedup.bucketExpandCap).localCheckpoint()
-    val nEdges = cand
-      .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
-      .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
-      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
-      .where(!isnan(col("sim")) && col("sim") >= nearDupThreshold)
-      .count()
-    val v = semanticDedup(s, d).localCheckpoint()
+    // Three independent chains overlap (guide §2.6): the candidate
+    // expansion + edge scoring, the verdict pipeline (whose two counts
+    // fuse into one rollup), and the two light corpus counts — previously
+    // eight serial driver actions.
+    val built = graft.core.Par.tasks[(Long, Long)](Seq(
+      () => {
+        val cand = Dedup.pairsFromBucketedRowsRaw(
+          assign.select(col("cell"), col("vec_id").as("doc_id")),
+          Seq("cell"), Dedup.bucketExpandCap).localCheckpoint()
+        val nEdges = cand
+          .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
+          .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
+          .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
+          .where(!isnan(col("sim")) && col("sim") >= nearDupThreshold)
+          .count()
+        (cand.count(), nEdges)
+      },
+      () => {
+        val v = semanticDedup(s, d).localCheckpoint()
+        val r = v.agg(countDistinct(col("cluster_id")).as("nc"),
+          count(when(col("keep"), lit(1))).as("nk")).head()
+        (r.getLong(0), r.getLong(1))
+      },
+      () => (emb.count(), assign.select("cell").distinct().count())))
     Seq(
-      ("vectors", emb.count()),
-      ("cells", assign.select("cell").distinct().count()),
-      ("candidate_pairs", cand.count()),
-      ("semantic_edges", nEdges),
-      ("clusters", v.select("cluster_id").distinct().count()),
-      ("kept", v.where(col("keep")).count()))
+      ("vectors", built(2)._1),
+      ("cells", built(2)._2),
+      ("candidate_pairs", built(0)._1),
+      ("semantic_edges", built(0)._2),
+      ("clusters", built(1)._1),
+      ("kept", built(1)._2))
       .toDF("stage", "n")
   }
 
@@ -1630,13 +1644,18 @@ object Similarity {
   def semanticIngestGate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = semanticIngestRoot(s, d)
-    val landed = graft.core.VectorTable.open(s, s"$root/table")
-      .scan().select(col("vec_id")).localCheckpoint()
-    val a = ivfAssign(s, d).select(col("vec_id"), col("cell"))
-      .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .localCheckpoint()
-    val kept = a.join(landed, Seq("vec_id"), "left_semi").localCheckpoint()
-    val dropped = a.join(landed, Seq("vec_id"), "left_anti").localCheckpoint()
+    // independent materializations overlap pairwise (guide §2.6); the
+    // final three counts (corpus size + both invariant probes) overlap
+    // too — previously seven serial driver actions
+    val Seq(landed, a) = graft.core.Par.tasks[DataFrame](Seq(
+      () => graft.core.VectorTable.open(s, s"$root/table")
+        .scan().select(col("vec_id")).localCheckpoint(),
+      () => ivfAssign(s, d).select(col("vec_id"), col("cell"))
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .localCheckpoint()))
+    val Seq(kept, dropped) = graft.core.Par.tasks[DataFrame](Seq(
+      () => a.join(landed, Seq("vec_id"), "left_semi").localCheckpoint(),
+      () => a.join(landed, Seq("vec_id"), "left_anti").localCheckpoint()))
     // Both verification edge builders route through the shared
     // hot-bucket-safe kernels (like every other embedding face) rather
     // than plain per-cell equi-joins: one hot cell would otherwise put
@@ -1648,19 +1667,23 @@ object Similarity {
       .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
       .where(!isnan(col("sim")) && col("sim") >= nearDupThreshold)
       .select("doc_a", "doc_b")
-    val keptPairs = scored(Dedup.pairsFromBucketedRowsRaw(
-      kept.select(col("cell"), col("vec_id").as("doc_id")),
-      Seq("cell"), Dedup.bucketExpandCap)).count()
-    // bipartite kept × dropped via the blocked delta kernel (disjoint
-    // sides, so the pairs are exactly the cross edges); a dropped row is
-    // covered when it appears on EITHER side of a scored pair.
-    val coveredDropped = scored(Dedup.deltaPairsBlockedFor(
+    val Seq(nVec, keptPairs, uncovered) = graft.core.Par.tasks[Long](Seq(
+      () => a.count(),
+      () => scored(Dedup.pairsFromBucketedRowsRaw(
         kept.select(col("cell"), col("vec_id").as("doc_id")),
-        dropped.select(col("cell"), col("vec_id").as("doc_id")), Seq("cell")))
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("vec_id"))
-      .join(dropped.select(col("vec_id")), Seq("vec_id"), "left_semi").distinct()
-    val uncovered = dropped.join(coveredDropped, Seq("vec_id"), "left_anti").count()
-    Seq((a.count(), keptPairs == 0L, uncovered == 0L))
+        Seq("cell"), Dedup.bucketExpandCap)).count(),
+      // bipartite kept × dropped via the blocked delta kernel (disjoint
+      // sides, so the pairs are exactly the cross edges); a dropped row is
+      // covered when it appears on EITHER side of a scored pair.
+      () => {
+        val coveredDropped = scored(Dedup.deltaPairsBlockedFor(
+            kept.select(col("cell"), col("vec_id").as("doc_id")),
+            dropped.select(col("cell"), col("vec_id").as("doc_id")), Seq("cell")))
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("vec_id"))
+          .join(dropped.select(col("vec_id")), Seq("vec_id"), "left_semi").distinct()
+        dropped.join(coveredDropped, Seq("vec_id"), "left_anti").count()
+      }))
+    Seq((nVec, keptPairs == 0L, uncovered == 0L))
       .toDF("n_vectors", "kept_independent", "dropped_dominated")
   }
 
