@@ -27,11 +27,36 @@ object GraftSession {
   /** Apply Graft's standard configs to a builder (used by Verify/Bench/tests
     * so every entry point agrees on semantics-relevant settings).
     */
-  def tune(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder = b
+  def tune(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder = {
+    // Escape hatch for scale-dependent overrides WITHOUT a recompile
+    // (optimization guide §9: configs are the last 10-30%, and the right
+    // values differ between local[32] and a 1000-executor cluster):
+    // GRAFT_SPARK_CONF="k=v;k=v" is applied LAST so deployments can
+    // override any default below; unset, every entry point keeps the
+    // committed defaults and the driver's bench stays comparable.
+    val overrides = sys.env.getOrElse("GRAFT_SPARK_CONF", "")
+      .split(';').toSeq.map(_.trim).filter(_.contains('='))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i).trim, kv.drop(i + 1).trim) }
+    overrides.foldLeft(tuneDefaults(b, shufflePartitions)) {
+      case (bb, (k, v)) => bb.config(k, v)
+    }
+  }
+
+  private def tuneDefaults(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder = b
     .config("spark.sql.shuffle.partitions", shufflePartitions)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // AQE sort-merge -> shuffled-hash conversion: when every post-shuffle
+    // partition of the build side fits this threshold, the join skips
+    // BOTH sort passes; otherwise nothing changes. Off upstream (0). At
+    // sf0.1 this is plan-neutral (AQE already broadcasts every eligible
+    // join — the committed plans/r18/*_{smj,shj}.txt executed plans are
+    // operator-identical), so the bench is unaffected; the setting exists
+    // for deploy scale, where the broadcast rescue stops applying and the
+    // 64 MB guard converts exactly the joins whose build side fits.
+    // Overridable via GRAFT_SPARK_CONF like every scale-dependent knob.
+    .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
     // Runtime bloom-filter join pruning: when one join side is selectively
     // filtered, build a bounded bloom from its keys and prune the big side
     // BEFORE the shuffle. This is the scale-safe replacement for

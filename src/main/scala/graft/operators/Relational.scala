@@ -702,13 +702,17 @@ object Relational {
       val uniq = s"${key}_${jvmToken}_${sessionId(s)}"
       val (ot, lt) = (s"b_orders_$uniq", s"b_lineitem_$uniq")
       Seq(ot, lt).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
-      graft.sources.Bucketed.write(
-        Tables.orders(s, d).select(col("o_orderkey").as("orderkey"), col("o_orderpriority")),
-        ot, "orderkey", 16)
-      graft.sources.Bucketed.write(
-        Tables.lineitem(s, d).select(col("l_orderkey").as("orderkey"),
-          col("l_extendedprice"), col("l_discount")),
-        lt, "orderkey", 16)
+      // the two writes target distinct tables and share no state — overlap
+      // them (guide §2.6) so the small orders write back-fills the tail of
+      // the lineitem write instead of queueing behind it
+      graft.core.Par.tasks[Unit](Seq(
+        () => graft.sources.Bucketed.write(
+          Tables.orders(s, d).select(col("o_orderkey").as("orderkey"), col("o_orderpriority")),
+          ot, "orderkey", 16),
+        () => graft.sources.Bucketed.write(
+          Tables.lineitem(s, d).select(col("l_orderkey").as("orderkey"),
+            col("l_extendedprice"), col("l_discount")),
+          lt, "orderkey", 16)))
       (ot, lt)
     })
 

@@ -42,6 +42,22 @@ object PlanR18 {
       Dedup.bandedPairsAdaptive(
         Dedup.sigPrefixK(sigMax, 6),
         Dedup.bandsOfK(_, 3, 2), Seq("band", "bkey")))
+
+    // declared queries whose plan the AQE SMJ->SHJ conversion touches —
+    // dumped under a caller-chosen suffix so the same invocation records
+    // the before (GRAFT_SPARK_CONF=...Threshold=0) and after (default)
+    // forms.
+    val suffix = if (args.length > 1) args(1) else ""
+    if (suffix.nonEmpty)
+      Seq("q5_local_supplier", "q8_market_share", "q9_product_profit",
+        "q3_shipping_priority", "top_order_per_customer").foreach { name =>
+        val df = graft.SparkEntry.queries(name)(spark, d)
+        // execute df's OWN QueryExecution first (collect drives it): the
+        // SMJ->SHJ conversion is an AQE RUNTIME re-optimization, so only
+        // the executed plan (isFinalPlan=true) shows the strategy run
+        df.collect()
+        dump(s"$name$suffix", df)
+      }
     spark.stop()
   }
 }
