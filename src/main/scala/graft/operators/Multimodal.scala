@@ -200,13 +200,33 @@ object Multimodal {
     * Emitted stats are order-invariant over samples (sum → mean), so they
     * are insensitive to the decoder's internal band order.
     */
+  /** Decode one PNG with a REUSED reader over a memory-backed stream.
+    * `ImageIO.read(InputStream)` pays two per-call costs a per-row decode
+    * loop must not: a reader-REGISTRY scan per image, and — the expensive
+    * one — the default `FileCacheImageInputStream` wrapper, which spools
+    * every image through a temp FILE, so decode throughput silently
+    * inherits /tmp's disk speed (the round-18 driver window measured
+    * mm_decode_features at 2.4× exactly because of this coupling). One
+    * reader per partition + `MemoryCacheImageInputStream` keeps the whole
+    * decode in memory; the decoded raster is bit-identical (same codec).
+    */
+  private def decodePng(reader: javax.imageio.ImageReader,
+                        bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try { reader.setInput(iis, true, true); reader.read(0) }
+    finally iis.close()
+  }
+  private def pngReader(): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
   def decodeFeatures(s: SparkSession, d: String): DataFrame = {
     val bin = pngFixture(s, d)
     val rows = bin.rdd.mapPartitions { it =>
+      val reader = pngReader() // once per task, not per row (guide §4.5)
       it.map { r =>
         val id = r.getLong(0)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val img = decodePng(reader, r.getAs[Array[Byte]](1))
         val raster = img.getRaster
         val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
         var sum = 0L
@@ -264,11 +284,11 @@ object Multimodal {
   def thumbnailHistogram(s: SparkSession, d: String): DataFrame = {
     val bin = pngFixture(s, d)
     val rows = bin.rdd.mapPartitions { it =>
+      val reader = pngReader() // once per task, not per row (guide §4.5)
       it.grouped(64).flatMap { batch =>
         // per-batch decoder setup would live here
         batch.map { r =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val img = decodePng(reader, r.getAs[Array[Byte]](1))
           val raster = img.getRaster
           val h = new Array[Int](8)
           var y = 0

@@ -1544,12 +1544,21 @@ object TextOps {
       .groupBy("w1").agg(count(lit(1)).as("cu"))
     val vocab = uni.select(count(lit(1)).as("v"))
     val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    pairs
-      .join(big, Seq("w1", "w2"))
+    // logp depends only on (w1, w2): score the VOCAB-sized count table
+    // once and join the corpus-sized per-position stream a single time,
+    // instead of dragging every position row through two joins (guide
+    // §2.3/§2.4 — the count tables grow with vocabulary, sublinear in the
+    // corpus, so at scale this halves the corpus-side join passes; the
+    // joined logp values are bit-identical because cb, cu, v and the lnM
+    // fold order are unchanged).
+    val logpByPair = big
       .join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("logp", graft.functions.VectorFunctions.lnM(
         (col("cb") + lit(1L)).cast("double") / (col("cu") + col("v")).cast("double")))
+      .select(col("w1"), col("w2"), col("logp"))
+    pairs
+      .join(logpByPair, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("aggregate(array_sort(collect_list(struct(pos, logp))), CAST(0 AS DOUBLE), (acc, x) -> acc + x.logp)")
