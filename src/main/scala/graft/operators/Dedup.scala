@@ -1931,8 +1931,13 @@ object Dedup {
     */
   def takedownLshDelta(s: SparkSession, d: String): DataFrame = {
     val root = takedownLshRoot(s, d)
-    val t = graft.core.VectorTable.open(s, s"$root/table")
-    val cutoff = t.liveScan().agg(max(col("doc_id"))).head.getLong(0) / 2
+    // cutoff is INPUT metadata of the immutable post-takedown fixture
+    // (one max over its live view), session-memoized exactly like
+    // [[deltaCutoff]] — the per-invocation scan job was pure re-derivation
+    val sid = ensureEvictionListener(s)
+    val cutoff = deltaCutoffCache.computeIfAbsent(sid + ":tdlsh:" + root,
+      _ => graft.core.VectorTable.open(s, s"$root/table")
+        .liveScan().agg(max(col("doc_id"))).head.getLong(0) / 2)
     deltaCandidatesFromBands(LshIndex.open(s, s"$root/index").bands, cutoff)
   }
 

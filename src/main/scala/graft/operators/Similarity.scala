@@ -1248,9 +1248,20 @@ object Similarity {
                                           thresholds: Seq[Int]): DataFrame = {
     val s = assign.sparkSession
     import s.implicits._
+    // The truth panel is ONE logical bucket (k = 0) sliced ns = ⌈B/cap⌉
+    // ways, so the hot-join's key (k, sb) has only ns ≈ 8 distinct values
+    // at the sample cap — the downstream scoring stage (6 broadcast
+    // probes + the cosine kernel over ~2M pairs, the whole face's cost)
+    // inherits that partitioning and runs on ≤ ns cores (guide §2.5: a
+    // synthetic key with too few distinct values). Re-spread the SKINNY
+    // pair rows (16 bytes each) across the full shuffle width before
+    // scoring: counts are order-insensitive, cosineF per row unchanged —
+    // bit-identical result. ns grows with bucket size, so this is only
+    // the sample-capped panel's problem, not the kernel's.
     val truthCand = Dedup.pairsFromBucketedRowsRaw(
       assign.select(lit(0).as("k"), col("vec_id").as("doc_id")),
       Seq("k"), Dedup.bucketExpandCap)
+      .repartition(col("doc_a"), col("doc_b"))
     // Every joined side below is ≤ the sample universe (recallSampleTarget
     // rows × dim floats ≈ 1.3 MB) BY CONSTRUCTION — but at scale it hides
     // behind an unestimatable hash-sample filter over the full table, so
@@ -1259,16 +1270,25 @@ object Similarity {
     // 6 s at sf1 for the identical ~12.5M-pair truth universe). The
     // explicit broadcast is safe precisely because the sample cap, not
     // the corpus, bounds these sides — this is not an SF-growing side.
+    val meta = assign.join(top2, Seq("vec_id"))
     val scored = truthCand
       .join(broadcast(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))), Seq("doc_a"))
       .join(broadcast(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb"))), Seq("doc_b"))
       .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
       .where(!isnan(col("sim")))
+      // pairs below the LOWEST threshold contribute to no count at all —
+      // drop them before the four metadata attachments instead of after
+      // (guide §2.3: filter before the joins; ~99% of the quadratic pair
+      // stream dies here, the surviving counts are identical)
+      .where(col("sim") >= lit(thresholds.min / 1000.0))
       .select("doc_a", "doc_b", "sim")
-      .join(broadcast(assign.select(col("vec_id").as("doc_a"), col("cell").as("ca"))), Seq("doc_a"))
-      .join(broadcast(assign.select(col("vec_id").as("doc_b"), col("cell").as("cb"))), Seq("doc_b"))
-      .join(broadcast(top2.select(col("vec_id").as("doc_a"), col("c1").as("a1"), col("c2").as("a2"))), Seq("doc_a"))
-      .join(broadcast(top2.select(col("vec_id").as("doc_b"), col("c1").as("b1"), col("c2").as("b2"))), Seq("doc_b"))
+      // one (vec_id, cell, c1, c2) metadata frame attached per pair END —
+      // two broadcast probes instead of four (assign and top2 cover the
+      // same sample universe, so the inner-join row set is unchanged)
+      .join(broadcast(meta.select(col("vec_id").as("doc_a"), col("cell").as("ca"),
+        col("c1").as("a1"), col("c2").as("a2"))), Seq("doc_a"))
+      .join(broadcast(meta.select(col("vec_id").as("doc_b"), col("cell").as("cb"),
+        col("c1").as("b1"), col("c2").as("b2"))), Seq("doc_b"))
       .withColumn("same_cell", col("ca") === col("cb"))
       .withColumn("top2_shared", coalesce(
         (col("a1") === col("b1")) || (col("a1") === col("b2")) ||
@@ -3487,12 +3507,17 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val q = emb.where(col("vec_id") === pqQueryId)
       .select("embedding").head().getSeq[Float](0).toArray
+    // localCheckpoint: `exact` (k rows) feeds BOTH union branches below;
+    // un-materialized, Catalyst duplicates the whole brute-force corpus
+    // scoring subtree per branch — two full cosine passes for one 10-row
+    // truth panel. The frame is k-sized, so materializing is scale-free.
     val exact = emb.where(col("vec_id") =!= pqQueryId)
       .withColumn("sim",
         graft.functions.VectorFunctions.cosineF(col("embedding"), lit(q)))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(pqTopK)
       .select("vec_id")
+      .localCheckpoint()
     def hitsOf(method: String, approx: DataFrame): DataFrame =
       exact.join(broadcast(approx.select(col("vec_id").as("iv"))),
           col("vec_id") === col("iv"))
