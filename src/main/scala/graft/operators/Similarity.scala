@@ -967,7 +967,8 @@ object Similarity {
     */
   def semanticDedup(s: SparkSession, d: String): DataFrame =
     semanticVerdictsWith(ivfAssign(s, d),
-      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      Some(s"semv:$d"))
 
   /** The verdict pipeline over ANY cell assignment — shared by the
     * anchor-centroid face (oracle-replayable) and the k-means-trained one.
@@ -989,10 +990,11 @@ object Similarity {
     * must not merge them — zero-norm rows bypass grouping and are emitted
     * as singleton verdicts directly (the spec pins this too).
     */
-  private def semanticVerdictsWith(assignIn: DataFrame, embIn: DataFrame): DataFrame = {
+  private def semanticVerdictsWith(assignIn: DataFrame, embIn: DataFrame,
+                                   gateKey: Option[String] = None): DataFrame = {
     val assign = assignIn.select(col("vec_id"), col("cell")).localCheckpoint()
     val emb = embIn.select(col("vec_id"), col("embedding"))
-    if (Dedup.lowDupPreGate(emb, xxhash64(col("embedding"))))
+    if (Dedup.lowDupPreGateMemo(gateKey, emb, xxhash64(col("embedding"))))
       semanticVerdictsFlat(assign, emb)
     else {
       val nz = emb.where(norm2Col > lit(0.0))
@@ -2080,7 +2082,8 @@ object Similarity {
       () => Left(emb.count()),
       () => Left(semanticDedup(s, d).where(col("keep")).count()),
       () => Right(semanticVerdictsWith(
-        assignWith(s, d, trainedCentroids(s, d)), emb).localCheckpoint())))
+        assignWith(s, d, trainedCentroids(s, d)), emb,
+        Some(s"semv:$d")).localCheckpoint()))) // gate reads emb only — same input as the anchor face
     val n = built(0).swap.getOrElse(sys.error("count task"))
     val anchorKept = built(1).swap.getOrElse(sys.error("anchor task"))
     val v = built(2).getOrElse(sys.error("verdicts task"))
