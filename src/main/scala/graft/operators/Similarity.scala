@@ -3510,17 +3510,20 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val q = emb.where(col("vec_id") === pqQueryId)
       .select("embedding").head().getSeq[Float](0).toArray
-    // localCheckpoint: `exact` (k rows) feeds BOTH union branches below;
-    // un-materialized, Catalyst duplicates the whole brute-force corpus
-    // scoring subtree per branch — two full cosine passes for one 10-row
-    // truth panel. The frame is k-sized, so materializing is scale-free.
+    // LAZY localCheckpoint: `exact` (k rows) feeds BOTH union branches
+    // below; un-materialized, Catalyst duplicates the whole brute-force
+    // corpus scoring subtree per branch — two full cosine passes for one
+    // 10-row truth panel (sf1: 13.0 → 5.0 s from deduplicating it).
+    // eager = false so the single shared RDD computes inside the FINAL
+    // job on first use instead of adding a blocking driver action — the
+    // k-sized frame makes the materialization scale-free either way.
     val exact = emb.where(col("vec_id") =!= pqQueryId)
       .withColumn("sim",
         graft.functions.VectorFunctions.cosineF(col("embedding"), lit(q)))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(pqTopK)
       .select("vec_id")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def hitsOf(method: String, approx: DataFrame): DataFrame =
       exact.join(broadcast(approx.select(col("vec_id").as("iv"))),
           col("vec_id") === col("iv"))
