@@ -610,6 +610,162 @@ case class LogM(child: Expression) extends org.apache.spark.sql.catalyst.express
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Bounded driver-side scoring panel for the semantic-recall truth face:
+  * the sampled (vec_id, cell, c1, c2, embedding) universe as flat primitive
+  * arrays, shipped into [[RecallPanelScore]] as a codegen reference object
+  * (the [[graft.functions.BpeMerges]] shape). The panel is bounded BY
+  * CONSTRUCTION by the face's sample cap (`Similarity.recallSampleTarget`
+  * ≈ 5000 rows × dim floats ≈ 1.3 MB), never by the corpus — the same
+  * class as the centroid panels.
+  *
+  * Numeric contract: [[score]]'s cosine is the identical three-accumulator
+  * left fold over the identical stored floats as [[CosineSimilarityF]]
+  * applied to the joined embedding columns, so the sim doubles are
+  * bit-for-bit the ones the broadcast-join formulation produced. Missing
+  * ids (either end not in the panel) yield NULL — exactly the rows the
+  * inner joins dropped. NULL cell/c1/c2 use a sentinel that can never
+  * equal a real cell id, reproducing SQL null-equality semantics in the
+  * `same_cell` / `top2_shared` flags (a NULL comparison never produces
+  * `true`, and the downstream `count(when(...))`s treat NULL as false —
+  * the `coalesce(..., false)` the joined form applied).
+  */
+final class RecallPanel(ids: Array[Long], offs: Array[Int], lens: Array[Int],
+                        data: Array[Float], cell: Array[Int],
+                        c1: Array[Int], c2: Array[Int]) extends Serializable {
+  require(ids.length == offs.length && ids.length == lens.length &&
+    ids.length == cell.length && ids.length == c1.length && ids.length == c2.length,
+    "RecallPanel: column arrays must be parallel")
+
+  def size: Int = ids.length
+
+  /** The i-th panel id (ids ascending) — the face re-emits the panel's id
+    * universe as the truth-pair id set.
+    */
+  def idAt(i: Int): Long = ids(i)
+
+  /** (sim, same_cell, top2_shared) for a pair of panel ids, or null when
+    * either id is absent. Cosine fold order == [[CosineSimilarityF]].
+    */
+  def score(ida: Long, idb: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val ia = java.util.Arrays.binarySearch(ids, ida)
+    val ib = java.util.Arrays.binarySearch(ids, idb)
+    if (ia < 0 || ib < 0) return null
+    val n = math.min(lens(ia), lens(ib))
+    val oa = offs(ia)
+    val ob = offs(ib)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = data(oa + i).toDouble
+      val yi = data(ob + i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+    val ca = cell(ia); val cb = cell(ib)
+    val sameCell = ca != RecallPanel.NullCell && cb != RecallPanel.NullCell && ca == cb
+    val a1 = c1(ia); val a2 = c2(ia)
+    val b1 = c1(ib); val b2 = c2(ib)
+    val top2Shared =
+      (a1 != RecallPanel.NullCell && (a1 == b1 || a1 == b2)) ||
+        (a2 != RecallPanel.NullCell && (a2 == b1 || a2 == b2))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sim, sameCell, top2Shared))
+  }
+}
+
+object RecallPanel {
+  /** NULL sentinel for cell/c1/c2 — never equals a real (≥ 0) cell id, and
+    * the flag logic guards the LEFT operand so sentinel == sentinel never
+    * matches (SQL: NULL = NULL is NULL, and NULL || false is not true).
+    */
+  val NullCell: Int = Int.MinValue
+
+  /** Build from driver rows (vec_id, cell | null, c1 | null, c2 | null,
+    * embedding | null). Ids must be unique (the face's frames are keyed by
+    * vec_id); a null embedding stores length 0, whose cosine is 0/0 = NaN —
+    * dropped by the face's NaN filter exactly as the joined form's NULL sim
+    * was.
+    */
+  def fromRows(rows: Array[org.apache.spark.sql.Row]): RecallPanel = {
+    val sorted = rows.sortBy(_.getLong(0))
+    val n = sorted.length
+    val ids = new Array[Long](n)
+    val offs = new Array[Int](n)
+    val lens = new Array[Int](n)
+    val cell = new Array[Int](n)
+    val c1 = new Array[Int](n)
+    val c2 = new Array[Int](n)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val r = sorted(i)
+      ids(i) = r.getLong(0)
+      cell(i) = if (r.isNullAt(1)) NullCell else r.getInt(1)
+      c1(i) = if (r.isNullAt(2)) NullCell else r.getInt(2)
+      c2(i) = if (r.isNullAt(3)) NullCell else r.getInt(3)
+      lens(i) = if (r.isNullAt(4)) 0 else r.getSeq[Float](4).length
+      offs(i) = total
+      total += lens(i)
+      i += 1
+    }
+    val data = new Array[Float](total)
+    i = 0
+    while (i < n) {
+      if (lens(i) > 0) {
+        val e = sorted(i).getSeq[Float](4)
+        var j = 0
+        while (j < lens(i)) { data(offs(i) + j) = e(j); j += 1 }
+      }
+      i += 1
+    }
+    new RecallPanel(ids, offs, lens, data, cell, c1, c2)
+  }
+}
+
+/** recall_panel_score(doc_a, doc_b): STRUCT<sim DOUBLE, same_cell BOOLEAN,
+  * top2_shared BOOLEAN> from a [[RecallPanel]] — the four broadcast-join
+  * attachments (two embedding sides, two metadata sides) plus the cosine
+  * kernel of the recall face fused into ONE in-stage lookup pair, so the
+  * quadratic truth-pair stream flows scan → score → filter → aggregate
+  * with no Exchange and no per-pair row copying of 2×dim float arrays.
+  * NULL when either id is absent from the panel (the inner joins' drop).
+  */
+case class RecallPanelScore(left: Expression, right: Expression, panel: RecallPanel)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sim", DoubleType, nullable = false),
+    StructField("same_cell", BooleanType, nullable = false),
+    StructField("top2_shared", BooleanType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two BIGINT arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    panel.score(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("recallPanel", panel, classOf[RecallPanel].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = $ref.score($a, $b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API + SQL-registration surface for the native expressions. */
 object VectorFunctions {
 
@@ -636,6 +792,9 @@ object VectorFunctions {
   def pqAdcF(x: Column, cb: Column, q: Column, numSub: Int): Column =
     Bridge.column(PqAdcDistance(Bridge.expression(x), Bridge.expression(cb),
       Bridge.expression(q), numSub))
+
+  def recallPanelScoreF(a: Column, b: Column, panel: RecallPanel): Column =
+    Bridge.column(RecallPanelScore(Bridge.expression(a), Bridge.expression(b), panel))
 
   /** Register `dot_f` / `cosine_f` / `sq_recon_cosine` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1245,57 +1245,94 @@ object Similarity {
       .select("doc_a", "doc_b", "sim")
   }
 
+  /** The FUSED scored stream of the recall face (panel kernel in-stage) —
+    * the shape [[semanticRecallOf]] executes since the panel rewrite; the
+    * broadcast-join probe above is kept as the before-comparison.
+    */
+  private[graft] def semanticRecallScoredFusedProbe(s: SparkSession, d: String): DataFrame = {
+    val p = recallSamplePermille(embeddingCount(s, d))
+    val pred = recallSamplePred(p)
+    val assign = ivfAssign(s, d).select(col("vec_id"), col("cell")).where(pred)
+    val top2 = assignTop2Of(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).where(pred), centroids(s, d))
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).where(pred)
+    val panel = graft.functions.RecallPanel.fromRows(
+      assign.join(top2, Seq("vec_id")).join(emb, Seq("vec_id"))
+        .select(col("vec_id"), col("cell").cast("int"),
+          col("c1").cast("int"), col("c2").cast("int"), col("embedding"))
+        .collect())
+    import s.implicits._
+    val ids = (0 until panel.size).map(panel.idAt)
+    Dedup.pairsFromBucketedRowsRaw(
+      ids.toDF("doc_id").select(lit(0).as("k"), col("doc_id")),
+      Seq("k"), Dedup.bucketExpandCap)
+      .withColumn("r", graft.functions.VectorFunctions
+        .recallPanelScoreF(col("doc_a"), col("doc_b"), panel))
+      .where(!isnan(col("r.sim")))
+      .select(col("doc_a"), col("doc_b"), col("r.sim").as("sim"))
+  }
+
   private[operators] def semanticRecallOf(assign: DataFrame, top2: DataFrame,
                                           emb: DataFrame,
                                           thresholds: Seq[Int]): DataFrame = {
     val s = assign.sparkSession
     import s.implicits._
-    // The truth panel is ONE logical bucket (k = 0) sliced ns = ⌈B/cap⌉
-    // ways, so the hot-join's key (k, sb) has only ns ≈ 8 distinct values
-    // at the sample cap — the downstream scoring stage (6 broadcast
-    // probes + the cosine kernel over ~2M pairs, the whole face's cost)
-    // inherits that partitioning and runs on ≤ ns cores (guide §2.5: a
-    // synthetic key with too few distinct values). Re-spread the SKINNY
-    // pair rows (16 bytes each) across the full shuffle width before
-    // scoring: counts are order-insensitive, cosineF per row unchanged —
-    // bit-identical result. ns grows with bucket size, so this is only
-    // the sample-capped panel's problem, not the kernel's.
+    // ONE bounded driver panel replaces the former four broadcast-join
+    // attachments (two embedding sides, two metadata sides) AND the pair
+    // respread exchange: collect the sampled (vec_id, cell, c1, c2,
+    // embedding) universe — ≤ recallSampleTarget rows × dim floats
+    // ≈ 1.3 MB BY CONSTRUCTION (the sample cap, never the corpus, bounds
+    // it; the centroid-panel class) — and score each truth pair with the
+    // fused RecallPanelScore kernel INSIDE the pair-generation stage.
+    // The quadratic pair stream now flows generate → score → filter →
+    // aggregate with no Exchange and no per-pair copying of 2×dim float
+    // arrays through join operators (guide §2.3/§2.4: the pairs only need
+    // a DECISION per row; ship the 1.3 MB panel once per task, not
+    // 2×dim floats per pair). The panel cosine is the identical
+    // three-accumulator left fold over the identical floats as cosineF on
+    // the joined columns — sims bit-identical, counts unchanged
+    // (SemanticRecallSpec pins the fused path against the joined
+    // formulation, NaN/NULL cases included).
+    //
+    // The inner panel join reproduces the joined form's row universe: a
+    // pair survived exactly when both ends had an embedding row AND a
+    // (cell, c1, c2) metadata row — i.e. both ends ∈ assign ⋈ top2 ⋈ emb,
+    // which is precisely panel membership (RecallPanelScore yields NULL —
+    // dropped by the threshold filter — for absent ends, and the pair
+    // universe below is generated from the panel's own id set, identical
+    // to the assign-id universe after those inner drops).
+    val panel = graft.functions.RecallPanel.fromRows(
+      assign.join(top2, Seq("vec_id")).join(emb, Seq("vec_id"))
+        .select(col("vec_id"), col("cell").cast("int"),
+          col("c1").cast("int"), col("c2").cast("int"), col("embedding"))
+        .collect())
+    val panelIds = {
+      val ids = new Array[Long](panel.size)
+      var i = 0
+      while (i < ids.length) { ids(i) = panel.idAt(i); i += 1 }
+      ids.toSeq
+    }
+    // Truth pairs: the same blocked kernel over the same id universe (ONE
+    // logical bucket, occupancy-capped slices — ~cap²-bounded tasks, never
+    // a CartesianProduct), fed from the panel's id set instead of
+    // re-deriving the assignment chain a second time inside the scored
+    // job. The former `.repartition(doc_a, doc_b)` respread is gone WITH
+    // its 16-byte-row exchange: it existed to parallelize the heavy
+    // scoring stage (6 broadcast probes + cosine per pair); the fused
+    // kernel's ~0.2 µs/pair runs inside the ns-sliced generation join
+    // whose tasks are already cap²-bounded.
     val truthCand = Dedup.pairsFromBucketedRowsRaw(
-      assign.select(lit(0).as("k"), col("vec_id").as("doc_id")),
+      panelIds.toDF("doc_id").select(lit(0).as("k"), col("doc_id")),
       Seq("k"), Dedup.bucketExpandCap)
-      .repartition(col("doc_a"), col("doc_b"))
-    // Every joined side below is ≤ the sample universe (recallSampleTarget
-    // rows × dim floats ≈ 1.3 MB) BY CONSTRUCTION — but at scale it hides
-    // behind an unestimatable hash-sample filter over the full table, so
-    // Catalyst sizes it at the parent and falls back to sort-merge,
-    // shuffling the quadratic pair stream once PER JOIN (measured 44 s vs
-    // 6 s at sf1 for the identical ~12.5M-pair truth universe). The
-    // explicit broadcast is safe precisely because the sample cap, not
-    // the corpus, bounds these sides — this is not an SF-growing side.
-    val meta = assign.join(top2, Seq("vec_id"))
     val scored = truthCand
-      .join(broadcast(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))), Seq("doc_a"))
-      .join(broadcast(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb"))), Seq("doc_b"))
-      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
-      .where(!isnan(col("sim")))
+      .withColumn("r", graft.functions.VectorFunctions
+        .recallPanelScoreF(col("doc_a"), col("doc_b"), panel))
+      .where(!isnan(col("r.sim")))
       // pairs below the LOWEST threshold contribute to no count at all —
-      // drop them before the four metadata attachments instead of after
-      // (guide §2.3: filter before the joins; ~99% of the quadratic pair
-      // stream dies here, the surviving counts are identical)
-      .where(col("sim") >= lit(thresholds.min / 1000.0))
-      .select("doc_a", "doc_b", "sim")
-      // one (vec_id, cell, c1, c2) metadata frame attached per pair END —
-      // two broadcast probes instead of four (assign and top2 cover the
-      // same sample universe, so the inner-join row set is unchanged)
-      .join(broadcast(meta.select(col("vec_id").as("doc_a"), col("cell").as("ca"),
-        col("c1").as("a1"), col("c2").as("a2"))), Seq("doc_a"))
-      .join(broadcast(meta.select(col("vec_id").as("doc_b"), col("cell").as("cb"),
-        col("c1").as("b1"), col("c2").as("b2"))), Seq("doc_b"))
-      .withColumn("same_cell", col("ca") === col("cb"))
-      .withColumn("top2_shared", coalesce(
-        (col("a1") === col("b1")) || (col("a1") === col("b2")) ||
-          (col("a2") === col("b1")) || (col("a2") === col("b2")), lit(false)))
-      .select("sim", "same_cell", "top2_shared")
+      // ~99% of the quadratic pair stream dies here, in-stage
+      .where(col("r.sim") >= lit(thresholds.min / 1000.0))
+      .select(col("r.sim").as("sim"), col("r.same_cell").as("same_cell"),
+        col("r.top2_shared").as("top2_shared"))
     // every count in ONE aggregation pass over the scored pairs
     val aggs = thresholds.flatMap { t =>
       val cond = col("sim") >= lit(t / 1000.0)

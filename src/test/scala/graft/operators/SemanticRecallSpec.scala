@@ -34,6 +34,96 @@ class SemanticRecallSpec extends SparkSpec {
       s"top2 must recover the straddling pair: ${r("top2")}")
   }
 
+  test("fused panel scoring ≡ broadcast-join formulation, bit-for-bit") {
+    import spark.implicits._
+    // Random corpus exercising every membership and NULL class the fused
+    // panel must reproduce: zero-norm vectors (NaN sims), assign ids with
+    // no embedding row (inner-join drops), ids with no top2 row, and
+    // None c1/c2 (SQL null-equality in the top2_shared flag).
+    val rnd = new scala.util.Random(421)
+    val dim = 6
+    val emb = (0L until 180L).filter(_ % 17 != 0).map { id =>
+      val v =
+        if (id % 23 == 0) Array.fill(dim)(0f) // zero-norm → NaN sim
+        else Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    val assign = (0L until 180L).filter(_ % 13 != 0)
+      .map(id => (id, (id % 5).toInt)).toDF("vec_id", "cell")
+    val top2 = (0L until 180L).filter(_ % 11 != 0).map { id =>
+      val c1 = if (id % 19 == 0) None else Some((id % 5).toInt)
+      val c2 = if (id % 7 == 0) None else Some(((id + 1) % 5).toInt)
+      (id, c1, c2)
+    }.toDF("vec_id", "c1", "c2")
+    val tauMin = 0.35
+
+    // Reference: the broadcast-join formulation the panel replaced.
+    val truthCand = Dedup.pairsFromBucketedRowsRaw(
+      assign.select(lit(0).as("k"), col("vec_id").as("doc_id")),
+      Seq("k"), Dedup.bucketExpandCap)
+    val meta = assign.join(top2, Seq("vec_id"))
+    val ref = truthCand
+      .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
+      .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
+      .withColumn("sim", graft.functions.VectorFunctions.cosineF(col("ea"), col("eb")))
+      .where(!isnan(col("sim")) && col("sim") >= lit(tauMin))
+      .join(meta.select(col("vec_id").as("doc_a"), col("cell").as("ca"),
+        col("c1").as("a1"), col("c2").as("a2")), Seq("doc_a"))
+      .join(meta.select(col("vec_id").as("doc_b"), col("cell").as("cb"),
+        col("c1").as("b1"), col("c2").as("b2")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim"),
+        (col("ca") === col("cb")).as("same_cell"),
+        coalesce(
+          (col("a1") === col("b1")) || (col("a1") === col("b2")) ||
+            (col("a2") === col("b1")) || (col("a2") === col("b2")), lit(false))
+          .as("top2_shared"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+
+    // Fused: panel built exactly as semanticRecallOf builds it, pairs from
+    // the panel id universe, scored in-stage.
+    val panel = graft.functions.RecallPanel.fromRows(
+      assign.join(top2, Seq("vec_id")).join(emb, Seq("vec_id"))
+        .select(col("vec_id"), col("cell").cast("int"),
+          col("c1").cast("int"), col("c2").cast("int"), col("embedding"))
+        .collect())
+    val ids = (0 until panel.size).map(panel.idAt)
+    val fused = Dedup.pairsFromBucketedRowsRaw(
+      ids.toDF("doc_id").select(lit(0).as("k"), col("doc_id")),
+      Seq("k"), Dedup.bucketExpandCap)
+      .withColumn("r", graft.functions.VectorFunctions
+        .recallPanelScoreF(col("doc_a"), col("doc_b"), panel))
+      .where(!isnan(col("r.sim")) && col("r.sim") >= lit(tauMin))
+      .select(col("doc_a"), col("doc_b"), col("r.sim"),
+        col("r.same_cell"), col("r.top2_shared"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+
+    assert(fused.size == ref.size && fused.nonEmpty,
+      s"fused pair set ${fused.size} != joined ${ref.size} (or empty fixture)")
+    fused.foreach { case (k, v) =>
+      assert(ref.get(k).contains(v), s"pair $k: fused $v != joined ${ref.get(k)}")
+    }
+    // And the declared-shape face output itself is identical through both
+    // bodies: semanticRecallOf (fused) vs counts recomputed from ref.
+    val face = Similarity.semanticRecallOf(assign, top2, emb, Seq(350, 450))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for (t <- Seq(350, 450); scope <- Seq("cell", "top2")) {
+      val tau = t / 1000.0
+      val hits = ref.values.filter(v => java.lang.Double.longBitsToDouble(v._1) >= tau)
+      val nTrue = hits.size.toLong
+      val found = hits.count(v => if (scope == "cell") v._2 else v._3).toLong
+      val expect = (nTrue, found, nTrue - found,
+        if (nTrue == 0L) 0L else 1000L * found / nTrue)
+      assert(face((scope, t)) == expect, s"face($scope,$t) ${face((scope, t))} != $expect")
+    }
+  }
+
   test("corpus recall: top2 detects at least what the cell scope does") {
     val rows = Similarity.semanticRecall(spark, sf())
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
