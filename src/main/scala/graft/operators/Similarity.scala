@@ -1261,15 +1261,41 @@ object Similarity {
         .select(col("vec_id"), col("cell").cast("int"),
           col("c1").cast("int"), col("c2").cast("int"), col("embedding"))
         .collect())
-    import s.implicits._
-    val ids = (0 until panel.size).map(panel.idAt)
-    Dedup.pairsFromBucketedRowsRaw(
-      ids.toDF("doc_id").select(lit(0).as("k"), col("doc_id")),
-      Seq("k"), Dedup.bucketExpandCap)
+    panelPairs(s, panel)
       .withColumn("r", graft.functions.VectorFunctions
         .recallPanelScoreF(col("doc_a"), col("doc_b"), panel))
       .where(!isnan(col("r.sim")))
       .select(col("doc_a"), col("doc_b"), col("r.sim").as("sim"))
+  }
+
+  /** All unordered pairs over the panel's id universe, distributed: the
+    * blocked kernel's slicing rule — ns = ⌈n/cap⌉ deterministic hash
+    * slices; id x (slice sa) replicates to every sb in [sa, ns) on the
+    * LEFT; the RIGHT holds each id once at its own slice; join on sb and
+    * keep (sa < sb) OR (da < db), so each pair forms exactly once and
+    * every probe list is ≤ ~cap ids — but with the left side parallelized
+    * EXPLICITLY over `defaultParallelism` instead of exploding out of the
+    * kernel's single collected bucket row (whose one-partition lineage
+    * made the downstream expansion+scoring stage single-task; guide §2.5).
+    * ~n·ns/2 skinny left rows, zero exchanges, ≤ cap·rows output per
+    * probe: the quadratic work lands as uniformly small units across
+    * however many cores the session actually has.
+    */
+  private[graft] def panelPairs(s: SparkSession, panel: graft.functions.RecallPanel): DataFrame = {
+    import s.implicits._
+    val ids = (0 until panel.size).map(panel.idAt)
+    val ns = math.max(1, (panel.size + Dedup.bucketExpandCap - 1) / Dedup.bucketExpandCap)
+    val slices = math.max(1, s.sparkContext.defaultParallelism)
+    val idsDf = s.sparkContext.parallelize(ids, slices).toDF("doc_id")
+      .withColumn("sl", pmod(xxhash64(col("doc_id")), lit(ns.toLong)).cast("int"))
+    val left = idsDf
+      .withColumn("sb", explode(sequence(col("sl"), lit(ns - 1))))
+      .select(col("sl").as("sa"), col("sb"), col("doc_id").as("da"))
+    val right = idsDf.select(col("sl").as("sb"), col("doc_id").as("db"))
+    left.join(broadcast(right), Seq("sb"))
+      .where(col("sa") < col("sb") || col("da") < col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
   }
 
   private[operators] def semanticRecallOf(assign: DataFrame, top2: DataFrame,
@@ -1306,25 +1332,18 @@ object Similarity {
         .select(col("vec_id"), col("cell").cast("int"),
           col("c1").cast("int"), col("c2").cast("int"), col("embedding"))
         .collect())
-    val panelIds = {
-      val ids = new Array[Long](panel.size)
-      var i = 0
-      while (i < ids.length) { ids(i) = panel.idAt(i); i += 1 }
-      ids.toSeq
-    }
-    // Truth pairs: the same blocked kernel over the same id universe (ONE
-    // logical bucket, occupancy-capped slices — ~cap²-bounded tasks, never
-    // a CartesianProduct), fed from the panel's id set instead of
-    // re-deriving the assignment chain a second time inside the scored
-    // job. The former `.repartition(doc_a, doc_b)` respread is gone WITH
-    // its 16-byte-row exchange: it existed to parallelize the heavy
-    // scoring stage (6 broadcast probes + cosine per pair); the fused
-    // kernel's ~0.2 µs/pair runs inside the ns-sliced generation join
-    // whose tasks are already cap²-bounded.
-    val truthCand = Dedup.pairsFromBucketedRowsRaw(
-      panelIds.toDF("doc_id").select(lit(0).as("k"), col("doc_id")),
-      Seq("k"), Dedup.bucketExpandCap)
-    val scored = truthCand
+    // Truth pairs: the blocked-kernel slicing rule (ns = ⌈n/cap⌉ hash
+    // slices, sa ≤ sb replication, da < db within a slice — each
+    // unordered pair formed exactly once, every probe list ≤ cap) over
+    // the panel's id set, with the LEFT side parallelized EXPLICITLY
+    // ([[panelPairs]]). Routing the single-universe panel through
+    // [[Dedup.pairsFromBucketedRowsRaw]] left the whole expansion+scoring
+    // stage probing from the ONE-partition bucket-row explode (the former
+    // `.repartition(doc_a, doc_b)` respread existed to undo exactly that,
+    // at a quadratic-pair-stream exchange). Here the scored plan has ZERO
+    // exchanges before the final aggregation: parallelize → explode →
+    // broadcast join → fused score → filter → partial agg.
+    val scored = panelPairs(s, panel)
       .withColumn("r", graft.functions.VectorFunctions
         .recallPanelScoreF(col("doc_a"), col("doc_b"), panel))
       .where(!isnan(col("r.sim")))

@@ -42,15 +42,15 @@ class SemanticRecallSpec extends SparkSpec {
     // None c1/c2 (SQL null-equality in the top2_shared flag).
     val rnd = new scala.util.Random(421)
     val dim = 6
-    val emb = (0L until 180L).filter(_ % 17 != 0).map { id =>
+    val emb = (0L until 600L).filter(_ % 17 != 0).map { id =>
       val v =
         if (id % 23 == 0) Array.fill(dim)(0f) // zero-norm → NaN sim
         else Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
       (id, v)
     }.toDF("vec_id", "embedding")
-    val assign = (0L until 180L).filter(_ % 13 != 0)
+    val assign = (0L until 600L).filter(_ % 13 != 0)
       .map(id => (id, (id % 5).toInt)).toDF("vec_id", "cell")
-    val top2 = (0L until 180L).filter(_ % 11 != 0).map { id =>
+    val top2 = (0L until 600L).filter(_ % 11 != 0).map { id =>
       val c1 = if (id % 19 == 0) None else Some((id % 5).toInt)
       val c2 = if (id % 7 == 0) None else Some(((id + 1) % 5).toInt)
       (id, c1, c2)
@@ -89,10 +89,7 @@ class SemanticRecallSpec extends SparkSpec {
         .select(col("vec_id"), col("cell").cast("int"),
           col("c1").cast("int"), col("c2").cast("int"), col("embedding"))
         .collect())
-    val ids = (0 until panel.size).map(panel.idAt)
-    val fused = Dedup.pairsFromBucketedRowsRaw(
-      ids.toDF("doc_id").select(lit(0).as("k"), col("doc_id")),
-      Seq("k"), Dedup.bucketExpandCap)
+    val fused = Similarity.panelPairs(spark, panel)
       .withColumn("r", graft.functions.VectorFunctions
         .recallPanelScoreF(col("doc_a"), col("doc_b"), panel))
       .where(!isnan(col("r.sim")) && col("r.sim") >= lit(tauMin))
